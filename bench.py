@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+One shared SparkSession (no per-query startup — SURVEY.md §6), each
+query materialized via the noop sink (full execution, zero driver
+collection cost).  Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "star_revenue_by_brand",
+    "star_fact_order_metrics",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "window_topn_per_group",
+    "tumbling_event_counts",
+    "session_stats",
+    "top_users_by_value",
+    "dedup_hash_docs",
+    "text_quality_stats",
+    "term_freq_top20",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup_pairs",
+    "knn_bruteforce_topk",
+    "embedding_norms",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from northwind_etl_spark.plans.queries import QUERIES
+    from northwind_etl_spark.session import get_spark
+
+    spark = get_spark("northwind-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup cost
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

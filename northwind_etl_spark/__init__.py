@@ -1,0 +1,17 @@
+"""northwind_etl_spark — a PySpark-native analytics engine.
+
+A from-scratch re-expression of the capability surface of
+``roberthpchao/Northwind-ETL`` (a single-node pandas/pyodbc star-schema
+ETL pipeline; see SURVEY.md) as an idiomatic, cluster-scale PySpark
+engine, plus the LLM-data-pipeline operator families (dedup, similarity
+search, text analysis, multimodal columns, sessionization) mandated by
+the project north star.
+
+Design stance (SURVEY.md §7): declarative DataFrame/SQL plans, Catalyst
+does the optimizing; broadcast joins for dimension lookups; decimal
+arithmetic for money aggregates so results are order-independent and
+oracle-reproducible; Pandas UDFs only where built-ins genuinely cannot
+express the semantics (multimodal decode).
+"""
+
+__version__ = "0.1.0"

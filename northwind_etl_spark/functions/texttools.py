@@ -1,0 +1,59 @@
+"""Text column expressions — all JVM-side (split/filter/transform are
+Catalyst higher-order functions, no Python in the hot path).
+
+Tokenization contract (shared with the DuckDB oracles): trim, split on
+runs of whitespace, drop empty tokens.  Both engines implement this
+identically, so token counts hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.trim(_col(text)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count_expr(text: Column | str) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def punct_count_expr(text: Column | str) -> Column:
+    """Count of punctuation chars (fixed class, same regex both engines)."""
+    return F.length(F.regexp_replace(_col(text), r"[^!,.;:?]", ""))
+
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the MinHash/Jaccard unit.
+
+    Built from the token array with transform+slice (no UDF): shingle i
+    is tokens[i..i+n-1] joined by single spaces; distinct set per doc.
+    """
+    toks = tokens_expr(text)
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def rolling_hash_expr(text: Column | str, *, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash over characters: h = (h*base + ascii(c)) % mod.
+
+    Pure fold via `aggregate` — sequential by construction, so the value
+    is deterministic and reproducible by any engine with a left fold.
+    Intermediate stays < mod*base + 127 ≪ 2^63: no overflow under ANSI.
+    """
+    chars = F.split(_col(text), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * F.lit(base) + F.ascii(c)) % F.lit(mod),
+    )

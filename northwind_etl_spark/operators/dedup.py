@@ -1,0 +1,269 @@
+"""Deduplication family (north-star §2b): exact, hash, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Everything here is shuffle-aware by construction:
+
+- exact / hash dedup: one hash-partitioned groupBy on the dedup key —
+  at 100 TB this shuffles only (key, min_id) pairs after map-side
+  combine, not documents.
+- MinHash+LSH: the classic MapReduce shape — per-doc signatures are
+  embarrassingly parallel; candidate generation is a groupBy on
+  (band_id, band_hash) so only docs sharing a band bucket ever meet.
+  No O(n²) pair enumeration exists anywhere.
+- SimHash: explode→aggregate per doc; candidate pairs via banding the
+  64-bit fingerprint into 4 × 16-bit bands (Hamming-distance-tolerant
+  blocking), then exact Hamming verify within buckets.
+- n-gram Jaccard: exact verify on candidate pairs only (docs sharing at
+  least one shingle), expressed as explode + self-equi-join + groupBy —
+  all shuffle-on-key, broadcast-free, skew-tolerant under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.texttools import shingles_expr, tokens_expr
+
+# -- exact ----------------------------------------------------------------
+
+
+def drop_duplicates(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Plain dropDuplicates (keeps an arbitrary winner; cheap)."""
+    return df.dropDuplicates(cols)
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Deterministic exact dedup: keep MIN(id) per key group.
+
+    Canonical-winner semantics (unlike dropDuplicates) so results are
+    oracle-reproducible: SELECT key, MIN(id) GROUP BY key.
+    """
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+
+
+def dedup_hash(df: DataFrame, text_col: str, id_col: str, *, normalize: bool = True) -> DataFrame:
+    """Content-hash dedup: md5 of (optionally normalized) text.
+
+    At scale this beats dedup_exact on long documents — the shuffle key
+    is a 16-byte digest, not the document body.
+    """
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+    return (
+        df.withColumn("content_hash", F.md5(t))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# -- MinHash + LSH --------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: k independent hashes via xxhash64 with
+    distinct seeds folded over the shingle set.  Pure codegen — the
+    signature is an array<bigint> column, one pass over the text."""
+    sh = shingles_expr(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature")).where(F.size(sh) > 0)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, *, bands: int = 8, num_hashes: int = 32
+) -> DataFrame:
+    """Band the signature, bucket by (band, band-hash), emit candidate
+    pairs from same-bucket doc sets.  Pair explosion is bounded per
+    bucket; at scale you cap bucket width (collect_list→slice) to guard
+    against degenerate buckets (near-identical boilerplate)."""
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[i]
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact
+    Jaccard verify on candidates only.  Returns (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands=bands, num_hashes=num_hashes)
+    verified = ngram_jaccard(
+        df.join(
+            cands.select("id_a").union(cands.select("id_b")).distinct()
+            .withColumnRenamed("id_a", id_col),
+            id_col,
+            "left_semi",
+        ),
+        text_col,
+        id_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+    )
+    return cands.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+# -- SimHash --------------------------------------------------------------
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc: token hashes vote ±1 per bit position;
+    fingerprint bit b = 1 iff the vote sum is positive.
+
+    Explode tokens → 64 conditional-sum aggregates (all codegen'd in one
+    hash-aggregate pass) → recombine bits.  Shuffle is on id only.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(64):
+        bit = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by SimHash: block on 4×16-bit bands (any pair within
+    Hamming distance 3 of 64 bits shares ≥1 exact band — pigeonhole),
+    verify Hamming distance inside buckets."""
+    fps = simhash_fingerprints(df, text_col, id_col)
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# -- n-gram Jaccard (exact, candidate-pair-bounded) -----------------------
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over word-n-gram shingle sets for all pairs sharing
+    ≥1 shingle: explode → self-equi-join on shingle → |∩| per pair →
+    |∪| = |A|+|B|−|∩|.  Equivalent ANSI SQL exists (oracle-checkable).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

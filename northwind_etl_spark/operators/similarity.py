@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (north-star §2b).
+
+Two tiers, per the scale plan:
+
+- **Brute-force top-k** (`knn_bruteforce`): score every row against the
+  query with the Catalyst fold from functions/vectors.py, then
+  TakeOrderedAndProject.  Linear scan, embarrassingly parallel, zero
+  shuffle until the final k·partitions merge — the correct baseline and
+  the oracle-checkable semantics.
+- **LSH-bucketed ANN** (`rp_lsh_buckets` / `ann_lsh_topk`): sign-random-
+  projection buckets computed by a *vectorized* pandas UDF (numpy matmul
+  over Arrow batches — the Python-but-fast path).  Probing only the
+  query's bucket turns the 100 TB scan into a bucket-sized scan;
+  multi-probe widens recall.  Projections are seeded → deterministic.
+
+Embedding near-dup (`embedding_near_duplicates`): cosine ≥ τ pairs found
+inside LSH buckets only — same no-O(n²) discipline as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.vectors import cosine_expr, norm_expr
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def _projection_matrix(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes)).astype(np.float64)
+
+
+def rp_lsh_buckets(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection bucket id per row (deterministic, seeded).
+
+    numpy does (batch × dim) @ (dim × planes) per Arrow batch — one
+    matmul per ~10k rows instead of 64·12 expression nodes per row.
+    """
+    planes = _projection_matrix(dim, n_planes, seed)
+
+    @pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim) float32
+        signs = (mat.astype(np.float64) @ planes) > 0  # (batch, planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return embeddings.withColumn("bucket", bucket_of(F.col(vec_col)))
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only rows whose bucket is within
+    `multiprobe_hamming` bit-flips of the query's bucket."""
+    dim = len(query_vec)
+    planes = _projection_matrix(dim, n_planes, seed)
+    qsigns = (np.asarray(query_vec, dtype=np.float64) @ planes) > 0
+    qbucket = int((qsigns * (1 << np.arange(n_planes))).sum())
+    probe = {qbucket}
+    if multiprobe_hamming >= 1:
+        probe |= {qbucket ^ (1 << b) for b in range(n_planes)}
+    if multiprobe_hamming >= 2:
+        probe |= {
+            qbucket ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        }
+    bucketed = rp_lsh_buckets(
+        embeddings, dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col
+    )
+    candidates = bucketed.where(F.col("bucket").isin(*[int(b) for b in probe]))
+    return knn_bruteforce(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-near-dup pairs discovered within shared LSH buckets.
+
+    All true pairs at cosine ≥ ~0.95 land in the same bucket with high
+    probability per plane-set; recall is tunable via n_planes (fewer
+    planes → bigger buckets → higher recall, more verify work).
+    """
+    bucketed = rp_lsh_buckets(
+        embeddings.select(id_col, vec_col), dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    pairs = l.join(
+        r,
+        on=[
+            F.col("l.bucket") == F.col("r.bucket"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ],
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.round(cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold).distinct()
+
+
+def embedding_norms(
+    embeddings: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """L2 norm per row — the sanity/oracle query for the vector fold."""
+    return embeddings.select(
+        F.col(id_col), F.round(norm_expr(F.col(vec_col)), 6).alias("l2_norm")
+    )

@@ -1,0 +1,114 @@
+"""Text analysis (north-star §2b): quality stats, token counting,
+language ID, document fingerprinting.
+
+All row-local Catalyst expressions — no shuffle at all until an optional
+corpus-level rollup, so these scale trivially: 100 TB of documents is a
+map-only pass.  The language-ID heuristic uses function-word evidence
+with a fixed, documented tie-break order so results are deterministic
+and SQL-oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texttools import (
+    punct_count_expr,
+    rolling_hash_expr,
+    token_count_expr,
+    tokens_expr,
+)
+
+# Function words per language, used as evidence by lang_id.  Tie-break =
+# this dict's order (en, de, fr, es, zh) — encoded in the CASE cascade.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+    "zh": ["de5", "shi4", "le5", "he2", "zai4"],
+}
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality profile: char/token counts, mean token length,
+    punctuation count, distinct-token ratio (lexical diversity)."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_toks = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_calc"),
+        n_toks.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.nullif(n_toks.cast("double"), F.lit(0.0)), 6
+        ).alias("uniq_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.nullif(n_toks.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+        punct_count_expr(t).alias("n_punct"),
+    )
+
+
+def _marker_score(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(markers)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID from function-word counts.
+
+    Deterministic argmax: first language in LANG_MARKERS order whose
+    score equals the max; 'und' (undetermined) when all scores are 0.
+    """
+    toks = tokens_expr(F.col(text_col))
+    scores = {lang: _marker_score(toks, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred: Column = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    out = df.select(F.col(id_col), pred.alias("lang_pred"))
+    return out
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count per doc (the BPE-ish regex variant is
+    token_count_bpe below)."""
+    return df.select(F.col(id_col), token_count_expr(F.col(text_col)).alias("n_tokens"))
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish subword proxy: count word pieces of ≤4 chars after
+    splitting words every 4 characters — a deterministic stand-in for a
+    real tokenizer (ceil(len/4) summed over words)."""
+    toks = tokens_expr(F.col(text_col))
+    pieces = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.ceil(F.length(x) / F.lit(4.0))
+    )
+    return df.select(F.col(id_col), pieces.alias("n_pieces"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic doc fingerprint: polynomial rolling hash (content-
+    sensitive, engine-reproducible) + md5 digest."""
+    return df.select(
+        F.col(id_col),
+        rolling_hash_expr(F.col(text_col)).alias("roll_hash"),
+        F.md5(F.col(text_col)).alias("md5_hex"),
+    )
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", *, min_count: int = 1
+) -> DataFrame:
+    """Corpus-level term frequencies: explode + groupBy (map-side combine
+    keeps the shuffle at |vocab|, not |tokens|)."""
+    toks = df.select(F.explode(tokens_expr(F.col(text_col))).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .where(F.col("term_count") >= min_count)
+    )

@@ -1,0 +1,326 @@
+"""DuckDB oracle SQL, one entry per oracle-checkable query in
+plans/queries.py.  These encode the SAME semantics with the SAME
+determinism rules (see queries.py header); the driver runs them over
+parquet views named region/nation/customer/supplier/part/orders/
+lineitem/events/documents/embeddings.
+
+Queries with no entry here (MinHash/SimHash/LSH families, multimodal)
+are hash-seeded or Python-vectorized and get rows-only checks plus
+planted-fixture tests (SURVEY.md §7 'LSH correctness').
+"""
+
+from __future__ import annotations
+
+
+def _dsum(expr: str, alias: str, scale: int = 2) -> str:
+    """Order-independent money sum — mirror of functions.money.decimal_sum."""
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,6))), {scale}) AS DOUBLE) AS {alias}"
+
+
+def _davg(expr: str, alias: str, scale: int = 6) -> str:
+    """Mirror of functions.money.decimal_avg."""
+    return (
+        f"CAST(ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) "
+        f"/ COUNT({expr}), {scale}) AS DOUBLE) AS {alias}"
+    )
+
+
+# tokens: trim → split on whitespace runs → drop empties (= texttools.tokens_expr)
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+_DIM_PART = (
+    "SELECT CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS PartKey, "
+    "p_partkey AS Source_PartKey, p_name AS PartName, p_brand AS Brand, "
+    "p_type AS PartType, p_size AS PartSize, CAST(p_retailprice AS DOUBLE) AS RetailPrice "
+    "FROM part"
+)
+
+_FACT = f"""
+SELECT l_orderkey AS Source_OrderKey, l_partkey AS Source_PartKey,
+       dp.PartKey AS PartKey, l_linenumber AS LineNumber,
+       o_orderdate AS OrderDate, l_shipdate AS ShipDate,
+       l_quantity AS Quantity, l_discount AS Discount,
+       {_REVENUE} AS ExtendedPrice
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN ({_DIM_PART}) dp ON l_partkey = dp.Source_PartKey
+"""
+
+ORACLES: dict[str, str] = {
+    # ------------------------------------------------------------- reference
+    "flagship_revenue_by_nation": f"""
+        SELECT n_name, {_dsum(_REVENUE, "total_revenue")}
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY total_revenue DESC, n_name
+    """,
+    "star_revenue_by_brand": f"""
+        SELECT p_brand AS Brand, {_dsum(_REVENUE, "TotalSalesRevenue")}
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY TotalSalesRevenue DESC, Brand
+    """,
+    "star_dim_category": """
+        SELECT CAST(row_number() OVER (ORDER BY r_regionkey) AS INT) AS CategoryKey,
+               r_regionkey AS Source_CategoryID, r_name AS CategoryName
+        FROM region
+    """,
+    "star_dim_part": _DIM_PART,
+    "star_fact_order_metrics": _FACT,
+    "fact_rowcount": f"SELECT COUNT(*) AS n_rows FROM ({_FACT})",
+    "topk_extendedprice": f"""
+        SELECT Source_OrderKey, LineNumber, ExtendedPrice, Quantity, Discount
+        FROM ({_FACT})
+        ORDER BY ExtendedPrice DESC, Source_OrderKey, LineNumber
+        LIMIT 10
+    """,
+    "nullkey_audit": """
+        SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    """,
+    "null_coercing_cast": """
+        SELECT doc_id,
+               TRY_CAST(CASE WHEN n_chars % 2 = 0 THEN CAST(n_chars AS VARCHAR)
+                             ELSE lang END AS INT) AS mixed_int,
+               TRY_CAST(n_chars AS SMALLINT) AS n_chars_small
+        FROM documents
+    """,
+    "counts_all_tables": """
+        SELECT 'region' AS tbl, COUNT(*) AS n_rows FROM region
+        UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        UNION ALL SELECT 'part', COUNT(*) FROM part
+        UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        UNION ALL SELECT 'events', COUNT(*) FROM events
+        UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+    # ------------------------------------------------------------- TPC-H-ish
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum("l_quantity", "sum_qty")},
+               {_dsum("l_extendedprice", "sum_base_price")},
+               {_dsum(_REVENUE, "sum_disc_price")},
+               {_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+               {_davg("l_quantity", "avg_qty")},
+               {_davg("l_extendedprice", "avg_price")},
+               {_davg("l_discount", "avg_disc")},
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey, {_dsum(_REVENUE, "revenue")}, o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": f"""
+        SELECT n_name, {_dsum(_REVENUE, "revenue")}
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT {_dsum("l_extendedprice * l_discount", "revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+    """,
+    "window_topn_per_group": """
+        SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   CAST(row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+            FROM customer)
+        WHERE rn <= 3
+    """,
+    "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    # ---------------------------------------------------------------- events
+    "tumbling_event_counts": f"""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events, {_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "session_stats": f"""
+        WITH ordered AS (
+            SELECT user_id, event_id, ts, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM ordered),
+        sessioned AS (
+            SELECT *, CAST(SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+            FROM flagged)
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, {_dsum("value", "sum_value")}
+        FROM sessioned
+        GROUP BY user_id, session_id
+    """,
+    "json_prop_histogram": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    "top_users_by_value": f"""
+        SELECT user_id, COUNT(*) AS n_events, {_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY user_id
+        ORDER BY sum_value DESC, user_id
+        LIMIT 20
+    """,
+    # ------------------------------------------------------------- documents
+    "dedup_exact_docs": """
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "dedup_hash_docs": r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+               MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "text_quality_stats": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_uniq_tokens,
+               ROUND(len(list_distinct(toks)) / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 6)
+                   AS uniq_ratio,
+               ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                     / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 6) AS avg_token_len,
+               length(regexp_replace(text, '[^!,.;:?]', '', 'g')) AS n_punct
+        FROM t
+    """,
+    "lang_distribution": f"""
+        SELECT lang, COUNT(*) AS n_docs, {_davg("n_chars", "avg_chars")}
+        FROM documents
+        GROUP BY lang
+    """,
+    "lang_id_pred": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id,
+              len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+              len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+              len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+              len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS s_es,
+              len(list_filter(toks, x -> x IN ('de5','shi4','le5','he2','zai4'))) AS s_zh
+              FROM t)
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                    ELSE 'zh' END AS lang_pred
+        FROM s
+    """,
+    "token_counts": f"""
+        SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+    """,
+    "token_count_bpe_docs": f"""
+        SELECT doc_id,
+               CAST(list_sum(list_transform({_TOKS},
+                    x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_pieces
+        FROM documents
+    """,
+    "term_freq_top20": f"""
+        SELECT term, COUNT(*) AS term_count
+        FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+        GROUP BY term
+        ORDER BY term_count DESC, term
+        LIMIT 20
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (h, x) -> (h * 31 + x) % 1000000007) AS roll_hash,
+               md5(text) AS md5_hex
+        FROM documents
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+            FROM t),
+        sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(CAST(n_inter AS DOUBLE)
+                     / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(CAST(n_inter AS DOUBLE)
+                    / (sa.set_size + sb.set_size - n_inter), 6) >= 0.2
+    """,
+    # ------------------------------------------------------------ embeddings
+    "embedding_norms": """
+        SELECT vec_id,
+               ROUND(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+        FROM embeddings
+    """,
+    "knn_bruteforce_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT vec_id,
+                   list_sum(list_transform(generate_series(1, len(embedding)),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+                   / NULLIF(
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0) AS cos_raw
+            FROM embeddings, q)
+        SELECT vec_id, ROUND(cos_raw, 6) AS cosine
+        FROM scored
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    """,
+}

@@ -1,0 +1,428 @@
+"""Query registry: every operator family from SURVEY.md §2 as a
+(spark, sf_dir) → DataFrame callable, paired 1:1 with the DuckDB oracle
+SQL in plans/oracles.py.
+
+Parity rules (shared with oracles.py — change together):
+- money sums:  CAST(ROUND(SUM(CAST(e AS DECIMAL(38,6))), 2) AS DOUBLE)
+- averages:    exact decimal sum → double → / count → round 6
+- top-k:       always a total order (unique tie-breaker columns)
+- tokens:      trim → split /\\s+/ → drop empties
+- every computed column aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import decimal_avg, decimal_sum
+from ..functions.texttools import tokens_expr
+from ..functions.vectors import cosine_expr
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import sessionize as S
+from ..operators import similarity as V
+from ..operators import text as X
+from ..operators.aggregate import table_count
+from ..operators.derive import revenue_expr
+from ..operators.joins import anti_join_audit
+from ..operators.sort import top_k
+from ..sources.parquet import TABLE_NAMES, read_table
+from . import star
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- reference
+# family (SURVEY.md §2a) on the FIXTURES.md §C mapping
+
+
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the reference's revenue-by-category rollup
+    (Project Plan7.md:23-36) on the test star: lineitem ⋈ orders ⋈
+    customer ⋈ nation → SUM(revenue) per nation, descending."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("revenue", revenue_expr())
+        .groupBy("n_name")
+        .agg(decimal_sum("revenue", "total_revenue"))
+        .orderBy(F.desc("total_revenue"), F.asc("n_name"))
+    )
+
+
+def star_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 via the full star pipeline (dim build → fact build → rollup)."""
+    return star.revenue_by_category(spark, sf_dir)
+
+
+def star_dim_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.dim_category(spark, sf_dir)
+
+
+def star_dim_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.dim_part(spark, sf_dir)
+
+
+def star_fact_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.fact_order_metrics(spark, sf_dir)
+
+
+def fact_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — COUNT(*) of the loaded fact (Project Plan6.md:156)."""
+    return table_count(star.fact_order_metrics(spark, sf_dir))
+
+
+def topk_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — TOP 10 by ExtendedPrice (Project Plan6.md:162), made
+    deterministic with key tie-breakers."""
+    fact = star.fact_order_metrics(spark, sf_dir)
+    return top_k(
+        fact.select(
+            "Source_OrderKey", "LineNumber", "ExtendedPrice", "Quantity", "Discount"
+        ),
+        [F.desc("ExtendedPrice"), F.asc("Source_OrderKey"), F.asc("LineNumber")],
+        10,
+    )
+
+
+def nullkey_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — referential-integrity audit (Project Plan6.md:158-159):
+    lineitems whose part key has no dimension row.  MUST be empty."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return anti_join_audit(
+        li.select("l_orderkey", "l_linenumber", "l_partkey"),
+        part,
+        fact_key="l_partkey",
+        dim_key="p_partkey",
+    )
+
+
+def null_coercing_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — pd.to_numeric(errors='coerce') semantics via try_cast
+    (etl_product.py:45-46): valid strings parse, invalid become NULL."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "try_cast(CASE WHEN n_chars % 2 = 0 THEN CAST(n_chars AS STRING) "
+            "ELSE lang END AS INT)"
+        ).alias("mixed_int"),
+        F.expr("try_cast(n_chars AS SMALLINT)").alias("n_chars_small"),
+    )
+
+
+def counts_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 generalized — the connection_test.py COUNT(*) smoke check over
+    every source table, as one unioned result."""
+    parts = [
+        _t(spark, sf_dir, name).agg(
+            F.lit(name).alias("tbl"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for name in TABLE_NAMES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+# analytical family (generalizing A1's join→agg→sort shape)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_quantity", "sum_qty"),
+            decimal_sum("l_extendedprice", "sum_base_price"),
+            decimal_sum(disc, "sum_disc_price"),
+            decimal_sum(charge, "sum_charge"),
+            decimal_avg("l_quantity", "avg_qty"),
+            decimal_avg("l_extendedprice", "avg_price"),
+            decimal_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.expr("o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr("l_shipdate > TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(li, o.o_orderkey == li.l_orderkey)
+    grouped = (
+        joined.withColumn("rev", revenue_expr())
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(decimal_sum("rev", "revenue"))
+    )
+    return top_k(
+        grouped.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")],
+        10,
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.expr(
+            "o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("rev", revenue_expr())
+        .groupBy("n_name")
+        .agg(decimal_sum("rev", "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+        )
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        decimal_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue")
+    )
+
+
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per market segment — the
+    window-function generalization of A3's top-k."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------- events
+# (sessionization / windows / JSON — north-star §2b)
+
+
+def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.tumbling_counts(_t(spark, sf_dir, "events"), duration="1 hour")
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def json_prop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = S.extract_props(_t(spark, sf_dir, "events"))
+    return ev.groupBy("prop_k").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), decimal_sum("value", "sum_value")
+    )
+    return top_k(grouped, [F.desc("sum_value"), F.asc("user_id")], 20)
+
+
+# ---------------------------------------------------------------- documents
+# (dedup / text analysis — north-star §2b)
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+
+
+def dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_hash(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.text_quality(_t(spark, sf_dir, "documents"))
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), decimal_avg("n_chars", "avg_chars")
+    )
+
+
+def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+    )
+
+
+def token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
+def term_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = X.term_frequencies(_t(spark, sf_dir, "documents"))
+    return top_k(tf, [F.desc("term_count"), F.asc("term")], 20)
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.2, shingle_n=3
+    )
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (no SQL oracle — LSH bucketing is
+    hash-seeded; verified by planted-duplicate tests instead)."""
+    return D.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only check; see tests)."""
+    return D.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------- embeddings
+# (similarity search — north-star §2b)
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return V.embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query = embedding of vec_id 0, expressed
+    as a broadcast cross-join (no collect; the query vector stays a
+    1-row DataFrame)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("cosine")
+    )
+    return top_k(scored, [F.desc("cosine"), F.asc("vec_id")], 10)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    is asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    # plane count sized to corpus (~500 vecs): 2^6 buckets ≈ 8 rows each;
+    # at 100 TB you'd raise n_planes so bucket size stays ~constant.
+    return V.ann_lsh_topk(emb, qvec, k=10, n_planes=6, multiprobe_hamming=2)
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs via LSH buckets (rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return V.embedding_near_duplicates(emb, dim=64, threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+# (binary columns + mapInPandas — north-star §2b)
+
+
+def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary blobs (decode step
+    stubbed; see operators/multimodal.py)."""
+    blobs = M.make_blob_table(_t(spark, sf_dir, "documents"))
+    return M.extract_blob_features(blobs)
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_revenue_by_nation": flagship_revenue_by_nation,
+    "star_revenue_by_brand": star_revenue_by_brand,
+    "star_dim_category": star_dim_category,
+    "star_dim_part": star_dim_part,
+    "star_fact_order_metrics": star_fact_order_metrics,
+    "fact_rowcount": fact_rowcount,
+    "topk_extendedprice": topk_extendedprice,
+    "nullkey_audit": nullkey_audit,
+    "null_coercing_cast": null_coercing_cast,
+    "counts_all_tables": counts_all_tables,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "window_topn_per_group": window_topn_per_group,
+    "distinct_flag_status": distinct_flag_status,
+    "tumbling_event_counts": tumbling_event_counts,
+    "session_stats": session_stats,
+    "json_prop_histogram": json_prop_histogram,
+    "top_users_by_value": top_users_by_value,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_hash_docs": dedup_hash_docs,
+    "text_quality_stats": text_quality_stats,
+    "lang_distribution": lang_distribution,
+    "lang_id_pred": lang_id_pred,
+    "token_counts": token_counts,
+    "token_count_bpe_docs": token_count_bpe_docs,
+    "term_freq_top20": term_freq_top20,
+    "doc_fingerprints": doc_fingerprints,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "embedding_norms": embedding_norms,
+    "knn_bruteforce_topk": knn_bruteforce_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "multimodal_blob_features": multimodal_blob_features,
+}

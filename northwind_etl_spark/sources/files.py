@@ -1,0 +1,41 @@
+"""File sinks/readers beyond the driver's parquet tables.
+
+The reference's loads (L1 truncate-reload ``etl_category.py:51-61``,
+L2 delete-reload ``etl_product.py:79-95``) both collapse to Spark
+``mode("overwrite")`` — there is no row-at-a-time marshaling
+(``etl_orders.py:120``'s list-of-tuples) anywhere in this engine; writes
+are partition-parallel and columnar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_reload(df: DataFrame, path: str, *, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
+    """Overwrite sink = the reference's truncate/delete-and-reload.
+
+    `partition_by` is the 100 TB story: facts partitioned by a date-ish
+    column get partition pruning on read and idempotent re-loads via
+    dynamic partition overwrite.
+    """
+    writer = df.write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

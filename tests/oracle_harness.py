@@ -1,0 +1,79 @@
+"""Local replica of the driver's DuckDB cross-check: run a Spark query
+and its oracle SQL on the same parquet, compare row count, column names,
+and order-insensitive values.  Used by tests/test_oracle_parity.py so
+parity breaks surface locally before the driver sees them.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round-trip through repr to unify -0.0/0.0 and float32 artifacts
+        return repr(round(v, 9))
+    if isinstance(v, bool | int | str):
+        return v
+    return str(v)
+
+
+def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(canon, key=repr)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict[str, Any]:
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = list(spark_df.columns)
+    d = con.execute(sql)
+    d_cols = [c[0] for c in d.description]
+    d_rows = d.fetchall()
+    result: dict[str, Any] = {
+        "rows_spark": len(s_rows),
+        "rows_duck": len(d_rows),
+        "cols_spark": sorted(s_cols),
+        "cols_duck": sorted(d_cols),
+    }
+    result["count_match"] = len(s_rows) == len(d_rows)
+    result["schema_match"] = sorted(s_cols) == sorted(d_cols)
+    if result["count_match"] and result["schema_match"]:
+        sc, dc = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
+        result["value_match"] = sc == dc
+        if not result["value_match"]:
+            diffs = [(a, b) for a, b in zip(sc, dc) if a != b]
+            result["first_diffs"] = diffs[:3]
+    else:
+        result["value_match"] = False
+    result["ok"] = result["count_match"] and result["schema_match"] and result["value_match"]
+    return result

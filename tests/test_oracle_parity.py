@@ -1,0 +1,31 @@
+"""Every oracle-checkable query must match its DuckDB oracle at sf0.001
+(the driver runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from northwind_etl_spark.plans.oracles import ORACLES
+from northwind_etl_spark.plans.queries import QUERIES
+
+from .oracle_harness import compare, duck_connection
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, sf_dir, duck):
+    assert name in QUERIES, f"oracle {name} has no query"
+    df = QUERIES[name](spark, sf_dir)
+    result = compare(df, duck, ORACLES[name])
+    assert result["ok"], f"{name}: {result}"
+
+
+def test_every_query_registered():
+    missing = sorted(set(ORACLES) - set(QUERIES))
+    assert not missing

@@ -1,0 +1,89 @@
+"""Smoke + semantic checks for queries with no SQL oracle (hash-seeded
+LSH families, Python-vectorized multimodal): they must run, return the
+declared schema, and behave correctly on planted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.operators import dedup as D
+from northwind_etl_spark.operators import multimodal as M
+from northwind_etl_spark.operators import similarity as V
+from northwind_etl_spark.plans.oracles import ORACLES
+from northwind_etl_spark.plans.queries import QUERIES
+
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.columns  # stable schema
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"n_name", "total_revenue"}
+
+
+def test_minhash_finds_planted_duplicates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    # plant near-duplicates: copy each doc with one appended token
+    dup = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(dup)
+    pairs = D.minhash_near_duplicates(corpus, "text", "doc_id", threshold=0.5)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 100000) for r in docs.select("doc_id").collect()}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"minhash recall {recall}: {sorted(found)[:5]}"
+
+
+def test_simhash_flags_identical_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionAll(dup)
+    pairs = D.simhash_near_duplicates(corpus, "text", "doc_id", max_hamming=0)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 100000) for r in docs.select("doc_id").collect()}
+    assert planted <= found
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r.vec_id for r in V.knn_bruteforce(emb, qvec, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in V.ann_lsh_topk(
+            emb, qvec, k=10, n_planes=6, multiprobe_hamming=2
+        ).collect()
+    }
+    # ANN must at least find the query itself and overlap the exact set
+    assert 0 in approx
+    assert len(exact & approx) >= 3
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    blobs = M.make_blob_table(docs)
+    feats = M.extract_blob_features(blobs).collect()
+    by_id = {r.doc_id: r for r in feats}
+    rows = docs.select("doc_id", "text").collect()
+    for r in rows:
+        b = r.text.encode("utf-8")
+        assert by_id[r.doc_id].n_bytes == len(b)
+        assert by_id[r.doc_id].byte_sum == sum(b)
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x00")
