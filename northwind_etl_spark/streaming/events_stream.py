@@ -1,0 +1,144 @@
+"""Structured Streaming twins of the batch event operators
+(operators/sessionize.py): same semantics, plus watermarks for late
+data and incremental state.
+
+The harness data is static parquet, so tests drive these with
+``trigger(availableNow=True)`` into a memory sink — the exact same
+query graph would run against a Kafka/file stream in production by
+swapping the source; that swap is the whole streaming upgrade path
+promised in SURVEY.md §7.
+
+Scale notes: windowed aggregations keyed by (window, event_type) and
+session windows keyed by user_id both shuffle once onto state-store
+partitions; watermarks bound state size — without them a 100 TB/day
+stream would accumulate state forever.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schemas import EVENTS_RAW
+from ..session import harden
+from ..sources.parquet import _NS_TO_NTZ
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file stream source wants a *directory* to watch; the test
+    data ships one file per table in a shared dir.  Expose the events
+    file through a per-sf symlink directory (what a real deployment
+    would have natively: one landing directory per stream)."""
+    d = os.path.join(
+        tempfile.gettempdir(), f"nes_events_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with the same exact
+    ns→µs timestamp normalization as the batch reader."""
+    harden(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .format("parquet")
+        .load(_events_stream_dir(sf_dir))
+    )
+    # watermarks require TIMESTAMP (LTZ); the session is hardened to UTC
+    # so NTZ→LTZ is a deterministic relabel, and window bounds are cast
+    # back to NTZ on output to match the batch operators bit-for-bit.
+    return raw.withColumn("ts", F.expr(_NS_TO_NTZ).cast("timestamp"))
+
+
+def windowed_counts_stream(events: DataFrame, *, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts with a 2-hour watermark: late events
+    beyond the watermark are dropped, state is bounded."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (gap-close semantics identical to the
+    batch sessionize): state closes `gap` after the last event."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "total LONG"
+_OUT_SCHEMA = "user_id LONG, events_seen LONG"
+
+
+def running_user_counts_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user event count that survives across micro-batches — the
+    minimal template for bespoke streaming state (the reference has no
+    analog; north-star custom-stateful requirement)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (total,) = state.get() if state.exists else (0,)
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "events_seen": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, *, output_mode: str = "update"
+) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink; returns
+    the materialized result as a batch DataFrame (test/dev helper).
+
+    Session-window aggregations only support append mode (rows emit when
+    the watermark closes the session); plain windowed aggs use update.
+    """
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

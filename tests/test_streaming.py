@@ -1,0 +1,51 @@
+"""Structured Streaming twins: drained with availableNow into memory
+sinks, checked against the batch operators' results (same semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.operators.sessionize import tumbling_counts
+from northwind_etl_spark.sources.parquet import read_events
+from northwind_etl_spark.streaming import events_stream as ES
+
+
+def test_windowed_counts_stream_matches_batch(spark, sf_dir):
+    stream = ES.read_events_stream(spark, sf_dir)
+    result = ES.run_available_now(
+        ES.windowed_counts_stream(stream), "wc_stream"
+    ).collect()
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in tumbling_counts(read_events(spark, sf_dir)).collect()
+    }
+    got = {(r.window_start, r.event_type): r.n_events for r in result}
+    assert got == batch
+
+
+def test_session_window_stream_runs(spark, sf_dir):
+    stream = ES.read_events_stream(spark, sf_dir)
+    rows = ES.run_available_now(
+        ES.session_window_stream(stream), "sw_stream", output_mode="append"
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+
+
+def test_stateful_running_counts(spark, sf_dir):
+    stream = ES.read_events_stream(spark, sf_dir)
+    rows = ES.run_available_now(
+        ES.running_user_counts_stream(stream), "ruc_stream"
+    ).collect()
+    got = {r.user_id: r.events_seen for r in rows}
+    batch = {
+        r.user_id: r.n
+        for r in read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
