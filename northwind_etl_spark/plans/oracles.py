@@ -84,6 +84,22 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
     """,
+    "null_key_invariant": f"""
+        SELECT CAST(SUM(CASE WHEN PartKey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_keys
+        FROM ({_FACT})
+    """,
+    "semi_join_active_customers": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "extended_price_3factor": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_quantity * (l_extendedprice / NULLIF(l_quantity, 0.0))
+                     * (1 - l_discount), 6) AS ExtendedPrice
+        FROM lineitem
+    """,
     "null_coercing_cast": """
         SELECT doc_id,
                TRY_CAST(CASE WHEN n_chars % 2 = 0 THEN CAST(n_chars AS VARCHAR)

@@ -120,6 +120,49 @@ def null_coercing_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def null_key_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-null-surrogate-key invariant as a 1-row aggregate
+    (Project Plan6.md:158-159: 'Should return 0 rows')."""
+    fact = star.fact_order_metrics(spark, sf_dir)
+    return fact.agg(
+        F.sum(F.col("PartKey").isNull().cast("long")).alias("n_null_keys")
+    )
+
+
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi existence filter (positive twin of the A4 anti-join):
+    customers that placed at least one order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    from ..operators.joins import semi_join
+
+    return semi_join(c, o, left_key="c_custkey", right_key="o_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def extended_price_3factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 in the reference's literal 3-factor form (etl_orders.py:39):
+    recover UnitPrice = extendedprice/qty (P5-style null-safe), derive
+    Quantity * UnitPrice * (1 - Discount), drop the temp column (P4)."""
+    from ..operators.derive import unit_price_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    derived = (
+        li.withColumn("UnitPrice", unit_price_expr())
+        .withColumn(
+            "ExtendedPrice",
+            F.col("l_quantity") * F.col("UnitPrice") * (F.lit(1.0) - F.col("l_discount")),
+        )
+        .drop("UnitPrice")
+    )
+    return derived.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("ExtendedPrice", 6).alias("ExtendedPrice"),
+    )
+
+
 def counts_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 generalized — the connection_test.py COUNT(*) smoke check over
     every source table, as one unioned result."""
@@ -396,6 +439,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fact_rowcount": fact_rowcount,
     "topk_extendedprice": topk_extendedprice,
     "nullkey_audit": nullkey_audit,
+    "null_key_invariant": null_key_invariant,
+    "semi_join_active_customers": semi_join_active_customers,
+    "extended_price_3factor": extended_price_3factor,
     "null_coercing_cast": null_coercing_cast,
     "counts_all_tables": counts_all_tables,
     "q1_pricing_summary": q1_pricing_summary,
