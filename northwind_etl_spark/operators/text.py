@@ -30,6 +30,10 @@ LANG_MARKERS: dict[str, list[str]] = {
     "zh": ["de5", "shi4", "le5", "he2", "zai4"],
 }
 
+# Fixed stopword set for the quality score's stopword ratio (order and
+# content shared verbatim with the oracle SQL).
+STOPWORDS: list[str] = ["the", "a", "and", "of", "to", "is", "in", "it"]
+
 
 def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality profile: char/token counts, mean token length,
@@ -51,6 +55,11 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             6,
         ).alias("avg_token_len"),
         punct_count_expr(t).alias("n_punct"),
+        F.round(
+            F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+            / F.nullif(n_toks.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("stopword_ratio"),
     )
 
 

@@ -242,7 +242,10 @@ ORACLES: dict[str, str] = {
                    AS uniq_ratio,
                ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
                      / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 6) AS avg_token_len,
-               length(regexp_replace(text, '[^!,.;:?]', '', 'g')) AS n_punct
+               length(regexp_replace(text, '[^!,.;:?]', '', 'g')) AS n_punct,
+               ROUND(len(list_filter(toks,
+                         x -> x IN ('the','a','and','of','to','is','in','it')))
+                     / NULLIF(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio
         FROM t
     """,
     "lang_distribution": f"""

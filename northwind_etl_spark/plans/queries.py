@@ -409,6 +409,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.ann_lsh_topk(emb, qvec, k=10, n_planes=6, multiprobe_hamming=2)
 
 
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only; recall asserted in tests/test_ivf.py).
+
+    Index build inline here (train + assign); production keeps the
+    partitioned index on disk (operators/ivf.py::write_ivf_index)."""
+    from ..operators import ivf as I
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = I.train_centroids(emb, k=8, iters=1)
+    indexed = I.assign_clusters(emb, centroids)
+    return I.ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dup pairs via LSH buckets (rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -469,6 +483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norms": embedding_norms,
     "knn_bruteforce_topk": knn_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ivf_ann_topk": ivf_ann_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "multimodal_blob_features": multimodal_blob_features,
 }
