@@ -1,0 +1,40 @@
+"""Skew-tolerant join via key salting.
+
+AQE's skew-join splitting (on by default in session.py) handles most
+skew at runtime; salting is the explicit fallback for pathological keys
+(one customer with 10% of all events, a null-heavy FK).  Mechanics:
+replicate the small side R times, scatter the big side's hot keys across
+R salt values, join on (key, salt) — the hot key's rows now land on R
+tasks instead of one.
+
+Result-identical to the plain join (asserted in tests); only the
+physical distribution changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    *,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on `key` with the big side salted across
+    `salt_buckets` partitions per key and the small side replicated.
+
+    Use when one/few keys dominate; cost = small side × salt_buckets
+    (keep the small side genuinely small or the buckets modest).
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    replicated_small = small.select("*", salts)
+    joined = salted_big.join(replicated_small, on=[key, "__salt"], how=how)
+    return joined.drop("__salt")

@@ -44,10 +44,27 @@ _NS_TO_NTZ = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table; `events` gets its ns-timestamp normalized."""
+    """Read one test table; `events` gets its ns-timestamp normalized.
+
+    Column names are validated against the schema registry (the
+    reference declares every schema by hand — schemas.py mirrors that;
+    a drifted file fails loudly here instead of mid-query).
+    """
     if name == "events":
         return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _validate(name, df)
+    return df
+
+
+def _validate(name: str, df: DataFrame) -> None:
+    from ..schemas import TABLES
+
+    expected = [f.name for f in TABLES[name].fields] if name in TABLES else None
+    if expected is not None and list(df.columns) != expected:
+        raise ValueError(
+            f"schema drift in {name}: file has {df.columns}, registry {expected}"
+        )
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
