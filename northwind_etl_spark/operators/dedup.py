@@ -158,22 +158,33 @@ def minhash_near_duplicates(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact
-    Jaccard verify on candidates only.  Returns (id_a, id_b, jaccard)."""
+    Jaccard verify on the candidate pairs only.
+
+    Verification joins the (small) candidate-pair set against per-doc
+    shingle *arrays* and computes |∩| with array_intersect — two joins
+    against a set that LSH already shrank, instead of a second
+    explode/self-join pass over the corpus.  Returns (id_a, id_b,
+    jaccard) for pairs with jaccard ≥ threshold.
+    """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, bands=bands, num_hashes=num_hashes)
-    verified = ngram_jaccard(
-        df.join(
-            cands.select("id_a").union(cands.select("id_b")).distinct()
-            .withColumnRenamed("id_a", id_col),
-            id_col,
-            "left_semi",
-        ),
-        text_col,
-        id_col,
-        threshold=threshold,
-        shingle_n=shingle_n,
+    docsh = df.select(
+        F.col(id_col), shingles_expr(F.col(text_col), shingle_n).alias("__sh")
     )
-    return cands.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    a = docsh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = docsh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.nullif(union.cast("double"), F.lit(0.0)), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # -- SimHash --------------------------------------------------------------
