@@ -179,6 +179,45 @@ ORACLES: dict[str, str] = {
         WHERE rn <= 3
     """,
     "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "running_monthly_revenue": f"""
+        WITH monthly AS (
+            -- CAST: duckdb date_trunc('month') yields DATE; Spark yields
+            -- a timestamp — align the types for the value hash
+            SELECT n_name, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   {_dsum(_REVENUE, "monthly_revenue")}
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+        SELECT n_name, month, monthly_revenue,
+               CAST(ROUND(SUM(CAST(monthly_revenue AS DECIMAL(38,6))) OVER (
+                   PARTITION BY n_name ORDER BY month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS DOUBLE) AS running_revenue
+        FROM monthly
+    """,
+    "moving_avg_order_value": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 6) AS moving_avg_3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "rollup_revenue": f"""
+        SELECT l_returnflag, l_linestatus, {_dsum(_REVENUE, "revenue")},
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "set_ops_brands": """
+        (SELECT p_brand AS brand FROM part WHERE p_size >= 25
+         INTERSECT
+         SELECT p_brand AS brand FROM part WHERE p_size <= 10)
+        EXCEPT
+        SELECT p_brand AS brand FROM part WHERE p_size >= 49
+    """,
     # ---------------------------------------------------------------- events
     "tumbling_event_counts": f"""
         SELECT date_trunc('hour', ts) AS window_start, event_type,

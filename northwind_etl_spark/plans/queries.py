@@ -282,6 +282,71 @@ def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
+def running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate: per-nation monthly revenue with a
+    running total ordered by month — the frame-based window family."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("month", F.date_trunc("month", F.col("o_orderdate")))
+        .withColumn("rev", revenue_expr())
+        .groupBy("n_name", "month")
+        .agg(decimal_sum("rev", "monthly_revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return monthly.select(
+        "n_name",
+        "month",
+        "monthly_revenue",
+        F.round(F.sum(F.col("monthly_revenue").cast("decimal(38,6)")).over(w), 2)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+def moving_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window: 3-order moving average of o_totalprice per
+    customer, ordered by date then key (deterministic frame)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("moving_avg_3"),
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over (returnflag, linestatus) — hierarchy
+    aggregation with NULL-marked subtotal rows, exactly ANSI semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("rev", revenue_expr())
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(decimal_sum("rev", "revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def set_ops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: brands appearing in large parts INTERSECT brands
+    in small parts, EXCEPT brands of the very largest parts."""
+    part = _t(spark, sf_dir, "part")
+    brand = F.col("p_brand").alias("brand")
+    big = part.where(F.col("p_size") >= 25).select(brand)
+    small = part.where(F.col("p_size") <= 10).select(brand)
+    huge = part.where(F.col("p_size") >= 49).select(brand)
+    return big.intersect(small).subtract(huge)
+
+
 # ---------------------------------------------------------------- events
 # (sessionization / windows / JSON — north-star §2b)
 
@@ -464,6 +529,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "window_topn_per_group": window_topn_per_group,
     "distinct_flag_status": distinct_flag_status,
+    "running_monthly_revenue": running_monthly_revenue,
+    "moving_avg_order_value": moving_avg_order_value,
+    "rollup_revenue": rollup_revenue,
+    "set_ops_brands": set_ops_brands,
     "tumbling_event_counts": tumbling_event_counts,
     "session_stats": session_stats,
     "json_prop_histogram": json_prop_histogram,
