@@ -23,16 +23,24 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "window_topn_per_group",
+    "running_monthly_revenue",
+    "moving_avg_order_value",
+    "rollup_revenue",
     "tumbling_event_counts",
     "session_stats",
+    "json_prop_histogram",
     "top_users_by_value",
     "dedup_hash_docs",
     "text_quality_stats",
+    "lang_id_pred",
     "term_freq_top20",
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
     "knn_bruteforce_topk",
+    "ann_lsh_topk",
     "embedding_norms",
+    "multimodal_blob_features",
 ]
 
 

@@ -38,7 +38,11 @@ def shingles_expr(text: Column | str, n: int = 3) -> Column:
     """
     toks = tokens_expr(text)
     k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    # guard: sequence(1, 0) yields a DESCENDING [1, 0] in Spark, not an
+    # empty array — docs shorter than n tokens must produce no shingles
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )

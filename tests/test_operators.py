@@ -1,0 +1,117 @@
+"""Unit tests per operator family (SURVEY.md §2a), on small literal
+DataFrames — the reference's manual spot checks (§5) as automated
+invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.functions.texttools import rolling_hash_expr, shingles_expr
+from northwind_etl_spark.operators.aggregate import distinct_values, table_count
+from northwind_etl_spark.operators.casts import coerce_columns
+from northwind_etl_spark.operators.dedup import dedup_exact, dedup_hash
+from northwind_etl_spark.operators.derive import revenue_expr, with_derived
+from northwind_etl_spark.operators.joins import (
+    anti_join_audit,
+    broadcast_lookup,
+    inner_join,
+    semi_join,
+)
+from northwind_etl_spark.operators.keys import dense_keys, sparse_keys
+from northwind_etl_spark.operators.project import (
+    drop_columns,
+    rename_columns,
+    select_columns,
+)
+from northwind_etl_spark.operators.quality import assert_columns, is_empty, null_key_count
+from northwind_etl_spark.operators.sort import top_k
+
+
+def test_rename_select_drop(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "x INT, y STRING, z DOUBLE")
+    out = rename_columns(df, {"x": "id", "y": "name"})
+    assert out.columns == ["id", "name", "z"]
+    assert select_columns(out, ["z", "id"]).columns == ["z", "id"]
+    assert drop_columns(out, "z").columns == ["id", "name"]
+    with pytest.raises(ValueError, match="absent"):
+        rename_columns(df, {"nope": "q"})
+
+
+def test_null_coercing_casts(spark):
+    df = spark.createDataFrame([("12",), ("oops",), (None,)], "v STRING")
+    out = coerce_columns(df, {"v": "int"}).collect()
+    assert [r.v for r in out] == [12, None, None]
+
+
+def test_derive_revenue_formula(spark):
+    df = spark.createDataFrame(
+        [(100.0, 0.1)], "l_extendedprice DOUBLE, l_discount DOUBLE"
+    )
+    assert with_derived(df, "rev", revenue_expr()).first().rev == pytest.approx(90.0)
+
+
+def test_joins_family(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k INT, v INT")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "dk INT, name STRING")
+    inner = inner_join(fact, dim, fact.k == dim.dk)
+    assert inner.count() == 2
+    looked = broadcast_lookup(fact, dim, fact_key="k", dim_key="dk", carry=["name"])
+    assert looked.count() == 3  # left join conserves fact cardinality
+    assert looked.where(F.col("name").isNull()).count() == 1
+    missing = anti_join_audit(fact, dim, fact_key="k", dim_key="dk")
+    assert [r.k for r in missing.collect()] == [3]
+    present = semi_join(fact, dim, left_key="k", right_key="dk")
+    assert sorted(r.k for r in present.collect()) == [1, 2]
+
+
+def test_surrogate_keys(spark):
+    df = spark.createDataFrame([(30,), (10,), (20,)], "nk INT")
+    dense = dense_keys(df, "sk", "nk").orderBy("sk").collect()
+    assert [(r.sk, r.nk) for r in dense] == [(1, 10), (2, 20), (3, 30)]
+    sparse = sparse_keys(df, "sk")
+    assert sparse.select("sk").distinct().count() == 3
+
+
+def test_quality_guards(spark):
+    df = spark.createDataFrame([(1, None), (2, 5)], "a INT, k INT")
+    assert_columns(df, ["a", "k"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        assert_columns(df, ["k", "a"])
+    assert not is_empty(df)
+    assert is_empty(df.where(F.lit(False)))
+    assert null_key_count(df, "k").first().n_null_keys == 1
+
+
+def test_aggregate_and_topk(spark):
+    df = spark.createDataFrame([(1,), (2,), (2,)], "v INT")
+    assert table_count(df).first().n_rows == 3
+    assert distinct_values(df, ["v"]).count() == 2
+    top = top_k(df, [F.desc("v")], 2).collect()
+    assert [r.v for r in top] == [2, 2]
+
+
+def test_dedup_exact_and_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id INT, text STRING"
+    )
+    kept = dedup_exact(df, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+    hashed = dedup_hash(df, "text", "doc_id")
+    assert {r.doc_id: r.n_copies for r in hashed.collect()} == {1: 2, 3: 1}
+    # normalization: whitespace/case variants collapse
+    df2 = spark.createDataFrame([(1, "A  b"), (2, "a b ")], "doc_id INT, text STRING")
+    assert dedup_hash(df2, "text", "doc_id").count() == 1
+
+
+def test_shingles_and_rolling_hash(spark):
+    df = spark.createDataFrame([("a b c d",), ("x",)], "text STRING")
+    sh = df.select(shingles_expr("text", 3).alias("s")).collect()
+    assert sh[0].s == ["a b c", "b c d"]
+    assert sh[1].s == []
+    h = df.select(rolling_hash_expr("text").alias("h")).collect()
+    # h("a b c d") = fold over chars, deterministic
+    expected = 0
+    for c in "a b c d":
+        expected = (expected * 31 + ord(c)) % 1_000_000_007
+    assert h[0].h == expected
