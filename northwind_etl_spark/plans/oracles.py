@@ -179,6 +179,15 @@ ORACLES: dict[str, str] = {
         WHERE rn <= 3
     """,
     "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "quantiles_quantity": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+               ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+               ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "running_monthly_revenue": f"""
         WITH monthly AS (
             -- CAST: duckdb date_trunc('month') yields DATE; Spark yields

@@ -282,6 +282,32 @@ def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
+def quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles of l_quantity per returnflag.
+
+    Uses `percentile` (exact, interpolating — matches quantile_cont);
+    the approximate sibling for 100 TB is percentile_approx/t-digest,
+    benched separately (approx_distinct_users) since approximations
+    can't hash-match an oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {q})"), 6).alias(f"p{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.95)
+        ]
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counts per event_type (rows-only: an
+    approximation has no hash-matchable oracle; the accuracy bound is
+    asserted in tests against the exact count)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
 def running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window aggregate: per-nation monthly revenue with a
     running total ordered by month — the frame-based window family."""
@@ -529,6 +555,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "window_topn_per_group": window_topn_per_group,
     "distinct_flag_status": distinct_flag_status,
+    "quantiles_quantity": quantiles_quantity,
+    "approx_distinct_users": approx_distinct_users,
     "running_monthly_revenue": running_monthly_revenue,
     "moving_avg_order_value": moving_avg_order_value,
     "rollup_revenue": rollup_revenue,

@@ -84,6 +84,25 @@ def test_multimodal_features_deterministic(spark, sf_dir):
         assert by_id[r.doc_id].byte_sum == sum(b)
 
 
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from northwind_etl_spark.plans.queries import approx_distinct_users
+    from northwind_etl_spark.sources.parquet import read_events
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in approx_distinct_users(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in read_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(3, 0.1 * n), (et, approx[et], n)
+
+
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x00")
