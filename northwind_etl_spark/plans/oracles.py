@@ -65,6 +65,12 @@ ORACLES: dict[str, str] = {
         GROUP BY p_brand
         ORDER BY TotalSalesRevenue DESC, Brand
     """,
+    "sql_flagship_revenue": f"""
+        SELECT p_brand AS Brand, {_dsum(_REVENUE, "TotalSalesRevenue")}
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY TotalSalesRevenue DESC, Brand
+    """,
     "star_dim_category": """
         SELECT CAST(row_number() OVER (ORDER BY r_regionkey) AS INT) AS CategoryKey,
                r_regionkey AS Source_CategoryID, r_name AS CategoryName

@@ -63,6 +63,14 @@ def star_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.revenue_by_category(spark, sf_dir)
 
 
+def sql_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship query in its native form: raw SQL over
+    the registered star views (sql.py::run_sql is the SSMS analog)."""
+    from ..sql import FLAGSHIP_SQL, run_sql
+
+    return run_sql(spark, sf_dir, FLAGSHIP_SQL)
+
+
 def star_dim_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.dim_category(spark, sf_dir)
 
@@ -538,6 +546,7 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "star_revenue_by_brand": star_revenue_by_brand,
+    "sql_flagship_revenue": sql_flagship_revenue,
     "star_dim_category": star_dim_category,
     "star_dim_part": star_dim_part,
     "star_fact_order_metrics": star_fact_order_metrics,
