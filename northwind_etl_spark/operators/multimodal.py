@@ -52,6 +52,57 @@ def decode_image(blob: bytes) -> "np.ndarray":
     raise NotImplementedError("image/audio codecs not available in this environment")
 
 
+RESIZE_SCHEMA = "doc_id long, blob binary, n_bytes int"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_bytes int"
+
+
+def resize_blobs(blobs: DataFrame, *, target_bytes: int = 64) -> DataFrame:
+    """'Resize' plumbing: deterministic stand-in for image resize —
+    truncate/keep each blob to `target_bytes` via mapInPandas.  A real
+    implementation swaps the numpy slice for PIL/cv2 resize; the Spark
+    contract (schema, batching, per-row transform) is identical."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [bytes(b[:target_bytes]) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": out,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(do_resize, RESIZE_SCHEMA)
+
+
+def sample_frames(blobs: DataFrame, *, frame_bytes: int = 32, every_n: int = 4) -> DataFrame:
+    """'Frame-sample' plumbing: one input blob → many frame rows (every
+    n-th fixed-size chunk), the 1→N row shape video frame sampling
+    needs.  mapInPandas lets a batch yield more rows than it received —
+    no explode of a pre-materialized array, frames stream out."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, chunks = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = max(1, len(blob) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    chunks.append(bytes(blob[i * frame_bytes : (i + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": chunks,
+                    "frame_bytes": [len(c) for c in chunks],
+                }
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(frames, FRAMES_SCHEMA)
+
+
 def extract_blob_features(blobs: DataFrame) -> DataFrame:
     """Deterministic per-blob features via mapInPandas (the decode
     stand-in): byte length, byte sum, quantized byte entropy."""

@@ -103,6 +103,23 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[et] - n) <= max(3, 0.1 * n), (et, approx[et], n)
 
 
+def test_multimodal_resize_and_frame_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    blobs = M.make_blob_table(docs)
+    resized = M.resize_blobs(blobs, target_bytes=16).collect()
+    assert all(r.n_bytes <= 16 for r in resized)
+    assert len(resized) == 8
+    frames = M.sample_frames(blobs, frame_bytes=8, every_n=2)
+    rows = frames.collect()
+    assert len(rows) > 8  # 1→N expansion
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert r.frame_bytes <= 8
+    for idxs in by_doc.values():
+        assert idxs == sorted(idxs) and all(i % 2 == 0 for i in idxs)
+
+
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x00")
