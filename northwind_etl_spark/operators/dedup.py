@@ -102,13 +102,50 @@ def minhash_signatures(
     )
 
 
+def _bucket_pairs(banded: DataFrame, id_col: str, *, max_bucket: int) -> DataFrame:
+    """(id_a, id_b) pairs per (band, bucket) WITHOUT a self-join: group
+    each bucket's ids into a sorted, width-capped array and expand the
+    pairs array-locally.
+
+    Two wins over the banded self-join: the upstream (signatures) is
+    computed once, not once per join side (no reliance on
+    ReusedExchange), and the max_bucket cap makes degenerate buckets
+    (boilerplate-heavy corpora) a bounded cost instead of an O(n²) blowup.
+    """
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    n = F.size("ids")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), y.alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, *, bands: int = 8, num_hashes: int = 32
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    bands: int = 8,
+    num_hashes: int = 32,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Band the signature, bucket by (band, band-hash), emit candidate
-    pairs from same-bucket doc sets.  Pair explosion is bounded per
-    bucket; at scale you cap bucket width (collect_list→slice) to guard
-    against degenerate buckets (near-identical boilerplate)."""
+    pairs from same-bucket doc sets via array-local expansion."""
     rows_per_band = num_hashes // bands
     banded = signatures.select(
         id_col,
@@ -129,22 +166,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return _bucket_pairs(banded, id_col, max_bucket=max_bucket)
 
 
 def minhash_near_duplicates(
@@ -221,15 +243,19 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
 
 def simhash_near_duplicates(
-    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3, max_bucket: int = 256
 ) -> DataFrame:
     """Near-dups by SimHash: block on 4×16-bit bands (any pair within
     Hamming distance 3 of 64 bits shares ≥1 exact band — pigeonhole),
-    verify Hamming distance inside buckets."""
+    verify Hamming distance inside buckets.
+
+    Pair expansion is array-local per bucket (same no-self-join shape as
+    lsh_candidate_pairs), carrying each side's fingerprint through the
+    struct so Hamming verification needs no extra join.
+    """
     fps = simhash_fingerprints(df, text_col, id_col)
     banded = fps.select(
-        id_col,
-        "simhash",
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp")).alias("item"),
         F.explode(
             F.array(
                 *[
@@ -243,25 +269,34 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bucket")
-    l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
-        l.join(
-            r,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
+    ).select("item", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_list("item")), 1, max_bucket).alias("items"))
+        .where(F.size("items") > 1)
+    )
+    n = F.size("items")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("items"), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("items"), i)["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(
+                        F.element_at(F.col("items"), i)["fp"].bitwiseXOR(y["fp"])
+                    ).alias("hamming"),
+                ),
+            ),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
-        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 # -- n-gram Jaccard (exact, candidate-pair-bounded) -----------------------
