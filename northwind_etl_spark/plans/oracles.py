@@ -185,6 +185,35 @@ ORACLES: dict[str, str] = {
         WHERE rn <= 3
     """,
     "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "profile_lineitem": """
+        SELECT 'l_quantity' AS col_name,
+               CAST(ROUND(MIN(l_quantity), 6) AS DOUBLE) AS min_val,
+               CAST(ROUND(MAX(l_quantity), 6) AS DOUBLE) AS max_val,
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT l_quantity) AS n_distinct
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(ROUND(MIN(l_extendedprice), 6) AS DOUBLE),
+               CAST(ROUND(MAX(l_extendedprice), 6) AS DOUBLE),
+               CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT l_extendedprice)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+               CAST(ROUND(MIN(l_discount), 6) AS DOUBLE),
+               CAST(ROUND(MAX(l_discount), 6) AS DOUBLE),
+               CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT l_discount)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax',
+               CAST(ROUND(MIN(l_tax), 6) AS DOUBLE),
+               CAST(ROUND(MAX(l_tax), 6) AS DOUBLE),
+               CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT l_tax)
+        FROM lineitem
+    """,
     "quantiles_quantity": """
         SELECT l_returnflag,
                ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,

@@ -290,6 +290,29 @@ def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality sweep an ETL engine runs
+    before a load): per-column min/max/null-count/distinct for the
+    lineitem measures, one scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = []
+    for c in cols:
+        parts.append(
+            li.agg(
+                F.lit(c).alias("col_name"),
+                F.round(F.min(c), 6).cast("double").alias("min_val"),
+                F.round(F.max(c), 6).cast("double").alias("max_val"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles of l_quantity per returnflag.
 
@@ -564,6 +587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "window_topn_per_group": window_topn_per_group,
     "distinct_flag_status": distinct_flag_status,
+    "profile_lineitem": profile_lineitem,
     "quantiles_quantity": quantiles_quantity,
     "approx_distinct_users": approx_distinct_users,
     "running_monthly_revenue": running_monthly_revenue,

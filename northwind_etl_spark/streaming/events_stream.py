@@ -93,6 +93,15 @@ def session_window_stream(events: DataFrame, *, gap: str = "30 minutes") -> Data
     )
 
 
+def stream_dedup(events: DataFrame, *, key_cols: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state
+    only for the watermark horizon — the unbounded-stream version of
+    operators/dedup.py::dedup_exact (state for all-time keys would OOM
+    on an infinite stream; the watermark bounds it)."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(keys)
+
+
 _STATE_SCHEMA = "total LONG"
 _OUT_SCHEMA = "user_id LONG, events_seen LONG"
 

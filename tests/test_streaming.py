@@ -35,6 +35,17 @@ def test_session_window_stream_runs(spark, sf_dir):
         assert r.n_events >= 1
 
 
+def test_stream_dedup_drops_duplicates(spark, sf_dir):
+    stream = ES.read_events_stream(spark, sf_dir)
+    # duplicate every event by unioning the stream with itself
+    doubled = stream.union(stream)
+    deduped = ES.run_available_now(
+        ES.stream_dedup(doubled), "dedup_stream", output_mode="append"
+    )
+    n_unique = read_events(spark, sf_dir).count()
+    assert deduped.count() == n_unique
+
+
 def test_stateful_running_counts(spark, sf_dir):
     stream = ES.read_events_stream(spark, sf_dir)
     rows = ES.run_available_now(
