@@ -299,6 +299,66 @@ def simhash_near_duplicates(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, *, max_iters: int = 10
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc, cluster) with
+    cluster = min doc id reachable; the step that turns pairwise
+    near-dup hits into a keep/drop decision (keep each cluster's min).
+
+    Iterative min-label propagation on the edge list: each pass joins
+    current labels across edges and takes the min; converges in
+    O(cluster diameter) passes (near-dup clusters are shallow — chains
+    longer than a few hops are rare).  Each pass is one shuffle on id;
+    iteration stops early when no label changes.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("n_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("n_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_canonical(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
+    """Apply a dedup decision: drop every doc that belongs to a cluster
+    but is not its canonical (min-id) member."""
+    losers = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # -- n-gram Jaccard (exact, candidate-pair-bounded) -----------------------
 
 

@@ -315,6 +315,15 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY 1
     """,
+    "train_eval_split": """
+        SELECT doc_id,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 100 AS split_bucket,
+               CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 100 < 80
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    """,
     "text_quality_stats": f"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
         SELECT doc_id,

@@ -486,6 +486,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/eval split of documents — stable
+    across engines, partitionings, and reruns (no RNG)."""
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", train_pct=80).select(
+        "doc_id", "split_bucket", "split"
+    )
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli sample (seeded; rows-only — sampling RNG
+    is engine-specific, bounds asserted in tests)."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
+    return stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
+
+
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (no SQL oracle — LSH bucketing is
     hash-seeded; verified by planted-duplicate tests instead)."""
@@ -600,6 +621,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_users_by_value": top_users_by_value,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_hash_docs": dedup_hash_docs,
+    "train_eval_split": train_eval_split,
+    "stratified_sample_docs": stratified_sample_docs,
     "text_quality_stats": text_quality_stats,
     "lang_distribution": lang_distribution,
     "lang_id_pred": lang_id_pred,
