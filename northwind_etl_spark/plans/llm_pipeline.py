@@ -1,0 +1,86 @@
+"""End-to-end training-data pipeline over the documents corpus — the
+north-star §2b operators composed the way a real LLM data build runs
+them, each stage a lazy DataFrame plan:
+
+    quality filter → near-dup dedup (MinHash+LSH → clusters → keep
+    canonical) → deterministic train/eval split → partitioned write
+
+Scale shape: quality scoring is map-only; dedup is the bounded
+LSH pipeline (operators/dedup.py); cluster resolution touches only
+docs that appear in near-dup pairs (tiny vs corpus); the split is a
+stateless hash; the write partitions by split for downstream pruning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    duplicate_clusters,
+    keep_canonical,
+    minhash_near_duplicates,
+)
+from ..operators.sampling import hash_split
+from ..operators.text import text_quality
+from ..sources.parquet import read_table
+
+
+@dataclass
+class CorpusReport:
+    n_input: int
+    n_after_quality: int
+    n_after_dedup: int
+    n_train: int
+    n_eval: int
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    *,
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.9,
+    near_dup_threshold: float = 0.7,
+    train_pct: int = 80,
+) -> tuple[DataFrame, CorpusReport]:
+    """Returns (final corpus with split labels, stage-count report)."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    # 1. quality gate (map-only)
+    quality = text_quality(docs)
+    keep_ids = quality.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) <= max_stopword_ratio)
+    ).select("doc_id")
+    filtered = docs.join(keep_ids, "doc_id", "left_semi")
+    n_quality = filtered.count()
+
+    # 2. near-dup dedup: pairs → clusters → keep canonical member
+    pairs = minhash_near_duplicates(
+        filtered, "text", "doc_id", threshold=near_dup_threshold
+    )
+    clusters = duplicate_clusters(pairs)
+    deduped = keep_canonical(filtered, clusters, "doc_id")
+    n_dedup = deduped.count()
+
+    # 3. deterministic split + optional partitioned write
+    labeled = hash_split(deduped, "doc_id", train_pct=train_pct)
+    if out_dir:
+        labeled.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+        labeled = spark.read.parquet(out_dir)
+    counts = {
+        r["split"]: r["n"]
+        for r in labeled.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return labeled, CorpusReport(
+        n_input=n_input,
+        n_after_quality=n_quality,
+        n_after_dedup=n_dedup,
+        n_train=counts.get("train", 0),
+        n_eval=counts.get("eval", 0),
+    )

@@ -1,0 +1,37 @@
+"""End-to-end training-corpus build: quality gate → dedup → split."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.plans.llm_pipeline import build_training_corpus
+
+
+def test_build_training_corpus(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="corpus_") + "/corpus"
+    labeled, rep = build_training_corpus(spark, sf_dir, out)
+    assert rep.n_input >= rep.n_after_quality >= rep.n_after_dedup > 0
+    assert rep.n_train + rep.n_eval == rep.n_after_dedup
+    assert rep.n_train > rep.n_eval  # 80/20-ish
+    # written partitioned by split
+    assert labeled.select("split").distinct().count() == 2
+
+
+def test_corpus_build_removes_planted_near_dups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    dup = docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus_dir = tempfile.mkdtemp(prefix="planted_")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionAll(
+        dup
+    ).write.parquet(f"{corpus_dir}/documents.parquet")
+    labeled, rep = build_training_corpus(spark, corpus_dir)
+    # most planted dups collapse back to ~the original corpus size
+    assert rep.n_after_dedup <= rep.n_after_quality - 0.7 * 40
