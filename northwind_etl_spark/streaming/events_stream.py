@@ -93,6 +93,13 @@ def session_window_stream(events: DataFrame, *, gap: str = "30 minutes") -> Data
     )
 
 
+def enrich_with_static(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (possibly
+    refreshed) static dimension — the standard streaming enrichment
+    pattern (no state, broadcast-able dim, watermark not required)."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
 def stream_dedup(events: DataFrame, *, key_cols: list[str] | None = None) -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state
     only for the watermark horizon — the unbounded-stream version of

@@ -1,0 +1,50 @@
+"""Failure-mode and edge-case behavior: the engine must degrade
+predictably, not crash or silently corrupt."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.operators.dedup import minhash_signatures, ngram_jaccard
+from northwind_etl_spark.operators.sessionize import extract_props, sessionize
+from northwind_etl_spark.operators.text import lang_id, text_quality
+
+
+def test_empty_and_whitespace_documents(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two three four")], "doc_id LONG, text STRING"
+    )
+    q = {r.doc_id: r for r in text_quality(docs).collect()}
+    assert q[1].n_tokens == 0 and q[1].uniq_ratio is None
+    assert q[2].n_tokens == 0
+    assert q[3].n_tokens == 4
+    # docs with no shingles simply emit no signature rows
+    assert minhash_signatures(docs, "text", "doc_id").count() == 1
+    # lang_id: no markers → 'und'
+    preds = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert preds[1] == "und" and preds[2] == "und"
+
+
+def test_jaccard_no_shared_shingles_is_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "v w x y z")], "doc_id LONG, text STRING"
+    )
+    assert ngram_jaccard(docs, "text", "doc_id", threshold=0.01).count() == 0
+
+
+def test_corrupt_json_props_become_null(spark):
+    ev = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "not json"), (3, None)], "event_id LONG, props STRING"
+    )
+    out = {r.event_id: r.prop_k for r in extract_props(ev).collect()}
+    assert out == {1: 5, 2: None, 3: None}
+
+
+def test_single_event_user_gets_one_session(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 1.0)],
+        "event_id LONG, ts STRING, user_id LONG, value DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = sessionize(ev).collect()
+    assert len(rows) == 1
+    assert rows[0].session_id == 1 and rows[0].n_events == 1

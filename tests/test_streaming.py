@@ -35,6 +35,22 @@ def test_session_window_stream_runs(spark, sf_dir):
         assert r.n_events >= 1
 
 
+def test_stream_static_enrichment(spark, sf_dir):
+    stream = ES.read_events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        "event_type STRING, weight DOUBLE",
+    )
+    enriched = ES.run_available_now(
+        ES.enrich_with_static(stream, dim, on="event_type"),
+        "enrich_stream",
+        output_mode="append",
+    )
+    n_events = read_events(spark, sf_dir).count()
+    assert enriched.count() == n_events  # left join conserves the stream
+    assert "weight" in enriched.columns
+
+
 def test_stream_dedup_drops_duplicates(spark, sf_dir):
     stream = ES.read_events_stream(spark, sf_dir)
     # duplicate every event by unioning the stream with itself
