@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import decimal_avg, decimal_sum
-from ..functions.texttools import tokens_expr
 from ..functions.vectors import cosine_expr
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -460,11 +459,7 @@ def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
-    )
+    return X.token_count(_t(spark, sf_dir, "documents"))
 
 
 def token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
