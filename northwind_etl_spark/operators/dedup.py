@@ -376,11 +376,28 @@ def ngram_jaccard(
     """
     sh = _exploded_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # |∩| per pair without a self-join: one shuffle groups each shingle's
+    # (sorted) doc list, pairs expand array-locally, then a count per
+    # pair.  Exact — no bucket cap here (posting lists are data-bounded),
+    # unlike the LSH candidate path where a cap is a recall/cost knob.
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    ).where(F.size("ids") > 1)
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), y.alias("id_b")
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
-                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
