@@ -185,6 +185,28 @@ ORACLES: dict[str, str] = {
         WHERE rn <= 3
     """,
     "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "pivot_flag_by_status": f"""
+        SELECT l_returnflag,
+               CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST({_REVENUE} AS DECIMAL(38,6)) END), 2) AS DOUBLE) AS rev_F,
+               CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST({_REVENUE} AS DECIMAL(38,6)) END), 2) AS DOUBLE) AS rev_O
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "order_latency_by_priority": """
+        SELECT o_orderpriority,
+               CAST(ROUND(CAST(SUM(CAST(date_diff('day', o_orderdate, l_shipdate)
+                    AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(date_diff('day', o_orderdate, l_shipdate)), 6) AS DOUBLE)
+                   AS avg_lag_days,
+               CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS INT)
+                   AS max_lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "profile_lineitem": """
         SELECT 'l_quantity' AS col_name,
                CAST(ROUND(MIN(l_quantity), 6) AS DOUBLE) AS min_val,

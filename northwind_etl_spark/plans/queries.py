@@ -289,6 +289,38 @@ def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
+def pivot_flag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue per returnflag with one column per linestatus.
+    Expressed with an explicit value list (never infer pivot values at
+    100 TB — that is a full extra scan)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("rev", revenue_expr())
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(decimal_sum("rev", "rev"))
+        .withColumnsRenamed({"F": "rev_F", "O": "rev_O"})
+        .orderBy("l_returnflag")
+    )
+
+
+def order_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: average order→ship latency in days per order
+    priority (datediff over NTZ timestamps)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "lag_days", F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            decimal_avg("lag_days", "avg_lag_days"),
+            F.max("lag_days").alias("max_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (the data-quality sweep an ETL engine runs
     before a load): per-column min/max/null-count/distinct for the
@@ -603,6 +635,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "window_topn_per_group": window_topn_per_group,
     "distinct_flag_status": distinct_flag_status,
+    "pivot_flag_by_status": pivot_flag_by_status,
+    "order_latency_by_priority": order_latency_by_priority,
     "profile_lineitem": profile_lineitem,
     "quantiles_quantity": quantiles_quantity,
     "approx_distinct_users": approx_distinct_users,
