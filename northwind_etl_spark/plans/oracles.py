@@ -185,6 +185,36 @@ ORACLES: dict[str, str] = {
         WHERE rn <= 3
     """,
     "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "full_outer_nation_suppliers": """
+        SELECT n_nationkey, n_name, n_suppliers
+        FROM nation
+        FULL OUTER JOIN (
+            SELECT s_nationkey, COUNT(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey) s
+        ON n_nationkey = s.s_nationkey
+    """,
+    "cross_join_flag_region": """
+        SELECT r_name, l_returnflag
+        FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)
+    """,
+    "customer_display_names": """
+        SELECT c_custkey,
+               upper(substring(c_mktsegment, 1, 3)) || '-' ||
+                   lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS display_id,
+               replace(c_name, 'Customer', 'Cust') AS short_name,
+               length(c_name) AS name_len
+        FROM customer
+    """,
+    "acctbal_buckets": f"""
+        SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 1000 THEN 'low'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS balance_bucket,
+               COUNT(*) AS n_customers,
+               {_dsum("c_acctbal", "total_balance")}
+        FROM customer
+        GROUP BY 1
+    """,
     "pivot_flag_by_status": f"""
         SELECT l_returnflag,
                CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F'

@@ -289,6 +289,62 @@ def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
+def full_outer_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: every nation and every supplier-holding nation,
+    with NULL-padded misses on both sides."""
+    n = _t(spark, sf_dir, "nation")
+    s_per_n = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return n.join(
+        s_per_n, n.n_nationkey == s_per_n.s_nationkey, "full_outer"
+    ).select("n_nationkey", "n_name", "n_suppliers")
+
+
+def cross_join_flag_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two small sets (the one join shape that
+    must never touch a big side)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    flags = _t(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    return r.crossJoin(flags)
+
+
+def customer_display_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family: upper/substring/concat/lpad/replace."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.upper(F.substring("c_mktsegment", 1, 3)),
+            F.lit("-"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0"),
+        ).alias("display_id"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+def acctbal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN bucketing + conditional aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.withColumn("balance_bucket", bucket)
+        .groupBy("balance_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            decimal_sum("c_acctbal", "total_balance"),
+        )
+    )
+
+
 def pivot_flag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: revenue per returnflag with one column per linestatus.
     Expressed with an explicit value list (never infer pivot values at
@@ -635,6 +691,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "window_topn_per_group": window_topn_per_group,
     "distinct_flag_status": distinct_flag_status,
+    "full_outer_nation_suppliers": full_outer_nation_suppliers,
+    "cross_join_flag_region": cross_join_flag_region,
+    "customer_display_names": customer_display_names,
+    "acctbal_buckets": acctbal_buckets,
     "pivot_flag_by_status": pivot_flag_by_status,
     "order_latency_by_priority": order_latency_by_priority,
     "profile_lineitem": profile_lineitem,
