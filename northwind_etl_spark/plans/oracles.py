@@ -307,6 +307,23 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    "cube_revenue": f"""
+        SELECT l_returnflag, l_linestatus, {_dsum(_REVENUE, "revenue")},
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "null_safe_join_props": """
+        WITH ev AS (
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+            FROM events),
+        keys AS (
+            SELECT DISTINCT prop_k - prop_k % 10 AS ref_k FROM ev)
+        SELECT ref_k, COUNT(*) AS n_matched
+        FROM ev JOIN keys ON ev.prop_k IS NOT DISTINCT FROM keys.ref_k
+        GROUP BY ref_k
+    """,
     "set_ops_brands": """
         (SELECT p_brand AS brand FROM part WHERE p_size >= 25
          INTERSECT

@@ -480,6 +480,32 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations
+    in one pass (rollup's lattice sibling)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("rev", revenue_expr())
+        .cube("l_returnflag", "l_linestatus")
+        .agg(decimal_sum("rev", "revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def null_safe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): match event
+    prop_k values including the NULL bucket — the join form that treats
+    NULL as a value instead of dropping it."""
+    ev = S.extract_props(_t(spark, sf_dir, "events")).select("event_id", "prop_k")
+    # reference set: every 10th k plus NULL
+    keys = (
+        ev.select((F.col("prop_k") - F.col("prop_k") % 10).alias("k10"))
+        .distinct()
+        .select(F.col("k10").alias("ref_k"))
+    )
+    joined = ev.join(keys, ev.prop_k.eqNullSafe(keys.ref_k), "inner")
+    return joined.groupBy("ref_k").agg(F.count(F.lit(1)).alias("n_matched"))
+
+
 def set_ops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: brands appearing in large parts INTERSECT brands
     in small parts, EXCEPT brands of the very largest parts."""
@@ -703,6 +729,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_monthly_revenue": running_monthly_revenue,
     "moving_avg_order_value": moving_avg_order_value,
     "rollup_revenue": rollup_revenue,
+    "cube_revenue": cube_revenue,
+    "null_safe_join_props": null_safe_join_props,
     "set_ops_brands": set_ops_brands,
     "tumbling_event_counts": tumbling_event_counts,
     "session_stats": session_stats,
