@@ -62,6 +62,34 @@ def test_stream_dedup_drops_duplicates(spark, sf_dir):
     assert deduped.count() == n_unique
 
 
+def test_checkpointed_file_sink_is_exactly_once(spark, sf_dir):
+    """Production sink shape: parquet file sink + checkpoint. A restart
+    with the same checkpoint must not reprocess already-committed input
+    (exactly-once at the sink)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ckpt_sink_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    def run_once():
+        q = (
+            ES.read_events_stream(spark, sf_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    run_once()  # same checkpoint, no new input files → no new rows
+    n_second = spark.read.parquet(out).count()
+    assert n_first == read_events(spark, sf_dir).count()
+    assert n_second == n_first
+
+
 def test_stateful_running_counts(spark, sf_dir):
     stream = ES.read_events_stream(spark, sf_dir)
     rows = ES.run_available_now(
