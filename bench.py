@@ -62,30 +62,38 @@ def main() -> None:
     # warmup pass: builds the table cache, compiles codegen, exercises
     # broadcast machinery — steady-state numbers are what we report
     for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as ex:  # noqa: BLE001 - warmup failure reported in timed pass
+            print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as ex:  # noqa: BLE001 - one bad query must not kill the record
+            errors[name] = str(ex).splitlines()[0][:200]
+            print(f"# {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
 
 

@@ -121,3 +121,37 @@ def term_frequencies(
         .agg(F.count(F.lit(1)).alias("term_count"))
         .where(F.col("term_count") >= min_count)
     )
+
+
+def tf_idf(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per (doc, term) TF-IDF: tf = in-doc count, idf = ln(N/df).
+
+    Two aggregations over one exploded projection: per-(doc,term) counts
+    and per-term document frequency; N is a literal-sized scalar join.
+    ln is computed in double with a fixed expression shape so an SQL
+    oracle reproduces it bit-for-bit.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tf_idf"),
+        )
+    )

@@ -448,6 +448,15 @@ ORACLES: dict[str, str] = {
         ORDER BY term_count DESC, term
         LIMIT 20
     """,
+    "tfidf_scores": f"""
+        WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf,
+               ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tf_idf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    """,
     "doc_fingerprints": """
         SELECT doc_id,
                list_reduce(

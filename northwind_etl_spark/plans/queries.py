@@ -585,6 +585,10 @@ def term_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(tf, [F.desc("term_count"), F.asc("term")], 20)
 
 
+def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.tf_idf(_t(spark, sf_dir, "documents"))
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -746,6 +750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": token_counts,
     "token_count_bpe_docs": token_count_bpe_docs,
     "term_freq_top20": term_freq_top20,
+    "tfidf_scores": tfidf_scores,
     "doc_fingerprints": doc_fingerprints,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
