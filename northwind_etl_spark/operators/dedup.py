@@ -13,14 +13,18 @@ Everything here is shuffle-aware by construction:
 - SimHash: explode→aggregate per doc; candidate pairs via banding the
   64-bit fingerprint into 4 × 16-bit bands (Hamming-distance-tolerant
   blocking), then exact Hamming verify within buckets.
-- n-gram Jaccard: exact verify on candidate pairs only (docs sharing at
-  least one shingle), expressed as explode + self-equi-join + groupBy —
-  all shuffle-on-key, broadcast-free, skew-tolerant under AQE.
+- n-gram Jaccard: exact |∩| from shingle posting lists (one shuffle on
+  shingle, pairs expanded array-locally), |∪| from per-doc set sizes —
+  shuffle-on-key throughout, skew-tolerant under AQE.
+
+Candidate generation everywhere is bucket-grouped array expansion, not
+self-joins: the upstream signature subtree is computed once and
+degenerate buckets are cost-capped (max_bucket).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.texttools import shingles_expr, tokens_expr
