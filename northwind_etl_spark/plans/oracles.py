@@ -313,6 +313,19 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
+    "grouping_sets_revenue": f"""
+        SELECT l_returnflag, l_linestatus, {_dsum(_REVENUE, "revenue")},
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "map_props_exploded": """
+        SELECT 'k' AS key, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                   AS value_sum
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
     "null_safe_join_props": """
         WITH ev AS (
             SELECT event_id,

@@ -506,6 +506,41 @@ def null_safe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("ref_k").agg(F.count(F.lit(1)).alias("n_matched"))
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: by returnflag, by linestatus, and grand
+    total — the general form behind rollup/cube."""
+    li = _t(spark, sf_dir, "lineitem").withColumn("rev", revenue_expr())
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(decimal_sum("rev", "revenue"), F.count(F.lit(1)).alias("n_rows"))
+
+
+def map_props_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed JSON: parse props as map<string,int>, explode to
+    (key, value) rows, aggregate per key.  (Fixture props carry the
+    single key 'k'; the oracle leans on that — a multi-key corpus would
+    need DuckDB's json_each, absent in this build.)"""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json(F.col("props"), "map<string,int>")).alias("key", "value")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("value_sum"),
+    )
+
+
+def approx_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx twin of quantiles_quantity (rows-only: the
+    sketch is implementation-specific; accuracy asserted in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10_000).alias("approx_q")
+    )
+
+
 def set_ops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: brands appearing in large parts INTERSECT brands
     in small parts, EXCEPT brands of the very largest parts."""
@@ -734,6 +769,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "moving_avg_order_value": moving_avg_order_value,
     "rollup_revenue": rollup_revenue,
     "cube_revenue": cube_revenue,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "map_props_exploded": map_props_exploded,
+    "approx_quantiles_quantity": approx_quantiles_quantity,
     "null_safe_join_props": null_safe_join_props,
     "set_ops_brands": set_ops_brands,
     "tumbling_event_counts": tumbling_event_counts,

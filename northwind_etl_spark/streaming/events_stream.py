@@ -139,6 +139,29 @@ def running_user_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def upsert_by_partition_stream(
+    events: DataFrame, out_path: str, ckpt_path: str
+) -> None:
+    """foreachBatch upsert: each micro-batch dynamically overwrites only
+    the (event-date) partitions it touches — idempotent incremental
+    loading of a partitioned table from a stream, without a lakehouse
+    format.  Replays of a batch rewrite the same partitions to the same
+    content (exactly-once at partition granularity)."""
+    from ..sources.layout import incremental_overwrite
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        dated = batch_df.withColumn("event_date", F.to_date("ts"))
+        incremental_overwrite(dated, out_path, partition_by=["event_date"])
+
+    q = (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     df: DataFrame, query_name: str, *, output_mode: str = "update"
 ) -> DataFrame:

@@ -120,6 +120,25 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir):
         assert idxs == sorted(idxs) and all(i % 2 == 0 for i in idxs)
 
 
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    from northwind_etl_spark.plans.queries import (
+        approx_quantiles_quantity,
+        quantiles_quantity,
+    )
+
+    approx = {
+        r.l_returnflag: r.approx_q
+        for r in approx_quantiles_quantity(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in quantiles_quantity(spark, sf_dir).collect()
+    }
+    for flag, (p25, p50, p75) in exact.items():
+        for got, want in zip(approx[flag], (p25, p50, p75)):
+            assert abs(got - want) <= max(1.0, 0.05 * want), (flag, got, want)
+
+
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x00")

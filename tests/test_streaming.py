@@ -62,6 +62,20 @@ def test_stream_dedup_drops_duplicates(spark, sf_dir):
     assert deduped.count() == n_unique
 
 
+def test_foreachbatch_partition_upsert(spark, sf_dir):
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="upsert_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    ES.upsert_by_partition_stream(ES.read_events_stream(spark, sf_dir), out, ckpt)
+    loaded = spark.read.parquet(out)
+    assert loaded.count() == read_events(spark, sf_dir).count()
+    assert "event_date" in loaded.columns
+    # re-run with same checkpoint: no new input → table unchanged
+    ES.upsert_by_partition_stream(ES.read_events_stream(spark, sf_dir), out, ckpt)
+    assert spark.read.parquet(out).count() == loaded.count()
+
+
 def test_checkpointed_file_sink_is_exactly_once(spark, sf_dir):
     """Production sink shape: parquet file sink + checkpoint. A restart
     with the same checkpoint must not reprocess already-committed input
