@@ -123,6 +123,39 @@ def term_frequencies(
     )
 
 
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc mean unigram surprisal −(1/n)·Σ ln p(tᵢ) against the
+    corpus unigram distribution — the perplexity-style quality score
+    (gibberish scores high, common boilerplate scores low).
+
+    Per-token ln p is a deterministic double; the per-doc Σ goes through
+    DECIMAL(38,12) so the aggregation is order-independent (same
+    contract as the money sums — see functions/money.py).
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = terms.select(F.count(F.lit(1)).alias("n_total"))
+    lp = (
+        terms.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "ln_p", F.log(F.col("tc").cast("double") / F.col("n_total"))
+        )
+    )
+    return lp.groupBy(id_col).agg(
+        F.round(
+            -F.sum(F.col("ln_p").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_surprisal"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 def tf_idf(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -470,6 +470,20 @@ ORACLES: dict[str, str] = {
                ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tf_idf
         FROM tf JOIN dfreq USING (term) CROSS JOIN n
     """,
+    "unigram_surprisal_scores": f"""
+        WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        counts AS (SELECT term, COUNT(*) AS tc FROM terms GROUP BY term),
+        total AS (SELECT COUNT(*) AS n_total FROM terms),
+        lp AS (
+            SELECT doc_id, ln(CAST(tc AS DOUBLE) / n_total) AS ln_p
+            FROM terms JOIN counts USING (term) CROSS JOIN total)
+        SELECT doc_id,
+               ROUND(CAST(-SUM(CAST(ln_p AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_surprisal,
+               COUNT(*) AS n_tokens
+        FROM lp
+        GROUP BY doc_id
+    """,
     "doc_fingerprints": """
         SELECT doc_id,
                list_reduce(

@@ -624,6 +624,10 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.tf_idf(_t(spark, sf_dir, "documents"))
 
 
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -789,6 +793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_bpe_docs": token_count_bpe_docs,
     "term_freq_top20": term_freq_top20,
     "tfidf_scores": tfidf_scores,
+    "unigram_surprisal_scores": unigram_surprisal_scores,
     "doc_fingerprints": doc_fingerprints,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
