@@ -378,6 +378,25 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1
     """,
+    "event_value_histogram": f"""
+        SELECT CAST(floor(value / 10) AS INT) AS bucket,
+               COUNT(*) AS n_events, {_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY 1
+    """,
+    "bigram_freq_top20": f"""
+        WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+        bg AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+            FROM t)
+        SELECT bigram, COUNT(*) AS n
+        FROM bg
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
     "top_users_by_value": f"""
         SELECT user_id, COUNT(*) AS n_events, {_dsum("value", "sum_value")}
         FROM events

@@ -569,6 +569,20 @@ def json_prop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("prop_k").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: floor(value/10) buckets —
+    the aggregate shape behind any distribution dashboard."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 10).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value", "sum_value"),
+        )
+    )
+
+
 def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     grouped = ev.groupBy("user_id").agg(
@@ -613,6 +627,23 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
+def bigram_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word bigrams over the corpus (shingle machinery with n=2,
+    NON-distinct: frequency counting wants multiplicity)."""
+    from ..functions.texttools import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    k = F.size(toks) - F.lit(1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    exploded = docs.select(F.explode(bigrams).alias("bigram"))
+    counted = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(counted, [F.desc("n"), F.asc("bigram")], 20)
 
 
 def term_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,7 +812,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tumbling_event_counts": tumbling_event_counts,
     "session_stats": session_stats,
     "json_prop_histogram": json_prop_histogram,
+    "event_value_histogram": event_value_histogram,
     "top_users_by_value": top_users_by_value,
+    "bigram_freq_top20": bigram_freq_top20,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_hash_docs": dedup_hash_docs,
     "train_eval_split": train_eval_split,
