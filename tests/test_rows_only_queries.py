@@ -23,6 +23,20 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     assert df.count() >= 0
 
 
+def test_all_query_schemas_are_scalar(spark, sf_dir):
+    """Driver-canonicalizer contract: no registered query may return an
+    array/map/struct column (pandas sort_values dies on unhashable
+    cells — broke approx_quantiles_quantity in round 1)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, fn in QUERIES.items():
+        for field in fn(spark, sf_dir).schema.fields:
+            if isinstance(field.dataType, ArrayType | MapType | StructType):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, bad
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
@@ -127,7 +141,7 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     )
 
     approx = {
-        r.l_returnflag: r.approx_q
+        r.l_returnflag: (r.p25, r.p50, r.p75)
         for r in approx_quantiles_quantity(spark, sf_dir).collect()
     }
     exact = {
