@@ -13,9 +13,10 @@ Everything here is shuffle-aware by construction:
 - SimHash: explode→aggregate per doc; candidate pairs via banding the
   64-bit fingerprint into 4 × 16-bit bands (Hamming-distance-tolerant
   blocking), then exact Hamming verify within buckets.
-- n-gram Jaccard: exact |∩| from shingle posting lists (one shuffle on
-  shingle, pairs expanded array-locally), |∪| from per-doc set sizes —
-  shuffle-on-key throughout, skew-tolerant under AQE.
+- n-gram Jaccard: |∩| from shingle posting lists (one shuffle on
+  shingle, pairs expanded array-locally, hot shingles dropped at
+  max_df), |∪| from per-doc set sizes — shuffle-on-key throughout,
+  skew-tolerant under AQE.
 
 Candidate generation everywhere is bucket-grouped array expansion, not
 self-joins: the upstream signature subtree is computed once and
@@ -84,7 +85,13 @@ def _exploded_shingles(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 32, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    keep_shingles: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: k independent hashes via xxhash64 with
     distinct seeds, as explode → k MIN aggregates.
@@ -93,17 +100,30 @@ def minhash_signatures(
     shingle set is materialized once (not re-derived per hash), the MINs
     are map-side-combined, and the explode parallelizes long documents
     across cores.  All codegen, no UDFs.
+
+    keep_shingles=True additionally re-collects the (distinct) shingle
+    set as a sorted array column `__sh` in the SAME aggregation pass —
+    the corpus is tokenized and shuffled exactly once, and downstream
+    consumers (LSH candidates AND exact-Jaccard verify) all hang off
+    this one exchange, which Catalyst's ReuseExchange dedups.
     """
     sh = _exploded_shingles(df, text_col, id_col, shingle_n)
-    mins = [
+    aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
-    agg = sh.groupBy(id_col).agg(*mins)
-    return agg.select(
+    if keep_shingles:
+        # shingles_expr is distinct per doc, so collect_set == the
+        # original shingle array (sorted for determinism)
+        aggs.append(F.sort_array(F.collect_set("shingle")).alias("__sh"))
+    agg = sh.groupBy(id_col).agg(*aggs)
+    cols = [
         F.col(id_col),
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("signature"),
-    )
+    ]
+    if keep_shingles:
+        cols.append(F.col("__sh"))
+    return agg.select(*cols)
 
 
 def _bucket_pairs(banded: DataFrame, id_col: str, *, max_bucket: int) -> DataFrame:
@@ -189,16 +209,21 @@ def minhash_near_duplicates(
     Verification joins the (small) candidate-pair set against per-doc
     shingle *arrays* and computes |∩| with array_intersect — two joins
     against a set that LSH already shrank, instead of a second
-    explode/self-join pass over the corpus.  Returns (id_a, id_b,
-    jaccard) for pairs with jaccard ≥ threshold.
+    explode/self-join pass over the corpus.  The arrays come from the
+    SAME aggregation that built the signatures (keep_shingles=True), so
+    the corpus is tokenized/shingled/shuffled once and every consumer
+    reuses that exchange — not re-derived per branch.  Returns (id_a,
+    id_b, jaccard) for pairs with jaccard ≥ threshold.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, bands=bands, num_hashes=num_hashes)
-    docsh = df.select(
-        F.col(id_col), shingles_expr(F.col(text_col), shingle_n).alias("__sh")
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
+        keep_shingles=True,
     )
-    a = docsh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = docsh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    cands = lsh_candidate_pairs(
+        sigs.select(id_col, "signature"), id_col, bands=bands, num_hashes=num_hashes
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size("__sh_a") + F.size("__sh_b") - inter
     return (
@@ -313,19 +338,38 @@ def duplicate_clusters(
     Iterative min-label propagation on the edge list: each pass joins
     current labels across edges and takes the min; converges in
     O(cluster diameter) passes (near-dup clusters are shallow — chains
-    longer than a few hops are rare).  Each pass is one shuffle on id;
-    iteration stops early when no label changes.
+    longer than a few hops are rare).
+
+    Scale contract per iteration:
+    - `labels` is localCheckpoint'ed each pass, so pass k reads pass
+      k−1's materialized partitions instead of re-executing the whole
+      lineage (unbounded plan growth is the classic iterative-Spark
+      failure mode);
+    - the eager checkpoint IS the pass's one real job; the convergence
+      probe (`changed` flag computed inside the same pass) then scans
+      the already-materialized partitions — no recomputation;
+    - `edges` is checkpointed once up front since every pass re-reads it.
+
+    Raises a warning (not an error) if max_iters passes still changed a
+    label: labels are then a valid partial contraction but two members
+    of one true cluster may carry different labels, so keep_canonical
+    would under-delete.  Raise max_iters (diameter bound) in that case.
     """
+    import warnings
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster", F.col("id"))
+        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -338,19 +382,31 @@ def duplicate_clusters(
                 "id",
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("n_cluster"), F.col("cluster"))
-                ).alias("cluster"),
+                ).alias("new_cluster"),
+                (
+                    F.least(
+                        F.col("cluster"),
+                        F.coalesce(F.col("n_cluster"), F.col("cluster")),
+                    )
+                    != F.col("cluster")
+                ).alias("__changed"),
             )
+            .withColumnRenamed("new_cluster", "cluster")
+            .localCheckpoint()  # the pass's single job; truncates lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # reads checkpointed partitions only — no recomputation
+        changed = new_labels.where(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"duplicate_clusters: labels still changing after {max_iters} "
+            "iterations — a cluster has diameter > max_iters; raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -373,20 +429,30 @@ def ngram_jaccard(
     *,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_df: int = 500,
 ) -> DataFrame:
-    """Exact Jaccard over word-n-gram shingle sets for all pairs sharing
-    ≥1 shingle: explode → self-equi-join on shingle → |∩| per pair →
+    """Jaccard over word-n-gram shingle sets for all pairs sharing ≥1
+    shingle with document frequency ≤ max_df: explode → posting lists
+    per shingle → array-local pair expansion → |∩| per pair →
     |∪| = |A|+|B|−|∩|.  Equivalent ANSI SQL exists (oracle-checkable).
+
+    max_df is the standard hot-shingle guard: a shingle appearing in n
+    docs yields O(n²) pairs from its posting list, so one piece of
+    boilerplate shared by thousands of docs would otherwise dominate the
+    whole job — and a shingle that common carries no near-dup signal
+    anyway.  Dropping it makes |∩| (and thus jaccard) a conservative
+    under-count for pairs that shared only ultra-common shingles; the
+    oracle SQL applies the identical cutoff so parity is exact.
     """
     sh = _exploded_shingles(df, text_col, id_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     # |∩| per pair without a self-join: one shuffle groups each shingle's
     # (sorted) doc list, pairs expand array-locally, then a count per
-    # pair.  Exact — no bucket cap here (posting lists are data-bounded),
-    # unlike the LSH candidate path where a cap is a recall/cost knob.
+    # pair.  Posting lists longer than max_df are dropped BEFORE
+    # expansion, bounding the worst case at max_df² per shingle.
     postings = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
-    ).where(F.size("ids") > 1)
+    ).where((F.size("ids") > 1) & (F.size("ids") <= max_df))
     n = F.size("ids")
     pair_arr = F.flatten(
         F.transform(

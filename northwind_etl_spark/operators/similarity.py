@@ -117,29 +117,76 @@ def embedding_near_duplicates(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Cosine-near-dup pairs discovered within shared LSH buckets.
 
     All true pairs at cosine ≥ ~0.95 land in the same bucket with high
     probability per plane-set; recall is tunable via n_planes (fewer
     planes → bigger buckets → higher recall, more verify work).
+
+    Candidate generation is the same no-self-join discipline as
+    operators/dedup.py::_bucket_pairs: one groupBy collects each
+    bucket's (id, vector) structs into a sorted, max_bucket-capped
+    array, and pairs expand array-locally in two explode steps (anchor
+    → tail, then tail element) so no single row ever holds O(n²)
+    vectors.  The LSH bucketing subtree is computed exactly once — the
+    old bucketed-self-join shape both recomputed the pandas_udf on each
+    join side and blew up O(n²) on a degenerate bucket.
+
+    max_bucket bounds the worst case (max_bucket²/2 comparisons per
+    bucket); vectors past the cap in a degenerate bucket are dropped
+    from candidacy — the recall/cost knob, identical contract to the
+    MinHash/SimHash paths.  Each vector lands in exactly one bucket, so
+    emitted pairs are unique by construction (no distinct needed).
     """
     bucketed = rp_lsh_buckets(
-        embeddings.select(id_col, vec_col), dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col
+        embeddings.select(id_col, vec_col),
+        dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col,
     )
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    pairs = l.join(
-        r,
-        on=[
-            F.col("l.bucket") == F.col("r.bucket"),
-            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-        ],
-    ).select(
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-        F.round(cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cosine"),
+    buckets = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+                    )
+                ),
+                1,
+                max_bucket,
+            ).alias("items")
+        )
+        .where(F.size("items") > 1)
     )
-    return pairs.where(F.col("cosine") >= threshold).distinct()
+    n = F.size("items")
+    # step 1: one row per anchor, carrying only its tail slice (≤ n·dim
+    # floats per row, never the full n² pair expansion in one row)
+    anchored = buckets.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("items"), i).alias("a"),
+                    F.slice(F.col("items"), i + 1, n - i).alias("tail"),
+                ),
+            )
+        ).alias("s")
+    )
+    # step 2: explode the tail; items were sorted by id → id_a < id_b
+    return (
+        anchored.select(
+            F.col("s.a.id").alias("id_a"),
+            F.col("s.a.v").alias("__va"),
+            F.explode("s.tail").alias("t"),
+        )
+        .select(
+            "id_a",
+            F.col("t.id").alias("id_b"),
+            F.round(cosine_expr(F.col("__va"), F.col("t.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def embedding_norms(

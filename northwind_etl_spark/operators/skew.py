@@ -30,7 +30,18 @@ def salted_join(
 
     Use when one/few keys dominate; cost = small side × salt_buckets
     (keep the small side genuinely small or the buckets modest).
+
+    Only inner and left joins are result-identical under salting: an
+    unmatched small-side row exists once per replica, so right/full
+    outer joins would emit it salt_buckets times.  Those shapes are
+    rejected rather than silently wrong.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "replicating the small side would duplicate unmatched rows "
+            "under right/full outer semantics"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

@@ -521,9 +521,16 @@ ORACLES: dict[str, str] = {
                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
             FROM t),
         sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        -- mirror of the engine's max_df hot-shingle cutoff (dedup.py::
+        -- ngram_jaccard, default 500): shingles in more docs than that
+        -- carry no near-dup signal and are excluded from |∩| evidence
+        live AS (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) BETWEEN 2 AND 500),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN live l ON l.shingle = a.shingle
             GROUP BY 1, 2)
         SELECT id_a, id_b,
                ROUND(CAST(n_inter AS DOUBLE)

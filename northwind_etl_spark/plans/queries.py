@@ -380,24 +380,34 @@ def order_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (the data-quality sweep an ETL engine runs
     before a load): per-column min/max/null-count/distinct for the
-    lineitem measures, one scan."""
+    lineitem measures.
+
+    ONE scan computing all 16 aggregates, then a stack() unpivot to the
+    (col_name, stats...) shape — the unioned one-agg-per-column form
+    scans the fact table once per column, 4× the IO for nothing."""
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    parts = []
-    for c in cols:
-        parts.append(
-            li.agg(
-                F.lit(c).alias("col_name"),
-                F.round(F.min(c), 6).cast("double").alias("min_val"),
-                F.round(F.max(c), 6).cast("double").alias("max_val"),
-                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
-                F.countDistinct(c).alias("n_distinct"),
+    wide = li.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.round(F.min(c), 6).cast("double").alias(f"min_{c}"),
+                F.round(F.max(c), 6).cast("double").alias(f"max_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
             )
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{c}', min_{c}, max_{c}, nulls_{c}, nd_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (col_name, min_val, max_val, n_nulls, n_distinct)"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    )
 
 
 def quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,7 +750,16 @@ def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only; recall vs brute force
-    is asserted in tests)."""
+    is asserted in tests).
+
+    The `.first()` fetch of the query vector is deliberate, not an
+    accident: LSH probing must compute the query's bucket (and its
+    multiprobe neighbors) DRIVER-SIDE to build the bucket-pruning
+    predicate before the plan is constructed — the pruning is the whole
+    point of the index.  It is one 1-row job per search request, the
+    same cost class as the IVF centroid lookup; contrast
+    knn_bruteforce_topk, which needs no driver-side value and therefore
+    keeps the query vector as a broadcast 1-row DataFrame."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     # plane count sized to corpus (~500 vecs): 2^6 buckets ≈ 8 rows each;
@@ -752,7 +771,13 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only; recall asserted in tests/test_ivf.py).
 
     Index build inline here (train + assign); production keeps the
-    partitioned index on disk (operators/ivf.py::write_ivf_index)."""
+    partitioned index on disk (operators/ivf.py::write_ivf_index).
+
+    As with ann_lsh_topk, the `.first()` query-vector fetch is
+    deliberate: nprobe cluster selection scores the query against the
+    (driver-held, k×dim) centroids before planning, so the scan can be
+    partition-pruned to the probed clusters — one 1-row job per search
+    request by design."""
     from ..operators import ivf as I
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -42,8 +42,15 @@ def _events_stream_dir(sf_dir: str) -> str:
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    target = os.path.join(sf_dir, "events.parquet")
+    # lexists, not exists: exists() follows the link, so a dangling
+    # symlink (tempdir outlived a recreated sf_dir) would read as
+    # "absent" and the re-create below would hit FileExistsError
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) == target:
+            return d
+        os.unlink(link)
+    os.symlink(target, link)
     return d
 
 

@@ -17,6 +17,34 @@ def test_duplicate_clusters_transitive(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_duplicate_clusters_lineage_bounded(spark):
+    """Iteration k must read iteration k−1's checkpoint, not re-execute
+    it: the returned plan's join depth stays constant (one pass), not
+    proportional to the number of iterations."""
+    # chain 1-2-3-...-8: diameter 7 forces multiple propagation passes
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a LONG, id_b LONG"
+    )
+    labels = duplicate_clusters(pairs, max_iters=10)
+    assert {r.cluster for r in labels.collect()} == {1}
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    # a checkpointed result plans as a scan of existing partitions; the
+    # full multi-pass join cascade must NOT be in the lineage
+    assert plan.count("Join") <= 1, plan
+
+
+def test_duplicate_clusters_warns_on_nonconvergence(spark):
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a LONG, id_b LONG"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        duplicate_clusters(pairs, max_iters=2)
+    assert any("still changing" in str(x.message) for x in w)
+
+
 def test_keep_canonical_drops_non_canonical(spark):
     docs = spark.createDataFrame(
         [(i, f"t{i}") for i in [1, 2, 3, 10, 11, 99]], "doc_id LONG, text STRING"

@@ -32,6 +32,25 @@ def test_jaccard_no_shared_shingles_is_empty(spark):
     assert ngram_jaccard(docs, "text", "doc_id", threshold=0.01).count() == 0
 
 
+def test_jaccard_hot_shingle_capped_by_max_df(spark):
+    """A boilerplate shingle shared by every doc must not explode into
+    O(n²) pairs: with max_df below the corpus size, the hot shingle is
+    dropped and only genuinely-similar pairs (sharing rare shingles)
+    survive."""
+    boiler = "click here to unsubscribe"
+    rows = [(i, f"{boiler} item{i} alpha{i} beta{i}") for i in range(1, 31)]
+    # docs 100/101 share their full rare tail → a real near-dup pair
+    rows += [(100, f"{boiler} same rare tail here"), (101, f"{boiler} same rare tail here")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = ngram_jaccard(docs, "text", "doc_id", threshold=0.5, max_df=10)
+    got = [(r.id_a, r.id_b) for r in out.collect()]
+    assert got == [(100, 101)]
+    # with the cap above corpus size the boilerplate links everything:
+    # the pair count jumps — proving the cap was what bounded the work
+    uncapped = ngram_jaccard(docs, "text", "doc_id", threshold=0.01, max_df=1000)
+    assert uncapped.count() > 100
+
+
 def test_corrupt_json_props_become_null(spark):
     ev = spark.createDataFrame(
         [(1, '{"k": 5}'), (2, "not json"), (3, None)], "event_id LONG, props STRING"

@@ -40,6 +40,15 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert abs(ps - ss) < 1e-6 * abs(ps)
 
 
+def test_salted_join_rejects_outer_shapes(spark, sf_dir):
+    import pytest
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(li, li, key="l_orderkey", how=how)
+
+
 def test_catalog_relationships():
     refs = referencing_tables("nation")
     assert ("c_nationkey", "n_nationkey") in [(k, p) for k, p in [(r[1], r[2]) for r in refs]]

@@ -134,6 +134,34 @@ def test_multimodal_resize_and_frame_sample(spark, sf_dir):
         assert idxs == sorted(idxs) and all(i % 2 == 0 for i in idxs)
 
 
+def test_embedding_near_dup_finds_planted_pairs_without_join(spark, sf_dir):
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    # plant near-identical twins: same vector with a tiny first-component nudge
+    twin = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.001)).otherwise(x),
+        ).cast("array<float>").alias("embedding"),
+    )
+    corpus = emb.unionByName(twin)
+    pairs = V.embedding_near_duplicates(corpus, dim=64, threshold=0.99, n_planes=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 100000) for i in range(200)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.5, recall  # single plane-set LSH; nudged twins collide w.h.p.
+    for id_a, id_b in got:
+        assert id_a < id_b
+    # no self-join anywhere: candidate generation is bucket-grouped
+    # array expansion, so the physical plan must be join-free
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
 def test_approx_quantiles_close_to_exact(spark, sf_dir):
     from northwind_etl_spark.plans.queries import (
         approx_quantiles_quantity,
