@@ -22,6 +22,11 @@ def get_spark(app_name: str = "northwind-etl-spark", master: str | None = None) 
 
     - AQE on: runtime join-strategy selection, skew-join splitting, and
       post-shuffle partition coalescing — the knobs that matter at 100 TB.
+    - Runtime bloom-filter join pruning stays at its default (ON):
+      selective dimension filters inject fact-scan bloom filters once
+      the application side crosses the 10 GB scan threshold — a no-op
+      locally, free pruning at cluster scale (tests/test_runtime_filters
+      .py proves the q3/q5 shapes accept the injection).
     - Arrow on: any pandas_udf / toPandas hop is columnar, not pickled rows.
     - nanosAsLong: the events table carries parquet TIMESTAMP(NANOS)
       which Spark's vectorized reader rejects; we read it as raw int64

@@ -15,8 +15,11 @@ directions are declarative and partitioned:
   per-partition batch, and ``truncate=true`` + overwrite reproducing the
   TRUNCATE-and-reload sink (L1, ``etl_category.py:51``).
 
-No JDBC driver jar nor database exists in the test container, so this
-module is exercised only by unit tests that validate option plumbing.
+Exercised two ways: option-plumbing unit tests (tests/test_jdbc_options
+.py) and a REAL end-to-end round-trip against embedded Derby — the
+driver jars Spark ships for its metastore — covering truncate-and-reload
+write, full/pushed-down-query/partitioned reads, and re-read parity
+(tests/test_jdbc_roundtrip.py).
 """
 
 from __future__ import annotations
