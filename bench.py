@@ -34,11 +34,15 @@ HEADLINE = [
     "text_quality_stats",
     "lang_id_pred",
     "term_freq_top20",
+    "tfidf_scores",
+    "profile_lineitem",
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
     "knn_bruteforce_topk",
     "ann_lsh_topk",
+    "ivf_ann_topk",
+    "embedding_near_dup_pairs",
     "embedding_norms",
     "multimodal_blob_features",
 ]
