@@ -245,19 +245,30 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     """64-bit SimHash per doc: token hashes vote ±1 per bit position;
     fingerprint bit b = 1 iff the vote sum is positive.
 
-    Explode tokens → 64 conditional-sum aggregates (all codegen'd in one
-    hash-aggregate pass) → recombine bits.  Shuffle is on id only.
+    Explode tokens → pre-aggregate occurrence counts per (id, token
+    hash) → 64 count-weighted conditional-sum aggregates → recombine
+    bits.  The pre-aggregation collapses repeated tokens (natural text
+    repeats heavily) BEFORE the 64-expression stage, so the expensive
+    vote pass runs on |distinct tokens per doc| rows, not |tokens|.
+    Both aggregations are exchange-free after the one repartition on
+    id: hash-partitioning by id satisfies groupBy(id, h) and
+    groupBy(id) clustering alike.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(par, F.col(id_col)).select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
     )
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    hashed = (
+        toks.select(id_col, F.xxhash64("tok").alias("h"))
+        .groupBy(id_col, "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     votes = [
         F.sum(
             F.when(
-                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
-            ).otherwise(-1)
+                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
+                F.col("c"),
+            ).otherwise(-F.col("c"))
         ).alias(f"b{b}")
         for b in range(64)
     ]
@@ -335,10 +346,12 @@ def duplicate_clusters(
     cluster = min doc id reachable; the step that turns pairwise
     near-dup hits into a keep/drop decision (keep each cluster's min).
 
-    Iterative min-label propagation on the edge list: each pass joins
-    current labels across edges and takes the min; converges in
-    O(cluster diameter) passes (near-dup clusters are shallow — chains
-    longer than a few hops are rare).
+    Iterative min-label propagation with pointer jumping: each pass
+    (1) takes the min label across edges, then (2) jumps to the label
+    of that label — doubling effective reach per pass, so convergence
+    is O(log diameter) instead of O(diameter).  Both steps are
+    monotone min-reaching updates, so any interleaving converges to
+    the per-component min.
 
     Scale contract per iteration:
     - `labels` is localCheckpoint'ed each pass, so pass k reads pass
@@ -376,22 +389,30 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("cluster").alias("n_cluster"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.col("cluster").alias("__old"),
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("n_cluster"), F.col("cluster"))
+            ).alias("__mid"),
+        )
+        # pointer jump: follow __mid to ITS current label (pre-pass
+        # labels — still a valid min-reaching step), doubling reach
+        parents = labels.select(
+            F.col("id").alias("__p_id"), F.col("cluster").alias("__p_cluster")
+        )
+        jumped = F.least(
+            F.col("__mid"), F.coalesce(F.col("__p_cluster"), F.col("__mid"))
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            stepped.join(parents, F.col("__mid") == F.col("__p_id"), "left")
             .select(
                 "id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("n_cluster"), F.col("cluster"))
-                ).alias("new_cluster"),
-                (
-                    F.least(
-                        F.col("cluster"),
-                        F.coalesce(F.col("n_cluster"), F.col("cluster")),
-                    )
-                    != F.col("cluster")
-                ).alias("__changed"),
+                jumped.alias("cluster"),
+                (jumped != F.col("__old")).alias("__changed"),
             )
-            .withColumnRenamed("new_cluster", "cluster")
             .localCheckpoint()  # the pass's single job; truncates lineage
         )
         # reads checkpointed partitions only — no recomputation

@@ -541,6 +541,32 @@ ORACLES: dict[str, str] = {
         WHERE ROUND(CAST(n_inter AS DOUBLE)
                     / (sa.set_size + sb.set_size - n_inter), 6) >= 0.2
     """,
+    # ------------------------------------------------------------ multimodal
+    # Byte-stat features over utf-8 blobs: DuckDB has no direct byte
+    # indexing on BLOB, so bytes are recovered from hex() pairs — an
+    # independent derivation that value-matches the numpy path
+    # (operators/multimodal.py::extract_blob_features) exactly.
+    "multimodal_blob_features": """
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+          FROM documents),
+        bytes AS (
+          SELECT doc_id, n,
+                 (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(h, 2*i,   1)) - 1) AS byte
+          FROM b, unnest(generate_series(1, n)) AS t(i)),
+        counts AS (SELECT doc_id, n, byte, COUNT(*) AS c FROM bytes GROUP BY 1, 2, 3),
+        stats AS (
+          SELECT doc_id,
+                 SUM(byte * c) AS byte_sum,
+                 ROUND(-SUM((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 4)
+                     AS byte_entropy_q
+          FROM counts GROUP BY doc_id)
+        SELECT b.doc_id, b.n AS n_bytes,
+               COALESCE(s.byte_sum, 0) AS byte_sum,
+               COALESCE(s.byte_entropy_q, 0.0) AS byte_entropy_q
+        FROM b LEFT JOIN stats s ON s.doc_id = b.doc_id
+    """,
     # ------------------------------------------------------------ embeddings
     "embedding_norms": """
         SELECT vec_id,

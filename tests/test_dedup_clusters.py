@@ -27,6 +27,15 @@ def test_duplicate_clusters_lineage_bounded(spark):
     )
     labels = duplicate_clusters(pairs, max_iters=10)
     assert {r.cluster for r in labels.collect()} == {1}
+    # pointer jumping: diameter-7 chain must converge in O(log d)
+    # passes (≤4), far under the naive 7-pass propagation bound
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fast = duplicate_clusters(pairs, max_iters=4)
+    assert {r.cluster for r in fast.collect()} == {1}
+    assert not any("still changing" in str(x.message) for x in w)
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     # a checkpointed result plans as a scan of existing partitions; the
     # full multi-pass join cascade must NOT be in the lineage
