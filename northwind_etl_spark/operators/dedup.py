@@ -218,7 +218,18 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
         keep_shingles=True,
-    )
+    ).persist()
+    # The explicit persist is what actually makes "tokenize once" true:
+    # the three consumers (banding, verify-a, verify-b) are separate
+    # plan branches, and AQE's stage cache does NOT dedup them (the
+    # candidate branch prunes __sh, so the canonicalized aggregates
+    # differ — verified empirically: 3 parquet scans without persist).
+    # persist() is keyed on the canonicalized plan in the cache
+    # manager, so repeated calls share one entry (no growth) and
+    # eviction falls back to recompute, never to wrong results.  At
+    # 100 TB this materializes ids+signatures+shingle sets — the
+    # standard cost of a multi-consumer pipeline stage, far below
+    # re-tokenizing the corpus twice more.
     cands = lsh_candidate_pairs(
         sigs.select(id_col, "signature"), id_col, bands=bands, num_hashes=num_hashes
     )
