@@ -118,12 +118,19 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 256,
+    bands: int = 4,
 ) -> DataFrame:
-    """Cosine-near-dup pairs discovered within shared LSH buckets.
+    """Cosine-near-dup pairs discovered within shared LSH buckets,
+    OR-amplified across `bands` independent plane-sets.
 
-    All true pairs at cosine ≥ ~0.95 land in the same bucket with high
-    probability per plane-set; recall is tunable via n_planes (fewer
-    planes → bigger buckets → higher recall, more verify work).
+    One plane-set misses a true pair whenever any plane splits it
+    (miss probability grows with n_planes); running `bands` independent
+    plane-sets and accepting a pair that collides in ANY of them drives
+    recall to 1-(1-p^k)^b — the same AND/OR amplification the MinHash
+    banding uses.  All bands are computed in ONE pandas_udf pass (one
+    (batch×dim)·(dim×bands·planes) matmul, then per-band sign-packing)
+    and candidates from all bands share one shuffle keyed (band,
+    bucket).
 
     Candidate generation is the same no-self-join discipline as
     operators/dedup.py::_bucket_pairs: one groupBy collects each
@@ -137,15 +144,27 @@ def embedding_near_duplicates(
     max_bucket bounds the worst case (max_bucket²/2 comparisons per
     bucket); vectors past the cap in a degenerate bucket are dropped
     from candidacy — the recall/cost knob, identical contract to the
-    MinHash/SimHash paths.  Each vector lands in exactly one bucket, so
-    emitted pairs are unique by construction (no distinct needed).
+    MinHash/SimHash paths.  A pair colliding in several bands is
+    deduplicated by the final distinct (cosine is deterministic, so
+    duplicate rows are identical).
     """
-    bucketed = rp_lsh_buckets(
-        embeddings.select(id_col, vec_col),
-        dim=dim, n_planes=n_planes, seed=seed, vec_col=vec_col,
+    planes = _projection_matrix(dim, n_planes * bands, seed)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def band_buckets_of(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        signs = (mat @ planes) > 0  # (batch, bands·planes), one matmul
+        per_band = signs.reshape(len(mat), bands, n_planes)
+        return pd.Series(list(per_band @ weights))  # (batch, bands)
+
+    bucketed = embeddings.select(
+        id_col,
+        vec_col,
+        F.posexplode(band_buckets_of(F.col(vec_col))).alias("band", "bucket"),
     )
     buckets = (
-        bucketed.groupBy("bucket")
+        bucketed.groupBy("band", "bucket")
         .agg(
             F.slice(
                 F.sort_array(
@@ -186,6 +205,10 @@ def embedding_near_duplicates(
             F.round(cosine_expr(F.col("__va"), F.col("t.v")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        # a pair can collide in several bands; rows are identical
+        # (deterministic cosine) so distinct dedups the survivors —
+        # shuffling only (id, id, double), never vectors
+        .distinct()
     )
 
 

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Scale probe: replicate the test tables N× in memory and time the
+heavy operators — evidence for the PLANS.md sublinearity claims.
+
+Usage: python scripts/scale_probe.py [factor]   (default 10)
+
+Replication emulates a DIVERSE corpus at N× size, not N copies of the
+same corpus: document replicas get every token suffixed with the
+replica index (disjoint shingle spaces — otherwise each doc has N-1
+planted near-dups and pair counts explode quadratically in N, which
+measures the corpus, not the engine), and embedding replicas are
+cyclic rotations of the source vector (cosine between rotations of
+random vectors ≈ 0).  Ids shift per replica.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from northwind_etl_spark.operators import dedup as D  # noqa: E402
+from northwind_etl_spark.operators import similarity as V  # noqa: E402
+from northwind_etl_spark.session import get_spark  # noqa: E402
+
+
+def replicate(df, times: int, id_col: str, shift: int, variant=None):
+    parts = []
+    for i in range(times):
+        p = df.withColumn(id_col, F.col(id_col) + F.lit(i * shift))
+        if variant is not None:
+            p = variant(p, i)
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _doc_variant(df, i: int):
+    # suffix every token with the replica index → disjoint shingles
+    return df.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"(\S+)", rf"$1_{i}")
+    )
+
+
+def _vec_variant(df, i: int):
+    if i == 0:
+        return df
+    dim = 64
+    rotated = F.concat(
+        F.slice(F.col("embedding"), i + 1, dim - i), F.slice(F.col("embedding"), 1, i)
+    )
+    return df.withColumn("embedding", rotated)
+
+
+def timed(name: str, action) -> dict:
+    t0 = time.perf_counter()
+    n = action()
+    dt = round(time.perf_counter() - t0, 2)
+    rec = {"probe": name, "sec": dt, "rows": n}
+    print(json.dumps(rec))
+    return rec
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = replicate(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"),
+        factor, "doc_id", 10_000_000, variant=_doc_variant,
+    ).persist()
+    n_docs = docs.count()  # materialize input so probes time the operator
+    print(json.dumps({"probe": "corpus", "factor": factor, "docs": n_docs}))
+
+    timed(
+        "minhash_near_duplicates",
+        lambda: D.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5).count(),
+    )
+    timed(
+        "simhash_near_duplicates",
+        lambda: D.simhash_near_duplicates(docs, "text", "doc_id", max_hamming=3).count(),
+    )
+    timed(
+        "ngram_jaccard",
+        lambda: D.ngram_jaccard(docs, "text", "doc_id", threshold=0.2).count(),
+    )
+
+    emb = replicate(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding"),
+        factor, "vec_id", 10_000_000, variant=_vec_variant,
+    ).persist()
+    n_vecs = emb.count()
+    print(json.dumps({"probe": "embeddings", "factor": factor, "vecs": n_vecs}))
+    timed(
+        "embedding_near_duplicates",
+        lambda: V.embedding_near_duplicates(emb, dim=64, threshold=0.95).count(),
+    )
+
+    li = replicate(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), factor, "l_orderkey", 100_000_000
+    ).persist()
+    n_li = li.count()
+    print(json.dumps({"probe": "lineitem", "factor": factor, "rows": n_li}))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    timed(
+        "q1_shape_agg",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("s"))
+        .count(),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

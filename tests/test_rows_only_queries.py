@@ -153,7 +153,9 @@ def test_embedding_near_dup_finds_planted_pairs_without_join(spark, sf_dir):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     planted = {(i, i + 100000) for i in range(200)}
     recall = len(got & planted) / len(planted)
-    assert recall >= 0.5, recall  # single plane-set LSH; nudged twins collide w.h.p.
+    # OR-amplification over 4 bands: a nudged twin must collide in at
+    # least one plane-set with near-certainty
+    assert recall >= 0.95, recall
     for id_a, id_b in got:
         assert id_a < id_b
     # no self-join anywhere: candidate generation is bucket-grouped
