@@ -788,11 +788,26 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine near-dup pairs via LSH buckets (rows-only check)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return V.embedding_near_duplicates(emb, dim=64, threshold=0.95).orderBy(
-        "id_a", "id_b"
+    """Cosine near-dup pairs via banded LSH buckets (rows-only check).
+
+    The synthetic embeddings corpus contains NO near-dups (max pairwise
+    cosine 0.51), so running on it alone returns a correct-but-empty
+    result that verifies nothing.  Instead the corpus is augmented with
+    one perturbed twin per vector (first component nudged by 1e-3,
+    id + 1_000_000) and the operator must recover the planted pairs:
+    the row count ≈ corpus size is itself the recall evidence, and the
+    seeded projections make the output deterministic across runs."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twin = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.001)).otherwise(x),
+        ).cast("array<float>").alias("embedding"),
     )
+    return V.embedding_near_duplicates(
+        emb.unionByName(twin), dim=64, threshold=0.99
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------- multimodal
