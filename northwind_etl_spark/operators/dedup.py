@@ -475,16 +475,33 @@ def ngram_jaccard(
     anyway.  Dropping it makes |∩| (and thus jaccard) a conservative
     under-count for pairs that shared only ultra-common shingles; the
     oracle SQL applies the identical cutoff so parity is exact.
+
+    The per-doc shingle-array stage is persist()'ed for the same reason
+    as the minhash signature stage: its three consumers (set sizes,
+    posting lists, and nothing else — sizes joins twice) are separate
+    plan branches AQE will not dedup, and without the persist the
+    corpus is tokenized once per branch (verified: 3 parquet scans).
     """
-    sh = _exploded_shingles(df, text_col, id_col, shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    docsh = (
+        df.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col),
+            shingles_expr(F.col(text_col), shingle_n).alias("__sh"),
+        )
+        .persist()
+    )
+    sizes = docsh.select(F.col(id_col), F.size("__sh").alias("set_size"))
     # |∩| per pair without a self-join: one shuffle groups each shingle's
     # (sorted) doc list, pairs expand array-locally, then a count per
     # pair.  Posting lists longer than max_df are dropped BEFORE
     # expansion, bounding the worst case at max_df² per shingle.
-    postings = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
-    ).where((F.size("ids") > 1) & (F.size("ids") <= max_df))
+    postings = (
+        docsh.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_df))
+    )
     n = F.size("ids")
     pair_arr = F.flatten(
         F.transform(
