@@ -123,6 +123,30 @@ def term_frequencies(
     )
 
 
+def _doc_term_counts(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-(doc, term) occurrence counts — the shared base aggregate
+    for TF-IDF and surprisal.
+
+    persist()'ed for the same reason as the minhash/ngram stages: its
+    consumers are separate plan branches AQE will not dedup, so without
+    the persist each downstream aggregate re-tokenizes the corpus
+    (verified: 3 parquet scans per query).  The cache manager keys the
+    entry on the canonicalized plan, so tf_idf and unigram_surprisal
+    over the same corpus SHARE one entry across calls.  The repartition
+    spreads tokenization across cores (test parquet is one row group)
+    and makes the (id, term) aggregation exchange-free.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    terms = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    )
+    return (
+        terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
+
+
 def unigram_surprisal(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -130,29 +154,30 @@ def unigram_surprisal(
     corpus unigram distribution — the perplexity-style quality score
     (gibberish scores high, common boilerplate scores low).
 
-    Per-token ln p is a deterministic double; the per-doc Σ goes through
-    DECIMAL(38,12) so the aggregation is order-independent (same
-    contract as the money sums — see functions/money.py).
+    Works on the grouped (doc, term, tf) stage instead of raw token
+    occurrences; Σ over occurrences of cast(ln_p AS DECIMAL) becomes
+    Σ over terms of cast(ln_p AS DECIMAL(26,12)) × tf — the multiply
+    stays inside DECIMAL(37,12) (no precision-loss adjustment), so the
+    result is bit-identical to the oracle's per-occurrence decimal sum
+    and order-independent (same contract as functions/money.py).
     """
-    terms = df.select(
-        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
-    )
-    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
-    total = terms.select(F.count(F.lit(1)).alias("n_total"))
+    dt = _doc_term_counts(df, text_col, id_col)
+    counts = dt.groupBy("term").agg(F.sum("tf").alias("tc"))
+    total = dt.agg(F.sum("tf").alias("n_total"))
     lp = (
-        terms.join(counts, "term")
+        dt.join(counts, "term")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "ln_p", F.log(F.col("tc").cast("double") / F.col("n_total"))
         )
     )
+    weighted = F.col("ln_p").cast("decimal(26,12)") * F.col("tf").cast("decimal(10,0)")
     return lp.groupBy(id_col).agg(
         F.round(
-            -F.sum(F.col("ln_p").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1)),
+            (-F.sum(weighted)).cast("double") / F.sum("tf"),
             6,
         ).alias("mean_surprisal"),
-        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("tf").alias("n_tokens"),
     )
 
 
@@ -161,15 +186,13 @@ def tf_idf(
 ) -> DataFrame:
     """Per (doc, term) TF-IDF: tf = in-doc count, idf = ln(N/df).
 
-    Two aggregations over one exploded projection: per-(doc,term) counts
-    and per-term document frequency; N is a literal-sized scalar join.
+    Built on the shared persisted (doc, term, tf) stage — document
+    frequency and the scoring join both read the cached aggregate, so
+    the corpus is tokenized once (and shared with unigram_surprisal).
     ln is computed in double with a fixed expression shape so an SQL
     oracle reproduces it bit-for-bit.
     """
-    terms = df.select(
-        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
-    )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _doc_term_counts(df, text_col, id_col)
     dfreq = (
         tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
