@@ -181,6 +181,40 @@ def unigram_surprisal(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per doc: fraction of
+    tokens taken by the most-frequent unigram and bigram.  Documents
+    dominated by one repeated phrase (top fractions → 1.0) are the
+    boilerplate/spam a training-data pipeline filters out.
+
+    Unigram side reads the shared persisted (doc, term, tf) stage;
+    bigram side is one explode + two exchange-free aggregations behind
+    the same id-repartition.  Docs with no tokens are absent (nothing
+    to score); single-token docs carry a NULL bigram fraction.
+    """
+    from ..functions.texttools import bigrams_expr
+
+    dt = _doc_term_counts(df, text_col, id_col)
+    uni = dt.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.max("tf") / F.sum("tf"), 6).alias("top_term_frac"),
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    bg = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.explode(bigrams_expr(F.col(text_col))).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
+    )
+    return uni.join(bg, id_col, "left").select(
+        id_col, "n_tokens", "top_term_frac", "top_bigram_frac"
+    )
+
+
 def tf_idf(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

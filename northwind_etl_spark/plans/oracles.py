@@ -425,6 +425,53 @@ ORACLES: dict[str, str] = {
                     THEN 'train' ELSE 'eval' END AS split
         FROM documents
     """,
+    "contamination_check": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+            FROM t),
+        split AS (
+            SELECT doc_id,
+                   CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              AS BIGINT) % 100 < 80
+                        THEN 'train' ELSE 'eval' END AS split
+            FROM documents),
+        tr AS (SELECT sh.doc_id AS train_id, shingle
+               FROM sh JOIN split USING (doc_id) WHERE split = 'train'),
+        ev AS (SELECT sh.doc_id AS eval_id, shingle
+               FROM sh JOIN split USING (doc_id) WHERE split = 'eval'),
+        -- mirror of the engine's eval-side max_df hot-shingle cutoff
+        live AS (SELECT shingle FROM ev GROUP BY shingle HAVING COUNT(*) <= 500)
+        SELECT train_id, eval_id, COUNT(*) AS n_shared
+        FROM tr
+        JOIN live USING (shingle)
+        JOIN ev USING (shingle)
+        GROUP BY train_id, eval_id
+        HAVING COUNT(*) >= 2
+    """,
+    "doc_repetition_stats": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY 1, 2),
+        uni AS (
+            SELECT doc_id, SUM(c) AS n_tokens,
+                   ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_term_frac
+            FROM tf GROUP BY doc_id),
+        bgs AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bg
+            FROM t),
+        bf AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
+        btop AS (
+            SELECT doc_id,
+                   ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+            FROM bf GROUP BY doc_id)
+        SELECT uni.doc_id, n_tokens, top_term_frac, b.top_bigram_frac
+        FROM uni LEFT JOIN btop b ON b.doc_id = uni.doc_id
+    """,
     "text_quality_stats": f"""
         WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
         SELECT doc_id,

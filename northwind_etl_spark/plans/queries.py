@@ -655,16 +655,10 @@ def token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top word bigrams over the corpus (shingle machinery with n=2,
     NON-distinct: frequency counting wants multiplicity)."""
-    from ..functions.texttools import tokens_expr
+    from ..functions.texttools import bigrams_expr
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens_expr(F.col("text"))
-    k = F.size(toks) - F.lit(1)
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
-    exploded = docs.select(F.explode(bigrams).alias("bigram"))
+    exploded = docs.select(F.explode(bigrams_expr(F.col("text"))).alias("bigram"))
     counted = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     return top_k(counted, [F.desc("n"), F.asc("bigram")], 20)
 
@@ -690,6 +684,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard(
         _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.2, shingle_n=3
     )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: training docs sharing ≥2 distinct 3-gram
+    shingles with held-out eval docs, the split derived from the same
+    deterministic hash_split as train_eval_split (so the oracle can
+    reproduce it)."""
+    from ..operators.contamination import cross_corpus_overlap
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id")
+    train = split.where(F.col("split") == "train").select("doc_id", "text")
+    ev = split.where(F.col("split") == "eval").select("doc_id", "text")
+    return cross_corpus_overlap(train, ev, "text", "doc_id", min_shared=2)
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter signals (top unigram /
+    bigram token fractions) per document."""
+    return X.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
 def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,12 +846,13 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #         TPC-H-ish relational core, and the full §2b LLM-pipeline
 #         family (text / dedup / ANN / multimodal), each with its
 #         oracle (or an explicit rows-only contract);
-#   51-66 near-duplicate variants of families already checked above
+#   51+   near-duplicate variants of families already checked above
 #         (cube/grouping-sets vs rollup, moving-avg vs running-total,
-#         bigram vs term-freq, join-shape and string/date variants).
-#         All 16 have green CORRECTNESS_r01 rows and unchanged
-#         implementations; tests/test_oracle_parity.py re-checks every
-#         one of them locally each run.
+#         bigram vs term-freq, exact-dedup vs hash-dedup, join-shape
+#         and string/date variants).  All have green CORRECTNESS_r01
+#         rows and unchanged implementations;
+#         tests/test_oracle_parity.py re-checks every one of them
+#         locally each run.
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- §2a reference surface -------------------------------------
@@ -871,12 +887,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
     # --- documents: dedup / sampling / text ------------------------
-    "dedup_exact_docs": dedup_exact_docs,
     "dedup_hash_docs": dedup_hash_docs,
     "train_eval_split": train_eval_split,
     "stratified_sample_docs": stratified_sample_docs,
+    "contamination_check": contamination_check,
     "text_quality_stats": text_quality_stats,
-    "lang_distribution": lang_distribution,
+    "doc_repetition_stats": doc_repetition_stats,
     "lang_id_pred": lang_id_pred,
     "token_counts": token_counts,
     "token_count_bpe_docs": token_count_bpe_docs,
@@ -911,4 +927,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_brands": set_ops_brands,
     "event_value_histogram": event_value_histogram,
     "bigram_freq_top20": bigram_freq_top20,
+    "dedup_exact_docs": dedup_exact_docs,
+    "lang_distribution": lang_distribution,
 }

@@ -51,6 +51,62 @@ def test_jaccard_hot_shingle_capped_by_max_df(spark):
     assert uncapped.count() > 100
 
 
+def test_contamination_finds_planted_leak(spark):
+    from northwind_etl_spark.operators.contamination import cross_corpus_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training material here today"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "quick brown fox jumps over a fence"),  # leaked prefix
+            (101, "nothing in common with anything else"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    hits = cross_corpus_overlap(train, ev, "text", "doc_id", min_shared=2)
+    got = {(r.train_id, r.eval_id): r.n_shared for r in hits.collect()}
+    assert set(got) == {(1, 100)}
+    assert got[(1, 100)] >= 3  # shared 3-gram shingles of the leaked span
+
+
+def test_contamination_hot_shingle_dropped(spark):
+    from northwind_etl_spark.operators.contamination import cross_corpus_overlap
+
+    boiler = "click here to unsubscribe now"
+    train = spark.createDataFrame([(1, boiler)], "doc_id LONG, text STRING")
+    ev = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(5)], "doc_id LONG, text STRING"
+    )
+    # every eval doc carries the boilerplate → its shingles exceed
+    # max_df and are dropped: no pairs, instead of 5 spurious hits
+    assert (
+        cross_corpus_overlap(train, ev, "text", "doc_id", min_shared=1, max_df=3).count()
+        == 0
+    )
+
+
+def test_repetition_stats_flags_repeated_docs(spark):
+    from northwind_etl_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here differ fully"),
+            (3, "solo"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[1].top_term_frac == 1.0 and rows[1].top_bigram_frac == 1.0
+    assert rows[2].top_term_frac == 0.2
+    assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac is None
+
+
 def test_corrupt_json_props_become_null(spark):
     ev = spark.createDataFrame(
         [(1, '{"k": 5}'), (2, "not json"), (3, None)], "event_id LONG, props STRING"
