@@ -38,6 +38,8 @@ HEADLINE = [
     "lang_id_pred",
     "term_freq_top20",
     "tfidf_scores",
+    "contamination_check",
+    "doc_repetition_stats",
     "profile_lineitem",
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
