@@ -48,17 +48,21 @@ def shingles_expr(text: Column | str, n: int = 3) -> Column:
     )
 
 
-def bigrams_expr(text: Column | str) -> Column:
-    """Word bigrams WITH multiplicity (frequency counting wants
-    repeats — contrast shingles_expr, which is the distinct-set form
-    for MinHash/Jaccard)."""
-    toks = tokens_expr(text)
+def bigrams_from_tokens(toks: Column) -> Column:
+    """Word bigrams WITH multiplicity from a token array (frequency
+    counting wants repeats — contrast shingles_expr, which is the
+    distinct-set form for MinHash/Jaccard)."""
     k = F.size(toks) - F.lit(1)
     # sequence(1, 0) yields DESCENDING [1, 0], not empty — guard
     idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+
+
+def bigrams_expr(text: Column | str) -> Column:
+    """Word bigrams with multiplicity, direct from text."""
+    return bigrams_from_tokens(tokens_expr(text))
 
 
 def rolling_hash_expr(text: Column | str, *, mod: int = 1_000_000_007, base: int = 31) -> Column:

@@ -123,25 +123,37 @@ def term_frequencies(
     )
 
 
-def _doc_term_counts(
-    df: DataFrame, text_col: str, id_col: str
-) -> DataFrame:
-    """Per-(doc, term) occurrence counts — the shared base aggregate
-    for TF-IDF and surprisal.
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc token arrays — THE single tokenization pass.
 
     persist()'ed for the same reason as the minhash/ngram stages: its
     consumers are separate plan branches AQE will not dedup, so without
     the persist each downstream aggregate re-tokenizes the corpus
     (verified: 3 parquet scans per query).  The cache manager keys the
-    entry on the canonicalized plan, so tf_idf and unigram_surprisal
-    over the same corpus SHARE one entry across calls.  The repartition
-    spreads tokenization across cores (test parquet is one row group)
-    and makes the (id, term) aggregation exchange-free.
+    entry on the canonicalized plan, so every token-derived query over
+    the same corpus (tf_idf, surprisal, repetition stats) shares one
+    entry across calls.  The repartition spreads tokenization across
+    cores (test parquet is one row group) and pre-clusters by id so
+    downstream per-doc aggregations are exchange-free.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    terms = df.repartition(par, F.col(id_col)).select(
-        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    return (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+        .persist()
     )
+
+
+def _doc_term_counts(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-(doc, term) occurrence counts over the shared token-array
+    stage — the base aggregate for TF-IDF and surprisal.  Persisted
+    itself because tf_idf consumes it on two branches (document
+    frequency + scoring join); a refill only re-explodes the cached
+    arrays, never re-tokenizes."""
+    toks = _doc_tokens(df, text_col, id_col)
+    terms = toks.select(F.col(id_col), F.explode("__toks").alias("term"))
     return (
         terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     )
@@ -190,21 +202,23 @@ def repetition_stats(
     boilerplate/spam a training-data pipeline filters out.
 
     Unigram side reads the shared persisted (doc, term, tf) stage;
-    bigram side is one explode + two exchange-free aggregations behind
-    the same id-repartition.  Docs with no tokens are absent (nothing
-    to score); single-token docs carry a NULL bigram fraction.
+    bigram side derives bigrams from the SAME cached token arrays —
+    the corpus is tokenized once for both branches (and shared with
+    tf_idf / surprisal).  Docs with no tokens are absent (nothing to
+    score); single-token docs carry a NULL bigram fraction.
     """
-    from ..functions.texttools import bigrams_expr
+    from ..functions.texttools import bigrams_from_tokens
 
     dt = _doc_term_counts(df, text_col, id_col)
     uni = dt.groupBy(id_col).agg(
         F.sum("tf").alias("n_tokens"),
         F.round(F.max("tf") / F.sum("tf"), 6).alias("top_term_frac"),
     )
-    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = _doc_tokens(df, text_col, id_col)
     bg = (
-        df.repartition(par, F.col(id_col))
-        .select(F.col(id_col), F.explode(bigrams_expr(F.col(text_col))).alias("bg"))
+        toks.select(
+            F.col(id_col), F.explode(bigrams_from_tokens(F.col("__toks"))).alias("bg")
+        )
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
