@@ -30,13 +30,13 @@ def punct_count_expr(text: Column | str) -> Column:
     return F.length(F.regexp_replace(_col(text), r"[^!,.;:?]", ""))
 
 
-def shingles_expr(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles — the MinHash/Jaccard unit.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array — the
+    MinHash/Jaccard unit.
 
-    Built from the token array with transform+slice (no UDF): shingle i
-    is tokens[i..i+n-1] joined by single spaces; distinct set per doc.
+    transform+slice (no UDF): shingle i is tokens[i..i+n-1] joined by
+    single spaces; distinct set per doc.
     """
-    toks = tokens_expr(text)
     k = F.size(toks) - F.lit(n - 1)
     # guard: sequence(1, 0) yields a DESCENDING [1, 0] in Spark, not an
     # empty array — docs shorter than n tokens must produce no shingles
@@ -46,6 +46,11 @@ def shingles_expr(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
+
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, direct from text."""
+    return shingles_from_tokens(tokens_expr(text), n)
 
 
 def bigrams_from_tokens(toks: Column) -> Column:

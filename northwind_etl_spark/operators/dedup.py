@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.texttools import shingles_expr, tokens_expr
+from ..functions.texttools import shingles_from_tokens
 
 # -- exact ----------------------------------------------------------------
 
@@ -69,18 +69,24 @@ def dedup_hash(df: DataFrame, text_col: str, id_col: str, *, normalize: bool = T
 def _exploded_shingles(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    """(id, shingle) rows, tokenized exactly once per document and
-    spread across all cores.
+    """(id, shingle) rows derived from the shared persisted token-array
+    stage (operators/text.py::_doc_tokens) — ONE corpus tokenization
+    serves the whole dedup family AND the text-analysis family (the
+    cache manager keys the stage on its canonicalized plan, so
+    minhash, ngram-jaccard, simhash, tf-idf, surprisal, and repetition
+    stats over the same corpus all hit the same entry).
 
-    The repartition matters twice over: locally the documents file is a
-    single parquet split (string work would run on one core); at 100 TB
-    it hash-distributes by id so the downstream per-id aggregation needs
-    no second shuffle.
+    The stage's repartition matters twice over: locally the documents
+    file is a single parquet split (string work would run on one
+    core); at 100 TB it hash-distributes by id so downstream per-id
+    aggregations need no second shuffle.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par, F.col(id_col)).select(
+    from .text import _doc_tokens
+
+    toks = _doc_tokens(df, text_col, id_col)
+    return toks.select(
         F.col(id_col),
-        F.explode(shingles_expr(F.col(text_col), shingle_n)).alias("shingle"),
+        F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("shingle"),
     )
 
 
@@ -265,6 +271,14 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     id: hash-partitioning by id satisfies groupBy(id, h) and
     groupBy(id) clustering alike.
     """
+    # Deliberately NOT built on the shared _doc_tokens cache: simhash
+    # consumes tokens exactly once, and exploding from a cached
+    # array<string> column is measurably slower than the codegen'd
+    # tokenize-and-explode stream straight off the scan (array columns
+    # fall off the columnar cache fast path) — the shared stage only
+    # pays off where a query re-reads tokens on multiple branches.
+    from ..functions.texttools import tokens_expr
+
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(par, F.col(id_col)).select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
@@ -482,12 +496,13 @@ def ngram_jaccard(
     plan branches AQE will not dedup, and without the persist the
     corpus is tokenized once per branch (verified: 3 parquet scans).
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
+    from .text import _doc_tokens
+
     docsh = (
-        df.repartition(par, F.col(id_col))
+        _doc_tokens(df, text_col, id_col)
         .select(
             F.col(id_col),
-            shingles_expr(F.col(text_col), shingle_n).alias("__sh"),
+            shingles_from_tokens(F.col("__toks"), shingle_n).alias("__sh"),
         )
         .persist()
     )
