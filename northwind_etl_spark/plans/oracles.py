@@ -614,6 +614,21 @@ ORACLES: dict[str, str] = {
                COALESCE(s.byte_entropy_q, 0.0) AS byte_entropy_q
         FROM b LEFT JOIN stats s ON s.doc_id = b.doc_id
     """,
+    # Frame sampling is deterministic byte arithmetic (every 4th
+    # 32-byte chunk of the utf-8 blob; a lone short blob yields one
+    # partial frame; chunks past floor(L/32) are never emitted), so the
+    # Python 1→N mapInPandas expansion is checkable without exploding:
+    #   n_chunks = max(L // 32, 1); n_frames = ceil(n_chunks / 4);
+    #   every emitted frame is full 32 bytes unless L < 32.
+    "multimodal_frame_stats": """
+        WITH b AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+        c AS (SELECT doc_id, L, greatest(L // 32, 1) AS n_chunks FROM b)
+        SELECT doc_id,
+               (n_chunks + 3) // 4 AS n_frames,
+               CASE WHEN L >= 32 THEN ((n_chunks + 3) // 4) * 32
+                    ELSE L END AS total_frame_bytes
+        FROM c
+    """,
     # ------------------------------------------------------------ embeddings
     "embedding_norms": """
         SELECT vec_id,

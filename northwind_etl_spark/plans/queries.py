@@ -836,6 +836,20 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_blob_features(blobs)
 
 
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling through mapInPandas, rolled up to per-doc
+    scalar stats.  Frame boundaries are deterministic byte arithmetic
+    (every 4th 32-byte chunk), so a pure-SQL oracle reproduces the
+    counts — cross-engine proof that the Python 1→N expansion emits
+    exactly the declared rows."""
+    blobs = M.make_blob_table(_t(spark, sf_dir, "documents"))
+    frames = M.sample_frames(blobs, frame_bytes=32, every_n=4)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_bytes").alias("total_frame_bytes"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 #
 # ORDER CONTRACT: the driver's correctness run records at most the first
@@ -894,7 +908,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_stats": text_quality_stats,
     "doc_repetition_stats": doc_repetition_stats,
     "lang_id_pred": lang_id_pred,
-    "token_counts": token_counts,
     "token_count_bpe_docs": token_count_bpe_docs,
     "term_freq_top20": term_freq_top20,
     "tfidf_scores": tfidf_scores,
@@ -910,6 +923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "multimodal_blob_features": multimodal_blob_features,
+    "multimodal_frame_stats": multimodal_frame_stats,
     # --- 51+: variants of families checked above (green in r01) ----
     "star_revenue_by_brand": star_revenue_by_brand,
     "semi_join_active_customers": semi_join_active_customers,
@@ -929,4 +943,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_freq_top20": bigram_freq_top20,
     "dedup_exact_docs": dedup_exact_docs,
     "lang_distribution": lang_distribution,
+    "token_counts": token_counts,
 }
