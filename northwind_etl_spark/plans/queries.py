@@ -886,7 +886,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q6_forecast_revenue": q6_forecast_revenue,
     "window_topn_per_group": window_topn_per_group,
     "running_monthly_revenue": running_monthly_revenue,
     "rollup_revenue": rollup_revenue,
@@ -908,6 +907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_stats": text_quality_stats,
     "doc_repetition_stats": doc_repetition_stats,
     "lang_id_pred": lang_id_pred,
+    "token_counts": token_counts,
     "token_count_bpe_docs": token_count_bpe_docs,
     "term_freq_top20": term_freq_top20,
     "tfidf_scores": tfidf_scores,
@@ -943,5 +943,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_freq_top20": bigram_freq_top20,
     "dedup_exact_docs": dedup_exact_docs,
     "lang_distribution": lang_distribution,
-    "token_counts": token_counts,
+    "q6_forecast_revenue": q6_forecast_revenue,
 }
