@@ -425,6 +425,28 @@ ORACLES: dict[str, str] = {
                     THEN 'train' ELSE 'eval' END AS split
         FROM documents
     """,
+    # Mirrors operators/fuzzy.py exactly: lower/trim normalize, distinct
+    # char 3-grams (short strings contribute themselves), df-capped
+    # posting lists, distinct candidate pairs, levenshtein verify.
+    "fuzzy_name_match_pairs": """
+        WITH base AS (
+          SELECT c_custkey AS id, lower(trim(c_name)) AS name FROM customer),
+        g AS (
+          SELECT id, unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(length(name) - 2, 1)),
+                     i -> substr(name, i, 3)))) AS gram
+          FROM base),
+        live AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM g a JOIN live USING (gram) JOIN g b USING (gram)
+          WHERE a.id < b.id)
+        SELECT id_a, id_b, levenshtein(na.name, nb.name) AS edit_distance
+        FROM cand
+        JOIN base na ON na.id = id_a
+        JOIN base nb ON nb.id = id_b
+        WHERE levenshtein(na.name, nb.name) <= 1
+    """,
     "contamination_check": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         sh AS (

@@ -686,6 +686,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching: customer-name pairs within
+    edit distance 1, blocked on shared rare character 3-grams
+    (operators/fuzzy.py).  On the synthetic corpus these are the
+    single-digit-apart customer numbers — a deterministic, oracle-
+    checkable fixture for the record-linkage shape."""
+    from ..operators.fuzzy import fuzzy_match_pairs
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_match_pairs(c, "c_name", "c_custkey", max_distance=1)
+
+
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination: training docs sharing ≥2 distinct 3-gram
     shingles with held-out eval docs, the split derived from the same
@@ -893,7 +905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_quantity": quantiles_quantity,
     "approx_quantiles_quantity": approx_quantiles_quantity,
     "approx_distinct_users": approx_distinct_users,
-    "map_props_exploded": map_props_exploded,
+    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
     # --- events ----------------------------------------------------
     "tumbling_event_counts": tumbling_event_counts,
     "session_stats": session_stats,
@@ -944,4 +956,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_docs": dedup_exact_docs,
     "lang_distribution": lang_distribution,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "map_props_exploded": map_props_exploded,
 }

@@ -25,8 +25,31 @@ def write_reload(df: DataFrame, path: str, *, fmt: str = "parquet", partition_by
     writer.save(path)
 
 
-def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
-    reader = spark.read.option("header", str(header).lower())
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    *,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Schema'd CSV reader with explicit malformed-record semantics —
+    the knob a production ingest actually needs:
+
+    - PERMISSIVE (default): malformed fields become NULL; pass
+      `corrupt_col` to additionally capture the raw offending line in
+      that column (add it to the schema as StringType) so bad records
+      can be quarantined instead of silently nulled;
+    - DROPMALFORMED: bad rows vanish (count the delta to audit);
+    - FAILFAST: die on the first bad row (the strict-load contract).
+
+    Always prefer an explicit schema at scale: inferSchema is a full
+    extra pass over the data.
+    """
+    reader = spark.read.option("header", str(header).lower()).option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -34,8 +57,19 @@ def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -
     return reader.csv(path)
 
 
-def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
-    reader = spark.read
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    *,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Schema'd JSON-lines reader; same malformed-record contract as
+    read_csv."""
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

@@ -90,6 +90,38 @@ def test_contamination_hot_shingle_dropped(spark):
     )
 
 
+def test_fuzzy_match_finds_planted_typos(spark):
+    from northwind_etl_spark.operators.fuzzy import fuzzy_match_pairs
+
+    rows = [
+        (1, "Jonathan Smith"),
+        (2, "Jonathan Smyth"),   # 1 substitution from 1
+        (3, "Jonathan Smithe"),  # 1 insertion from 1
+        (4, "Margaret Jones"),   # unrelated
+        (5, "MARGARET JONES "),  # normalization twin of 4 (distance 0)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in fuzzy_match_pairs(df, "name", "id", max_distance=1).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(4, 5)] == 0
+    assert (1, 4) not in got  # unrelated names never pair
+    assert (2, 3) not in got  # smyth↔smithe is 2 edits, over max_distance
+
+
+def test_fuzzy_match_hot_gram_capped(spark):
+    from northwind_etl_spark.operators.fuzzy import fuzzy_match_pairs
+
+    # every name shares the common prefix; only the planted twin pair
+    # shares a RARE gram → with a tight max_df only that pair survives
+    rows = [(i, f"record common prefix {i:04d}") for i in range(1, 40)]
+    rows += [(100, "record common prefix zq7x"), (101, "record common prefix zq7y")]
+    df = spark.createDataFrame(rows, "id LONG, name STRING")
+    got = {(r.id_a, r.id_b) for r in fuzzy_match_pairs(df, "name", "id", max_distance=1, max_df=5).collect()}
+    assert (100, 101) in got
+
+
 def test_repetition_stats_flags_repeated_docs(spark):
     from northwind_etl_spark.operators.text import repetition_stats
 

@@ -1,0 +1,95 @@
+"""CSV/JSON source semantics: schema'd round-trips and the three
+malformed-record modes (PERMISSIVE + quarantine column, DROPMALFORMED,
+FAILFAST) — the ingest-robustness contract of sources/files.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from northwind_etl_spark.sources.files import read_csv, read_json, write_reload
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("qty", IntegerType()),
+    ]
+)
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,qty\n"
+        "1,alpha,10\n"
+        "2,beta,twenty\n"  # malformed qty
+        "3,gamma,30\n"
+    )
+    return str(p)
+
+
+def test_csv_roundtrip_matches_parquet_source(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = str(tmp_path / "nation_csv")
+    nation.write.option("header", "true").mode("overwrite").csv(out)
+    back = read_csv(spark, out, schema=nation.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_csv_permissive_quarantines_bad_rows(spark, csv_dir):
+    # fresh StructType: .add() would mutate the shared SCHEMA in place
+    schema = StructType(list(SCHEMA.fields) + [StructField("_bad", StringType())])
+    df = read_csv(spark, csv_dir, schema=schema, corrupt_col="_bad").cache()
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].qty == 10 and rows[1]._bad is None
+    assert rows[2].qty is None and "twenty" in rows[2]._bad  # quarantined raw line
+    assert rows[3].qty == 30
+
+
+def test_csv_dropmalformed_drops_bad_rows(spark, csv_dir):
+    df = read_csv(spark, csv_dir, schema=SCHEMA, mode="DROPMALFORMED")
+    assert sorted(r.id for r in df.collect()) == [1, 3]
+
+
+def test_csv_failfast_raises(spark, csv_dir):
+    with pytest.raises(Exception) as exc:
+        read_csv(spark, csv_dir, schema=SCHEMA, mode="FAILFAST").collect()
+    assert "Malformed" in str(exc.value) or "FAILFAST" in str(exc.value)
+
+
+def test_json_lines_with_corrupt_record(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "alpha"}\n'
+        "this is not json\n"
+        '{"id": 3, "name": "gamma"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("_bad", StringType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema=schema, corrupt_col="_bad").cache()
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._bad is not None]
+    assert len(bad) == 1 and "not json" in bad[0]._bad
+
+
+def test_write_reload_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "docs_part")
+    write_reload(docs, out, partition_by=["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # overwrite again — idempotent (truncate-and-reload semantics)
+    write_reload(docs, out, partition_by=["lang"])
+    assert spark.read.parquet(out).count() == docs.count()
