@@ -40,6 +40,7 @@ HEADLINE = [
     "tfidf_scores",
     "contamination_check",
     "doc_repetition_stats",
+    "fuzzy_name_match_pairs",
     "profile_lineitem",
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
