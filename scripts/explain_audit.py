@@ -27,6 +27,9 @@ DEFAULT = [
     "star_fact_order_metrics",
     "minhash_near_dup_pairs",
     "knn_bruteforce_topk",
+    "embedding_near_dup_pairs",
+    "contamination_check",
+    "fuzzy_name_match_pairs",
 ]
 
 

@@ -94,6 +94,17 @@ def main() -> None:
         lambda: D.ngram_jaccard(docs, "text", "doc_id", threshold=0.2).count(),
     )
 
+    from northwind_etl_spark.operators.contamination import cross_corpus_overlap
+    from northwind_etl_spark.operators.sampling import hash_split
+
+    split = hash_split(docs, "doc_id")
+    train = split.where("split = 'train'").select("doc_id", "text")
+    ev = split.where("split = 'eval'").select("doc_id", "text")
+    timed(
+        "contamination_check",
+        lambda: cross_corpus_overlap(train, ev, "text", "doc_id", min_shared=2).count(),
+    )
+
     emb = replicate(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding"),
         factor, "vec_id", 10_000_000, variant=_vec_variant,
