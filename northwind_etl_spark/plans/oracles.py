@@ -478,7 +478,7 @@ ORACLES: dict[str, str] = {
         terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
         tf AS (SELECT doc_id, term, COUNT(*) AS c FROM terms GROUP BY 1, 2),
         uni AS (
-            SELECT doc_id, SUM(c) AS n_tokens,
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                    ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_term_frac
             FROM tf GROUP BY doc_id),
         bgs AS (
@@ -627,12 +627,12 @@ ORACLES: dict[str, str] = {
         counts AS (SELECT doc_id, n, byte, COUNT(*) AS c FROM bytes GROUP BY 1, 2, 3),
         stats AS (
           SELECT doc_id,
-                 SUM(byte * c) AS byte_sum,
+                 CAST(SUM(byte * c) AS BIGINT) AS byte_sum,
                  ROUND(-SUM((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 4)
                      AS byte_entropy_q
           FROM counts GROUP BY doc_id)
         SELECT b.doc_id, b.n AS n_bytes,
-               COALESCE(s.byte_sum, 0) AS byte_sum,
+               CAST(COALESCE(s.byte_sum, 0) AS BIGINT) AS byte_sum,
                COALESCE(s.byte_entropy_q, 0.0) AS byte_entropy_q
         FROM b LEFT JOIN stats s ON s.doc_id = b.doc_id
     """,

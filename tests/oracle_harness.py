@@ -34,6 +34,34 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Types the driver's canonicalizer is known to hash identically to the
+# Spark side.  DuckDB promotes SUM(BIGINT) to HUGEINT (int128), which the
+# driver renders differently from Spark's bigint even when values are
+# equal — that cost two hash-fail rows in round 2 (VERDICT.md r02 §wrong).
+# Reject such types locally so dtype drift fails in pytest first.
+_SAFE_TYPE_RE = __import__("re").compile(
+    r"^(BIGINT|INTEGER|SMALLINT|TINYINT|DOUBLE|FLOAT|VARCHAR|DATE|BOOLEAN"
+    r"|TIMESTAMP(_NS| WITH TIME ZONE)?|DECIMAL\(\d{1,2},\s*\d+\))$"
+)
+
+
+def assert_safe_oracle_types(
+    con: duckdb.DuckDBPyConnection, name: str, sql: str
+) -> None:
+    """Fail if any oracle result column has a DuckDB type outside the
+    driver-safe set (e.g. HUGEINT from an uncast SUM)."""
+    rel = con.sql(sql)
+    bad = [
+        f"{col}: {t}"
+        for col, t in zip(rel.columns, rel.types)
+        if not _SAFE_TYPE_RE.match(str(t))
+    ]
+    assert not bad, (
+        f"oracle {name!r} emits driver-unsafe column type(s): {bad}; "
+        "CAST them (DuckDB SUM(BIGINT) -> HUGEINT is the usual culprit)"
+    )
+
+
 def _norm_cell(v: Any) -> Any:
     if v is None:
         return None

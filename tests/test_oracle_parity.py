@@ -8,7 +8,7 @@ import pytest
 from northwind_etl_spark.plans.oracles import ORACLES
 from northwind_etl_spark.plans.queries import QUERIES
 
-from .oracle_harness import compare, duck_connection
+from .oracle_harness import assert_safe_oracle_types, compare, duck_connection
 
 
 @pytest.fixture(scope="module")
@@ -24,6 +24,13 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     df = QUERIES[name](spark, sf_dir)
     result = compare(df, duck, ORACLES[name])
     assert result["ok"], f"{name}: {result}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_result_types_driver_safe(name, duck):
+    """Regression guard for the r02 HUGEINT hash-fails: every oracle
+    column must stay within the driver-safe DuckDB type set."""
+    assert_safe_oracle_types(duck, name, ORACLES[name])
 
 
 def test_every_query_registered():
