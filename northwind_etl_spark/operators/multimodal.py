@@ -11,10 +11,14 @@ Design (the part that must be right at 100 TB):
 - batch size is bounded via spark.sql.execution.arrow.maxRecordsPerBatch
   when blobs are large (set by callers; default fine for test blobs).
 
-The actual image/audio decode is STUBBED (`decode_image` raises
-NotImplementedError) because no codec libraries exist in this container;
-`extract_blob_features` uses a deterministic fake (byte stats) so the
-plumbing — schema, batching, UDF signature — is real and tested.
+`decode_image` is a REAL decoder for the uncompressed netpbm formats
+(PPM/P6 RGB and PGM/P5 grayscale): pure header parse + numpy reshape, no
+codec libraries needed.  `make_image_table` renders each document's
+utf-8 bytes into a genuine P6 image (fixed width, zero-padded final
+row), so decode → per-channel stats flow end-to-end and are
+oracle-checkable byte arithmetic.  Compressed formats (JPEG/PNG/audio)
+would slot into the same mapInPandas plumbing when codec libs exist —
+only `_decode_compressed` below is environment-blocked.
 """
 
 from __future__ import annotations
@@ -43,13 +47,62 @@ def make_blob_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(blob: bytes) -> "np.ndarray":
-    """Real decode path — requires an image codec not present here.
+def _ppm_header(blob: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a netpbm binary header (magic, width, height, maxval) and
+    return (magic, width, height, maxval, data_offset).  Tolerates
+    arbitrary whitespace and `#` comments between tokens, per the spec;
+    exactly one whitespace byte separates maxval from raster data."""
+    magic = blob[:2]
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(blob) and blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(blob[start:pos]))
+    return magic, tokens[0], tokens[1], tokens[2], pos + 1
 
-    STUB: the Spark-side plumbing calls extract_blob_features instead;
-    swap this in when Pillow/ffmpeg are available.
-    """
-    raise NotImplementedError("image/audio codecs not available in this environment")
+
+def decode_image(blob: bytes) -> "np.ndarray":
+    """Decode an uncompressed netpbm image: P6 (binary RGB) → uint8
+    array shaped (height, width, 3); P5 (binary grayscale) → (height,
+    width).  Pure numpy — header parse + frombuffer + reshape."""
+    if blob[:2] not in (b"P6", b"P5"):
+        return _decode_compressed(blob)
+    magic, w, h, maxval, off = _ppm_header(blob)
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval} (2-byte samples)")
+    channels = 3 if magic == b"P6" else 1
+    need = w * h * channels
+    data = np.frombuffer(blob, dtype=np.uint8, count=need, offset=off)
+    return data.reshape(h, w, 3) if channels == 3 else data.reshape(h, w)
+
+
+def encode_ppm(arr: "np.ndarray") -> bytes:
+    """Encode a uint8 array — (h, w, 3) → P6, (h, w) → P5."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    elif a.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected (h,w,3) or (h,w), got shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + a.tobytes()
+
+
+def _decode_compressed(blob: bytes) -> "np.ndarray":
+    """Compressed-format decode (JPEG/PNG/audio) — requires codec
+    libraries not present in this container.  STUB, declared: swap in
+    Pillow/ffmpeg here; the mapInPandas plumbing above is unchanged."""
+    raise NotImplementedError("compressed-image/audio codecs not available in this environment")
 
 
 RESIZE_SCHEMA = "doc_id long, blob binary, n_bytes int"
@@ -130,3 +183,97 @@ def extract_blob_features(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.select("doc_id", "blob").mapInPandas(features, BLOB_FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------- real decode path
+
+IMAGE_TABLE_SCHEMA = "doc_id long, image binary, mime string, width int, height int"
+IMAGE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+IMAGE_WIDTH = 16  # fixed render width; row stride = 48 bytes (RGB)
+
+
+def make_image_table(documents: DataFrame, *, width: int = IMAGE_WIDTH) -> DataFrame:
+    """Render each document's utf-8 bytes into a real P6 (binary RGB)
+    image: fixed width, height = ceil(n_bytes / (width*3)), final row
+    zero-padded.  Deterministic, so a SQL oracle can reproduce every
+    pixel from the text bytes alone."""
+    row_bytes = width * 3
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, heights = [], []
+            for t in pdf["text"]:
+                data = (t or "").encode("utf-8")
+                h = max(1, -(-len(data) // row_bytes))
+                buf = data + b"\x00" * (h * row_bytes - len(data))
+                arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, width, 3)
+                blobs.append(encode_ppm(arr))
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "image": blobs,
+                    "mime": "image/x-portable-pixmap",
+                    "width": np.int32(width),
+                    "height": np.array(heights, dtype=np.int32),
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(render, IMAGE_TABLE_SCHEMA)
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Decode each netpbm blob (real header parse + reshape) and emit
+    per-channel pixel sums — the feature-extraction step of an image
+    pipeline, Arrow-batched and partition-parallel."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", "width", "height", "channels",
+                                      "sum_r", "sum_g", "sum_b")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                a = decode_image(bytes(blob))
+                if a.ndim == 2:
+                    a = a[:, :, None].repeat(3, axis=2)
+                sums = a.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(a.shape[1])
+                rows["height"].append(a.shape[0])
+                rows["channels"].append(3)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    return images.select("doc_id", "image").mapInPandas(stats, IMAGE_STATS_SCHEMA)
+
+
+def resize_images(images: DataFrame, *, factor: int = 2) -> DataFrame:
+    """Real image resize: decode → nearest-neighbor subsample (every
+    `factor`-th pixel in both axes) → re-encode P6.  Same mapInPandas
+    contract a PIL/cv2-backed resize would use."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, ws, hs = [], [], []
+            for blob in pdf["image"]:
+                a = decode_image(bytes(blob))
+                small = a[::factor, ::factor]
+                blobs.append(encode_ppm(small))
+                ws.append(small.shape[1])
+                hs.append(small.shape[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "image": blobs,
+                    "mime": "image/x-portable-pixmap",
+                    "width": np.array(ws, dtype=np.int32),
+                    "height": np.array(hs, dtype=np.int32),
+                }
+            )
+
+    return images.select("doc_id", "image").mapInPandas(do_resize, IMAGE_TABLE_SCHEMA)

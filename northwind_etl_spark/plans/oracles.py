@@ -636,6 +636,36 @@ ORACLES: dict[str, str] = {
                COALESCE(s.byte_entropy_q, 0.0) AS byte_entropy_q
         FROM b LEFT JOIN stats s ON s.doc_id = b.doc_id
     """,
+    # The P6 render is deterministic: width 16 (48-byte RGB rows),
+    # height = ceil(n/48) (min 1), pixels = the utf-8 text bytes with a
+    # zero-padded final row.  Padding contributes 0 to every channel
+    # sum, so per-channel sums over the REAL n bytes (byte i belongs to
+    # channel (i-1) % 3) equal the decoded image's channel sums — the
+    # oracle checks the decode round-trip without building any image.
+    "multimodal_image_stats": """
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+          FROM documents),
+        bytes AS (
+          SELECT doc_id, CAST((i - 1) % 3 AS INT) AS ch,
+                 (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(h, 2*i,   1)) - 1) AS byte
+          FROM b, unnest(generate_series(1, n)) AS t(i)),
+        sums AS (
+          SELECT doc_id,
+                 CAST(COALESCE(SUM(byte) FILTER (WHERE ch = 0), 0) AS BIGINT) AS sum_r,
+                 CAST(COALESCE(SUM(byte) FILTER (WHERE ch = 1), 0) AS BIGINT) AS sum_g,
+                 CAST(COALESCE(SUM(byte) FILTER (WHERE ch = 2), 0) AS BIGINT) AS sum_b
+          FROM bytes GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(16 AS INT) AS width,
+               CAST(GREATEST((b.n + 47) // 48, 1) AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(COALESCE(s.sum_r, 0) AS BIGINT) AS sum_r,
+               CAST(COALESCE(s.sum_g, 0) AS BIGINT) AS sum_g,
+               CAST(COALESCE(s.sum_b, 0) AS BIGINT) AS sum_b
+        FROM b LEFT JOIN sums s ON s.doc_id = b.doc_id
+    """,
     # Frame sampling is deterministic byte arithmetic (every 4th
     # 32-byte chunk of the utf-8 blob; a lone short blob yields one
     # partial frame; chunks past floor(L/32) are never emitted), so the

@@ -848,6 +848,17 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_blob_features(blobs)
 
 
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path: render each document's utf-8 bytes as a P6
+    (netpbm RGB) image, then decode it back — header parse + numpy
+    reshape, no codec libs — and emit per-channel pixel sums.  The
+    render is deterministic byte arithmetic (width 16, zero-padded last
+    row), so the DuckDB oracle reproduces every pixel from the text
+    bytes and cross-checks the decode end-to-end."""
+    imgs = M.make_image_table(_t(spark, sf_dir, "documents"))
+    return M.image_stats(imgs)
+
+
 def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling through mapInPandas, rolled up to per-doc
     scalar stats.  Frame boundaries are deterministic byte arithmetic
@@ -909,6 +920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "multimodal_blob_features": multimodal_blob_features,
     "multimodal_frame_stats": multimodal_frame_stats,
+    "multimodal_image_stats": multimodal_image_stats,
     # --- promoted: last driver row was round 1 ----------------------
     "star_revenue_by_brand": star_revenue_by_brand,
     "semi_join_active_customers": semi_join_active_customers,
