@@ -258,18 +258,32 @@ def minhash_near_duplicates(
 # -- SimHash --------------------------------------------------------------
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, *, packed: bool = True
+) -> DataFrame:
     """64-bit SimHash per doc: token hashes vote ±1 per bit position;
     fingerprint bit b = 1 iff the vote sum is positive.
 
-    Explode tokens → pre-aggregate occurrence counts per (id, token
-    hash) → 64 count-weighted conditional-sum aggregates → recombine
-    bits.  The pre-aggregation collapses repeated tokens (natural text
-    repeats heavily) BEFORE the 64-expression stage, so the expensive
-    vote pass runs on |distinct tokens per doc| rows, not |tokens|.
-    Both aggregations are exchange-free after the one repartition on
-    id: hash-partitioning by id satisfies groupBy(id, h) and
-    groupBy(id) clustering alike.
+    ``packed=True`` (default) algebraically rewrites the vote: with
+    S_b = Σ bit_b(h) over token occurrences and T = the occurrence
+    count, vote_b = 2·S_b − T, so only the S_b sums are needed — and
+    four of them fit in 15-bit lanes of one bigint (per-doc lane sum
+    ≤ T), cutting the aggregate count from 64 conditional sums to 16
+    packed sums + one count.  That in turn makes a (id, hash)
+    pre-aggregation counterproductive: summing straight over the
+    exploded token stream is ONE aggregation (map-side partials
+    collapse rows for free) and measured 3× faster than the two-stage
+    shape at sf0.1 (0.53 s vs 1.57 s warm; PLANS.md).  Identical output
+    (tests/test_rows_only_queries.py proves bit-equality); the
+    precondition T < 2^15 per doc is enforced by an in-plan assert —
+    corpora with ≥32768-token documents must use ``packed=False``.
+
+    ``packed=False`` keeps the two-stage shape — explode → collapse to
+    (id, hash, count) → 64 count-weighted conditional sums — because
+    with 64 when-expressions per input row, shrinking the row count
+    first is what matters.  Both aggregations are exchange-free after
+    the one repartition on id: hash-partitioning by id satisfies
+    groupBy(id, h) and groupBy(id) clustering alike.
     """
     # Deliberately NOT built on the shared _doc_tokens cache: simhash
     # consumes tokens exactly once, and exploding from a cached
@@ -283,28 +297,67 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     toks = df.repartition(par, F.col(id_col)).select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
     )
-    hashed = (
-        toks.select(id_col, F.xxhash64("tok").alias("h"))
-        .groupBy(id_col, "h")
-        .agg(F.count(F.lit(1)).alias("c"))
+    if not packed:
+        hashed = (
+            toks.select(id_col, F.xxhash64("tok").alias("h"))
+            .groupBy(id_col, "h")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        votes = [
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
+                    F.col("c"),
+                ).otherwise(-F.col("c"))
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+        agg = hashed.groupBy(id_col).agg(*votes)
+        fp = None
+        for b in range(64):
+            bit = F.when(
+                F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+            fp = bit if fp is None else fp.bitwiseOR(bit)
+        return agg.select(F.col(id_col), fp.alias("simhash"))
+
+    # packed: group g (0..15) holds bits {g, g+16, g+32, g+48} in
+    # 15-bit lanes {0..3}; per row the lane value is the bit itself, so
+    # the per-doc lane sum is S_b <= T < 2^15 — no cross-lane carry,
+    # and the top lane peaks below 2^62 (no sign overflow)
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    one = F.lit(1).cast("long")
+
+    def packed_sum(g: int):
+        lanes = None
+        for lane in range(4):
+            bit = F.shiftrightunsigned(F.col("h"), g + 16 * lane).bitwiseAND(one)
+            term = F.shiftleft(bit, 15 * lane)
+            lanes = term if lanes is None else lanes + term
+        return F.sum(lanes).alias(f"g{g}")
+
+    agg = hashed.groupBy(id_col).agg(
+        *[packed_sum(g) for g in range(16)], F.count(F.lit(1)).alias("t")
     )
-    votes = [
-        F.sum(
-            F.when(
-                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0,
-                F.col("c"),
-            ).otherwise(-F.col("c"))
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = hashed.groupBy(id_col).agg(*votes)
     fp = None
     for b in range(64):
+        g, lane = b % 16, b // 16
+        s_b = F.shiftrightunsigned(F.col(f"g{g}"), 15 * lane).bitwiseAND(
+            F.lit(0x7FFF).cast("long")
+        )
         bit = F.when(
-            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            F.lit(2) * s_b - F.col("t") > 0, F.shiftleft(one, b)
         ).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp.bitwiseOR(bit)
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    # assert_true returns NULL on pass; the when() forces it to
+    # evaluate inside the same projection (an unused column would be
+    # pruned), failing the job loudly if a doc overflows the lanes
+    guard = F.assert_true(
+        F.col("t") < F.lit(32768),
+        F.lit("simhash packed lanes overflow: document has >= 32768 tokens; "
+              "use simhash_fingerprints(packed=False)"),
+    )
+    return agg.select(F.col(id_col), F.when(guard.isNull(), fp).alias("simhash"))
 
 
 def simhash_near_duplicates(

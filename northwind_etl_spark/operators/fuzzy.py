@@ -76,9 +76,13 @@ def fuzzy_match_pairs(
             ),
         )
     )
+    # id_a != id_b: a duplicated id value would appear twice in a
+    # posting list and emit a degenerate self-pair (edit_distance 0);
+    # the oracle's a.id < b.id already excludes those
     cands = (
         postings.select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b")
+        .where(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     a = base.select(F.col("id").alias("id_a"), F.col("__name").alias("__na"))

@@ -71,6 +71,35 @@ def test_simhash_flags_identical_docs(spark, sf_dir):
     assert planted <= found
 
 
+def test_simhash_packed_matches_unpacked(spark, sf_dir):
+    """The 15-bit-lane packed vote rewrite (vote_b = 2*S_b - T) must be
+    bit-identical to the 64-conditional-sum formulation on real text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    a = D.simhash_fingerprints(docs, "text", "doc_id", packed=True)
+    b = D.simhash_fingerprints(docs, "text", "doc_id", packed=False)
+    joined = a.alias("a").join(b.alias("b"), "doc_id")
+    n = joined.count()
+    assert n == docs.count()
+    mismatched = joined.where(F.col("a.simhash") != F.col("b.simhash")).count()
+    assert mismatched == 0
+
+
+def test_simhash_packed_lane_overflow_guard(spark):
+    """A document with >= 2^15 tokens must fail loudly, not corrupt lanes."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    big = spark.range(1).select(
+        F.lit(1).alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(33000)), lambda i: F.concat(F.lit("w"), i)),
+            " ",
+        ).alias("text"),
+    )
+    with pytest.raises(SparkRuntimeException, match="32768 tokens"):
+        D.simhash_fingerprints(big, "text", "doc_id", packed=True).collect()
+
+
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
