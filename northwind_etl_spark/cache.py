@@ -1,0 +1,74 @@
+"""Tracked persist() for shared multi-consumer plan stages.
+
+Several operators persist an intermediate stage that multiple plan
+branches consume (the corpus tokenization in ``operators/text.py``, the
+shingle/signature stages in ``operators/dedup.py``, the normalized-name
+projection in ``operators/fuzzy.py``).  Spark's cache manager keys these
+on the canonicalized plan, so repeated queries over the SAME corpus
+share one entry — but a long-lived session running over MANY distinct
+corpora (or parameterizations that change the plan) accumulates one
+entry per plan indefinitely, since nothing ever unpersists them.
+
+``persist_stage`` is a drop-in ``df.persist()`` that also registers the
+DataFrame here; ``release_stages()`` unpersists everything registered —
+call it between corpora in a multi-corpus session (or use the
+``stage_cache_scope`` context manager around a batch of queries).  The
+correctness path is unaffected: a released stage is recomputed, never
+wrong.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+# Strong references, deliberately: the Spark cache entry outlives the
+# operator-local DataFrame object that created it (the cache manager
+# keys on the canonicalized plan), so tracking must too — a weak ref
+# would be collected the moment the operator returns, leaving the
+# entry unreleasable.  A DataFrame handle is a few plan objects, not
+# data; the list stays small (one entry per distinct persisted plan).
+_TRACKED: list[DataFrame] = []
+
+
+def persist_stage(df: DataFrame) -> DataFrame:
+    """persist() a shared stage and track it for later release."""
+    df = df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_stages() -> int:
+    """Unpersist every tracked stage; returns how many were released.
+
+    Blocking=False (Spark default): blocks are dropped asynchronously,
+    callers don't wait on executor round-trips.
+    """
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 - session may already be stopped
+            pass
+    return n
+
+
+@contextmanager
+def stage_cache_scope() -> Iterator[None]:
+    """Scope for a batch of queries over one corpus: stages persisted
+    inside are released on exit.  Stages persisted BEFORE entry are
+    left alone."""
+    mark = len(_TRACKED)
+    try:
+        yield
+    finally:
+        while len(_TRACKED) > mark:
+            df = _TRACKED.pop()
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass

@@ -1,0 +1,102 @@
+"""As-of join (backward): for each left row, the most recent right row
+with right_time <= left_time, per key — the "latest prior state" lookup
+(last-touch attribution, slowly-changing-dimension versioning, price
+as-of trade time) that plain equi-joins can't express.
+
+The reference engine has no as-of operator; this is north-star custom-
+operator territory ("e.g., as-of join") implemented as a composition of
+built-in DataFrame ops — no UDFs, no range join:
+
+    union(left, right) → one window pass per key → filter left rows
+
+Why union+window instead of a range join: Spark executes a non-equi
+time condition as a broadcast-nested-loop or a sort-merge with
+per-row rescans, both of which degrade badly when either side is
+large.  The union shape is ONE hash shuffle on the key followed by a
+per-key sort — exactly the cost of a groupBy over the same data — and
+every executor handles its keys independently, so it scales to 100 TB
+the same way any keyed aggregation does.  (Skew caveat: all rows of
+one key land in one task, inherent to per-key ordering; a hot key is
+bounded by the same AQE skew handling as any window, and in practice
+the key is a user/entity id with millions of distinct values.)
+
+Right-side payload columns ride along packed in ONE struct filled via
+last(ignorenulls) — packing matters for correctness: a legitimately
+NULL payload FIELD must not make the fill skip back to an older right
+row, and a whole-row struct is non-null whenever a right row exists.
+
+Tie semantics: inclusive (right_time == left_time matches), matching
+DuckDB's `ASOF JOIN ... ON l.t >= r.t` — rights sort before lefts at
+equal timestamps.  Callers that need deterministic output when the
+right side has duplicate (key, time) rows should pre-dedup to one row
+per (key, time) (see plans/queries.py::asof_last_touch).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join.
+
+    Returns all left columns plus `right_cols` taken from the most
+    recent right row (right_time <= left_time) sharing the `on` keys;
+    NULLs when no prior right row exists (how='left') or the left row
+    dropped (how='inner').
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
+    on = list(on)
+    right_cols = [c for c in right_cols if c not in on]
+    l_payload = [c for c in left.columns if c not in on]
+
+    lu = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_l"),
+        *[F.col(c) for c in l_payload],
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols
+            ) + ">"
+        ).alias("__r"),
+    )
+    ru = right.select(
+        *on,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_l"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+    )
+    # rights (0) before lefts (1) at equal __t ⇒ inclusive match;
+    # NULL left times sort first and therefore match nothing.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lu.unionByName(ru).withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = filled.where(F.col("__is_l") == 1).select(
+        *on,
+        F.col("__t").alias(left_time),
+        *[F.col(c) for c in l_payload],
+        *[F.col("__m")[c].alias(c) for c in right_cols],
+    )
+    if how == "inner":
+        out = out.where(F.col("__m").isNotNull())
+    return out.drop("__m")

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_stage
 from ..functions.texttools import shingles_from_tokens
 
 # -- exact ----------------------------------------------------------------
@@ -221,10 +222,12 @@ def minhash_near_duplicates(
     reuses that exchange — not re-derived per branch.  Returns (id_a,
     id_b, jaccard) for pairs with jaccard ≥ threshold.
     """
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
-        keep_shingles=True,
-    ).persist()
+    sigs = persist_stage(
+        minhash_signatures(
+            df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n,
+            keep_shingles=True,
+        )
+    )
     # The explicit persist is what actually makes "tokenize once" true:
     # the three consumers (banding, verify-a, verify-b) are separate
     # plan branches, and AQE's stage cache does NOT dedup them (the
@@ -417,8 +420,30 @@ def simhash_near_duplicates(
     )
 
 
+def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
+    """Per-pass lineage truncation for the iterative loop.
+
+    Default is localCheckpoint: executor-local blocks, no extra write —
+    the fast path, but those blocks are NOT recomputable once lineage
+    is truncated, so an executor loss mid-iteration fails the job.  On
+    a long cluster run where that trade is wrong, reliable=True uses a
+    real Dataset.checkpoint to the configured checkpoint dir (HDFS/
+    object store), which survives executor loss at the cost of a
+    replicated write per pass.
+    """
+    if not reliable:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        raise ValueError(
+            "duplicate_clusters(reliable=True) needs a checkpoint dir: "
+            "call spark.sparkContext.setCheckpointDir('<fault-tolerant path>') first"
+        )
+    return df.checkpoint(eager=True)
+
+
 def duplicate_clusters(
-    pairs: DataFrame, *, max_iters: int = 10
+    pairs: DataFrame, *, max_iters: int = 10, reliable: bool = False
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc, cluster) with
     cluster = min doc id reachable; the step that turns pairwise
@@ -432,8 +457,10 @@ def duplicate_clusters(
     the per-component min.
 
     Scale contract per iteration:
-    - `labels` is localCheckpoint'ed each pass, so pass k reads pass
-      k−1's materialized partitions instead of re-executing the whole
+    - `labels` is checkpointed each pass (localCheckpoint by default;
+      reliable=True switches to Dataset.checkpoint — see _materialize
+      for the executor-loss trade-off), so pass k reads pass k−1's
+      materialized partitions instead of re-executing the whole
       lineage (unbounded plan growth is the classic iterative-Spark
       failure mode);
     - the eager checkpoint IS the pass's one real job; the convergence
@@ -452,13 +479,13 @@ def duplicate_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    edges = _materialize(edges, reliable)
+    labels = _materialize(
         edges.select(F.col("src").alias("id"))
         .distinct()
-        .withColumn("cluster", F.col("id"))
-        .localCheckpoint()
+        .withColumn("cluster", F.col("id")),
+        reliable,
     )
     converged = False
     for _ in range(max_iters):
@@ -491,8 +518,9 @@ def duplicate_clusters(
                 jumped.alias("cluster"),
                 (jumped != F.col("__old")).alias("__changed"),
             )
-            .localCheckpoint()  # the pass's single job; truncates lineage
         )
+        # the pass's single job; truncates lineage
+        new_labels = _materialize(new_labels, reliable)
         # reads checkpointed partitions only — no recomputation
         changed = new_labels.where(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
@@ -551,13 +579,12 @@ def ngram_jaccard(
     """
     from .text import _doc_tokens
 
-    docsh = (
+    docsh = persist_stage(
         _doc_tokens(df, text_col, id_col)
         .select(
             F.col(id_col),
             shingles_from_tokens(F.col("__toks"), shingle_n).alias("__sh"),
         )
-        .persist()
     )
     sizes = docsh.select(F.col(id_col), F.size("__sh").alias("set_size"))
     # |∩| per pair without a self-join: one shuffle groups each shingle's

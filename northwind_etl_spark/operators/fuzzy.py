@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_stage
+
 
 def char_ngrams_expr(s: Column, n: int = 3) -> Column:
     """Distinct character n-grams; strings shorter than n contribute
@@ -51,10 +53,9 @@ def fuzzy_match_pairs(
     # tiny (id, name) projection consumed by three branches (gram
     # explode + both verify joins) — persist, same policy as the
     # text-stage caches
-    base = (
+    base = persist_stage(
         df.repartition(par, F.col(id_col))
         .select(F.col(id_col).alias("id"), norm.alias("__name"))
-        .persist()
     )
     grams = base.select(
         "id", F.explode(char_ngrams_expr(F.col("__name"), ngram_n)).alias("g")

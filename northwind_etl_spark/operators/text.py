@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_stage
 from ..functions.texttools import (
     punct_count_expr,
     rolling_hash_expr,
@@ -137,10 +138,9 @@ def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     downstream per-doc aggregations are exchange-free.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    return (
+    return persist_stage(
         df.repartition(par, F.col(id_col))
         .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
-        .persist()
     )
 
 
@@ -154,8 +154,8 @@ def _doc_term_counts(
     arrays, never re-tokenizes."""
     toks = _doc_tokens(df, text_col, id_col)
     terms = toks.select(F.col(id_col), F.explode("__toks").alias("term"))
-    return (
-        terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    return persist_stage(
+        terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
@@ -196,8 +196,12 @@ def unigram_surprisal(
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Gopher-style repetition quality signals per doc: fraction of
-    tokens taken by the most-frequent unigram and bigram.  Documents
+    """Gopher-style repetition quality signals per doc: the fraction
+    of token occurrences taken by the most-frequent unigram
+    (top_term_frac = max tf / n_tokens) and the fraction of BIGRAM
+    occurrences taken by the most-frequent bigram (top_bigram_frac =
+    max bigram count / (n_tokens − 1) — a bigram fraction, not a token
+    fraction; the oracle mirrors this denominator).  Documents
     dominated by one repeated phrase (top fractions → 1.0) are the
     boilerplate/spam a training-data pipeline filters out.
 

@@ -116,12 +116,33 @@ def main() -> None:
         lambda: V.embedding_near_duplicates(emb, dim=64, threshold=0.95).count(),
     )
 
+    from northwind_etl_spark.operators.fuzzy import fuzzy_match_pairs
+
+    # replica tag is 3 copies of one distinct letter → cross-replica
+    # edit distance >= 3 > max_distance, so true-pair volume scales
+    # linearly in factor (N diverse corpora, not N^2 planted matches);
+    # max_df scales with factor to hold the relative df-cutoff fixed.
+    cust = replicate(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name"),
+        factor, "c_custkey", 10_000_000,
+        variant=lambda df, i: df.withColumn(
+            "c_name", F.concat(F.lit(chr(ord("a") + i % 26) * 3), F.col("c_name"))
+        ),
+    ).persist()
+    n_cust = cust.count()
+    print(json.dumps({"probe": "customers", "factor": factor, "rows": n_cust}))
+    timed(
+        "fuzzy_match_pairs",
+        lambda: fuzzy_match_pairs(
+            cust, "c_name", "c_custkey", max_distance=1, max_df=100 * factor
+        ).count(),
+    )
+
     li = replicate(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"), factor, "l_orderkey", 100_000_000
     ).persist()
     n_li = li.count()
     print(json.dumps({"probe": "lineitem", "factor": factor, "rows": n_li}))
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     timed(
         "q1_shape_agg",
         lambda: li.groupBy("l_returnflag", "l_linestatus")
