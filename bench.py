@@ -51,6 +51,9 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "embedding_norms",
     "multimodal_blob_features",
+    "asof_last_touch",
+    "session_overlap_pairs",
+    "revenue_trend_by_nation",
 ]
 
 

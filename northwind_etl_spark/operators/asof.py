@@ -61,7 +61,7 @@ def asof_join(
         raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
     on = list(on)
     right_cols = [c for c in right_cols if c not in on]
-    l_payload = [c for c in left.columns if c not in on]
+    l_payload = [c for c in left.columns if c not in on and c != left_time]
 
     lu = left.select(
         *on,

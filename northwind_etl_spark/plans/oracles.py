@@ -705,4 +705,70 @@ ORACLES: dict[str, str] = {
         ORDER BY cosine DESC, vec_id
         LIMIT 10
     """,
+    # ----------------------------------------------------- temporal joins
+    # asof_last_touch: DuckDB's NATIVE ASOF JOIN (same inclusive >= tie
+    # rule as the union+window implementation) — a cross-engine check
+    # against a purpose-built as-of operator, not a SQL re-derivation.
+    "asof_last_touch": """
+        WITH touches AS (
+            SELECT user_id, ts AS touch_ts,
+                   MAX(event_id) AS touch_event_id,
+                   max_by(event_type, event_id) AS touch_type
+            FROM events
+            WHERE event_type <> 'purchase'
+            GROUP BY user_id, ts),
+        p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase')
+        SELECT p.user_id, p.ts, p.event_id,
+               t.touch_ts, t.touch_event_id, t.touch_type
+        FROM p ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.ts >= t.touch_ts
+    """,
+    # session_overlap_pairs: the binned interval-overlap join vs a plain
+    # inequality self-join over the SAME session CTE as session_stats.
+    "session_overlap_pairs": """
+        WITH ordered AS (
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM ordered),
+        sessioned AS (
+            SELECT *, CAST(SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+            FROM flagged),
+        sess AS (
+            SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+            FROM sessioned GROUP BY user_id, session_id)
+        SELECT a.user_id AS user_id_a, a.session_id AS session_id_a,
+               b.user_id AS user_id_b, b.session_id AS session_id_b,
+               greatest(a.s, b.s) AS overlap_start,
+               least(a.e, b.e) AS overlap_end
+        FROM sess a JOIN sess b
+          ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    """,
+    # revenue_trend_by_nation: applyInPandas per-group OLS vs DuckDB's
+    # regr_slope/regr_intercept over the identical monthly aggregate.
+    "revenue_trend_by_nation": """
+        WITH monthly AS (
+            SELECT n_name,
+                   CAST((year(o_orderdate) - 1995) * 12
+                        + month(o_orderdate) - 1 AS BIGINT) AS x,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                        AS DOUBLE) AS y
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name, x)
+        SELECT n_name, COUNT(*) AS n_points,
+               ROUND(regr_slope(y, x), 4) AS slope,
+               ROUND(regr_intercept(y, x), 4) AS intercept
+        FROM monthly
+        GROUP BY n_name
+    """,
 }

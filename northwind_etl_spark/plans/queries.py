@@ -873,6 +873,92 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attribute each purchase event to
+    the user's most recent prior non-purchase touch, inclusive at equal
+    timestamps.  The right side is pre-deduped to one row per
+    (user, ts) — MAX(event_id) + its event_type — so the as-of pick is
+    deterministic; the oracle is DuckDB's NATIVE `ASOF LEFT JOIN` with
+    the same `>=` tie rule, a cross-engine check of the union+window
+    composition against a purpose-built as-of implementation."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("user_id", F.col("ts").alias("touch_ts"), "event_id", "event_type")
+        .groupBy("user_id", "touch_ts")
+        .agg(
+            F.max("event_id").alias("touch_event_id"),
+            F.max_by("event_type", "event_id").alias("touch_type"),
+        )
+    )
+    return asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_time="ts",
+        right_time="touch_ts",
+        right_cols=["touch_ts", "touch_event_id", "touch_type"],
+    )
+
+
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/ranges.py): pairs of sessions from
+    DIFFERENT users whose [start, end] windows overlap — cross-entity
+    concurrency, the interval-overlap shape Spark would otherwise plan
+    as a nested-loop.  Sessions come from the same gap-30-min
+    sessionize as session_stats, so the oracle reuses that session CTE
+    and verifies the binned pair expansion against a plain
+    inequality self-join.  max_bucket is set far above any real
+    hour-bucket occupancy so the cost cap cannot truncate the
+    oracle-checked answer."""
+    from ..operators.ranges import interval_overlap_pairs
+
+    sess = S.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    ov = interval_overlap_pairs(
+        sess,
+        id_cols=["user_id", "session_id"],
+        start_ts="session_start",
+        end_ts="session_end",
+        bucket="hour",
+        max_bucket=100_000,
+    )
+    return ov.where(F.col("user_id_a") != F.col("user_id_b"))
+
+
+def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map model fit (operators/modelfit.py): per-nation OLS
+    trend of monthly revenue via applyInPandas — the Python-on-Arrow
+    per-group fit surface, value-checked against DuckDB
+    regr_slope/regr_intercept (x = months since 1995-01, y = exact
+    decimal monthly revenue → double; both rounded to 4)."""
+    from ..operators.modelfit import fit_linear_by_group
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            ((F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(decimal_sum("o_totalprice", "y"))
+    )
+    return fit_linear_by_group(
+        monthly, group_cols=["n_name"], x_col="x", y_col="y", round_to=4
+    )
+
+
 # ---------------------------------------------------------------- registry
 #
 # ORDER CONTRACT: the driver's correctness run records at most the first
@@ -892,7 +978,9 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship + r03-touched / no_oracle entries ------------------
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
-    "approx_quantiles_quantity": approx_quantiles_quantity,
+    "asof_last_touch": asof_last_touch,
+    "session_overlap_pairs": session_overlap_pairs,
+    "revenue_trend_by_nation": revenue_trend_by_nation,
     "approx_distinct_users": approx_distinct_users,
     "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
     # --- documents: dedup / sampling / text ------------------------
@@ -913,8 +1001,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     # --- embeddings / multimodal -----------------------------------
-    "embedding_norms": embedding_norms,
-    "knn_bruteforce_topk": knn_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -943,6 +1029,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "map_props_exploded": map_props_exploded,
     # --- 51+: green in CORRECTNESS_r02, untouched since -------------
+    "approx_quantiles_quantity": approx_quantiles_quantity,
+    "embedding_norms": embedding_norms,
+    "knn_bruteforce_topk": knn_bruteforce_topk,
     "sql_flagship_revenue": sql_flagship_revenue,
     "star_dim_category": star_dim_category,
     "star_dim_part": star_dim_part,

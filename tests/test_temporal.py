@@ -1,0 +1,163 @@
+"""As-of join, range joins, and grouped-map model fit: planted-fixture
+semantics plus plan assertions (no nested-loop/cartesian anywhere —
+the whole point of the bucketed/union-window shapes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.operators.asof import asof_join
+from northwind_etl_spark.operators.modelfit import fit_linear_by_group
+from northwind_etl_spark.operators.ranges import (
+    interval_overlap_pairs,
+    point_in_interval_join,
+)
+
+
+def _ts(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    for c, t in df.dtypes:
+        if t == "string" and c.endswith("t"):
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
+@pytest.fixture(scope="module")
+def asof_fixture(spark):
+    left = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 100),
+            (1, "2024-01-01 12:00:00", 101),  # tie with right at 12:00
+            (1, "2024-01-01 08:00:00", 102),  # before any right row
+            (2, "2024-01-01 09:00:00", 200),  # key with no right rows
+        ],
+        "k LONG, lt STRING, lid LONG",
+    )
+    right = _ts(
+        spark,
+        [
+            (1, "2024-01-01 09:30:00", "a"),
+            (1, "2024-01-01 12:00:00", "b"),
+            (3, "2024-01-01 01:00:00", "z"),  # key with no left rows
+        ],
+        "k LONG, rt STRING, v STRING",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, asof_fixture):
+    left, right = asof_fixture
+    out = asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt", right_cols=["rt", "v"]
+    )
+    got = {r.lid: r.v for r in out.collect()}
+    # 100 → most recent at-or-before 10:00 is 09:30 'a'
+    # 101 → equal timestamps match (inclusive): 'b'
+    # 102 → nothing at-or-before 08:00; 200 → key never seen on right
+    assert got == {100: "a", 101: "b", 102: None, 200: None}
+    assert out.count() == left.count()  # left join keeps every left row
+
+
+def test_asof_inner_drops_unmatched(spark, asof_fixture):
+    left, right = asof_fixture
+    out = asof_join(
+        left,
+        right,
+        on=["k"],
+        left_time="lt",
+        right_time="rt",
+        right_cols=["v"],
+        how="inner",
+    )
+    assert {r.lid for r in out.collect()} == {100, 101}
+
+
+def test_asof_null_payload_does_not_skip_back(spark):
+    """A right row whose payload FIELD is null must still win over an
+    older non-null row — the struct packing prevents last(ignorenulls)
+    from skipping it."""
+    left = _ts(spark, [(1, "2024-01-01 12:00:00", 1)], "k LONG, lt STRING, lid LONG")
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:00:00", "old"), (1, "2024-01-01 11:00:00", None)],
+        "k LONG, rt STRING, v STRING",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt", right_cols=["rt", "v"]
+    ).collect()[0]
+    assert out.v is None and out.rt.hour == 11
+
+
+def test_asof_single_shuffle_no_join(spark, asof_fixture):
+    """The plan must be union → one exchange → window — no join node of
+    any kind (that's the scalability claim)."""
+    left, right = asof_fixture
+    out = asof_join(
+        left, right, on=["k"], left_time="lt", right_time="rt", right_cols=["v"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_point_in_interval_join(spark):
+    pts = _ts(
+        spark,
+        [(1, "2024-01-01 10:30:00"), (2, "2024-01-02 00:00:00"), (3, "2024-03-01 00:00:00")],
+        "pid LONG, pt STRING",
+    )
+    ivs = _ts(
+        spark,
+        [
+            (7, "2024-01-01 09:00:00", "2024-01-01 11:00:00"),
+            (8, "2024-01-01 23:00:00", "2024-01-02 01:00:00"),  # crosses midnight
+            (9, "2024-01-01 10:30:00", "2024-01-01 10:30:00"),  # zero-length, == point
+        ],
+        "iid LONG, st STRING, et STRING",
+    )
+    out = point_in_interval_join(pts, ivs, point_ts="pt", start_ts="st", end_ts="et")
+    pairs = {(r.pid, r.iid) for r in out.collect()}
+    assert pairs == {(1, 7), (1, 9), (2, 8)}
+    # bucket equality is a hash-join key: no nested loop in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_overlap_pairs_planted(spark):
+    ivs = _ts(
+        spark,
+        [
+            (1, 1, "2024-01-01 10:00:00", "2024-01-01 14:00:00"),  # spans 5 buckets
+            (2, 1, "2024-01-01 13:59:00", "2024-01-01 15:00:00"),  # overlaps 1 in 2 buckets
+            (3, 1, "2024-01-01 14:00:00", "2024-01-01 14:30:00"),  # touches 1's end exactly
+            (4, 1, "2024-01-02 00:00:00", "2024-01-02 01:00:00"),  # disjoint
+        ],
+        "uid LONG, sid LONG, st STRING, et STRING",
+    )
+    out = interval_overlap_pairs(
+        ivs, id_cols=["uid", "sid"], start_ts="st", end_ts="et", bucket="hour"
+    )
+    pairs = {(r.uid_a, r.uid_b) for r in out.collect()}
+    # inclusive bounds: (1,3) touch at exactly 14:00 and count as overlap
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+    row = {(r.uid_a, r.uid_b): r for r in out.collect()}[(1, 2)]
+    assert row.overlap_start.minute == 59 and row.overlap_end.hour == 14
+    # multi-bucket pair (1,2) appears exactly once despite 2 shared buckets
+    assert out.count() == 3
+
+
+def test_fit_linear_by_group_exact_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0), (1, 1.0, 3.0), (1, 2.0, 5.0),   # exact y = 2x + 1
+         (2, 5.0, 7.0),                                   # n=1 → degenerate
+         (3, 4.0, 1.0), (3, 4.0, 9.0)],                   # zero x-variance
+        "g LONG, x DOUBLE, y DOUBLE",
+    )
+    rows = {r.g: r for r in fit_linear_by_group(
+        df, group_cols=["g"], x_col="x", y_col="y"
+    ).collect()}
+    assert rows[1].slope == 2.0 and rows[1].intercept == 1.0 and rows[1].n_points == 3
+    assert rows[2].slope is None and rows[2].intercept is None
+    assert rows[3].slope is None  # var(x) == 0
