@@ -54,6 +54,7 @@ HEADLINE = [
     "asof_last_touch",
     "session_overlap_pairs",
     "revenue_trend_by_nation",
+    "scd2_user_event_history",
 ]
 
 

@@ -107,29 +107,52 @@ def interval_overlap_pairs(
         item.alias("__it"),
         F.explode(_covered_buckets(F.col(start_ts), F.col(end_ts), bucket)).alias("__b"),
     )
+
+    # bucket items sorted by START (ids as deterministic tiebreak): for
+    # start-ordered items i < j, overlap reduces to items[j].__s <=
+    # items[i].__e (the other inequality is implied), so the filter runs
+    # INSIDE the array expression and non-overlapping candidates are
+    # never materialized as pair structs — on dense buckets this is the
+    # difference between exploding C(k,2) rows and exploding only the
+    # true overlaps.
+    def by_start(l: Column, r: Column) -> Column:
+        return (
+            F.when(l["__s"] < r["__s"], F.lit(-1))
+            .when(l["__s"] > r["__s"], F.lit(1))
+            .when(l < r, F.lit(-1))  # struct order: id_cols lead
+            .when(l > r, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
     buckets = (
         binned.groupBy("__b")
-        .agg(F.slice(F.sort_array(F.collect_list("__it")), 1, max_bucket).alias("items"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("__it"), by_start), 1, max_bucket
+            ).alias("items")
+        )
         .where(F.size("items") > 1)
     )
     n = F.size("items")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
+
+    def emit(i: Column):
+        x = F.element_at(F.col("items"), i)
+        return F.transform(
+            F.filter(
                 F.slice(F.col("items"), i + 1, n - i),
-                lambda y: F.struct(
-                    F.element_at(F.col("items"), i).alias("a"), y.alias("b")
-                ),
+                lambda y: y["__s"] <= x["__e"],
+            ),
+            # canonical pair order is by id_cols (struct natural order),
+            # not by start — swap at emit
+            lambda y: F.struct(
+                F.when(x < y, x).otherwise(y).alias("a"),
+                F.when(x < y, y).otherwise(x).alias("b"),
             ),
         )
-    )
+
+    pairs = F.flatten(F.transform(F.sequence(F.lit(1), n - 1), emit))
     return (
         buckets.select(F.explode(pairs).alias("p"))
-        .where(
-            (F.col("p.a.__s") <= F.col("p.b.__e"))
-            & (F.col("p.b.__s") <= F.col("p.a.__e"))
-        )
         .select(
             *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in id_cols],
             *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in id_cols],

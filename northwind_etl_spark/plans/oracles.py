@@ -752,6 +752,36 @@ ORACLES: dict[str, str] = {
         FROM sess a JOIN sess b
           ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
     """,
+    # scd2_user_event_history: the window-pass history build vs the
+    # same lag-collapse + lead-close shape in SQL.
+    "scd2_user_event_history": """
+        WITH changes AS (
+            SELECT user_id, ts, max_by(event_type, event_id) AS event_type
+            FROM events GROUP BY user_id, ts),
+        collapsed AS (
+            SELECT user_id, ts, event_type FROM (
+                SELECT user_id, ts, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+                FROM changes)
+            WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type, ts AS eff_from,
+               lead(ts) OVER w AS eff_to,
+               CAST(row_number() OVER w AS INT) AS version,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM collapsed
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    # order_value_rank_stats: ranking windows with a total order so
+    # ntile's positional assignment is engine-independent.
+    "order_value_rank_stats": """
+        SELECT o_orderkey, o_orderpriority,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume,
+               CAST(ntile(10) OVER w AS INT) AS decile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
     # revenue_trend_by_nation: applyInPandas per-group OLS vs DuckDB's
     # regr_slope/regr_intercept over the identical monthly aggregate.
     "revenue_trend_by_nation": """

@@ -959,6 +959,46 @@ def revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (operators/scd2.py): each user's event
+    stream becomes versioned [eff_from, eff_to) validity intervals of
+    their event_type state, consecutive duplicates collapsed — the
+    dimension-versioning step the reference's current-state-only star
+    lacks.  Ties at one timestamp resolve to MAX(event_id) first, so
+    the window pass is deterministic."""
+    from ..operators.scd2 import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.groupBy("user_id", "ts").agg(
+        F.max_by("event_type", "event_id").alias("event_type")
+    )
+    return scd2_history(
+        changes,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        collapse_unchanged=True,
+    )
+
+
+def order_value_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface: percent_rank / cume_dist / ntile(10) of
+    order value within each priority class.  The order-by carries
+    o_orderkey as tiebreaker so ntile's row-position assignment is a
+    total order (deterministic on both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 #
 # ORDER CONTRACT: the driver's correctness run records at most the first
@@ -981,6 +1021,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
     "revenue_trend_by_nation": revenue_trend_by_nation,
+    "scd2_user_event_history": scd2_user_event_history,
+    "order_value_rank_stats": order_value_rank_stats,
     "approx_distinct_users": approx_distinct_users,
     "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
     # --- documents: dedup / sampling / text ------------------------

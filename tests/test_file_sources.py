@@ -93,3 +93,22 @@ def test_write_reload_partitioned_roundtrip(spark, sf_dir, tmp_path):
     # overwrite again — idempotent (truncate-and-reload semantics)
     write_reload(docs, out, partition_by=["lang"])
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC as a second columnar format through the same sink: values
+    survive the round-trip and filters still reach the ORC scan."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    write_reload(src, out, fmt="orc")
+    back = spark.read.orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.where(F.col("n_nationkey") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "orc" in plan.lower() and "n_nationkey" in plan

@@ -161,3 +161,47 @@ def test_fit_linear_by_group_exact_and_degenerate(spark):
     assert rows[1].slope == 2.0 and rows[1].intercept == 1.0 and rows[1].n_points == 3
     assert rows[2].slope is None and rows[2].intercept is None
     assert rows[3].slope is None  # var(x) == 0
+
+
+def test_scd2_history_planted(spark):
+    from northwind_etl_spark.operators.scd2 import scd2_history
+
+    changes = _ts(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", "A"),
+            (1, "2024-01-02 00:00:00", "A"),  # unchanged → collapsed
+            (1, "2024-01-03 00:00:00", "B"),
+            (1, "2024-01-04 00:00:00", "A"),  # back to A → NEW version
+            (2, "2024-01-01 00:00:00", "X"),
+        ],
+        "k LONG, ct STRING, attr STRING",
+    )
+    hist = scd2_history(
+        changes, key_cols=["k"], ts_col="ct", attr_cols=["attr"],
+        collapse_unchanged=True,
+    )
+    rows = sorted(hist.collect(), key=lambda r: (r.k, r.version))
+    assert [(r.k, r.attr, r.version, r.is_current) for r in rows] == [
+        (1, "A", 1, False), (1, "B", 2, False), (1, "A", 3, True),
+        (2, "X", 1, True),
+    ]
+    # half-open chain: eff_to of version v == eff_from of version v+1
+    assert rows[0].eff_to == rows[1].eff_from
+    assert rows[1].eff_to == rows[2].eff_from
+    assert rows[2].eff_to is None
+    # without collapsing, the duplicate 01-02 row is its own version
+    full = scd2_history(changes, key_cols=["k"], ts_col="ct", attr_cols=["attr"])
+    assert full.where("k = 1").count() == 4
+
+
+def test_scd2_single_shuffle(spark):
+    from northwind_etl_spark.operators.scd2 import scd2_history
+
+    changes = _ts(spark, [(1, "2024-01-01 00:00:00", "A")], "k LONG, ct STRING, attr STRING")
+    plan = (
+        scd2_history(changes, key_cols=["k"], ts_col="ct", attr_cols=["attr"],
+                     collapse_unchanged=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1 and "Join" not in plan
