@@ -26,6 +26,18 @@ bucket occupancy (verify work per bucket); pick the unit near the
 typical interval length so most intervals explode into O(1) buckets.
 Skewed hot buckets are bounded by max_bucket, same cost-cap contract
 as the LSH candidate stages.
+
+Long-interval contract: an interval explodes into one row per covered
+bucket, so a pathological interval (years long at 'hour' granularity)
+costs thousands of shuffle rows by itself.  If the interval-length
+distribution is heavy-tailed, either use a coarser unit ('day'/'week')
+— correctness is granularity-independent, any shared covered bucket
+witnesses the overlap — or pre-split outliers: a long interval may be
+cut into chunks (each chunk keeps the ORIGINAL bounds as payload) and
+the pair-dedup step already collapses the duplicate hits.  Neither is
+automatic here; the operator is deliberately one explode with a
+measurable cost model (scripts/scale_probe.py carries its scaling
+rows).
 """
 
 from __future__ import annotations

@@ -60,6 +60,9 @@ def _vec_variant(df, i: int):
 
 
 def timed(name: str, action) -> dict:
+    only = os.environ.get("PROBE_ONLY")
+    if only and not any(tok in name for tok in only.split(",")):
+        return {"probe": name, "skipped": True}
     t0 = time.perf_counter()
     n = action()
     dt = round(time.perf_counter() - t0, 2)
@@ -68,12 +71,34 @@ def timed(name: str, action) -> dict:
     return rec
 
 
+
+def _want(*names) -> bool:
+    only = os.environ.get("PROBE_ONLY")
+    if not only:
+        return True
+    toks = only.split(",")
+    return any(tok in n for n in names for tok in toks)
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if _want("minhash", "simhash", "ngram_jaccard", "contamination"):
+        _docs_section(spark, sf_dir, factor)
+    if _want("embedding"):
+        _emb_section(spark, sf_dir, factor)
+    if _want("fuzzy"):
+        _cust_section(spark, sf_dir, factor)
+    if _want("asof", "overlap", "scd2"):
+        _temporal_section(spark, sf_dir, factor)
+    if _want("q1_shape"):
+        _li_section(spark, sf_dir, factor)
+    spark.stop()
+
+
+def _docs_section(spark, sf_dir, factor):
     docs = replicate(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"),
         factor, "doc_id", 10_000_000, variant=_doc_variant,
@@ -105,6 +130,8 @@ def main() -> None:
         lambda: cross_corpus_overlap(train, ev, "text", "doc_id", min_shared=2).count(),
     )
 
+
+def _emb_section(spark, sf_dir, factor):
     emb = replicate(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding"),
         factor, "vec_id", 10_000_000, variant=_vec_variant,
@@ -116,6 +143,8 @@ def main() -> None:
         lambda: V.embedding_near_duplicates(emb, dim=64, threshold=0.95).count(),
     )
 
+
+def _cust_section(spark, sf_dir, factor):
     from northwind_etl_spark.operators.fuzzy import fuzzy_match_pairs
 
     # replica tag is 3 copies of one distinct letter → cross-replica
@@ -138,6 +167,65 @@ def main() -> None:
         ).count(),
     )
 
+
+def _temporal_section(spark, sf_dir, factor):
+    # temporal family: replicate events with disjoint user spaces →
+    # linear growth in sessions/pairs; each op is one keyed window or
+    # one binned shuffle, so the probe checks they track input size.
+    from northwind_etl_spark.operators.asof import asof_join
+    from northwind_etl_spark.operators.ranges import interval_overlap_pairs
+    from northwind_etl_spark.operators.scd2 import scd2_history
+    from northwind_etl_spark.operators.sessionize import sessionize
+    from northwind_etl_spark.sources.parquet import read_table
+
+    # time-shift each replica past the 30-day source window: otherwise
+    # every replica's sessions overlap every other's in the same hour
+    # buckets and the overlap ANSWER (cross-user concurrency) grows
+    # quadratically — measuring the corpus, not the engine.
+    ev = replicate(
+        read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type"),
+        factor, "user_id", 10_000_000,
+        variant=lambda df, i: df.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {40 * i} DAY")),
+    ).persist()
+    n_ev = ev.count()
+    print(json.dumps({"probe": "events", "factor": factor, "rows": n_ev}))
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("user_id", F.col("ts").alias("touch_ts"), "event_id")
+        .groupBy("user_id", "touch_ts")
+        .agg(F.max("event_id").alias("touch_event_id"))
+    )
+    timed(
+        "asof_join",
+        lambda: asof_join(
+            purchases, touches, on=["user_id"], left_time="ts",
+            right_time="touch_ts", right_cols=["touch_event_id"],
+        ).count(),
+    )
+    sess = sessionize(ev.withColumn("value", F.lit(1.0)), gap_minutes=30).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    timed(
+        "interval_overlap_pairs",
+        lambda: interval_overlap_pairs(
+            sess, id_cols=["user_id", "session_id"],
+            start_ts="session_start", end_ts="session_end", bucket="hour",
+        ).count(),
+    )
+    timed(
+        "scd2_history",
+        lambda: scd2_history(
+            ev.groupBy("user_id", "ts").agg(F.max("event_type").alias("event_type")),
+            key_cols=["user_id"], ts_col="ts", attr_cols=["event_type"],
+            collapse_unchanged=True,
+        ).count(),
+    )
+
+
+def _li_section(spark, sf_dir, factor):
     li = replicate(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"), factor, "l_orderkey", 100_000_000
     ).persist()
@@ -149,7 +237,6 @@ def main() -> None:
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("s"))
         .count(),
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
