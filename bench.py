@@ -55,6 +55,13 @@ HEADLINE = [
     "session_overlap_pairs",
     "revenue_trend_by_nation",
     "scd2_user_event_history",
+    # r03 TPC-H-shaped suite — the heavier representatives
+    "q4_late_order_priority",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q13_customer_order_counts",
+    "q18_large_volume_customers",
+    "q21_late_supplier",
 ]
 
 

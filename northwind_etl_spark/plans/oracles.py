@@ -801,4 +801,223 @@ ORACLES: dict[str, str] = {
         FROM monthly
         GROUP BY n_name
     """,
+
+    # ------------------------------------------------ r03 TPC-H suite
+    # (plans/tpch.py; adapted to the partsupp-less testdata schema)
+    "q4_late_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q7_volume_shipping": f"""
+        SELECT supp_nation, cust_nation, l_year, {_dsum("volume", "revenue")}
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   {_REVENUE} AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+                   (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": f"""
+        SELECT o_year,
+               CAST(ROUND(
+                   CAST(SUM(CAST(CASE WHEN nation = 'NATION_2' THEN volume
+                                      ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE),
+                   6) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {_REVENUE} AS volume, n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00') all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q9_product_type_profit": f"""
+        SELECT nation, o_year, {_dsum("amount", "sum_profit")}
+        FROM (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   {_REVENUE} AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%ring%') profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, {_dsum(_REVENUE, "revenue")}, c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q13_customer_order_counts": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q14_promo_revenue": f"""
+        SELECT CAST(ROUND(
+            100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN {_REVENUE}
+                                       ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+            / CAST(SUM(CAST({_REVENUE} AS DECIMAL(38,6))) AS DOUBLE),
+            6) AS DOUBLE) AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no, {_dsum(_REVENUE, "total_revenue")}
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "q16_supplier_part_variety": """
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    # threshold avg below is decimal-sum/count — the same
+    # order-independent formula the Spark side computes, so the strict
+    # < cannot flip on FP summation order (see tpch.q17 docstring).
+    "q17_small_quantity_revenue": """
+        SELECT CAST(ROUND(
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0,
+            2) AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < 0.2 * (
+              SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    """,
+    "q18_large_volume_customers": f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               {_dsum("l_quantity", "sum_qty")}
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(l_quantity) > 250)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+    """,
+    "q19_disjunctive_revenue": f"""
+        SELECT {_dsum(_REVENUE, "revenue")}
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q20_promo_part_suppliers": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_type = 'PROMO'
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 300)
+        ORDER BY s_suppkey
+    """,
+    # correlated original of the set-based Spark plan (tpch.q21): the
+    # cross-engine check that the per-order aggregate collapse is an
+    # exact equivalent of the EXISTS / NOT EXISTS pair.
+    "q21_late_supplier": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+    """,
+    "q22_dormant_customers": """
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(c_acctbal)
+                FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
 }

@@ -30,6 +30,7 @@ from ..operators.joins import anti_join_audit
 from ..operators.sort import top_k
 from ..sources.parquet import TABLE_NAMES, read_table
 from . import star
+from . import tpch as T
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1023,32 +1024,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_trend_by_nation": revenue_trend_by_nation,
     "scd2_user_event_history": scd2_user_event_history,
     "order_value_rank_stats": order_value_rank_stats,
-    "approx_distinct_users": approx_distinct_users,
-    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
-    # --- documents: dedup / sampling / text ------------------------
-    "dedup_hash_docs": dedup_hash_docs,
-    "train_eval_split": train_eval_split,
-    "stratified_sample_docs": stratified_sample_docs,
-    "contamination_check": contamination_check,
-    "text_quality_stats": text_quality_stats,
+    # --- r03 TPC-H-shaped SQL-surface suite (plans/tpch.py) ---------
+    "q4_late_order_priority": T.q4_late_order_priority,
+    "q7_volume_shipping": T.q7_volume_shipping,
+    "q8_market_share": T.q8_market_share,
+    "q9_product_type_profit": T.q9_product_type_profit,
+    "q10_returned_items": T.q10_returned_items,
+    "q13_customer_order_counts": T.q13_customer_order_counts,
+    "q14_promo_revenue": T.q14_promo_revenue,
+    "q15_top_supplier": T.q15_top_supplier,
+    "q16_supplier_part_variety": T.q16_supplier_part_variety,
+    "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
+    "q18_large_volume_customers": T.q18_large_volume_customers,
+    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
+    "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
+    "q21_late_supplier": T.q21_late_supplier,
+    "q22_dormant_customers": T.q22_dormant_customers,
+    # --- oracle changed (r02 HUGEINT fix) / decode or impl touched --
     "doc_repetition_stats": doc_repetition_stats,
-    "lang_id_pred": lang_id_pred,
-    "token_counts": token_counts,
-    "token_count_bpe_docs": token_count_bpe_docs,
-    "term_freq_top20": term_freq_top20,
-    "tfidf_scores": tfidf_scores,
-    "unigram_surprisal_scores": unigram_surprisal_scores,
-    "doc_fingerprints": doc_fingerprints,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "minhash_near_dup_pairs": minhash_near_dup_pairs,
-    "simhash_near_dup_pairs": simhash_near_dup_pairs,
-    # --- embeddings / multimodal -----------------------------------
-    "ann_lsh_topk": ann_lsh_topk,
-    "ivf_ann_topk": ivf_ann_topk,
-    "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "multimodal_blob_features": multimodal_blob_features,
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_image_stats": multimodal_image_stats,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
+    "tfidf_scores": tfidf_scores,
     # --- promoted: last driver row was round 1 ----------------------
     "star_revenue_by_brand": star_revenue_by_brand,
     "semi_join_active_customers": semi_join_active_customers,
@@ -1070,7 +1071,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_distribution": lang_distribution,
     "q6_forecast_revenue": q6_forecast_revenue,
     "map_props_exploded": map_props_exploded,
-    # --- 51+: green in CORRECTNESS_r02, untouched since -------------
+    # --- 51+: green in CORRECTNESS_r02; changes since are inert
+    # (persist_stage plumbing), re-proven by local oracle parity ------
+    "approx_distinct_users": approx_distinct_users,
+    "dedup_hash_docs": dedup_hash_docs,
+    "train_eval_split": train_eval_split,
+    "stratified_sample_docs": stratified_sample_docs,
+    "contamination_check": contamination_check,
+    "text_quality_stats": text_quality_stats,
+    "lang_id_pred": lang_id_pred,
+    "token_counts": token_counts,
+    "token_count_bpe_docs": token_count_bpe_docs,
+    "term_freq_top20": term_freq_top20,
+    "unigram_surprisal_scores": unigram_surprisal_scores,
+    "doc_fingerprints": doc_fingerprints,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ivf_ann_topk": ivf_ann_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "approx_quantiles_quantity": approx_quantiles_quantity,
     "embedding_norms": embedding_norms,
     "knn_bruteforce_topk": knn_bruteforce_topk,

@@ -1,0 +1,82 @@
+"""Plan-shape and invariant tests for the TPC-H-shaped suite
+(plans/tpch.py).  Value correctness is covered query-by-query in
+test_oracle_parity.py; these pin the SCALE contracts: subquery shapes
+must plan as hash joins (semi/anti/broadcast), never a nested loop —
+except the one designed exception, a 1-row scalar-threshold broadcast.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.plans import tpch as T
+
+TPCH = [
+    "q4_late_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q13_customer_order_counts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_promo_part_suppliers",
+    "q21_late_supplier",
+    "q22_dormant_customers",
+]
+
+# q22's threshold is a 1-row aggregate cross-joined in — Spark plans a
+# BroadcastNestedLoopJoin whose build side is that single row, i.e. the
+# standard scalar-subquery shape (linear in the probe side).  Every
+# other nested loop is a defect.
+_SCALAR_BNLJ_OK = {"q22_dormant_customers"}
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", TPCH)
+def test_no_nested_loop_or_cartesian(name, spark, sf_dir):
+    plan = _executed_plan(getattr(T, name)(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+    if name not in _SCALAR_BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,node",
+    [
+        ("q4_late_order_priority", r"BroadcastHashJoin .*LeftSemi"),
+        ("q16_supplier_part_variety", r"BroadcastHashJoin .*LeftAnti"),
+        ("q18_large_volume_customers", r"LeftSemi"),
+        ("q20_promo_part_suppliers", r"BroadcastHashJoin .*LeftSemi"),
+        ("q22_dormant_customers", r"LeftAnti"),
+    ],
+)
+def test_subquery_shapes_are_hash_joins(name, node, spark, sf_dir):
+    plan = _executed_plan(getattr(T, name)(spark, sf_dir))
+    assert re.search(node, plan), f"{name}: expected {node} in plan"
+
+
+def test_q13_keeps_zero_order_customers(spark, sf_dir):
+    """The left outer join must keep customers whose every order is
+    filtered out by the join CONDITION (count 0), so the distribution
+    covers the whole customer table."""
+    dist = T.q13_customer_order_counts(spark, sf_dir)
+    total = dist.agg(F.sum("custdist")).collect()[0][0]
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert total == n_cust
+
+
+def test_q15_returns_all_tied_max_suppliers(spark, sf_dir):
+    rows = T.q15_top_supplier(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert len({r.total_revenue for r in rows}) == 1
