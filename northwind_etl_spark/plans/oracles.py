@@ -1020,4 +1020,40 @@ ORACLES: dict[str, str] = {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """,
+    # -------------------------------------- r03 post-rotation additions
+    # hypertable rollup: spine via generate_series, LOCF via
+    # last_value IGNORE NULLS — mirrors operators/timeseries.py.
+    "daily_user_value_gapfill": """
+        WITH per AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2)
+                        AS DOUBLE) AS v
+            FROM events GROUP BY user_id, day),
+        bounds AS (
+            SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+            FROM per GROUP BY user_id),
+        spine AS (
+            SELECT user_id,
+                   unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+            FROM bounds)
+        SELECT s.user_id, s.day,
+               COALESCE(p.v, 0.0) AS value_sum,
+               LAST_VALUE(p.v IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_sum
+        FROM spine s
+        LEFT JOIN per p ON s.user_id = p.user_id AND s.day = p.day
+        ORDER BY s.user_id, s.day
+    """,
+    "part_measures_unpivot": """
+        SELECT p_partkey, 'p_size' AS measure,
+               CAST(p_size AS DOUBLE) AS measure_value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS measure,
+               CAST(p_retailprice AS DOUBLE) AS measure_value
+        FROM part
+        ORDER BY p_partkey, measure
+    """,
 }

@@ -1016,6 +1016,53 @@ def order_value_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #         events core.  tests/test_oracle_parity.py re-checks every one
 #         of them locally on each pytest run.
 
+
+def daily_user_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (operators/timeseries.py): per-user DAILY value
+    sums densified over each user's active span — missing days become
+    explicit 0.0 rows plus a LOCF carry-forward column, the
+    time_bucket_gapfill shape composed from sequence+explode spine,
+    co-partitioned left join, and one ignorenulls window.  Per-day sums
+    are decimal-exact then rounded (money.decimal_sum contract) so the
+    gap-fill and carry-forward are deterministic cross-engine."""
+    from ..operators.timeseries import downsample_gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    dense = downsample_gapfill(
+        ev,
+        entity_cols=["user_id"],
+        ts_col="ts",
+        value_col=F.col("value").cast("decimal(38,6)"),
+        unit="day",
+        agg="sum",
+        fill=None,
+        locf_col="__locf",
+    )
+    rounded = lambda c: F.round(F.col(c).cast("decimal(38,6)"), 2).cast("double")  # noqa: E731
+    return dense.select(
+        "user_id",
+        F.col("bucket").alias("day"),
+        F.coalesce(rounded("value"), F.lit(0.0)).alias("value_sum"),
+        rounded("__locf").alias("locf_sum"),
+    ).orderBy("user_id", "day")
+
+
+def part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (DataFrame.unpivot / melt): part measures as
+    (key, measure, value) rows — the relational MELT the reference's
+    pandas layer would do with pd.melt."""
+    return (
+        _t(spark, sf_dir, "part")
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_size", "p_retailprice"],
+            variableColumnName="measure",
+            valueColumnName="measure_value",
+        )
+        .orderBy("p_partkey", "measure")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship + r03-touched / no_oracle entries ------------------
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
@@ -1114,4 +1161,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": session_stats,
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
+    # --- new post-rotation this round: first driver window is r04;
+    # oracle-checked locally every pytest until then -------------------
+    "daily_user_value_gapfill": daily_user_value_gapfill,
+    "part_measures_unpivot": part_measures_unpivot,
 }

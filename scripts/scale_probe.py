@@ -238,6 +238,56 @@ def _li_section(spark, sf_dir, factor):
         .count(),
     )
 
+    # TPC-H subquery shapes at scale: q18 (fact agg HAVING → leftsemi
+    # join-back) and q21 (per-order distinct/late-supplier aggregate
+    # joined back to late rows).  Orders replicate with the same
+    # orderkey shift so the fact⋈fact keys stay consistent.
+    o = replicate(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), factor, "o_orderkey", 100_000_000
+    ).persist()
+    o.count()
+
+    def q18_shape():
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+            .where(F.col("qty") > 250)
+            .select("l_orderkey")
+        )
+        sel = o.join(big, o.o_orderkey == big.l_orderkey, "leftsemi")
+        return (
+            sel.join(li, sel.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "o_totalprice")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .count()
+        )
+
+    timed("q18_shape_having_semi", q18_shape)
+
+    def q21_shape():
+        of = o.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+        lio = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+            of, F.col("l_orderkey") == of.o_orderkey
+        ).withColumn("is_late", F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY"))
+        per_order = lio.groupBy("l_orderkey").agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+        )
+        return (
+            lio.where(F.col("is_late"))
+            .join(
+                per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+                "l_orderkey",
+            )
+            .groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .count()
+        )
+
+    timed("q21_shape_exists_collapse", q21_shape)
+
 
 if __name__ == "__main__":
     main()
