@@ -1063,6 +1063,38 @@ def part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def sql_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21's correlated ORIGINAL as raw Spark SQL: Catalyst's
+    RewritePredicateSubquery turns the EXISTS / NOT EXISTS pair into
+    leftsemi / leftanti joins natively — the parser-level twin of the
+    hand-collapsed plans/tpch.py::q21_late_supplier, proving the SQL
+    surface accepts the correlated form directly."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        """
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship + r03-touched / no_oracle entries ------------------
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
@@ -1165,4 +1197,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked locally every pytest until then -------------------
     "daily_user_value_gapfill": daily_user_value_gapfill,
     "part_measures_unpivot": part_measures_unpivot,
+    "sql_q21_late_supplier": sql_q21_late_supplier,
 }

@@ -66,6 +66,24 @@ def test_subquery_shapes_are_hash_joins(name, node, spark, sf_dir):
     assert re.search(node, plan), f"{name}: expected {node} in plan"
 
 
+def test_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """Catalyst must extract each side's OR-envelope and push it into
+    the parquet scan (quantity bounds → lineitem, brand/size →
+    part) — the difference between scanning 100 TB and scanning the
+    qualifying row groups."""
+    # executedPlan().toString() truncates long filter lists; the
+    # formatted explain prints them in full.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        T.q19_disjunctive_revenue(spark, sf_dir).explain("formatted")
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", buf.getvalue())
+    assert any("l_quantity" in f and "Or(" in f for f in m), m
+    assert any("p_brand" in f and "Or(" in f for f in m), m
+
+
 def test_q13_keeps_zero_order_customers(spark, sf_dir):
     """The left outer join must keep customers whose every order is
     filtered out by the join CONDITION (count 0), so the distribution
