@@ -1076,4 +1076,27 @@ ORACLES: dict[str, str] = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
     """,
+    # embedding class cohesion: centroid per label (dim-wise avg),
+    # avg member→centroid cosine; DuckDB indexes the list with a
+    # 1..64 cross join (its UNNEST lacks ORDINALITY) and scores with
+    # list_cosine_similarity — an independent cosine implementation
+    # against the Spark zip_with/aggregate fold.
+    "label_centroid_cosine": """
+        WITH idxs AS (
+            SELECT unnest(generate_series(1, 64)) AS idx),
+        dims AS (
+            SELECT label, idx, AVG(CAST(embedding[idx] AS DOUBLE)) AS m
+            FROM embeddings CROSS JOIN idxs
+            GROUP BY label, idx),
+        cent AS (
+            SELECT label, list(m ORDER BY idx) AS centroid
+            FROM dims GROUP BY label)
+        SELECT e.label, COUNT(*) AS n_vecs,
+               CAST(ROUND(AVG(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), c.centroid)), 5)
+                    AS DOUBLE) AS avg_cos
+        FROM embeddings e JOIN cent c ON e.label = c.label
+        GROUP BY e.label
+        ORDER BY e.label
+    """,
 }

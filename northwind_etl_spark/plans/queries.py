@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import decimal_avg, decimal_sum
-from ..functions.vectors import cosine_expr
+from ..functions.vectors import cosine_expr, to_double_expr as to_double
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import sessionize as S
@@ -1095,6 +1095,45 @@ def sql_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding class-quality analytics: per-label mean vector
+    (centroid) and the average cosine of members to their centroid —
+    the intra-class-cohesion readout a labeled embedding corpus gets
+    audited with.  Centroids via posexplode → (label, dim) avg →
+    deterministic array rebuild (array_sort on dim-index structs);
+    members re-join their centroid by broadcast (|labels| × dim rows)
+    and the cosine is the zip_with/aggregate double fold of
+    functions/vectors.py — all Catalyst, no UDF.  At scale: one
+    explode shuffle bounded by rows × dim and one broadcast join;
+    skew follows label skew on a |labels|-row build side."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", to_double("embedding").alias("vec")
+    )
+    dims = emb.select("label", F.posexplode("vec").alias("idx", "val"))
+    cent = (
+        dims.groupBy("label", "idx")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "m"))), lambda s: s.m
+            ).alias("centroid")
+        )
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(cosine_expr("vec", "centroid")), 5)
+            .cast("double")
+            .alias("avg_cos"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship + r03-touched / no_oracle entries ------------------
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
@@ -1198,4 +1237,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_user_value_gapfill": daily_user_value_gapfill,
     "part_measures_unpivot": part_measures_unpivot,
     "sql_q21_late_supplier": sql_q21_late_supplier,
+    "label_centroid_cosine": label_centroid_cosine,
 }
