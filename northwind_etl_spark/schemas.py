@@ -86,9 +86,11 @@ LINEITEM = T.StructType(
     ]
 )
 
-# events.ts is parquet TIMESTAMP(NANOS) — read as raw long under
-# spark.sql.legacy.parquet.nanosAsLong, converted exactly in
-# sources/parquet.py::read_events.
+# events.ts arrives as either parquet TIMESTAMP(NANOS) (read as raw
+# long under spark.sql.legacy.parquet.nanosAsLong, converted exactly in
+# sources/parquet.py::read_events) or plain timestamp[us] (left as-is).
+# Both the batch and streaming readers guard on the file's *physical*
+# type before applying this raw-long schema; never assume one layout.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -55,18 +55,31 @@ def _events_stream_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet with the same exact
-    ns→µs timestamp normalization as the batch reader."""
+    """File-source stream over the events parquet with the same ts
+    normalization as the batch reader (sources/parquet.py::read_events).
+
+    A file stream needs its schema declared up-front, so probe the
+    file's *physical* ts type with a one-file batch read: only when ts
+    is int64 (parquet TIMESTAMP(NANOS) under nanosAsLong) do we force
+    the raw-long schema and the exact ns→µs conversion; a file that
+    already stores timestamp[us] streams with its native schema.
+    Forcing the long schema unconditionally mis-reads µs as ns (÷10⁹)
+    and lands every event in Jan 1970.
+    """
     harden(spark)
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_is_raw_ns = dict(probe.dtypes)["ts"] in ("bigint", "long")
+    schema = EVENTS_RAW if ts_is_raw_ns else probe.schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW)
+        spark.readStream.schema(schema)
         .format("parquet")
         .load(_events_stream_dir(sf_dir))
     )
     # watermarks require TIMESTAMP (LTZ); the session is hardened to UTC
     # so NTZ→LTZ is a deterministic relabel, and window bounds are cast
     # back to NTZ on output to match the batch operators bit-for-bit.
-    return raw.withColumn("ts", F.expr(_NS_TO_NTZ).cast("timestamp"))
+    ts_expr = F.expr(_NS_TO_NTZ) if ts_is_raw_ns else F.col("ts")
+    return raw.withColumn("ts", ts_expr.cast("timestamp"))
 
 
 def windowed_counts_stream(events: DataFrame, *, duration: str = "1 hour") -> DataFrame:
