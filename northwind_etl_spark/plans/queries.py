@@ -1134,63 +1134,20 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registry order IS the driver schedule: the correctness driver checks
+# the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
+# order entries by staleness — newest-driver-row ascending — so with 95
+# entries and a 50-row window every entry is re-checked at least every
+# 2 rounds.  r05 window = 4 never-checked + 41 last-checked-r02 + 5
+# keep-warm picks; the 45 r04-green entries rotate to the back and come
+# forward again in r06.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- flagship + r03-touched / no_oracle entries ------------------
-    "flagship_revenue_by_nation": flagship_revenue_by_nation,
-    "asof_last_touch": asof_last_touch,
-    "session_overlap_pairs": session_overlap_pairs,
-    "revenue_trend_by_nation": revenue_trend_by_nation,
-    "scd2_user_event_history": scd2_user_event_history,
-    "order_value_rank_stats": order_value_rank_stats,
-    # --- r03 TPC-H-shaped SQL-surface suite (plans/tpch.py) ---------
-    "q4_late_order_priority": T.q4_late_order_priority,
-    "q7_volume_shipping": T.q7_volume_shipping,
-    "q8_market_share": T.q8_market_share,
-    "q9_product_type_profit": T.q9_product_type_profit,
-    "q10_returned_items": T.q10_returned_items,
-    "q13_customer_order_counts": T.q13_customer_order_counts,
-    "q14_promo_revenue": T.q14_promo_revenue,
-    "q15_top_supplier": T.q15_top_supplier,
-    "q16_supplier_part_variety": T.q16_supplier_part_variety,
-    "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
-    "q18_large_volume_customers": T.q18_large_volume_customers,
-    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
-    "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
-    "q21_late_supplier": T.q21_late_supplier,
-    "q22_dormant_customers": T.q22_dormant_customers,
-    # --- oracle changed (r02 HUGEINT fix) / decode or impl touched --
-    "doc_repetition_stats": doc_repetition_stats,
-    "multimodal_blob_features": multimodal_blob_features,
-    "multimodal_frame_stats": multimodal_frame_stats,
-    "multimodal_image_stats": multimodal_image_stats,
-    "simhash_near_dup_pairs": simhash_near_dup_pairs,
-    "minhash_near_dup_pairs": minhash_near_dup_pairs,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
-    "tfidf_scores": tfidf_scores,
-    # --- promoted: last driver row was round 1 ----------------------
-    "star_revenue_by_brand": star_revenue_by_brand,
-    "semi_join_active_customers": semi_join_active_customers,
-    "distinct_flag_status": distinct_flag_status,
-    "full_outer_nation_suppliers": full_outer_nation_suppliers,
-    "cross_join_flag_region": cross_join_flag_region,
-    "customer_display_names": customer_display_names,
-    "acctbal_buckets": acctbal_buckets,
-    "pivot_flag_by_status": pivot_flag_by_status,
-    "order_latency_by_priority": order_latency_by_priority,
-    "moving_avg_order_value": moving_avg_order_value,
-    "cube_revenue": cube_revenue,
-    "grouping_sets_revenue": grouping_sets_revenue,
-    "null_safe_join_props": null_safe_join_props,
-    "set_ops_brands": set_ops_brands,
-    "event_value_histogram": event_value_histogram,
-    "bigram_freq_top20": bigram_freq_top20,
-    "dedup_exact_docs": dedup_exact_docs,
-    "lang_distribution": lang_distribution,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "map_props_exploded": map_props_exploded,
-    # --- 51+: green in CORRECTNESS_r02; changes since are inert
-    # (persist_stage plumbing), re-proven by local oracle parity ------
+    # --- never driver-checked (added post-r03-rotation): front -------
+    "daily_user_value_gapfill": daily_user_value_gapfill,
+    "part_measures_unpivot": part_measures_unpivot,
+    "sql_q21_late_supplier": sql_q21_late_supplier,
+    "label_centroid_cosine": label_centroid_cosine,
+    # --- newest driver row is r02: due for re-check ------------------
     "approx_distinct_users": approx_distinct_users,
     "dedup_hash_docs": dedup_hash_docs,
     "train_eval_split": train_eval_split,
@@ -1232,10 +1189,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": session_stats,
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
-    # --- new post-rotation this round: first driver window is r04;
-    # oracle-checked locally every pytest until then -------------------
-    "daily_user_value_gapfill": daily_user_value_gapfill,
-    "part_measures_unpivot": part_measures_unpivot,
-    "sql_q21_late_supplier": sql_q21_late_supplier,
-    "label_centroid_cosine": label_centroid_cosine,
+    # --- keep-warm picks (r04-green; flagship + temporal family) -----
+    "flagship_revenue_by_nation": flagship_revenue_by_nation,
+    "asof_last_touch": asof_last_touch,
+    "session_overlap_pairs": session_overlap_pairs,
+    "scd2_user_event_history": scd2_user_event_history,
+    "order_value_rank_stats": order_value_rank_stats,
+    # ===== driver window boundary (first 50 above) ===================
+    # --- r04-green: rotate forward again in r06 ----------------------
+    "revenue_trend_by_nation": revenue_trend_by_nation,
+    "q4_late_order_priority": T.q4_late_order_priority,
+    "q7_volume_shipping": T.q7_volume_shipping,
+    "q8_market_share": T.q8_market_share,
+    "q9_product_type_profit": T.q9_product_type_profit,
+    "q10_returned_items": T.q10_returned_items,
+    "q13_customer_order_counts": T.q13_customer_order_counts,
+    "q14_promo_revenue": T.q14_promo_revenue,
+    "q15_top_supplier": T.q15_top_supplier,
+    "q16_supplier_part_variety": T.q16_supplier_part_variety,
+    "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
+    "q18_large_volume_customers": T.q18_large_volume_customers,
+    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
+    "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
+    "q21_late_supplier": T.q21_late_supplier,
+    "q22_dormant_customers": T.q22_dormant_customers,
+    "doc_repetition_stats": doc_repetition_stats,
+    "multimodal_blob_features": multimodal_blob_features,
+    "multimodal_frame_stats": multimodal_frame_stats,
+    "multimodal_image_stats": multimodal_image_stats,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
+    "tfidf_scores": tfidf_scores,
+    "star_revenue_by_brand": star_revenue_by_brand,
+    "semi_join_active_customers": semi_join_active_customers,
+    "distinct_flag_status": distinct_flag_status,
+    "full_outer_nation_suppliers": full_outer_nation_suppliers,
+    "cross_join_flag_region": cross_join_flag_region,
+    "customer_display_names": customer_display_names,
+    "acctbal_buckets": acctbal_buckets,
+    "pivot_flag_by_status": pivot_flag_by_status,
+    "order_latency_by_priority": order_latency_by_priority,
+    "moving_avg_order_value": moving_avg_order_value,
+    "cube_revenue": cube_revenue,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "null_safe_join_props": null_safe_join_props,
+    "set_ops_brands": set_ops_brands,
+    "event_value_histogram": event_value_histogram,
+    "bigram_freq_top20": bigram_freq_top20,
+    "dedup_exact_docs": dedup_exact_docs,
+    "lang_distribution": lang_distribution,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "map_props_exploded": map_props_exploded,
 }
