@@ -97,6 +97,7 @@ def interval_overlap_pairs(
     end_ts: str,
     bucket: str = "hour",
     max_bucket: int = 256,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """All pairs of intervals that overlap in time ([s,e] inclusive,
     a.start <= b.end AND b.start <= a.end), each pair once with side a
@@ -107,9 +108,23 @@ def interval_overlap_pairs(
     cost, not an O(n²) blowup); overlap verified from the carried
     bounds, so no join back to the input.  Output: id_cols suffixed
     _a/_b plus the overlap window [overlap_start, overlap_end].
+
+    This is an EXACT operator, so a bucket wider than max_bucket must
+    not silently drop intervals (repo rule: no silent caps).
+    on_overflow picks the contract:
+    - "error" (default): any bucket holding > max_bucket intervals
+      fails the job with the bucket and its size in the message — raise
+      max_bucket, coarsen the bucket unit, or opt into truncation.
+    - "truncate": keep the first max_bucket start-ordered intervals per
+      bucket (the pre-r05 behavior) — an explicit approximation for
+      cost-capped exploratory runs, never the default.
     """
     if bucket not in _UNIT_INTERVAL:
         raise ValueError(f"interval_overlap_pairs: bucket must be one of {list(_UNIT_INTERVAL)}")
+    if on_overflow not in ("error", "truncate"):
+        raise ValueError(
+            f"interval_overlap_pairs: on_overflow must be error/truncate, got {on_overflow!r}"
+        )
     item = F.struct(
         *[F.col(c) for c in id_cols],
         F.col(start_ts).alias("__s"),
@@ -136,13 +151,31 @@ def interval_overlap_pairs(
             .otherwise(F.lit(0))
         )
 
+    collected = F.array_sort(F.collect_list("__it"), by_start)
+    if on_overflow == "error":
+        # The raise lives in the slice-length expression so Catalyst
+        # cannot prune it away: any bucket over the cap fails the job
+        # loudly instead of silently dropping intervals.
+        length = F.when(F.size(collected) <= max_bucket, F.size(collected)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_overlap_pairs: bucket "),
+                    F.col("__b").cast("string"),
+                    F.lit(" holds "),
+                    F.size(collected).cast("string"),
+                    F.lit(
+                        f" intervals > max_bucket={max_bucket}; raise max_bucket,"
+                        " use a coarser bucket unit, or pass"
+                        " on_overflow='truncate' to cap explicitly"
+                    ),
+                )
+            ).cast("int")
+        )
+    else:
+        length = F.lit(max_bucket)
     buckets = (
         binned.groupBy("__b")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("__it"), by_start), 1, max_bucket
-            ).alias("items")
-        )
+        .agg(F.slice(collected, 1, length).alias("items"))
         .where(F.size("items") > 1)
     )
     n = F.size("items")

@@ -148,6 +148,44 @@ def test_interval_overlap_pairs_planted(spark):
     assert out.count() == 3
 
 
+def test_interval_overlap_pairs_hot_bucket_overflow(spark):
+    """No silent caps: a bucket wider than max_bucket must fail loudly
+    by default; truncation is opt-in and bounds the work explicitly."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    hot = _ts(
+        spark,
+        [(i, "2024-01-01 10:00:00", "2024-01-01 10:30:00") for i in range(12)],
+        "uid LONG, st STRING, et STRING",
+    )
+    strict = interval_overlap_pairs(
+        hot, id_cols=["uid"], start_ts="st", end_ts="et", bucket="hour", max_bucket=8
+    )
+    with pytest.raises((PySparkException, Py4JJavaError), match="max_bucket=8"):
+        strict.collect()
+    capped = interval_overlap_pairs(
+        hot,
+        id_cols=["uid"],
+        start_ts="st",
+        end_ts="et",
+        bucket="hour",
+        max_bucket=8,
+        on_overflow="truncate",
+    )
+    # explicit truncation: 8 survivors → C(8,2) pairs, all co-overlapping
+    assert capped.count() == 28
+    # a cap that nothing exceeds is inert in strict mode
+    ok = interval_overlap_pairs(
+        hot, id_cols=["uid"], start_ts="st", end_ts="et", bucket="hour", max_bucket=64
+    )
+    assert ok.count() == 66  # C(12,2)
+    with pytest.raises(ValueError, match="on_overflow"):
+        interval_overlap_pairs(
+            hot, id_cols=["uid"], start_ts="st", end_ts="et", on_overflow="warn"
+        )
+
+
 def test_fit_linear_by_group_exact_and_degenerate(spark):
     df = spark.createDataFrame(
         [(1, 0.0, 1.0), (1, 1.0, 3.0), (1, 2.0, 5.0),   # exact y = 2x + 1
