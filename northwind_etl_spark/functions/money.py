@@ -22,6 +22,19 @@ def decimal_sum(col: Column | str, alias: str, *, scale: int = 2) -> Column:
     return F.round(F.sum(_col(col).cast("decimal(38,6)")), scale).cast("double").alias(alias)
 
 
+def conditional_decimal(cond: Column, col: Column | str) -> Column:
+    """CASE WHEN cond THEN col ELSE 0 END, kept in the decimal domain.
+
+    Both branches are DECIMAL(38,6) so Spark types the whole CASE (and
+    any SUM over it) as decimal — writing ``otherwise(lit(0.0))`` would
+    widen the CASE to DOUBLE and silently re-introduce order-dependent
+    summation for exactly the conditional-aggregate shapes (q8, q14)
+    the decimal contract exists for.
+    """
+    dec = "decimal(38,6)"
+    return F.when(cond, _col(col).cast(dec)).otherwise(F.lit(0).cast(dec))
+
+
 def decimal_avg(col: Column | str, alias: str, *, scale: int = 6) -> Column:
     """AVG: exact decimal sum → double → /count → round(scale).
 

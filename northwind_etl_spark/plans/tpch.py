@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.money import decimal_sum
+from ..functions.money import conditional_decimal, decimal_sum
 from ..operators.derive import revenue_expr
 from ..sources.parquet import read_table
 
@@ -125,7 +125,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,6)"
     vol = revenue_expr().cast(dec)
-    target = F.when(F.col("nation") == "NATION_2", revenue_expr()).otherwise(F.lit(0.0)).cast(dec)
+    target = conditional_decimal(F.col("nation") == "NATION_2", revenue_expr())
     return (
         joined.withColumn("o_year", F.year("o_orderdate").cast("int"))
         .groupBy("o_year")
@@ -215,7 +215,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,6)"
     rev = revenue_expr()
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).cast(dec)
+    promo = conditional_decimal(F.col("p_type") == "PROMO", rev)
     return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
         F.round(
             F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev.cast(dec)).cast("double"),

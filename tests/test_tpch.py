@@ -98,3 +98,20 @@ def test_q15_returns_all_tied_max_suppliers(spark, sf_dir):
     rows = T.q15_top_supplier(spark, sf_dir).collect()
     assert len(rows) >= 1
     assert len({r.total_revenue for r in rows}) == 1
+
+
+def test_conditional_aggregates_stay_decimal(spark):
+    """The q8/q14 CASE terms must be typed decimal end-to-end: an
+    otherwise(lit(0.0)) branch would widen the CASE to DOUBLE and make
+    the conditional sums order-dependent (the decimal contract's whole
+    point).  Assert on the production helper, pre-rounding."""
+    from northwind_etl_spark.functions.money import conditional_decimal
+
+    df = spark.createDataFrame([("PROMO", 10.5), ("STD", 2.0)], "t STRING, rev DOUBLE")
+    term = df.select(
+        conditional_decimal(F.col("t") == "PROMO", F.col("rev")).alias("x")
+    )
+    assert dict(term.dtypes)["x"] == "decimal(38,6)"
+    summed = term.agg(F.sum("x").alias("s"))
+    assert dict(summed.dtypes)["s"].startswith("decimal")
+    assert float(summed.collect()[0].s) == 10.5
