@@ -19,6 +19,7 @@ wrong.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 from typing import Iterator
 
@@ -30,25 +31,32 @@ from pyspark.sql import DataFrame
 # would be collected the moment the operator returns, leaving the
 # entry unreleasable.  A DataFrame handle is a few plan objects, not
 # data; the list stays small (one entry per distinct persisted plan).
+# All registry mutations hold _LOCK: Spark drivers routinely run
+# queries from several threads (one per concurrent job), and unlocked
+# pop/append races would drop or double-release entries.  unpersist()
+# itself runs outside the lock — it is a JVM round-trip.
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def persist_stage(df: DataFrame) -> DataFrame:
     """persist() a shared stage and track it for later release."""
     df = df.persist()
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
-def release_stages() -> int:
-    """Unpersist every tracked stage; returns how many were released.
+def _drain(from_index: int = 0) -> list[DataFrame]:
+    with _LOCK:
+        drained = _TRACKED[from_index:]
+        del _TRACKED[from_index:]
+    return drained
 
-    Blocking=False (Spark default): blocks are dropped asynchronously,
-    callers don't wait on executor round-trips.
-    """
+
+def _unpersist_all(dfs: list[DataFrame]) -> int:
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in dfs:
         try:
             df.unpersist()
             n += 1
@@ -57,18 +65,25 @@ def release_stages() -> int:
     return n
 
 
+def release_stages() -> int:
+    """Unpersist every tracked stage; returns how many were released.
+
+    Blocking=False (Spark default): blocks are dropped asynchronously,
+    callers don't wait on executor round-trips.
+    """
+    return _unpersist_all(_drain())
+
+
 @contextmanager
 def stage_cache_scope() -> Iterator[None]:
     """Scope for a batch of queries over one corpus: stages persisted
     inside are released on exit.  Stages persisted BEFORE entry are
-    left alone."""
-    mark = len(_TRACKED)
+    left alone.  Concurrent persists from OTHER threads that land
+    inside the scope are treated as part of it (the registry is a
+    process-wide resource; per-thread scoping would leak entries)."""
+    with _LOCK:
+        mark = len(_TRACKED)
     try:
         yield
     finally:
-        while len(_TRACKED) > mark:
-            df = _TRACKED.pop()
-            try:
-                df.unpersist()
-            except Exception:  # noqa: BLE001
-                pass
+        _unpersist_all(_drain(mark))

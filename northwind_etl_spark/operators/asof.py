@@ -62,6 +62,18 @@ def asof_join(
     on = list(on)
     right_cols = [c for c in right_cols if c not in on]
     l_payload = [c for c in left.columns if c not in on and c != left_time]
+    # the union/window pass reserves scratch names; an input column with
+    # one of them would be silently shadowed — refuse instead of corrupt
+    reserved = {"__t", "__is_l", "__r", "__m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join: reserved column names in input: {sorted(clash)}")
+    dup = set(right_cols) & set(l_payload)
+    if dup:
+        raise ValueError(
+            f"asof_join: right_cols collide with left payload columns {sorted(dup)};"
+            " rename one side before joining"
+        )
 
     lu = left.select(
         *on,

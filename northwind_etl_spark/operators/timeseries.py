@@ -92,5 +92,16 @@ def downsample_gapfill(
         )
         dense = dense.withColumn(locf_col, F.last("value", ignorenulls=True).over(w))
     if fill is not None:
-        dense = dense.withColumn("value", F.coalesce(out_value, F.lit(float(fill))))
+        # type the fill literal as the aggregate's own type: a raw
+        # double literal would widen COALESCE(long_count, 0.0) — and any
+        # integral/decimal aggregate — to DOUBLE, silently changing the
+        # output schema of the gap-filled column.
+        vtype = dense.schema["value"].dataType
+        integral = vtype.simpleString() in ("tinyint", "smallint", "int", "bigint")
+        if integral and float(fill) != int(fill):
+            raise ValueError(
+                f"downsample_gapfill: fill={fill!r} is fractional but agg={agg!r}"
+                f" produces {vtype.simpleString()}; pick an integral fill"
+            )
+        dense = dense.withColumn("value", F.coalesce(out_value, F.lit(fill).cast(vtype)))
     return dense.select(*entity_cols, "bucket", "value", *([locf_col] if locf_col else []))

@@ -45,6 +45,26 @@ def test_stage_cache_scope_releases_only_inner(spark, sf_dir):
     assert _cached_rdd_count(spark) == 0
 
 
+def test_persist_tracking_is_thread_safe(spark, sf_dir):
+    """Concurrent persist_stage registrations must neither drop nor
+    double-track entries (Spark drivers run multi-threaded jobs)."""
+    import threading
+
+    release_stages()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def register(i: int) -> None:
+        persist_stage(docs.where(F.col("doc_id") % 7 == i).select("doc_id"))
+
+    threads = [threading.Thread(target=register, args=(i,)) for i in range(7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert release_stages() == 7
+    assert release_stages() == 0
+
+
 def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG")
     sc = spark.sparkContext

@@ -102,6 +102,27 @@ def test_asof_single_shuffle_no_join(spark, asof_fixture):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_asof_join_rejects_column_collisions(spark):
+    """Scratch-name shadowing and ambiguous payload/right_cols overlap
+    must fail loudly, not silently corrupt the fill."""
+    left = _ts(spark, [(1, "2024-01-01 10:00:00", 5.0)], "k LONG, lt STRING, v DOUBLE")
+    right = _ts(spark, [(1, "2024-01-01 09:00:00", 7.0)], "k LONG, rt STRING, v DOUBLE")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right, on=["k"], left_time="lt", right_time="rt", right_cols=["v"]
+        )
+    poisoned = left.withColumn("__t", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(
+            poisoned,
+            right.withColumnRenamed("v", "rv"),
+            on=["k"],
+            left_time="lt",
+            right_time="rt",
+            right_cols=["rv"],
+        )
+
+
 def test_point_in_interval_join(spark):
     pts = _ts(
         spark,

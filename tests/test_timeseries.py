@@ -84,5 +84,18 @@ def test_count_agg_and_hour_unit(spark):
         ],
     )
     out = downsample_gapfill(df, ["entity"], "ts", "value", unit="hour", agg="count")
+    # the fill literal is typed as the aggregate: COUNT stays bigint,
+    # never silently widened to double by a 0.0 literal
+    assert dict(out.dtypes)["value"] == "bigint"
     rows = [(r.bucket.hour, r.value) for r in out.orderBy("bucket").collect()]
-    assert rows == [(5, 2), (6, 0.0), (7, 0.0), (8, 1)]
+    assert rows == [(5, 2), (6, 0), (7, 0), (8, 1)]
+
+
+def test_fractional_fill_on_integral_agg_raises(spark):
+    import pytest
+
+    df = _events(spark, [("a", "2024-01-01T05:10:00", 1.0)])
+    with pytest.raises(ValueError, match="fractional"):
+        downsample_gapfill(
+            df, ["entity"], "ts", "value", unit="hour", agg="count", fill=0.5
+        )
