@@ -3,17 +3,30 @@
 
 One shared SparkSession (no per-query startup — SURVEY.md §6), each
 query materialized via the noop sink (full execution, zero driver
-collection cost).  After a warmup pass, each query is timed twice and
-the MIN is reported — single-pass numbers on a shared machine showed
-up to 40% run-to-run noise, and min-of-2 is the steady-state the
-engine actually delivers.  Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+collection cost).  After a warmup pass, each query is timed
+SPARK_GRAFT_BENCH_REPS times (default 5) and the MEDIAN is reported:
+rounds 2–4 showed ±30–50% per-query run-to-run variance on identical
+code on this shared machine, so min-of-2 numbers drifted round to
+round; a median over 5 reps is stable against both slow outliers
+(GC/compilation stalls) and lucky cache hits.
+
+The heaviest oracle-expressible queries are additionally timed in
+DuckDB (same parquet, same SQL the correctness oracle runs) as an
+ENGINE-EXTERNAL anchor: if the whole machine slows down, both columns
+move together and the spark/duck ratio stays put — ratio drift means
+the engine changed, total drift alone means the machine did.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "timing": "median_of_5", "duckdb": {...},
+   "spark_vs_duckdb": {...}}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -64,6 +77,47 @@ HEADLINE = [
     "q21_late_supplier",
 ]
 
+# External-anchor subset: the heaviest headline queries that have exact
+# DuckDB oracles (LSH/embedding entries are excluded — no oracle SQL).
+DUCK_ANCHOR = [
+    "fuzzy_name_match_pairs",
+    "session_overlap_pairs",
+    "q21_late_supplier",
+    "ngram_jaccard_pairs",
+    "tfidf_scores",
+    "scd2_user_event_history",
+    "asof_last_touch",
+    "q9_product_type_profit",
+    "q18_large_volume_customers",
+    "doc_repetition_stats",
+]
+
+
+def _duck_timings(sf_dir: str, reps: int) -> dict[str, float]:
+    """Median-of-reps DuckDB wall time for each anchor oracle SQL."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracle_harness import duck_connection
+
+    from northwind_etl_spark.plans.oracles import ORACLES
+
+    con = duck_connection(sf_dir)
+    out: dict[str, float] = {}
+    for name in DUCK_ANCHOR:
+        sql = ORACLES.get(name)
+        if sql is None:
+            continue
+        try:
+            con.execute(sql).fetchall()  # warmup (buffer cache, plan)
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                times.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(times), 3)
+        except Exception as ex:  # noqa: BLE001 - anchor is advisory, never fatal
+            print(f"# duckdb anchor {name} failed: {ex}", file=sys.stderr)
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,29 +142,36 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 - warmup failure reported in timed pass
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = None
-        for _ in range(2):
+        times: list[float] = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as ex:  # noqa: BLE001 - one bad query must not kill the record
                 errors[name] = str(ex).splitlines()[0][:200]
                 print(f"# {name} FAILED: {errors[name]}", file=sys.stderr)
-                best = None
+                times = []
                 break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        if best is None:
+            times.append(time.perf_counter() - t0)
+        if not times:
             continue
-        dt = round(best, 3)
+        dt = round(statistics.median(times), 3)
         timings[name] = dt
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s (median of {reps})", file=sys.stderr)
+
+    duck = _duck_timings(sf_dir, reps)
+    ratios = {
+        n: round(timings[n] / duck[n], 2)
+        for n in duck
+        if n in timings and duck[n] > 0
+    }
 
     record = {
         "metric": "headline_queries_total",
@@ -118,6 +179,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "timing": f"median_of_{reps}",
+        "duckdb": duck,
+        "spark_vs_duckdb": ratios,
     }
     if errors:
         record["errors"] = errors
