@@ -1099,4 +1099,33 @@ ORACLES: dict[str, str] = {
         GROUP BY e.label
         ORDER BY e.label
     """,
+    # ------------------------------------------ r05 additions
+    # q2 shape on the synthesized partsupp bridge (min unit price per
+    # part×supplier from lineitem); the correlated min-per-group is the
+    # textbook correlated scalar subquery here, vs the Spark window-MIN.
+    "q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS supplycost
+            FROM lineitem WHERE l_quantity > 0
+            GROUP BY l_partkey, l_suppkey)
+        SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+               p.p_partkey, p.p_name, ps.supplycost
+        FROM ps
+        JOIN part p ON ps.l_partkey = p.p_partkey
+        JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+          AND r.r_name = 'EUROPE'
+          AND ps.supplycost = (
+              SELECT MIN(ps2.supplycost)
+              FROM ps ps2
+              JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
+        LIMIT 100
+    """,
 }

@@ -1147,6 +1147,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_measures_unpivot": part_measures_unpivot,
     "sql_q21_late_supplier": sql_q21_late_supplier,
     "label_centroid_cosine": label_centroid_cosine,
+    # --- new in r05 (rotation rule 3: changed-this-round → front) ----
+    "q2_min_cost_supplier": T.q2_min_cost_supplier,
     # --- newest driver row is r02: due for re-check ------------------
     "approx_distinct_users": approx_distinct_users,
     "dedup_hash_docs": dedup_hash_docs,

@@ -115,3 +115,25 @@ def test_conditional_aggregates_stay_decimal(spark):
     summed = term.agg(F.sum("x").alias("s"))
     assert dict(summed.dtypes)["s"].startswith("decimal")
     assert float(summed.collect()[0].s) == 10.5
+
+
+def test_q2_min_per_group_is_window_not_rescan(spark, sf_dir):
+    """The correlated min-per-group must plan as ONE window over the
+    part key — no per-row re-aggregation join-back, no nested loop;
+    all dimension sides broadcast."""
+    plan = (
+        T.q2_min_cost_supplier(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation⋈region
+    rows = T.q2_min_cost_supplier(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    # every returned supplier achieves its part's minimum cost
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p_partkey, set()).add(r.supplycost)
+    assert all(len(costs) == 1 for costs in by_part.values())
