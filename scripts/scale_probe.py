@@ -93,6 +93,8 @@ def main() -> None:
         _cust_section(spark, sf_dir, factor)
     if _want("asof", "overlap", "scd2"):
         _temporal_section(spark, sf_dir, factor)
+    if _want("skew"):
+        _skew_section(spark, sf_dir, factor)
     if _want("q1_shape"):
         _li_section(spark, sf_dir, factor)
     spark.stop()
@@ -223,6 +225,72 @@ def _temporal_section(spark, sf_dir, factor):
             collapse_unchanged=True,
         ).count(),
     )
+
+
+def _skew_section(spark, sf_dir, factor):
+    """Hot-key probe for the temporal family: the same replicated event
+    stream, once with disjoint per-replica user spaces (uniform) and
+    once with ~10% of ALL events remapped onto ONE user_id (hot).
+
+    The keyed-window operators (sessionize, scd2) put every row of a
+    key into one task by construction — AQE's skew handling splits
+    JOIN partitions, not window partitions — so the hot variant's
+    ceiling is the straggler task holding 10% of the input.  The probe
+    records that penalty (hot/uniform ratio at each factor) so the
+    claim in PLANS.md is measured, not assumed.  interval_overlap_pairs
+    buckets by TIME, not user, so its hot penalty instead tracks the
+    merged hot user's sessions joining every hour bucket.
+    """
+    from northwind_etl_spark.operators.ranges import interval_overlap_pairs
+    from northwind_etl_spark.operators.scd2 import scd2_history
+    from northwind_etl_spark.operators.sessionize import sessionize
+    from northwind_etl_spark.sources.parquet import read_table
+
+    base = replicate(
+        read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type"),
+        factor, "user_id", 10_000_000,
+        variant=lambda df, i: df.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {40 * i} DAY")),
+    )
+    for variant in ("uniform", "hot"):
+        ev = base
+        if variant == "hot":
+            ev = ev.withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 10 == 0, F.lit(77)).otherwise(F.col("user_id")),
+            )
+        ev = ev.persist()
+        n = ev.count()
+        print(json.dumps({"probe": f"skew_{variant}_events", "factor": factor, "rows": n}))
+        sess = sessionize(ev.withColumn("value", F.lit(1.0)), gap_minutes=30).select(
+            "user_id", "session_id", "session_start", "session_end"
+        )
+
+        def overlap(s=sess):
+            return interval_overlap_pairs(
+                s, id_cols=["user_id", "session_id"],
+                start_ts="session_start", end_ts="session_end", bucket="hour",
+                # the hot user's sessions sit in every bucket; answer-size
+                # growth is the point here, not a correctness run — cap
+                # explicitly rather than fail on the planted pathology
+                max_bucket=100_000, on_overflow="truncate",
+            ).count()
+
+        def scd2(e=ev):
+            return scd2_history(
+                e.groupBy("user_id", "ts").agg(F.max("event_type").alias("event_type")),
+                key_cols=["user_id"], ts_col="ts", attr_cols=["event_type"],
+                collapse_unchanged=True,
+            ).count()
+
+        # warmup before timing: the uniform variant runs first in a cold
+        # JVM and would otherwise absorb all codegen/broadcast setup,
+        # flattering the hot variant's ratio
+        overlap(), scd2()
+        timed(f"skew_{variant}_session_overlap", overlap)
+        timed(f"skew_{variant}_scd2", scd2)
+        ev.unpersist()
 
 
 def _li_section(spark, sf_dir, factor):
