@@ -1128,4 +1128,17 @@ ORACLES: dict[str, str] = {
         ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
         LIMIT 100
     """,
+    # Streaming twins, driver-checked: the STREAMING engine's output
+    # (availableNow drain) must hash-match the batch SQL on the same
+    # parquet — arrival order and micro-batching must be invisible.
+    "stream_tumbling_event_counts": f"""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events, {_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "stream_dedup_events": """
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+    """,
 }

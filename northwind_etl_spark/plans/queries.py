@@ -588,6 +588,51 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+_STREAM_SINK_SEQ = iter(range(1, 1 << 30))
+
+
+def _drain_stream(df: DataFrame, base_name: str, *, output_mode: str = "update") -> DataFrame:
+    """availableNow-drain a streaming DataFrame into a uniquely-named
+    memory sink (repeat calls in one session must not collide) and hand
+    back the materialized batch result."""
+    from ..streaming.events_stream import run_available_now
+
+    return run_available_now(
+        df, f"{base_name}_{next(_STREAM_SINK_SEQ)}", output_mode=output_mode
+    )
+
+
+def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling counts computed BY THE STREAMING ENGINE: file-source
+    stream → 2 h watermark → windowed count/decimal-sum → availableNow
+    drain to a memory sink.  The driver's oracle check makes streaming
+    correctness a hash-matched fact rather than a pytest-only claim:
+    the streamed aggregate must equal the batch GROUP BY date_trunc on
+    the same parquet, independent of micro-batch arrival order (update
+    mode emits each window's final state; the decimal sum makes the
+    value aggregation order-independent)."""
+    from ..streaming.events_stream import read_events_stream, windowed_counts_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    return _drain_stream(windowed_counts_stream(stream), "stream_tumbling")
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, driver-checked: the event stream unioned
+    with itself (every event twice) → dropDuplicatesWithinWatermark on
+    event_id → drain.  The oracle is simply the events table: streaming
+    dedup must reduce the doubled stream back to exactly the input,
+    proving watermark-bounded state yields the batch-exact answer."""
+    from ..streaming.events_stream import read_events_stream, stream_dedup
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.union(stream)
+    out = _drain_stream(stream_dedup(doubled), "stream_dedup", output_mode="append")
+    # LTZ→NTZ relabel (UTC session) so the schema matches the batch
+    # events table the oracle reads
+    return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
 def json_prop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.extract_props(_t(spark, sf_dir, "events"))
     return ev.groupBy("prop_k").agg(F.count(F.lit(1)).alias("n_events"))
@@ -1149,6 +1194,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroid_cosine": label_centroid_cosine,
     # --- new in r05 (rotation rule 3: changed-this-round → front) ----
     "q2_min_cost_supplier": T.q2_min_cost_supplier,
+    "stream_tumbling_event_counts": stream_tumbling_event_counts,
+    "stream_dedup_events": stream_dedup_events,
     # --- newest driver row is r02: due for re-check ------------------
     "approx_distinct_users": approx_distinct_users,
     "dedup_hash_docs": dedup_hash_docs,

@@ -125,4 +125,9 @@ def harden(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # batch plans coalesce 200 default partitions via AQE anyway, but
+    # Structured Streaming state shuffles have no AQE — a vanilla
+    # session would pin 200 state partitions for 10k-row micro-batches.
+    # Results are partition-count independent; only task overhead moves.
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
     return spark

@@ -83,16 +83,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_counts_stream(events: DataFrame, *, duration: str = "1 hour") -> DataFrame:
-    """Tumbling-window counts with a 2-hour watermark: late events
-    beyond the watermark are dropped, state is bounded."""
+    """Tumbling-window counts + value sum with a 2-hour watermark: late
+    events beyond the watermark are dropped, state is bounded.  The sum
+    follows the engine's decimal contract (functions/money.py) so the
+    streamed aggregate is order-independent and oracle-comparable —
+    micro-batch arrival order must not change the answer."""
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", duration).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("__sv"),
+        )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
+            F.round("__sv", 2).cast("double").alias("sum_value"),
         )
     )
 
