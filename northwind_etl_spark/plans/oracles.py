@@ -1128,6 +1128,25 @@ ORACLES: dict[str, str] = {
         ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
         LIMIT 100
     """,
+    # q11 shape: HAVING vs a global scalar subquery over the same
+    # grouped relation; decimal sums, double threshold compare.
+    "q11_important_parts": """
+        WITH g AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,6))) AS v
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey)
+        SELECT l_partkey AS p_partkey,
+               CAST(ROUND(v, 2) AS DOUBLE) AS part_value
+        FROM g
+        WHERE CAST(v AS DOUBLE) >
+              0.001 * (SELECT CAST(SUM(v) AS DOUBLE) FROM g)
+        ORDER BY part_value DESC, p_partkey
+    """,
     # Streaming twins, driver-checked: the STREAMING engine's output
     # (availableNow drain) must hash-match the batch SQL on the same
     # parquet — arrival order and micro-batching must be invisible.

