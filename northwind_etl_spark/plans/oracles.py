@@ -1160,4 +1160,15 @@ ORACLES: dict[str, str] = {
         SELECT event_id, ts, user_id, event_type, value, props
         FROM events
     """,
+    "stream_click_attribution": """
+        SELECT p.user_id,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
 }

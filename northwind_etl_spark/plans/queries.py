@@ -617,6 +617,23 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(windowed_counts_stream(stream), "stream_tumbling")
 
 
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream interval join, driver-checked: purchases joined to
+    same-user clicks within the prior 30 minutes, both sides streaming
+    with watermarks (state bounded by the horizon).  With availableNow
+    over static input the emitted matches must equal the batch interval
+    join exactly — the oracle is the plain SQL range join."""
+    from ..streaming.events_stream import (
+        purchase_click_attribution_stream,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return _drain_stream(
+        purchase_click_attribution_stream(stream), "stream_attr", output_mode="append"
+    )
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup, driver-checked: the event stream unioned
     with itself (every event twice) → dropDuplicatesWithinWatermark on
@@ -1197,6 +1214,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_important_parts": T.q11_important_parts,
     "stream_tumbling_event_counts": stream_tumbling_event_counts,
     "stream_dedup_events": stream_dedup_events,
+    "stream_click_attribution": stream_click_attribution,
     # --- newest driver row is r02: due for re-check ------------------
     "approx_distinct_users": approx_distinct_users,
     "dedup_hash_docs": dedup_hash_docs,

@@ -120,6 +120,47 @@ def session_window_stream(events: DataFrame, *, gap: str = "30 minutes") -> Data
     )
 
 
+def purchase_click_attribution_stream(
+    events: DataFrame, *, horizon_minutes: int = 30
+) -> DataFrame:
+    """Stream–stream interval join: each purchase joins the clicks by
+    the SAME user in the preceding `horizon_minutes` — streaming
+    last-touch attribution, the canonical two-stream use case.
+
+    Both sides carry watermarks and the join condition bounds the time
+    range, so state for either side is dropped once the watermark
+    passes the horizon — without the range bound a stream–stream join
+    must keep EVERY past row and state grows forever (the reason Spark
+    rejects unbounded stream–stream joins outright in append mode
+    without watermarks).  One shuffle per side on user_id; matches emit
+    as soon as both sides arrive.
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", "2 hours")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", "2 hours")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+        "inner",
+    )
+    return joined.select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+
+
 def enrich_with_static(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: each micro-batch joins against the (possibly
     refreshed) static dimension — the standard streaming enrichment

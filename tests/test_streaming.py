@@ -118,3 +118,35 @@ def test_stateful_running_counts(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join (purchase←clicks within
+    30 min) must emit exactly the batch interval join's matches when
+    drained with availableNow."""
+    stream = ES.read_events_stream(spark, sf_dir)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in ES.run_available_now(
+            ES.purchase_click_attribution_stream(stream),
+            "ss_join_stream",
+            output_mode="append",
+        ).collect()
+    }
+    ev = read_events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    batch = {
+        (r.pid, r.cid)
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert got == batch and len(batch) > 0
