@@ -75,6 +75,11 @@ HEADLINE = [
     "q13_customer_order_counts",
     "q18_large_volume_customers",
     "q21_late_supplier",
+    # r05 additions: synthesized-partsupp shapes + one streaming
+    # representative (full availableNow drain through a memory sink)
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "stream_tumbling_event_counts",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact
