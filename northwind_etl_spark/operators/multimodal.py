@@ -14,11 +14,13 @@ Design (the part that must be right at 100 TB):
 `decode_image` is a REAL decoder for the uncompressed netpbm formats
 (PPM/P6 RGB and PGM/P5 grayscale): pure header parse + numpy reshape, no
 codec libraries needed.  `make_image_table` renders each document's
-utf-8 bytes into a genuine P6 image (fixed width, zero-padded final
-row), so decode → per-channel stats flow end-to-end and are
-oracle-checkable byte arithmetic.  Compressed formats (JPEG/PNG/audio)
-would slot into the same mapInPandas plumbing when codec libs exist —
-only `_decode_compressed` below is environment-blocked.
+utf-8 bytes into a genuine image (fixed width, zero-padded final row),
+so decode → per-channel stats flow end-to-end and are oracle-checkable
+byte arithmetic.  PNG is a REAL compressed codec too — encode_png /
+decode_png below implement it on stdlib zlib (CRC-verified chunks, all
+five scanline filters on decode), so the compressed path runs without
+any codec library.  Only JPEG/audio remain environment-blocked stubs
+in `_decode_compressed`.
 """
 
 from __future__ import annotations
@@ -99,10 +101,134 @@ def encode_ppm(arr: "np.ndarray") -> bytes:
 
 
 def _decode_compressed(blob: bytes) -> "np.ndarray":
-    """Compressed-format decode (JPEG/PNG/audio) — requires codec
-    libraries not present in this container.  STUB, declared: swap in
-    Pillow/ffmpeg here; the mapInPandas plumbing above is unchanged."""
-    raise NotImplementedError("compressed-image/audio codecs not available in this environment")
+    """Compressed-format dispatch.  PNG is decoded for real (stdlib
+    zlib — see decode_png below); JPEG/audio codecs are genuinely not
+    in this container and remain declared stubs — swap in Pillow/ffmpeg
+    here; the mapInPandas plumbing above is unchanged either way."""
+    if blob[:8] == _PNG_SIG:
+        return decode_png(blob)
+    raise NotImplementedError("JPEG/audio codecs not available in this environment")
+
+
+# ------------------------------------------------------ PNG codec (stdlib)
+# A real compressed-image path with zero external codec libraries: PNG
+# IS zlib (RFC 1950) over per-scanline-filtered raster bytes, and zlib
+# + struct ship with CPython.  Supports 8-bit grayscale (color type 0)
+# and RGB (type 2), no interlace; all five scanline filters on decode;
+# CRCs verified.  Small images defilter in pure Python per scanline —
+# fine for the fixture sizes; a 100 TB image corpus would swap this
+# function (only) for a C codec while every operator above stays put.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: "np.ndarray") -> bytes:
+    """Encode a uint8 array — (h, w, 3) → RGB PNG, (h, w) → grayscale
+    PNG.  Filter 0 (None) per scanline, one zlib-deflated IDAT."""
+    import struct
+    import zlib as _z
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        color_type = 2
+    elif a.ndim == 2:
+        color_type = 0
+    else:
+        raise ValueError(f"expected (h,w,3) or (h,w), got shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    raster = a.reshape(h, -1)
+    # prepend the filter byte (0 = None) to every scanline
+    lines = np.concatenate([np.zeros((h, 1), dtype=np.uint8), raster], axis=1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(lines.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(blob: bytes) -> "np.ndarray":
+    """Decode an 8-bit gray/RGB non-interlaced PNG: chunk walk with CRC
+    verification → zlib inflate → per-scanline defilter (all five
+    standard filters) → numpy reshape."""
+    import struct
+    import zlib as _z
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        payload = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
+        if _z.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    bpp = 3 if color_type == 2 else 1
+    stride = w * bpp
+    raw = _z.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, data = line[0], np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int32)
+        if ftype == 0:  # None
+            cur = data
+        elif ftype == 2:  # Up
+            cur = (data + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    cur[x] = (data[x] + left) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (data[x] + ((left + prev[x]) >> 1)) & 0xFF
+                else:
+                    ul = prev[x - bpp] if x >= bpp else 0
+                    cur[x] = (data[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, 3) if color_type == 2 else out.reshape(h, w)
 
 
 RESIZE_SCHEMA = "doc_id long, blob binary, n_bytes int"
@@ -195,12 +321,19 @@ IMAGE_STATS_SCHEMA = (
 IMAGE_WIDTH = 16  # fixed render width; row stride = 48 bytes (RGB)
 
 
-def make_image_table(documents: DataFrame, *, width: int = IMAGE_WIDTH) -> DataFrame:
-    """Render each document's utf-8 bytes into a real P6 (binary RGB)
-    image: fixed width, height = ceil(n_bytes / (width*3)), final row
-    zero-padded.  Deterministic, so a SQL oracle can reproduce every
-    pixel from the text bytes alone."""
+def make_image_table(
+    documents: DataFrame, *, width: int = IMAGE_WIDTH, codec: str = "ppm"
+) -> DataFrame:
+    """Render each document's utf-8 bytes into a real RGB image: fixed
+    width, height = ceil(n_bytes / (width*3)), final row zero-padded.
+    Deterministic, so a SQL oracle can reproduce every pixel from the
+    text bytes alone.  codec='ppm' emits uncompressed P6; codec='png'
+    emits genuine zlib-compressed PNG (the compressed-codec path)."""
+    if codec not in ("ppm", "png"):
+        raise ValueError(f"make_image_table: codec must be ppm/png, got {codec!r}")
     row_bytes = width * 3
+    enc = encode_ppm if codec == "ppm" else encode_png
+    mime = "image/x-portable-pixmap" if codec == "ppm" else "image/png"
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,13 +343,13 @@ def make_image_table(documents: DataFrame, *, width: int = IMAGE_WIDTH) -> DataF
                 h = max(1, -(-len(data) // row_bytes))
                 buf = data + b"\x00" * (h * row_bytes - len(data))
                 arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, width, 3)
-                blobs.append(encode_ppm(arr))
+                blobs.append(enc(arr))
                 heights.append(h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "image": blobs,
-                    "mime": "image/x-portable-pixmap",
+                    "mime": mime,
                     "width": np.int32(width),
                     "height": np.array(heights, dtype=np.int32),
                 }

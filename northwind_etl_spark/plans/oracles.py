@@ -1172,3 +1172,8 @@ ORACLES: dict[str, str] = {
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
 }
+
+# The PNG round-trip must land on the SAME pixels as the uncompressed
+# P6 path — one deterministic render, two codecs, one oracle.  A bug in
+# either encode_png or decode_png shows up as a sum divergence here.
+ORACLES["multimodal_png_stats"] = ORACLES["multimodal_image_stats"]

@@ -922,6 +922,19 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_stats(imgs)
 
 
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED codec path, end-to-end and oracle-checked: render each
+    document's utf-8 bytes as a genuine PNG (stdlib-zlib deflate,
+    CRC'd chunks — operators/multimodal.py::encode_png), then decode it
+    back through the compressed-format dispatch (chunk walk, CRC
+    verify, inflate, defilter) and emit per-channel pixel sums.  Same
+    deterministic render as the P6 twin, so the same byte-arithmetic
+    oracle must reproduce every pixel THROUGH the compression
+    round-trip — if either codec half is wrong, sums diverge."""
+    imgs = M.make_image_table(_t(spark, sf_dir, "documents"), codec="png")
+    return M.image_stats(imgs)
+
+
 def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling through mapInPandas, rolled up to per-doc
     scalar stats.  Frame boundaries are deterministic byte arithmetic
@@ -1215,6 +1228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_event_counts": stream_tumbling_event_counts,
     "stream_dedup_events": stream_dedup_events,
     "stream_click_attribution": stream_click_attribution,
+    "multimodal_png_stats": multimodal_png_stats,
     # --- newest driver row is r02: due for re-check ------------------
     "approx_distinct_users": approx_distinct_users,
     "dedup_hash_docs": dedup_hash_docs,

@@ -44,9 +44,13 @@ def test_truncated_header_raises():
         M.decode_image(b"P6\n2 ")
 
 
-def test_compressed_formats_still_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_compressed_format_dispatch():
+    # PNG dispatches to the real stdlib-zlib decoder (truncated input
+    # fails loudly, not silently); JPEG/audio remain declared stubs
+    with pytest.raises(ValueError, match="IHDR"):
         M.decode_image(b"\x89PNG\r\n\x1a\nrest")
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
 
 
 # ------------------------------------------------------- spark pipeline
