@@ -19,8 +19,9 @@ so decode → per-channel stats flow end-to-end and are oracle-checkable
 byte arithmetic.  PNG is a REAL compressed codec too — encode_png /
 decode_png below implement it on stdlib zlib (CRC-verified chunks, all
 five scanline filters on decode), so the compressed path runs without
-any codec library.  Only JPEG/audio remain environment-blocked stubs
-in `_decode_compressed`.
+any codec library.  Audio is real for PCM WAV (encode_wav/decode_wav:
+RIFF chunk walk on struct alone).  Only JPEG and compressed audio
+(MP3/AAC) remain environment-blocked stubs in `_decode_compressed`.
 """
 
 from __future__ import annotations
@@ -107,7 +108,10 @@ def _decode_compressed(blob: bytes) -> "np.ndarray":
     here; the mapInPandas plumbing above is unchanged either way."""
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
-    raise NotImplementedError("JPEG/audio codecs not available in this environment")
+    raise NotImplementedError(
+        "JPEG/compressed-audio codecs not available in this environment"
+        " (PNG: decode_png; PCM WAV: decode_wav)"
+    )
 
 
 # ------------------------------------------------------ PNG codec (stdlib)
@@ -410,3 +414,106 @@ def resize_images(images: DataFrame, *, factor: int = 2) -> DataFrame:
             )
 
     return images.select("doc_id", "image").mapInPandas(do_resize, IMAGE_TABLE_SCHEMA)
+
+
+# ------------------------------------------------- WAV/PCM codec (stdlib)
+# Audio needs no codec library either for uncompressed PCM: a WAV file
+# is RIFF chunks (struct) around raw little-endian samples.  16-bit
+# mono PCM covers the decode/feature-extract plumbing a real audio
+# pipeline runs; compressed audio (MP3/AAC) stays a declared stub in
+# _decode_compressed.
+
+def encode_wav(samples: "np.ndarray", *, sample_rate: int = 8000) -> bytes:
+    """Encode int16 mono PCM samples as a canonical 44-byte-header WAV."""
+    import struct
+
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    byte_rate = sample_rate * 2
+    return b"".join(
+        [
+            b"RIFF", struct.pack("<I", 36 + len(data)), b"WAVE",
+            b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16),
+            b"data", struct.pack("<I", len(data)), data,
+        ]
+    )
+
+
+def decode_wav(blob: bytes) -> tuple["np.ndarray", int]:
+    """Decode a PCM WAV: RIFF chunk walk → (int16 samples, sample_rate).
+    Only uncompressed 16-bit mono PCM (format tag 1) is supported;
+    anything else fails loudly."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(blob):
+        tag, length = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        payload = blob[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", payload[:16])
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={fmt_tag}, channels={channels}, bits={bits})"
+                )
+        elif tag == b"data":
+            data = payload
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+AUDIO_TABLE_SCHEMA = "doc_id long, audio binary, mime string, sample_rate int, n_samples int"
+AUDIO_STATS_SCHEMA = "doc_id long, sample_rate int, n_samples int, sum_abs long, max_abs int"
+
+
+def make_audio_table(documents: DataFrame, *, sample_rate: int = 8000) -> DataFrame:
+    """Render each document's utf-8 bytes as genuine 16-bit mono PCM WAV
+    (consecutive byte pairs → little-endian int16; an odd trailing byte
+    is dropped).  Deterministic, so a SQL oracle reproduces every sample
+    from the text bytes."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, counts = [], []
+            for t in pdf["text"]:
+                data = (t or "").encode("utf-8")
+                n = len(data) // 2
+                samples = np.frombuffer(data, dtype="<i2", count=n)
+                blobs.append(encode_wav(samples, sample_rate=sample_rate))
+                counts.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "audio": blobs,
+                    "mime": "audio/wav",
+                    "sample_rate": np.int32(sample_rate),
+                    "n_samples": np.array(counts, dtype=np.int32),
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(render, AUDIO_TABLE_SCHEMA)
+
+
+def audio_stats(audio: DataFrame) -> DataFrame:
+    """Decode each WAV (real RIFF parse) and emit amplitude stats —
+    the feature-extraction step of an audio pipeline, Arrow-batched."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in
+                                     ("doc_id", "sample_rate", "n_samples",
+                                      "sum_abs", "max_abs")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+                s, rate = decode_wav(bytes(blob))
+                a = np.abs(s.astype(np.int64))
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(s.size)
+                rows["sum_abs"].append(int(a.sum()) if s.size else 0)
+                rows["max_abs"].append(int(a.max()) if s.size else 0)
+            yield pd.DataFrame(rows)
+
+    return audio.select("doc_id", "audio").mapInPandas(stats, AUDIO_STATS_SCHEMA)

@@ -1177,3 +1177,35 @@ ORACLES: dict[str, str] = {
 # P6 path — one deterministic render, two codecs, one oracle.  A bug in
 # either encode_png or decode_png shows up as a sum divergence here.
 ORACLES["multimodal_png_stats"] = ORACLES["multimodal_image_stats"]
+
+# WAV path: samples are byte pairs of the utf-8 text, little-endian
+# signed int16 (odd tail byte dropped) — pure byte arithmetic, so the
+# oracle rebuilds every sample and the codec round-trip must agree.
+ORACLES["multimodal_audio_stats"] = """
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        FROM documents),
+    samples AS (
+        SELECT doc_id,
+               (strpos('0123456789ABCDEF', substr(h, 4*i-3, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 4*i-2, 1)) - 1) AS lo,
+               (strpos('0123456789ABCDEF', substr(h, 4*i-1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 4*i,   1)) - 1) AS hi
+        FROM b, unnest(generate_series(1, n // 2)) AS t(i)),
+    signed AS (
+        SELECT doc_id,
+               CASE WHEN lo + 256 * hi >= 32768
+                    THEN lo + 256 * hi - 65536
+                    ELSE lo + 256 * hi END AS s
+        FROM samples),
+    agg AS (
+        SELECT doc_id, CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+               CAST(MAX(ABS(s)) AS INT) AS max_abs
+        FROM signed GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(b.n // 2 AS INT) AS n_samples,
+           CAST(COALESCE(a.sum_abs, 0) AS BIGINT) AS sum_abs,
+           CAST(COALESCE(a.max_abs, 0) AS INT) AS max_abs
+    FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
+"""

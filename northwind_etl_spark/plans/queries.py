@@ -935,6 +935,18 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_stats(imgs)
 
 
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path: render each document's utf-8 bytes as genuine
+    16-bit mono PCM WAV (RIFF chunks on stdlib struct), decode it back
+    (chunk walk, format validation) and emit amplitude stats.  Sample
+    reconstruction is deterministic byte arithmetic (byte pairs →
+    little-endian signed int16, odd tail byte dropped), so the DuckDB
+    oracle reproduces every sample from the text bytes and cross-checks
+    the codec end-to-end."""
+    audio = M.make_audio_table(_t(spark, sf_dir, "documents"))
+    return M.audio_stats(audio)
+
+
 def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling through mapInPandas, rolled up to per-doc
     scalar stats.  Frame boundaries are deterministic byte arithmetic
@@ -1229,6 +1241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_events": stream_dedup_events,
     "stream_click_attribution": stream_click_attribution,
     "multimodal_png_stats": multimodal_png_stats,
+    "multimodal_audio_stats": multimodal_audio_stats,
     # --- newest driver row is r02: due for re-check ------------------
     "approx_distinct_users": approx_distinct_users,
     "dedup_hash_docs": dedup_hash_docs,

@@ -71,3 +71,48 @@ def test_png_path_matches_ppm_path(spark, sf_dir):
     png = {r.doc_id: (r.sum_r, r.sum_g, r.sum_b)
            for r in M.image_stats(M.make_image_table(docs, codec="png")).collect()}
     assert ppm == png and len(ppm) == 50
+
+
+def test_wav_codec_roundtrip_and_guards(spark):
+    import numpy as np
+    import pytest
+
+    from northwind_etl_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, size=777, dtype=np.int16)
+    d, rate = decode_wav(encode_wav(s, sample_rate=16000))
+    assert np.array_equal(d, s) and rate == 16000
+    d0, _ = decode_wav(encode_wav(np.zeros(0, dtype=np.int16)))
+    assert d0.size == 0
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"ID3\x04mp3-ish-bytes")
+    # stereo/8-bit formats fail loudly, not silently mono-ified
+    import struct
+
+    bad_fmt = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="channels=2"):
+        decode_wav(bad_fmt)
+
+
+def test_audio_stats_planted(spark):
+    import numpy as np
+
+    from northwind_etl_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "AB"), (2, "ABC"), (3, ""), (4, "é")],  # é = 2 utf-8 bytes
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in M.audio_stats(M.make_audio_table(docs)).collect()}
+    # "AB" = 0x41 0x42 -> int16 LE 0x4241 = 16961
+    assert rows[1].n_samples == 1 and rows[1].sum_abs == 16961
+    # "ABC": odd tail byte dropped -> same single sample
+    assert rows[2].n_samples == 1 and rows[2].sum_abs == 16961
+    assert rows[3].n_samples == 0 and rows[3].sum_abs == 0 and rows[3].max_abs == 0
+    # é = 0xC3 0xA9 -> 0xA9C3 = 43459 -> signed -22077
+    assert rows[4].sum_abs == 22077 and rows[4].max_abs == 22077
