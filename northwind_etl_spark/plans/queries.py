@@ -1223,11 +1223,11 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
-# order entries by staleness — newest-driver-row ascending — so with 95
-# entries and a 50-row window every entry is re-checked at least every
-# 2 rounds.  r05 window = 4 never-checked + 41 last-checked-r02 + 5
-# keep-warm picks; the 45 r04-green entries rotate to the back and come
-# forward again in r06.
+# order entries by staleness — newest-driver-row ascending — with
+# changed-this-round entries jumping to the front.  r05 window =
+# 4 never-checked + 7 new-in-r05 + 39 last-checked-r02; the overflow
+# pair (json_prop_histogram, top_users_by_value) and the r04-green
+# block rotate forward in r06 (see ROUND_NOTES.md window history).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never driver-checked (added post-r03-rotation): front -------
     "daily_user_value_gapfill": daily_user_value_gapfill,
@@ -1284,13 +1284,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": session_stats,
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
-    # --- keep-warm picks (r04-green; flagship + temporal family) -----
+    # ===== driver window boundary (first 50 above; the r05 additions
+    # pushed json_prop_histogram + top_users_by_value just past it —
+    # they lead the r06 window) =======================================
+    # --- r04-green (flagship stays smoke-checked via entry()) --------
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
     "scd2_user_event_history": scd2_user_event_history,
     "order_value_rank_stats": order_value_rank_stats,
-    # ===== driver window boundary (first 50 above) ===================
     # --- r04-green: rotate forward again in r06 ----------------------
     "revenue_trend_by_nation": revenue_trend_by_nation,
     "q4_late_order_priority": T.q4_late_order_priority,
