@@ -62,3 +62,25 @@ def test_local_session_behavior_unchanged(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert spark.sparkContext.master.startswith("local[")
+
+
+def test_read_events_rehardens_hostile_session_confs(spark, sf_dir):
+    """The driver hands us ITS session; read_events/read_events_stream
+    must survive a session whose nanosAsLong/timezone confs were
+    flipped after startup (harden() re-applies them per call)."""
+    from northwind_etl_spark.sources.parquet import read_events
+
+    orig_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    orig_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ev = read_events(spark, sf_dir)
+        n = ev.count()
+        assert n > 0
+        assert dict(ev.dtypes)["ts"].startswith("timestamp")
+        # idempotent: second call in the same (re-hardened) session
+        assert read_events(spark, sf_dir).count() == n
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", orig_nanos)
+        spark.conf.set("spark.sql.session.timeZone", orig_tz)
