@@ -116,3 +116,43 @@ def test_audio_stats_planted(spark):
     assert rows[3].n_samples == 0 and rows[3].sum_abs == 0 and rows[3].max_abs == 0
     # é = 0xC3 0xA9 -> 0xA9C3 = 43459 -> signed -22077
     assert rows[4].sum_abs == 22077 and rows[4].max_abs == 22077
+
+
+def test_codec_roundtrip_property(spark):
+    """Property-based: any uint8 image / int16 PCM array survives its
+    codec round-trip bit-for-bit."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from northwind_etl_spark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        gray=st.booleans(),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def png_prop(h, w, gray, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(0, 500), rate=st.sampled_from([8000, 16000, 44100]),
+           seed=st.integers(0, 2**32 - 1))
+    def wav_prop(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        d, r = decode_wav(encode_wav(s, sample_rate=rate))
+        assert r == rate and np.array_equal(d, s)
+
+    png_prop()
+    wav_prop()
