@@ -99,13 +99,22 @@ DUCK_ANCHOR = [
 
 
 def _duck_timings(sf_dir: str, reps: int) -> dict[str, float]:
-    """Median-of-reps DuckDB wall time for each anchor oracle SQL."""
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-    from oracle_harness import duck_connection
+    """Median-of-reps DuckDB wall time for each anchor oracle SQL.
+    The anchor is advisory: ANY failure (duckdb missing, unreadable
+    parquet, bad SQL) degrades to an empty/partial dict — it must never
+    cost the Spark timings already collected."""
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+        )
+        from oracle_harness import duck_connection
 
-    from northwind_etl_spark.plans.oracles import ORACLES
+        from northwind_etl_spark.plans.oracles import ORACLES
 
-    con = duck_connection(sf_dir)
+        con = duck_connection(sf_dir)
+    except Exception as ex:  # noqa: BLE001
+        print(f"# duckdb anchor unavailable: {ex}", file=sys.stderr)
+        return {}
     out: dict[str, float] = {}
     for name in DUCK_ANCHOR:
         sql = ORACLES.get(name)

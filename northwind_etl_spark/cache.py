@@ -47,10 +47,21 @@ def persist_stage(df: DataFrame) -> DataFrame:
     return df
 
 
-def _drain(from_index: int = 0) -> list[DataFrame]:
+def _drain_all() -> list[DataFrame]:
     with _LOCK:
-        drained = _TRACKED[from_index:]
-        del _TRACKED[from_index:]
+        drained = _TRACKED[:]
+        _TRACKED.clear()
+    return drained
+
+
+def _drain_except(keep_ids: set[int]) -> list[DataFrame]:
+    """Remove and return every tracked entry NOT in the identity
+    snapshot.  Identity-based (not index-based) so a concurrent
+    release_stages() during a scope cannot shift positions and leak
+    in-scope entries."""
+    with _LOCK:
+        drained = [df for df in _TRACKED if id(df) not in keep_ids]
+        _TRACKED[:] = [df for df in _TRACKED if id(df) in keep_ids]
     return drained
 
 
@@ -71,19 +82,28 @@ def release_stages() -> int:
     Blocking=False (Spark default): blocks are dropped asynchronously,
     callers don't wait on executor round-trips.
     """
-    return _unpersist_all(_drain())
+    return _unpersist_all(_drain_all())
 
 
 @contextmanager
 def stage_cache_scope() -> Iterator[None]:
     """Scope for a batch of queries over one corpus: stages persisted
     inside are released on exit.  Stages persisted BEFORE entry are
-    left alone.  Concurrent persists from OTHER threads that land
-    inside the scope are treated as part of it (the registry is a
-    process-wide resource; per-thread scoping would leak entries)."""
+    left alone (identified by handle identity, so a concurrent
+    release_stages() during the scope cannot shift the boundary).
+    Concurrent persists from OTHER threads that land inside the scope
+    are treated as part of it (the registry is a process-wide resource;
+    per-thread scoping would leak entries)."""
     with _LOCK:
-        mark = len(_TRACKED)
+        # hold the HANDLES, not just ids: keeping the snapshot alive for
+        # the scope's duration pins their id()s, so a concurrently
+        # released-and-GC'd entry can't free an id that a new in-scope
+        # DataFrame then reuses (which would misclassify it as
+        # pre-existing and leak it)
+        entry_handles = list(_TRACKED)
+    entry_ids = {id(df) for df in entry_handles}
     try:
         yield
     finally:
-        _unpersist_all(_drain(mark))
+        _unpersist_all(_drain_except(entry_ids))
+        del entry_handles

@@ -68,10 +68,10 @@ def asof_join(
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"asof_join: reserved column names in input: {sorted(clash)}")
-    dup = set(right_cols) & set(l_payload)
+    dup = set(right_cols) & (set(l_payload) | {left_time})
     if dup:
         raise ValueError(
-            f"asof_join: right_cols collide with left payload columns {sorted(dup)};"
+            f"asof_join: right_cols collide with left output columns {sorted(dup)};"
             " rename one side before joining"
         )
 

@@ -19,8 +19,8 @@ so decode → per-channel stats flow end-to-end and are oracle-checkable
 byte arithmetic.  PNG is a REAL compressed codec too — encode_png /
 decode_png below implement it on stdlib zlib (CRC-verified chunks, all
 five scanline filters on decode), so the compressed path runs without
-any codec library.  Audio is real for PCM WAV (encode_wav/decode_wav:
-RIFF chunk walk on struct alone).  Only JPEG and compressed audio
+any codec library.  Audio is real for PCM WAV (encode_wav/decode_wav on the stdlib
+`wave` module).  Only JPEG and compressed audio
 (MP3/AAC) remain environment-blocked stubs in `_decode_compressed`.
 """
 
@@ -417,51 +417,47 @@ def resize_images(images: DataFrame, *, factor: int = 2) -> DataFrame:
 
 
 # ------------------------------------------------- WAV/PCM codec (stdlib)
-# Audio needs no codec library either for uncompressed PCM: a WAV file
-# is RIFF chunks (struct) around raw little-endian samples.  16-bit
-# mono PCM covers the decode/feature-extract plumbing a real audio
-# pipeline runs; compressed audio (MP3/AAC) stays a declared stub in
-# _decode_compressed.
+# Audio needs no codec library either for uncompressed PCM: the
+# stdlib `wave` module handles RIFF framing; only the numpy int16 view
+# is ours.  16-bit mono PCM covers the decode/feature-extract plumbing
+# a real audio pipeline runs; compressed audio (MP3/AAC) stays a
+# declared stub in _decode_compressed.
 
 def encode_wav(samples: "np.ndarray", *, sample_rate: int = 8000) -> bytes:
-    """Encode int16 mono PCM samples as a canonical 44-byte-header WAV."""
-    import struct
+    """Encode int16 mono PCM samples as a canonical WAV via the stdlib
+    `wave` module (RIFF framing is its job; only the numpy↔bytes view
+    is ours)."""
+    import io
+    import wave
 
     s = np.ascontiguousarray(samples, dtype="<i2")
-    data = s.tobytes()
-    byte_rate = sample_rate * 2
-    return b"".join(
-        [
-            b"RIFF", struct.pack("<I", 36 + len(data)), b"WAVE",
-            b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16),
-            b"data", struct.pack("<I", len(data)), data,
-        ]
-    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
 
 
 def decode_wav(blob: bytes) -> tuple["np.ndarray", int]:
-    """Decode a PCM WAV: RIFF chunk walk → (int16 samples, sample_rate).
-    Only uncompressed 16-bit mono PCM (format tag 1) is supported;
-    anything else fails loudly."""
-    import struct
+    """Decode a PCM WAV via stdlib `wave` → (int16 samples, rate).
+    Only uncompressed 16-bit mono PCM is supported; the stdlib parser
+    rejects non-PCM/malformed RIFF, and we reject stereo/other widths
+    rather than silently mixing channels down."""
+    import io
+    import wave
 
-    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE file")
-    pos, rate, data = 12, None, None
-    while pos + 8 <= len(blob):
-        tag, length = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
-        payload = blob[pos + 8 : pos + 8 + length]
-        if tag == b"fmt ":
-            fmt_tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", payload[:16])
-            if fmt_tag != 1 or channels != 1 or bits != 16:
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            channels, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            if channels != 1 or width != 2:
                 raise ValueError(
-                    f"unsupported WAV (fmt={fmt_tag}, channels={channels}, bits={bits})"
+                    f"unsupported WAV (channels={channels}, sample_width={width})"
                 )
-        elif tag == b"data":
-            data = payload
-        pos += 8 + length + (length & 1)  # chunks are word-aligned
-    if rate is None or data is None:
-        raise ValueError("WAV missing fmt/data chunk")
+            data = w.readframes(w.getnframes())
+    except wave.Error as ex:  # malformed RIFF / non-PCM formats
+        raise ValueError(f"not a decodable PCM WAV: {ex}") from ex
     return np.frombuffer(data, dtype="<i2"), rate
 
 

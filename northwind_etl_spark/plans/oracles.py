@@ -1129,7 +1129,9 @@ ORACLES: dict[str, str] = {
         LIMIT 100
     """,
     # q11 shape: HAVING vs a global scalar subquery over the same
-    # grouped relation; decimal sums, double threshold compare.
+    # grouped relation; decimal sums, double threshold compare.  The
+    # cut is 2x the MEAN part value (scale-free), not a fixed share of
+    # the total (vacuously empty at larger SF).
     "q11_important_parts": """
         WITH g AS (
             SELECT l_partkey,
@@ -1144,7 +1146,7 @@ ORACLES: dict[str, str] = {
                CAST(ROUND(v, 2) AS DOUBLE) AS part_value
         FROM g
         WHERE CAST(v AS DOUBLE) >
-              0.001 * (SELECT CAST(SUM(v) AS DOUBLE) FROM g)
+              2.0 * (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM g)
         ORDER BY part_value DESC, p_partkey
     """,
     # Streaming twins, driver-checked: the STREAMING engine's output

@@ -593,13 +593,26 @@ _STREAM_SINK_SEQ = iter(range(1, 1 << 30))
 
 def _drain_stream(df: DataFrame, base_name: str, *, output_mode: str = "update") -> DataFrame:
     """availableNow-drain a streaming DataFrame into a uniquely-named
-    memory sink (repeat calls in one session must not collide) and hand
-    back the materialized batch result."""
+    memory sink (repeat calls in one session must not collide), spill
+    the result to a temp parquet dir, and FREE the sink.
+
+    Without the spill+drop, every drain leaves its full result pinned
+    in driver memory for the session lifetime (the memory sink holds
+    all rows behind the temp view) — bench reps and repeated driver
+    checks would stack whole-table copies.  The parquet hop keeps the
+    result distributed (no collect) and the returned DataFrame owns
+    its own storage."""
+    import tempfile
+
     from ..streaming.events_stream import run_available_now
 
-    return run_available_now(
-        df, f"{base_name}_{next(_STREAM_SINK_SEQ)}", output_mode=output_mode
-    )
+    name = f"{base_name}_{next(_STREAM_SINK_SEQ)}"
+    out = run_available_now(df, name, output_mode=output_mode)
+    spark = out.sparkSession
+    spill = tempfile.mkdtemp(prefix=f"drain_{base_name}_")
+    out.write.mode("overwrite").parquet(spill)
+    spark.catalog.dropTempView(name)
+    return spark.read.parquet(spill)
 
 
 def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -518,15 +518,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q11 shape (HAVING vs a global scalar subquery): per-part revenue
-    through NATION_3 suppliers, keeping parts above 0.1% of the total.
-    partsupp value is stood in by lineitem revenue, same synthesis
-    rationale as q2_min_cost_supplier.
+    through NATION_3 suppliers, keeping parts above 2× the MEAN part
+    value.  partsupp value is stood in by lineitem revenue, same
+    synthesis rationale as q2_min_cost_supplier.
 
-    The scalar total is a second aggregation OVER THE SAME grouped
-    relation, broadcast back as a 1-row join — never collected, never
-    recomputed from the fact table.  Threshold comparison happens in
-    double on both engines after exact decimal sums, so the cut cannot
-    flip on FP summation order.
+    TPC-H's fixed `0.0001/SF` fraction shrinks with scale because a
+    fixed share of the total selects nothing once the part count grows
+    (at sf0.1 the largest part here is 0.037% of the total — a fixed
+    0.1% cut returns zero rows and the oracle check degenerates to
+    empty-vs-empty).  A multiple-of-the-mean threshold is scale-free:
+    `total / n_parts` tracks SF automatically, so the cut stays
+    non-vacuous at every fixture size.
+
+    The scalar (total, count) is a second aggregation OVER THE SAME
+    grouped relation, broadcast back as a 1-row join — never collected,
+    never recomputed from the fact table.  Threshold comparison happens
+    in double on both engines after exact decimal sums, so the cut
+    cannot flip on FP summation order.
     """
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3").select("n_nationkey")
@@ -536,10 +544,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(revenue_expr().cast("decimal(38,6)")).alias("__v"))
     )
-    total = grouped.agg(F.sum("__v").cast("double").alias("__total"))
+    mean = grouped.agg(
+        (F.sum("__v").cast("double") / F.count(F.lit(1))).alias("__mean")
+    )
     return (
-        grouped.crossJoin(F.broadcast(total))
-        .where(F.col("__v").cast("double") > F.lit(0.001) * F.col("__total"))
+        grouped.crossJoin(F.broadcast(mean))
+        .where(F.col("__v").cast("double") > F.lit(2.0) * F.col("__mean"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round("__v", 2).cast("double").alias("part_value"),
