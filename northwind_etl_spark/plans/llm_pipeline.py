@@ -3,12 +3,15 @@ north-star §2b operators composed the way a real LLM data build runs
 them, each stage a lazy DataFrame plan:
 
     quality filter → near-dup dedup (MinHash+LSH → clusters → keep
-    canonical) → deterministic train/eval split → partitioned write
+    canonical) → deterministic train/eval split → train→eval
+    contamination audit → partitioned write
 
 Scale shape: quality scoring is map-only; dedup is the bounded
 LSH pipeline (operators/dedup.py); cluster resolution touches only
 docs that appear in near-dup pairs (tiny vs corpus); the split is a
-stateless hash; the write partitions by split for downstream pruning.
+stateless hash; the contamination audit builds postings on the EVAL
+side only (tiny) and streams train past them; the write partitions by
+split for downstream pruning.
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ class CorpusReport:
     n_after_dedup: int
     n_train: int
     n_eval: int
+    n_contaminated_eval: int
 
 
 def build_training_corpus(
@@ -68,8 +72,26 @@ def build_training_corpus(
     deduped = keep_canonical(filtered, clusters, "doc_id")
     n_dedup = deduped.count()
 
-    # 3. deterministic split + optional partitioned write
+    # 3. deterministic split
     labeled = hash_split(deduped, "doc_id", train_pct=train_pct)
+
+    # 4. contamination audit: eval docs sharing shingles with train are
+    # the leakage a benchmark split must not carry; near-dup dedup
+    # already removed exact/near copies, so what remains is partial
+    # overlap (quotes, boilerplate) — reported, not silently dropped,
+    # because the cut threshold is a policy decision
+    from ..operators.contamination import cross_corpus_overlap
+
+    train = labeled.where(F.col("split") == "train").select("doc_id", "text")
+    ev = labeled.where(F.col("split") == "eval").select("doc_id", "text")
+    n_contam = (
+        cross_corpus_overlap(train, ev, "text", "doc_id", min_shared=2)
+        .select("eval_id")
+        .distinct()
+        .count()
+    )
+
+    # 5. optional partitioned write
     if out_dir:
         labeled.write.mode("overwrite").partitionBy("split").parquet(out_dir)
         labeled = spark.read.parquet(out_dir)
@@ -83,4 +105,5 @@ def build_training_corpus(
         n_after_dedup=n_dedup,
         n_train=counts.get("train", 0),
         n_eval=counts.get("eval", 0),
+        n_contaminated_eval=n_contam,
     )

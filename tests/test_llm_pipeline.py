@@ -15,6 +15,8 @@ def test_build_training_corpus(spark, sf_dir):
     assert rep.n_input >= rep.n_after_quality >= rep.n_after_dedup > 0
     assert rep.n_train + rep.n_eval == rep.n_after_dedup
     assert rep.n_train > rep.n_eval  # 80/20-ish
+    # contamination audit counts a subset of eval docs, never negative
+    assert 0 <= rep.n_contaminated_eval <= rep.n_eval
     # written partitioned by split
     assert labeled.select("split").distinct().count() == 2
 
