@@ -1237,17 +1237,74 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
-# changed-this-round entries jumping to the front.  r05 window =
-# 4 never-checked + 7 new-in-r05 + 39 last-checked-r02; the overflow
-# pair (json_prop_histogram, top_users_by_value) and the r04-green
-# block rotate forward in r06 (see ROUND_NOTES.md window history).
+# changed-this-round entries jumping to the front.  r06 window =
+# the r05 overflow pair (newest row r02) + new-in-r06 entries +
+# rule-3 changed entries + 43 of the 50 r04-green entries; the 7
+# lowest-risk r04 shapes (all pytest-oracle-proven every run) defer
+# to lead the r07 window (see ROUND_NOTES.md window history).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- never driver-checked (added post-r03-rotation): front -------
+    # --- r05 overflow pair (newest driver row r02): lead the window --
+    "json_prop_histogram": json_prop_histogram,
+    "top_users_by_value": top_users_by_value,
+    # --- r04-green: staleness rotation (flagship backs entry() too) --
+    "flagship_revenue_by_nation": flagship_revenue_by_nation,
+    "asof_last_touch": asof_last_touch,
+    "session_overlap_pairs": session_overlap_pairs,
+    "scd2_user_event_history": scd2_user_event_history,
+    "order_value_rank_stats": order_value_rank_stats,
+    "revenue_trend_by_nation": revenue_trend_by_nation,
+    "q4_late_order_priority": T.q4_late_order_priority,
+    "q7_volume_shipping": T.q7_volume_shipping,
+    "q8_market_share": T.q8_market_share,
+    "q9_product_type_profit": T.q9_product_type_profit,
+    "q10_returned_items": T.q10_returned_items,
+    "q13_customer_order_counts": T.q13_customer_order_counts,
+    "q14_promo_revenue": T.q14_promo_revenue,
+    "q15_top_supplier": T.q15_top_supplier,
+    "q16_supplier_part_variety": T.q16_supplier_part_variety,
+    "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
+    "q18_large_volume_customers": T.q18_large_volume_customers,
+    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
+    "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
+    "q21_late_supplier": T.q21_late_supplier,
+    "q22_dormant_customers": T.q22_dormant_customers,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "doc_repetition_stats": doc_repetition_stats,
+    "multimodal_blob_features": multimodal_blob_features,
+    "multimodal_frame_stats": multimodal_frame_stats,
+    "multimodal_image_stats": multimodal_image_stats,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
+    "tfidf_scores": tfidf_scores,
+    "star_revenue_by_brand": star_revenue_by_brand,
+    "semi_join_active_customers": semi_join_active_customers,
+    "full_outer_nation_suppliers": full_outer_nation_suppliers,
+    "pivot_flag_by_status": pivot_flag_by_status,
+    "order_latency_by_priority": order_latency_by_priority,
+    "moving_avg_order_value": moving_avg_order_value,
+    "cube_revenue": cube_revenue,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "null_safe_join_props": null_safe_join_props,
+    "event_value_histogram": event_value_histogram,
+    "bigram_freq_top20": bigram_freq_top20,
+    "dedup_exact_docs": dedup_exact_docs,
+    # ===== driver window boundary: first 50 above ====================
+    # --- r04-green deferred to lead r07 (lowest-risk shapes, all
+    #     re-proven every pytest run via test_oracle_parity) ----------
+    "distinct_flag_status": distinct_flag_status,
+    "cross_join_flag_region": cross_join_flag_region,
+    "customer_display_names": customer_display_names,
+    "acctbal_buckets": acctbal_buckets,
+    "set_ops_brands": set_ops_brands,
+    "lang_distribution": lang_distribution,
+    "map_props_exploded": map_props_exploded,
+    # --- r05-green: demoted below the window ------------------------
     "daily_user_value_gapfill": daily_user_value_gapfill,
     "part_measures_unpivot": part_measures_unpivot,
     "sql_q21_late_supplier": sql_q21_late_supplier,
     "label_centroid_cosine": label_centroid_cosine,
-    # --- new in r05 (rotation rule 3: changed-this-round → front) ----
     "q2_min_cost_supplier": T.q2_min_cost_supplier,
     "q11_important_parts": T.q11_important_parts,
     "stream_tumbling_event_counts": stream_tumbling_event_counts,
@@ -1255,7 +1312,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_click_attribution": stream_click_attribution,
     "multimodal_png_stats": multimodal_png_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
-    # --- newest driver row is r02: due for re-check ------------------
     "approx_distinct_users": approx_distinct_users,
     "dedup_hash_docs": dedup_hash_docs,
     "train_eval_split": train_eval_split,
@@ -1295,61 +1351,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_quantity": quantiles_quantity,
     "tumbling_event_counts": tumbling_event_counts,
     "session_stats": session_stats,
-    "json_prop_histogram": json_prop_histogram,
-    "top_users_by_value": top_users_by_value,
-    # ===== driver window boundary (first 50 above; the r05 additions
-    # pushed json_prop_histogram + top_users_by_value just past it —
-    # they lead the r06 window) =======================================
-    # --- r04-green (flagship stays smoke-checked via entry()) --------
-    "flagship_revenue_by_nation": flagship_revenue_by_nation,
-    "asof_last_touch": asof_last_touch,
-    "session_overlap_pairs": session_overlap_pairs,
-    "scd2_user_event_history": scd2_user_event_history,
-    "order_value_rank_stats": order_value_rank_stats,
-    # --- r04-green: rotate forward again in r06 ----------------------
-    "revenue_trend_by_nation": revenue_trend_by_nation,
-    "q4_late_order_priority": T.q4_late_order_priority,
-    "q7_volume_shipping": T.q7_volume_shipping,
-    "q8_market_share": T.q8_market_share,
-    "q9_product_type_profit": T.q9_product_type_profit,
-    "q10_returned_items": T.q10_returned_items,
-    "q13_customer_order_counts": T.q13_customer_order_counts,
-    "q14_promo_revenue": T.q14_promo_revenue,
-    "q15_top_supplier": T.q15_top_supplier,
-    "q16_supplier_part_variety": T.q16_supplier_part_variety,
-    "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
-    "q18_large_volume_customers": T.q18_large_volume_customers,
-    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
-    "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
-    "q21_late_supplier": T.q21_late_supplier,
-    "q22_dormant_customers": T.q22_dormant_customers,
-    "doc_repetition_stats": doc_repetition_stats,
-    "multimodal_blob_features": multimodal_blob_features,
-    "multimodal_frame_stats": multimodal_frame_stats,
-    "multimodal_image_stats": multimodal_image_stats,
-    "simhash_near_dup_pairs": simhash_near_dup_pairs,
-    "minhash_near_dup_pairs": minhash_near_dup_pairs,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
-    "tfidf_scores": tfidf_scores,
-    "star_revenue_by_brand": star_revenue_by_brand,
-    "semi_join_active_customers": semi_join_active_customers,
-    "distinct_flag_status": distinct_flag_status,
-    "full_outer_nation_suppliers": full_outer_nation_suppliers,
-    "cross_join_flag_region": cross_join_flag_region,
-    "customer_display_names": customer_display_names,
-    "acctbal_buckets": acctbal_buckets,
-    "pivot_flag_by_status": pivot_flag_by_status,
-    "order_latency_by_priority": order_latency_by_priority,
-    "moving_avg_order_value": moving_avg_order_value,
-    "cube_revenue": cube_revenue,
-    "grouping_sets_revenue": grouping_sets_revenue,
-    "null_safe_join_props": null_safe_join_props,
-    "set_ops_brands": set_ops_brands,
-    "event_value_histogram": event_value_histogram,
-    "bigram_freq_top20": bigram_freq_top20,
-    "dedup_exact_docs": dedup_exact_docs,
-    "lang_distribution": lang_distribution,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "map_props_exploded": map_props_exploded,
 }
