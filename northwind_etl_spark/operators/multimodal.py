@@ -182,9 +182,14 @@ def decode_png(blob: bytes) -> "np.ndarray":
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat = 8, None, []
+    saw_iend = False
     while pos + 8 <= len(blob):
         (length,) = struct.unpack(">I", blob[pos : pos + 4])
         tag = blob[pos + 4 : pos + 8]
+        # a blob cut mid-chunk must fail the codec's ValueError contract,
+        # not leak struct.error from an undersized CRC/IHDR slice
+        if pos + 12 + length > len(blob):
+            raise ValueError("truncated PNG chunk")
         payload = blob[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
         if _z.crc32(tag + payload) & 0xFFFFFFFF != crc:
@@ -194,8 +199,11 @@ def decode_png(blob: bytes) -> "np.ndarray":
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
+    if not saw_iend:
+        raise ValueError("truncated PNG (no IEND chunk)")
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr

@@ -589,9 +589,27 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_SINK_SEQ = iter(range(1, 1 << 30))
+_SPILL_ROOT: list[str] = []
 
 
-def _drain_stream(df: DataFrame, base_name: str, *, output_mode: str = "update") -> DataFrame:
+def _spill_dir(base_name: str) -> str:
+    """Per-drain parquet spill dir under one session-scoped root that
+    is removed at interpreter exit — bench warmup + reps and repeated
+    driver checks must not accumulate full-result copies in /tmp
+    across rounds.  (The dirs can't be removed eagerly: the returned
+    DataFrame reads them lazily for its whole lifetime.)"""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SPILL_ROOT:
+        root = tempfile.mkdtemp(prefix="nes_drain_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SPILL_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=f"{base_name}_", dir=_SPILL_ROOT[0])
+
+
+def _drain_stream(df: DataFrame, base_name: str, *, output_mode: str = "complete") -> DataFrame:
     """availableNow-drain a streaming DataFrame into a uniquely-named
     memory sink (repeat calls in one session must not collide), spill
     the result to a temp parquet dir, and FREE the sink.
@@ -601,15 +619,25 @@ def _drain_stream(df: DataFrame, base_name: str, *, output_mode: str = "update")
     all rows behind the temp view) — bench reps and repeated driver
     checks would stack whole-table copies.  The parquet hop keeps the
     result distributed (no collect) and the returned DataFrame owns
-    its own storage."""
-    import tempfile
+    its own storage.
 
+    Output-mode contract (the memory sink APPENDS each micro-batch's
+    emitted rows to its table): windowed aggregations must drain in
+    ``complete`` mode — the sink then replaces the table every batch,
+    so a window updated across several micro-batches lands exactly
+    once.  In ``update`` mode the same window would land twice
+    (partial state + final state) as soon as the source splits into
+    >1 batch (multi-file input, maxFilesPerTrigger).  ``append`` is
+    for operators that emit each row exactly once (stream–stream
+    inner joins, dropDuplicatesWithinWatermark, watermark-closed
+    session windows) — correct across any batch split by
+    construction."""
     from ..streaming.events_stream import run_available_now
 
     name = f"{base_name}_{next(_STREAM_SINK_SEQ)}"
     out = run_available_now(df, name, output_mode=output_mode)
     spark = out.sparkSession
-    spill = tempfile.mkdtemp(prefix=f"drain_{base_name}_")
+    spill = _spill_dir(base_name)
     out.write.mode("overwrite").parquet(spill)
     spark.catalog.dropTempView(name)
     return spark.read.parquet(spill)
@@ -621,8 +649,9 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain to a memory sink.  The driver's oracle check makes streaming
     correctness a hash-matched fact rather than a pytest-only claim:
     the streamed aggregate must equal the batch GROUP BY date_trunc on
-    the same parquet, independent of micro-batch arrival order (update
-    mode emits each window's final state; the decimal sum makes the
+    the same parquet, independent of micro-batch arrival order and of
+    how the source splits into batches (complete-mode drain: the sink
+    holds exactly the final state table; the decimal sum makes the
     value aggregation order-independent)."""
     from ..streaming.events_stream import read_events_stream, windowed_counts_stream
 

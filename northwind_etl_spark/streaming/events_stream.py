@@ -236,8 +236,15 @@ def run_available_now(
     """Drain the stream with availableNow into a memory sink; returns
     the materialized result as a batch DataFrame (test/dev helper).
 
-    Session-window aggregations only support append mode (rows emit when
-    the watermark closes the session); plain windowed aggs use update.
+    Mode contract — the memory sink APPENDS each micro-batch's output
+    to its table, so the caller's mode choice decides multi-batch
+    correctness: windowed aggregations drain in ``complete`` (sink
+    replaces the table per batch — a window updated across batches
+    lands once, not partial+final); exactly-once emitters
+    (stream–stream inner joins, dedup, watermark-closed session
+    windows) use ``append``; ``update`` is only safe for operators
+    whose sink table is post-aggregated by the caller (e.g. monotone
+    running counts reduced with MAX) or single-batch sources.
     """
     spark = df.sparkSession
     q = (

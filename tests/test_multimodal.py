@@ -59,6 +59,13 @@ def test_png_codec_roundtrip_and_filters(spark):
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
 
+    # a blob cut mid-chunk must stay inside the ValueError contract
+    # (not leak struct.error from an undersized CRC slice)
+    whole = encode_png(a)
+    for cut in (len(whole) - 7, len(whole) // 2, 20):
+        with pytest.raises(ValueError, match="truncated|missing"):
+            decode_png(whole[:cut])
+
 
 def test_png_path_matches_ppm_path(spark, sf_dir):
     """Compressed and uncompressed renders of the same documents must

@@ -14,7 +14,7 @@ from northwind_etl_spark.streaming import events_stream as ES
 def test_windowed_counts_stream_matches_batch(spark, sf_dir):
     stream = ES.read_events_stream(spark, sf_dir)
     result = ES.run_available_now(
-        ES.windowed_counts_stream(stream), "wc_stream"
+        ES.windowed_counts_stream(stream), "wc_stream", output_mode="complete"
     ).collect()
     batch = {
         (r.window_start, r.event_type): r.n_events
