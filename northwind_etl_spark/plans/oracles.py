@@ -416,6 +416,72 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY 1
     """,
+    # Chunk grammar mirror of operators/chunking.py (chunk_size=32,
+    # stride=24): starts at token 1, 1+24, ...; both engines truncate
+    # the negative-numerator division and clamp with greatest(0, ·);
+    # list slices are 1-based and clamp past the end in DuckDB exactly
+    # like Spark's slice(arr, start, len).
+    "chunk_docs": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), spec AS (
+            SELECT doc_id, tk,
+                   1 + greatest(0, (len(tk) - 32 + 23) // 24) AS n_chunks
+            FROM toks
+        ), chunks AS (
+            SELECT doc_id, tk,
+                   CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+            FROM spec
+        )
+        SELECT doc_id, chunk_id,
+               CAST(len(tk[chunk_id*24+1 : chunk_id*24+32]) AS INT)
+                   AS n_chunk_tokens,
+               md5(array_to_string(tk[chunk_id*24+1 : chunk_id*24+32], ' '))
+                   AS chunk_md5
+        FROM chunks
+    """,
+    # Mirrors operators/redact.py (patterns valid+identical in Java
+    # regex and RE2) over the doc_id-seeded text of
+    # queries._pii_seeded_docs; counts on the original text, redaction
+    # applied in REDACTION_ORDER (email -> url -> ipv4 -> phone) with
+    # the 'g' flag matching Spark's always-global regexp_replace.
+    "pii_redaction_stats": r"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or https://ex' || CAST(doc_id AS VARCHAR)
+                        || '.com/a b node 10.1.2.' || CAST(doc_id % 256 AS VARCHAR)
+                        || ' call +1-555-'
+                        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-0199' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT)
+                   AS n_url,
+               CAST(len(regexp_extract_all(text,
+                    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT)
+                   AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT)
+                   AS n_phone,
+               md5(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       'https?://[^\s]+', '<URL>', 'g'),
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+                     '<IP>', 'g'),
+                   '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+               ) AS redacted_md5
+        FROM seeded
+    """,
     "train_eval_split": """
         SELECT doc_id,
                CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)

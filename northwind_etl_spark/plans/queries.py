@@ -734,6 +734,66 @@ def dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_hash(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunking.py) over
+    every document: one row per (doc, chunk) with the chunk's token
+    count and an md5 of its text — the hash makes the driver's value
+    check cover the exact chunk CONTENT, not just the chunk count,
+    while keeping result cells small."""
+    from ..operators.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+# Deterministic PII planted into every document from its doc_id — the
+# synthetic corpus carries no real PII, so the redaction query seeds
+# one match per family per row (same expression in the DuckDB oracle;
+# keep in sync with oracles.py::_PII_SEED_SQL).
+def _pii_seeded_docs(docs: DataFrame) -> DataFrame:
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex"),
+        F.col("doc_id").cast("string"),
+        F.lit(".com/a b node 10.1.2."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199"),
+    )
+    return docs.select("doc_id", seeded.alias("text"))
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/redact.py) driver-checked end to end:
+    per-family match counts on the original text plus an md5 of the
+    redacted text.  Each row carries one planted match per family
+    (built deterministically from doc_id) so the check is non-vacuous
+    on the synthetic corpus; the md5 pins the full redacted payload,
+    proving Java-regex and RE2 replacement agree byte-for-byte."""
+    from ..operators.redact import pii_counts, redact_pii
+
+    docs = _pii_seeded_docs(_t(spark, sf_dir, "documents"))
+    out = redact_pii(pii_counts(docs))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_url",
+        "n_ipv4",
+        "n_phone",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.text_quality(_t(spark, sf_dir, "documents"))
 
@@ -1272,6 +1332,9 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lowest-risk r04 shapes (all pytest-oracle-proven every run) defer
 # to lead the r07 window (see ROUND_NOTES.md window history).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new in r06 (never driver-checked): front --------------------
+    "chunk_docs": chunk_docs,
+    "pii_redaction_stats": pii_redaction_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
