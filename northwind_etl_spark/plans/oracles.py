@@ -1239,6 +1239,41 @@ ORACLES: dict[str, str] = {
          AND c.ts >= p.ts - INTERVAL 30 MINUTE
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
+    # Native session_window semantics, NOT the batch sessionize ones:
+    # an event's window is half-open [ts, ts+gap), so a gap of EXACTLY
+    # 30 min starts a new session (>=, where batch session_stats uses
+    # >); session_end = last event + gap; append mode emits only
+    # sessions the final watermark (max ts - 2 h) closed
+    # (session_end < watermark) — trailing sessions stay in state.
+    "stream_session_stats": """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events),
+        flagged AS (
+            SELECT *, CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts >= INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM ordered),
+        sessioned AS (
+            SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged)
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               COUNT(*) AS n_events
+        FROM sessioned
+        GROUP BY user_id, sid
+        HAVING MAX(ts) + INTERVAL 30 MINUTE <
+               (SELECT MAX(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+    "stream_user_counts": """
+        SELECT user_id, COUNT(*) AS events_seen
+        FROM events
+        GROUP BY user_id
+    """,
 }
 
 # The PNG round-trip must land on the SAME pixels as the uncompressed

@@ -692,6 +692,40 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (session_window + watermark),
+    driver-checked: gap-merged sessions per user drained with
+    availableNow in append mode.  Append emits exactly the sessions the
+    final watermark (max event time - 2 h) has closed — the oracle
+    reproduces both the native gap semantics (a gap of exactly 30 min
+    BREAKS the session: event windows are half-open [ts, ts+gap)) and
+    the emission cutoff (session_end < watermark); trailing sessions
+    stay in state by design, precisely what a restart would resume."""
+    from ..streaming.events_stream import read_events_stream, session_window_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    return _drain_stream(
+        session_window_stream(stream), "stream_sess", output_mode="append"
+    )
+
+
+def stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driver-checked:
+    running per-user event counts drained in update mode.  The memory
+    sink appends every micro-batch's updates, so a user active in k
+    batches lands k times with increasing totals — the counter is
+    monotone, so MAX per user recovers the final state regardless of
+    how the source splits into batches; the oracle is the plain batch
+    GROUP BY count."""
+    from ..streaming.events_stream import read_events_stream, running_user_counts_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    out = _drain_stream(
+        running_user_counts_stream(stream), "stream_ruc", output_mode="update"
+    )
+    return out.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))
+
+
 def json_prop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.extract_props(_t(spark, sf_dir, "events"))
     return ev.groupBy("prop_k").agg(F.count(F.lit(1)).alias("n_events"))
@@ -1335,6 +1369,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in r06 (never driver-checked): front --------------------
     "chunk_docs": chunk_docs,
     "pii_redaction_stats": pii_redaction_stats,
+    "stream_session_stats": stream_session_stats,
+    "stream_user_counts": stream_user_counts,
     # --- r05 overflow pair (newest driver row r02): lead the window --
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
