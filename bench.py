@@ -16,10 +16,11 @@ ENGINE-EXTERNAL anchor: if the whole machine slows down, both columns
 move together and the spark/duck ratio stays put — ratio drift means
 the engine changed, total drift alone means the machine did.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "sf": ..., "timing": "median_of_5", "duckdb": {...},
-   "spark_vs_duckdb": {...}}
+Prints ONE compact JSON line (driver contract keys only — short enough
+for the driver's tail capture, which truncated r05's full line):
+  {"metric":"...","value":N,"unit":"sec","queries":{...},"sf":...}
+and writes the FULL record (plus duckdb anchors and spark/duck ratios)
+to BENCH_LOCAL.json next to this script.
 """
 
 from __future__ import annotations
@@ -80,6 +81,11 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q11_important_parts",
     "stream_tumbling_event_counts",
+    # r06 additions: chunking explode, PII regex scrub, session-window
+    # streaming drain
+    "chunk_docs",
+    "pii_redaction_stats",
+    "stream_session_stats",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact
@@ -120,12 +126,18 @@ def _duck_timings(sf_dir: str, reps: int) -> dict[str, float]:
         sql = ORACLES.get(name)
         if sql is None:
             continue
+        # COUNT(*)-wrap so the anchor times ENGINE work only: .fetchall()
+        # on the raw SQL would add per-row Python materialization that
+        # the Spark column's noop sink doesn't pay, inflating the
+        # anchor inconsistently for large-result queries (fuzzy /
+        # overlap / ngram pairs)
+        counted = f"SELECT COUNT(*) FROM ({sql}) __anchor"
         try:
-            con.execute(sql).fetchall()  # warmup (buffer cache, plan)
+            con.execute(counted).fetchall()  # warmup (buffer cache, plan)
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                con.execute(sql).fetchall()
+                con.execute(counted).fetchall()
                 times.append(time.perf_counter() - t0)
             out[name] = round(statistics.median(times), 3)
         except Exception as ex:  # noqa: BLE001 - anchor is advisory, never fatal
@@ -199,7 +211,25 @@ def main() -> None:
     }
     if errors:
         record["errors"] = errors
-    print(json.dumps(record))
+
+    # Full record (anchors, ratios, errors) goes to a file; stdout gets
+    # a COMPACT line — r05's full line outgrew the driver's tail
+    # capture and truncated from the front ("parsed": null, two query
+    # timings lost).  The stdout line keeps the driver contract keys
+    # (metric/value/unit/queries/sf) with compact separators and leaves
+    # the anchor maps to the file.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(local_path, "w") as fh:
+        json.dump(record, fh, indent=1)
+        fh.write("\n")
+    stdout_line = {
+        k: record[k] for k in ("metric", "value", "unit", "queries", "sf", "timing")
+    }
+    if errors:
+        stdout_line["errors"] = errors
+    print(json.dumps(stdout_line, separators=(",", ":")))
     spark.stop()
 
 

@@ -34,6 +34,7 @@ def scd2_history(
     ts_col: str,
     attr_cols: Sequence[str],
     collapse_unchanged: bool = False,
+    collapse_bucket: str | None = None,
 ) -> DataFrame:
     """Versioned history from change events.
 
@@ -42,12 +43,39 @@ def scd2_history(
     the open current version.  Ties on (key, ts) must be pre-resolved
     (one change per key per timestamp) — same precondition as any SCD2
     load.
-    """
+
+    Hot-key mitigation: with ``collapse_bucket`` (a window duration,
+    e.g. ``"1 day"``; requires ``collapse_unchanged``), unchanged runs
+    are first collapsed INSIDE each (key, tumbling-bucket) partition —
+    buckets of one hot key spread across tasks, unlike the final keyed
+    window.  Exact because run-collapse is locally computable and
+    idempotent: dropping a row that equals its in-bucket predecessor
+    never moves a run's first row (each bucket's first row is kept, and
+    a run crossing the bucket boundary is re-collapsed by the global
+    pass, which compares the previous bucket's LAST kept row — whose
+    attrs equal its last actual row's attrs — against the next
+    bucket's first).  The global window's input shrinks from the hot
+    key's change count to (#true changes + #non-empty buckets); when
+    duplicate states dominate — the collapse_unchanged regime — the
+    straggler disappears.  Without collapse semantics every change row
+    IS a version, the output itself is per-key-linear, and no
+    pre-aggregation can shrink it."""
     key_cols, attr_cols = list(key_cols), list(attr_cols)
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
     df = changes
+    if collapse_bucket is not None and not collapse_unchanged:
+        raise ValueError("collapse_bucket requires collapse_unchanged=True")
     if collapse_unchanged:
         attrs = F.struct(*[F.col(c) for c in attr_cols])
+        if collapse_bucket is not None:
+            bw = Window.partitionBy(
+                *key_cols, F.window(F.col(ts_col), collapse_bucket)
+            ).orderBy(F.col(ts_col).asc())
+            df = (
+                df.withColumn("__prev_b", F.lag(attrs).over(bw))
+                .where(F.col("__prev_b").isNull() | (F.col("__prev_b") != attrs))
+                .drop("__prev_b")
+            )
         df = (
             df.withColumn("__prev", F.lag(attrs).over(w))
             .where(F.col("__prev").isNull() | (F.col("__prev") != attrs))

@@ -48,13 +48,67 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    pre_aggregate: bool = True,
 ) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap to
     the previous event exceeds `gap_minutes`.  Returns one row per
-    session with start/end, event count, and value sum."""
+    session with start/end, event count, and value sum.
+
+    Hot-key mitigation (default on): the keyed window is the one shape
+    AQE cannot split — a user holding 10% of a 100 TB stream lands its
+    entire history in ONE task.  ``pre_aggregate`` collapses events to
+    one summary row per (user, gap-width tumbling bucket) FIRST — a
+    hash aggregation with map-side combine, skew-absorbing — then runs
+    the lag→flag→cumsum on bucket summaries.  Exact, not approximate:
+    any two events inside one half-open gap-width bucket are < gap
+    apart, so a session can only break BETWEEN buckets, where the true
+    inter-event gap is precisely next.min_ts − prev.max_ts; counts and
+    decimal partial sums re-aggregate associatively.  The straggler
+    task's input shrinks from the hot user's event count to its
+    non-empty bucket count — bounded by time-range/gap (a year of
+    30-min buckets is ≤17.5 k rows) regardless of event volume.
+    Equality with the direct path is pinned by tests/test_operators.py
+    and the sf0.001/sf0.01 driver oracle; the skew probe table in
+    PLANS.md quantifies the straggler effect both ways."""
+    gap = F.expr(f"INTERVAL '{int(gap_minutes)}' MINUTE")
+    if pre_aggregate:
+        pre = (
+            events.groupBy(
+                F.col(user_col),
+                F.window(F.col(ts_col), f"{int(gap_minutes)} minutes").alias("__b"),
+            )
+            .agg(
+                F.min(ts_col).alias("__min_ts"),
+                F.max(ts_col).alias("__max_ts"),
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("__v"),
+            )
+            .drop("__b")
+        )
+        # bucket min_ts values are distinct per user (buckets are
+        # disjoint), so no id tie-break is needed for determinism
+        w = Window.partitionBy(user_col).orderBy(F.col("__min_ts"))
+        flagged = pre.withColumn("__prev_max", F.lag("__max_ts").over(w)).withColumn(
+            "__new_session",
+            (
+                F.col("__prev_max").isNull()
+                | ((F.col("__min_ts") - F.col("__prev_max")) > gap)
+            ).cast("int"),
+        )
+        cum = Window.partitionBy(user_col).orderBy(F.col("__min_ts")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        sessioned = flagged.withColumn(
+            "session_id", F.sum("__new_session").over(cum).cast("int")
+        )
+        return sessioned.groupBy(user_col, "session_id").agg(
+            F.min("__min_ts").alias("session_start"),
+            F.max("__max_ts").alias("session_end"),
+            F.sum("__n").alias("n_events"),
+            F.round(F.sum("__v"), 2).cast("double").alias("sum_value"),
+        )
     order = [F.col(ts_col), F.col(id_col)]  # id breaks same-µs ties deterministically
     w = Window.partitionBy(user_col).orderBy(*order)
-    gap = F.expr(f"INTERVAL '{int(gap_minutes)}' MINUTE")
     flagged = events.withColumn("__prev_ts", F.lag(ts_col).over(w)).withColumn(
         "__new_session",
         (

@@ -1202,6 +1202,10 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         attr_cols=["event_type"],
         collapse_unchanged=True,
+        # hot-key mitigation: in-bucket run-collapse spreads a hot
+        # user's rows across tasks before the keyed window (exact;
+        # see operators/scd2.py)
+        collapse_bucket="1 day",
     )
 
 
@@ -1371,6 +1375,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
     "stream_user_counts": stream_user_counts,
+    # --- rule 3: implementation changed in r06 (hot-key mitigation) --
+    "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
@@ -1478,5 +1484,4 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_lineitem": profile_lineitem,
     "quantiles_quantity": quantiles_quantity,
     "tumbling_event_counts": tumbling_event_counts,
-    "session_stats": session_stats,
 }
