@@ -209,9 +209,16 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → exact
     Jaccard verify on the candidate pairs only.
+
+    ``max_bucket`` is forwarded to the candidate stage: on
+    boilerplate-heavy corpora many documents share band buckets, and
+    the cap bounds per-bucket pair expansion at the cost of recall
+    inside degenerate buckets (measured by the dedup_hot probe table
+    in PLANS.md).
 
     Verification joins the (small) candidate-pair set against per-doc
     shingle *arrays* and computes |∩| with array_intersect — two joins
@@ -240,7 +247,8 @@ def minhash_near_duplicates(
     # standard cost of a multi-consumer pipeline stage, far below
     # re-tokenizing the corpus twice more.
     cands = lsh_candidate_pairs(
-        sigs.select(id_col, "signature"), id_col, bands=bands, num_hashes=num_hashes
+        sigs.select(id_col, "signature"), id_col, bands=bands,
+        num_hashes=num_hashes, max_bucket=max_bucket,
     )
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))

@@ -95,6 +95,10 @@ def main() -> None:
         _temporal_section(spark, sf_dir, factor)
     if _want("skew"):
         _skew_section(spark, sf_dir, factor)
+    if _want("dedup_hot"):
+        _dedup_hot_section(spark, sf_dir, factor)
+    if _want("emb_hot"):
+        _emb_hot_section(spark, sf_dir, factor)
     if _want("q1_shape"):
         _li_section(spark, sf_dir, factor)
     spark.stop()
@@ -131,6 +135,140 @@ def _docs_section(spark, sf_dir, factor):
         "contamination_check",
         lambda: cross_corpus_overlap(train, ev, "text", "doc_id", min_shared=2).count(),
     )
+
+
+_BOILER = " ".join(f"corp legal header clause b{i} standard notice" for i in range(10))
+_TWIN_OFF = 700_000_000
+
+
+def _dedup_hot_section(spark, sf_dir, factor):
+    """Hot-bucket probe for the near-dup family: a boilerplate-heavy
+    corpus (30% of docs share one 60-token prefix) drives many docs
+    into the SAME MinHash/SimHash band buckets — the degenerate-bucket
+    pathology max_bucket exists for.  Records runtime, emitted pairs,
+    and planted-twin recall per (variant, cap) so the cap's cost/recall
+    trade-off is measured, not assumed.
+
+    Planted twins: every 89th doc gets a copy (id + 7e8) with its last
+    token dropped — near-identical under shingling.  Twins are planted
+    AFTER the boilerplate prefix, so in the boiler variant ~30% of
+    planted pairs also sit inside the hot buckets where capping can
+    cost recall.
+    """
+    base = replicate(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"),
+        factor, "doc_id", 10_000_000, variant=_doc_variant,
+    )
+    for variant in ("clean", "boiler"):
+        docs = base
+        if variant == "boiler":
+            docs = docs.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 10 < 3,
+                    F.concat(F.lit(_BOILER + " "), F.col("text")),
+                ).otherwise(F.col("text")),
+            )
+        seeds = docs.where(F.col("doc_id") % 89 == 0)
+        twins = seeds.select(
+            (F.col("doc_id") + _TWIN_OFF).alias("doc_id"),
+            F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+        )
+        corpus = docs.unionByName(twins).persist()
+        n = corpus.count()
+        expected = seeds.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + _TWIN_OFF).alias("id_b"),
+        ).persist()
+        n_planted = expected.count()
+        print(json.dumps({
+            "probe": f"dedup_hot_corpus_{variant}", "factor": factor,
+            "docs": n, "planted": n_planted,
+        }))
+
+        caps = (64, 256, 1024) if variant == "boiler" else (256,)
+        for cap in caps:
+            pairs = D.minhash_near_duplicates(
+                corpus, "text", "doc_id", threshold=0.5, max_bucket=cap
+            ).persist()
+            rec = timed(f"dedup_hot_minhash_{variant}_cap{cap}", pairs.count)
+            if not rec.get("skipped"):
+                found = pairs.join(expected, ["id_a", "id_b"]).count()
+                print(json.dumps({
+                    "probe": f"dedup_hot_minhash_{variant}_cap{cap}_recall",
+                    "recall": round(found / max(n_planted, 1), 4),
+                }))
+            pairs.unpersist()
+
+        pairs = D.simhash_near_duplicates(
+            corpus, "text", "doc_id", max_hamming=3
+        ).persist()
+        rec = timed(f"dedup_hot_simhash_{variant}", pairs.count)
+        if not rec.get("skipped"):
+            found = pairs.join(expected, ["id_a", "id_b"]).count()
+            print(json.dumps({
+                "probe": f"dedup_hot_simhash_{variant}_recall",
+                "recall": round(found / max(n_planted, 1), 4),
+            }))
+        pairs.unpersist()
+        corpus.unpersist()
+        expected.unpersist()
+
+
+def _emb_hot_section(spark, sf_dir, factor):
+    """Embedding near-dup under a degenerate LSH bucket: 10% of vectors
+    replaced by ONE constant vector, so every band funnels them into a
+    single bucket.  The cap turns an O((0.1 n)²) pair explosion into
+    O(max_bucket²) per bucket; planted identical twins measure what
+    recall the cap costs among the NON-degenerate vectors."""
+    import math
+
+    const_vec = F.array(*[F.lit(math.sin(i + 1)) for i in range(64)])
+    base = replicate(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding"),
+        factor, "vec_id", 10_000_000, variant=_vec_variant,
+    )
+    for variant in ("clean", "hot"):
+        emb = base
+        if variant == "hot":
+            emb = emb.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 10 == 0, const_vec).otherwise(
+                    F.col("embedding")
+                ),
+            )
+        seeds = emb.where((F.col("vec_id") % 89 == 0) & (F.col("vec_id") % 10 != 0))
+        twins = seeds.select(
+            (F.col("vec_id") + _TWIN_OFF).alias("vec_id"), "embedding"
+        )
+        corpus = emb.unionByName(twins).persist()
+        n = corpus.count()
+        expected = seeds.select(
+            F.col("vec_id").alias("id_a"),
+            (F.col("vec_id") + _TWIN_OFF).alias("id_b"),
+        ).persist()
+        n_planted = expected.count()
+        print(json.dumps({
+            "probe": f"emb_hot_corpus_{variant}", "factor": factor,
+            "vecs": n, "planted": n_planted,
+        }))
+        caps = (256, 1024) if variant == "hot" else (256,)
+        for cap in caps:
+            pairs = V.embedding_near_duplicates(
+                corpus, dim=64, threshold=0.95, max_bucket=cap
+            ).persist()
+            rec = timed(f"emb_hot_neardup_{variant}_cap{cap}", pairs.count)
+            if not rec.get("skipped"):
+                found = pairs.select("id_a", "id_b").join(
+                    expected, ["id_a", "id_b"]
+                ).count()
+                print(json.dumps({
+                    "probe": f"emb_hot_neardup_{variant}_cap{cap}_recall",
+                    "recall": round(found / max(n_planted, 1), 4),
+                }))
+            pairs.unpersist()
+        corpus.unpersist()
+        expected.unpersist()
 
 
 def _emb_section(spark, sf_dir, factor):
@@ -284,12 +422,62 @@ def _skew_section(spark, sf_dir, factor):
                 collapse_unchanged=True,
             ).count()
 
+        def scd2_bucketed(e=ev):
+            return scd2_history(
+                e.groupBy("user_id", "ts").agg(F.max("event_type").alias("event_type")),
+                key_cols=["user_id"], ts_col="ts", attr_cols=["event_type"],
+                collapse_unchanged=True, collapse_bucket="1 day",
+            ).count()
+
+        # snapshot-style attribute (changes ~weekly): the regime
+        # collapse_unchanged exists for — here the bucket pre-collapse
+        # can actually shrink the hot key's window input (event_type
+        # changes nearly every row, so the probes above measure the
+        # irreducible every-row-is-a-version regime instead)
+        snap = ev.groupBy("user_id", "ts").agg(
+            F.date_trunc("week", F.max("ts")).cast("string").alias("state")
+        )
+
+        def scd2_snap_direct(s=snap):
+            return scd2_history(
+                s, key_cols=["user_id"], ts_col="ts", attr_cols=["state"],
+                collapse_unchanged=True,
+            ).count()
+
+        def scd2_snap_bucketed(s=snap):
+            return scd2_history(
+                s, key_cols=["user_id"], ts_col="ts", attr_cols=["state"],
+                collapse_unchanged=True, collapse_bucket="1 day",
+            ).count()
+
+        # the r06 mitigation pair: the same sessionization with the
+        # keyed window fed raw events (direct) vs gap-width bucket
+        # summaries (preagg) — the hot/uniform ratio of each path at
+        # growing factors is the straggler evidence in PLANS.md
+        def sess_direct(e=ev):
+            return sessionize(
+                e.withColumn("value", F.lit(1.0)), gap_minutes=30,
+                pre_aggregate=False,
+            ).count()
+
+        def sess_preagg(e=ev):
+            return sessionize(
+                e.withColumn("value", F.lit(1.0)), gap_minutes=30,
+                pre_aggregate=True,
+            ).count()
+
         # warmup before timing: the uniform variant runs first in a cold
         # JVM and would otherwise absorb all codegen/broadcast setup,
         # flattering the hot variant's ratio
-        overlap(), scd2()
+        overlap(), scd2(), scd2_bucketed(), sess_direct(), sess_preagg()
+        scd2_snap_direct(), scd2_snap_bucketed()
         timed(f"skew_{variant}_session_overlap", overlap)
         timed(f"skew_{variant}_scd2", scd2)
+        timed(f"skew_{variant}_scd2_bucketed", scd2_bucketed)
+        timed(f"skew_{variant}_scd2_snap_direct", scd2_snap_direct)
+        timed(f"skew_{variant}_scd2_snap_bucketed", scd2_snap_bucketed)
+        timed(f"skew_{variant}_sessionize_direct", sess_direct)
+        timed(f"skew_{variant}_sessionize_preagg", sess_preagg)
         ev.unpersist()
 
 
