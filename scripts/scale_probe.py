@@ -252,7 +252,10 @@ def _emb_hot_section(spark, sf_dir, factor):
             "probe": f"emb_hot_corpus_{variant}", "factor": factor,
             "vecs": n, "planted": n_planted,
         }))
-        caps = (256, 1024) if variant == "hot" else (256,)
+        default_caps = "256,1024" if variant == "hot" else "256"
+        caps = [
+            int(c) for c in os.environ.get("PROBE_EMB_CAPS", default_caps).split(",")
+        ]
         for cap in caps:
             pairs = V.embedding_near_duplicates(
                 corpus, dim=64, threshold=0.95, max_bucket=cap
