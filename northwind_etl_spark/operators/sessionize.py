@@ -41,6 +41,39 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    *,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window counts per event_type: each event lands in
+    duration/slide overlapping windows (F.window with a slide).
+
+    Scale shape: the window expression EXPANDS each row into its
+    duration/slide windows before the hash aggregation — a constant
+    fan-out absorbed by map-side combine, then one shuffle on
+    (window, event_type), same as the tumbling path.  Epoch-aligned
+    window starts keep the result engine-reproducible (the oracle
+    generates the same k-offset spine)."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), duration, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     *,

@@ -351,6 +351,18 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    # Sliding windows: every event belongs to the 4 slide-aligned
+    # window starts in (ts - 1 h, ts]; time_bucket's 2000-01-03 origin
+    # is a whole number of days from the epoch, so 15-minute buckets
+    # align with Spark's epoch-aligned F.window starts exactly.
+    "sliding_event_counts": f"""
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                 - (k * INTERVAL '15 minutes') AS window_start,
+               event_type,
+               COUNT(*) AS n_events, {_dsum("value", "sum_value")}
+        FROM events, generate_series(0, 3) AS t(k)
+        GROUP BY 1, 2
+    """,
     "session_stats": f"""
         WITH ordered AS (
             SELECT user_id, event_id, ts, value,

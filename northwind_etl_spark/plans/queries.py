@@ -588,6 +588,16 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window, 15 min slide): every event counted
+    in 4 overlapping windows.  The oracle rebuilds the same window set
+    with a k-offset spine over slide-aligned buckets — window starts
+    are epoch-aligned in both engines."""
+    return S.sliding_counts(
+        _t(spark, sf_dir, "events"), duration="1 hour", slide="15 minutes"
+    )
+
+
 _STREAM_SINK_SEQ = iter(range(1, 1 << 30))
 _SPILL_ROOT: list[str] = []
 
@@ -1375,6 +1385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
     "stream_user_counts": stream_user_counts,
+    "sliding_event_counts": sliding_event_counts,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1423,10 +1434,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_safe_join_props": null_safe_join_props,
     "event_value_histogram": event_value_histogram,
     "bigram_freq_top20": bigram_freq_top20,
-    "dedup_exact_docs": dedup_exact_docs,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "dedup_exact_docs": dedup_exact_docs,
     "distinct_flag_status": distinct_flag_status,
     "cross_join_flag_region": cross_join_flag_region,
     "customer_display_names": customer_display_names,

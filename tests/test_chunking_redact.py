@@ -80,6 +80,16 @@ def test_chunk_stride_validation(spark):
         chunk_documents(df, chunk_size=8, stride=9)
 
 
+def test_chunk_and_redact_plans_are_map_only(spark, sf_dir):
+    """Scale claim, locked: both r06 text operators are one linear
+    scan — no Exchange (shuffle) anywhere in either plan."""
+    from northwind_etl_spark.plans.queries import chunk_docs, pii_redaction_stats
+
+    for fn in (chunk_docs, pii_redaction_stats):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, fn.__name__
+
+
 def test_pii_counts_and_redaction_planted(spark):
     df = _docs(
         spark,

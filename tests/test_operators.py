@@ -115,3 +115,30 @@ def test_shingles_and_rolling_hash(spark):
     for c in "a b c d":
         expected = (expected * 31 + ord(c)) % 1_000_000_007
     assert h[0].h == expected
+
+
+def test_sliding_counts_window_membership(spark):
+    """Each event lands in exactly duration/slide windows; counts per
+    window match a hand-computed membership on planted timestamps."""
+    import datetime as dt
+
+    from northwind_etl_spark.operators.sessionize import sliding_counts
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)   # slide-aligned
+    t1 = dt.datetime(2024, 3, 1, 12, 7, 0)   # inside 12:00 bucket
+    t2 = dt.datetime(2024, 3, 1, 12, 59, 59)
+    ev = spark.createDataFrame(
+        [(1, t0, "click", 1.0), (2, t1, "click", 1.0), (3, t2, "click", 1.0)],
+        "event_id LONG, ts TIMESTAMP_NTZ, event_type STRING, value DOUBLE",
+    )
+    rows = sliding_counts(ev, duration="1 hour", slide="15 minutes").collect()
+    got = {r.window_start: r.n_events for r in rows}
+    # every event in exactly 4 windows
+    assert sum(got.values()) == 12
+    # t0 and t1 share their 4 windows (same slide bucket); the window
+    # starting 12:00 contains all three events
+    assert got[dt.datetime(2024, 3, 1, 12, 0, 0)] == 3
+    # the window starting 11:15 contains only t0/t1
+    assert got[dt.datetime(2024, 3, 1, 11, 15, 0)] == 2
+    # the window starting 12:45 contains only t2
+    assert got[dt.datetime(2024, 3, 1, 12, 45, 0)] == 1
