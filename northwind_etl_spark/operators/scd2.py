@@ -92,3 +92,59 @@ def scd2_history(
         F.row_number().over(w).alias("version"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
+
+
+def scd2_merge(
+    history: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    collapse_unchanged: bool = False,
+    collapse_bucket: str | None = None,
+) -> DataFrame:
+    """Incremental SCD2 upsert: merge a CDC delta into an existing
+    history so the result EQUALS ``scd2_history`` over the full change
+    stream — while recomputing only the keys the delta touches.
+
+    The incremental contract a 100 TB dimension needs: a daily delta
+    touches a small fraction of keys, so rebuilding the whole history
+    (shuffle + window over every key's every version) is the one cost
+    that cannot be paid per-load.  Here untouched keys' history rows
+    pass through without a window (one anti-join), and only the
+    affected keys replay: their versions fold back into change rows
+    (eff_from, attrs) — which, because SCD2 versions ARE the collapsed
+    change stream, reconstruct that key's exact input — union with the
+    delta, and re-run the standard build.  Cost scales with
+    |affected keys' history| + |delta|, not |history|.
+
+    Exactness: with ``collapse_unchanged=False`` every original change
+    survives as a version, so replay ∪ delta is literally the full
+    stream for affected keys — the merge equals the full rebuild for
+    ANY delta, including late (out-of-order) changes.  With
+    ``collapse_unchanged=True`` runs were collapsed, so a late change
+    landing INSIDE a collapsed run cannot resurrect the run's dropped
+    rows; the merge is exact for append-only deltas (each key's new
+    changes at ts > that key's last eff_from) — the normal CDC regime.
+    Equality with the full rebuild is pinned in
+    tests/test_skew_mitigation.py for both regimes.
+
+    Ties on (key, ts) between replayed history and delta violate the
+    same one-change-per-(key, ts) precondition as scd2_history.
+    """
+    key_cols, attr_cols = list(key_cols), list(attr_cols)
+    keys = changes.select(*key_cols).distinct()
+    affected = history.join(keys, key_cols, "leftsemi")
+    untouched = history.join(keys, key_cols, "leftanti")
+    replay = affected.select(*key_cols, *attr_cols, F.col("eff_from").alias(ts_col))
+    merged = replay.unionByName(changes.select(*key_cols, *attr_cols, ts_col))
+    rebuilt = scd2_history(
+        merged,
+        key_cols=key_cols,
+        ts_col=ts_col,
+        attr_cols=attr_cols,
+        collapse_unchanged=collapse_unchanged,
+        collapse_bucket=collapse_bucket,
+    )
+    return untouched.unionByName(rebuilt)

@@ -1293,6 +1293,11 @@ ORACLES: dict[str, str] = {
 # either encode_png or decode_png shows up as a sum divergence here.
 ORACLES["multimodal_png_stats"] = ORACLES["multimodal_image_stats"]
 
+# The incremental CDC merge must reproduce the full rebuild exactly —
+# one history, two build paths, one oracle.  Any divergence in the
+# replay/anti-join/renumber logic shows up as a hash mismatch here.
+ORACLES["scd2_incremental_merge"] = ORACLES["scd2_user_event_history"]
+
 # WAV path: samples are byte pairs of the utf-8 text, little-endian
 # signed int16 (odd tail byte dropped) — pure byte arithmetic, so the
 # oracle rebuilds every sample and the codec round-trip must agree.

@@ -1219,6 +1219,32 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 upsert (operators/scd2.py::scd2_merge),
+    driver-checked against the FULL-rebuild oracle: the event stream is
+    split at a date boundary, the first slice builds the initial
+    history, the remainder merges in as a CDC delta — and the merged
+    result must hash-match scd2_history over the whole stream (same
+    oracle SQL as scd2_user_event_history).  Only delta-touched keys
+    are recomputed; untouched keys' rows pass through join-pruned."""
+    from ..operators.scd2 import scd2_history, scd2_merge
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.groupBy("user_id", "ts").agg(
+        F.max_by("event_type", "event_id").alias("event_type")
+    )
+    cut = F.lit("2024-01-20").cast("timestamp_ntz")
+    kw = dict(
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        collapse_unchanged=True,
+        collapse_bucket="1 day",
+    )
+    initial = scd2_history(changes.where(F.col("ts") < cut), **kw)
+    return scd2_merge(initial, changes.where(F.col("ts") >= cut), **kw)
+
+
 def order_value_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window surface: percent_rank / cume_dist / ntile(10) of
     order value within each priority class.  The order-by carries
@@ -1386,6 +1412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session_stats": stream_session_stats,
     "stream_user_counts": stream_user_counts,
     "sliding_event_counts": sliding_event_counts,
+    "scd2_incremental_merge": scd2_incremental_merge,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1432,11 +1459,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_revenue": cube_revenue,
     "grouping_sets_revenue": grouping_sets_revenue,
     "null_safe_join_props": null_safe_join_props,
-    "event_value_histogram": event_value_histogram,
     "bigram_freq_top20": bigram_freq_top20,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "event_value_histogram": event_value_histogram,
     "dedup_exact_docs": dedup_exact_docs,
     "distinct_flag_status": distinct_flag_status,
     "cross_join_flag_region": cross_join_flag_region,

@@ -124,3 +124,51 @@ def test_scd2_collapse_bucket_requires_collapse(spark):
             changes, key_cols=["k"], ts_col="ct", attr_cols=["attr"],
             collapse_bucket="1 day",
         )
+
+
+def _full_hist_key(rows):
+    return sorted(
+        (r.user_id, r.event_type, r.eff_from, r.eff_to, r.version, r.is_current)
+        for r in rows
+    )
+
+
+def test_scd2_merge_equals_full_rebuild_on_events(spark, sf_dir):
+    """Append-only CDC merge == full rebuild, collapse regime."""
+    from northwind_etl_spark.operators.scd2 import scd2_history, scd2_merge
+
+    ev = read_events(spark, sf_dir)
+    changes = ev.groupBy("user_id", "ts").agg(
+        F.max_by("event_type", "event_id").alias("event_type")
+    )
+    cut = F.lit("2024-01-20").cast("timestamp_ntz")
+    kw = dict(key_cols=["user_id"], ts_col="ts", attr_cols=["event_type"],
+              collapse_unchanged=True, collapse_bucket="1 day")
+    initial = scd2_history(changes.where(F.col("ts") < cut), **kw)
+    merged = scd2_merge(initial, changes.where(F.col("ts") >= cut), **kw)
+    full = scd2_history(changes, **kw)
+    assert _full_hist_key(merged.collect()) == _full_hist_key(full.collect())
+
+
+def test_scd2_merge_late_data_without_collapse(spark):
+    """Without collapse, the merge is exact even for out-of-order
+    deltas (late changes landing between existing versions)."""
+    from northwind_etl_spark.operators.scd2 import scd2_history, scd2_merge
+
+    d = dt.timedelta
+    first = [(1, T0, "A"), (1, T0 + d(days=2), "B"), (2, T0, "X")]
+    late = [(1, T0 + d(days=1), "C"),          # between A and B
+            (3, T0 + d(days=1), "N")]           # brand-new key
+    kw = dict(key_cols=["k"], ts_col="ct", attr_cols=["attr"])
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k LONG, ct TIMESTAMP_NTZ, attr STRING"
+    )
+    merged = scd2_merge(scd2_history(mk(first), **kw), mk(late), **kw)
+    full = scd2_history(mk(first + late), **kw)
+    key = lambda rows: sorted(  # noqa: E731
+        (r.k, r.attr, r.eff_from, r.eff_to, r.version, r.is_current) for r in rows
+    )
+    assert key(merged.collect()) == key(full.collect())
+    # untouched key 2 kept its row; key 1 renumbered A,C,B
+    k1 = sorted((r.version, r.attr) for r in merged.where("k = 1").collect())
+    assert k1 == [(1, "A"), (2, "C"), (3, "B")]
