@@ -49,16 +49,27 @@ def asof_join(
     right_time: str,
     right_cols: Sequence[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join, backward (default) or forward.
 
-    Returns all left columns plus `right_cols` taken from the most
-    recent right row (right_time <= left_time) sharing the `on` keys;
-    NULLs when no prior right row exists (how='left') or the left row
-    dropped (how='inner').
+    Backward: all left columns plus `right_cols` taken from the most
+    recent right row (right_time <= left_time) sharing the `on` keys.
+    Forward (`direction="forward"`): from the NEXT right row
+    (right_time >= left_time) — "earliest subsequent state" (next
+    shipment after an order, next price tick after a quote).  Both
+    inclusive at equal timestamps, matching DuckDB's `ASOF JOIN` with
+    `>=` / `<=` respectively; the forward pass is the same one-shuffle
+    union+window shape with the time sort reversed.  NULLs when no
+    matching right row exists (how='left') or the left row dropped
+    (how='inner').
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     on = list(on)
     right_cols = [c for c in right_cols if c not in on]
     l_payload = [c for c in left.columns if c not in on and c != left_time]
@@ -94,10 +105,18 @@ def asof_join(
         F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     # rights (0) before lefts (1) at equal __t ⇒ inclusive match;
-    # NULL left times sort first and therefore match nothing.
+    # NULL left times sort FIRST in both directions (desc_nulls_first
+    # on the forward pass) and therefore match nothing.  forward =
+    # identical pass over time reversed: the running last(ignorenulls)
+    # then carries the NEXT right row backward.
+    t_order = (
+        F.col("__t").asc()
+        if direction == "backward"
+        else F.col("__t").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
+        .orderBy(t_order, F.col("__is_l").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = lu.unionByName(ru).withColumn(

@@ -803,6 +803,23 @@ ORACLES: dict[str, str] = {
         FROM p ASOF LEFT JOIN touches t
           ON p.user_id = t.user_id AND p.ts >= t.touch_ts
     """,
+    # forward twin: nearest touch AT OR AFTER the purchase (<=)
+    "asof_next_touch": """
+        WITH touches AS (
+            SELECT user_id, ts AS touch_ts,
+                   MAX(event_id) AS touch_event_id,
+                   max_by(event_type, event_id) AS touch_type
+            FROM events
+            WHERE event_type <> 'purchase'
+            GROUP BY user_id, ts),
+        p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase')
+        SELECT p.user_id, p.ts, p.event_id,
+               t.touch_ts, t.touch_event_id, t.touch_type
+        FROM p ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.ts <= t.touch_ts
+    """,
     # session_overlap_pairs: the binned interval-overlap join vs a plain
     # inequality self-join over the SAME session CTE as session_stats.
     "session_overlap_pairs": """

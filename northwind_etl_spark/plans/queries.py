@@ -1219,6 +1219,37 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_next_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: attribute each purchase to the user's next
+    subsequent non-purchase touch (inclusive at equal timestamps) —
+    the post-purchase-behavior twin of asof_last_touch, checked against
+    DuckDB's native `ASOF LEFT JOIN ... ON p.ts <= t.touch_ts`."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .select("user_id", F.col("ts").alias("touch_ts"), "event_id", "event_type")
+        .groupBy("user_id", "touch_ts")
+        .agg(
+            F.max("event_id").alias("touch_event_id"),
+            F.max_by("event_type", "event_id").alias("touch_type"),
+        )
+    )
+    return asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_time="ts",
+        right_time="touch_ts",
+        right_cols=["touch_ts", "touch_event_id", "touch_type"],
+        direction="forward",
+    )
+
+
 def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 upsert (operators/scd2.py::scd2_merge),
     driver-checked against the FULL-rebuild oracle: the event stream is
@@ -1413,6 +1444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_user_counts": stream_user_counts,
     "sliding_event_counts": sliding_event_counts,
     "scd2_incremental_merge": scd2_incremental_merge,
+    "asof_next_touch": asof_next_touch,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1459,10 +1491,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_revenue": cube_revenue,
     "grouping_sets_revenue": grouping_sets_revenue,
     "null_safe_join_props": null_safe_join_props,
-    "bigram_freq_top20": bigram_freq_top20,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "bigram_freq_top20": bigram_freq_top20,
     "event_value_histogram": event_value_histogram,
     "dedup_exact_docs": dedup_exact_docs,
     "distinct_flag_status": distinct_flag_status,

@@ -264,3 +264,40 @@ def test_scd2_single_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1 and "Join" not in plan
+
+
+def test_asof_forward_planted(spark):
+    """Forward direction: each left matches the nearest right AT OR
+    AFTER its time; ties inclusive; no subsequent right -> NULL."""
+    import datetime as dt
+
+    from northwind_etl_spark.operators.asof import asof_join
+
+    t = lambda m: dt.datetime(2024, 3, 1, 12, m, 0)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(0), "l0"), (1, t(10), "l1"), (1, t(40), "l2"), (2, t(5), "l3")],
+        "k LONG, ts TIMESTAMP_NTZ, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), "r_at_10"), (1, t(30), "r_at_30")],
+        "k LONG, rts TIMESTAMP_NTZ, state STRING",
+    )
+    out = {
+        (r.k, r.tag): r.state
+        for r in asof_join(
+            left, right, on=["k"], left_time="ts", right_time="rts",
+            right_cols=["state"], direction="forward",
+        ).collect()
+    }
+    assert out == {
+        (1, "l0"): "r_at_10",   # next right after 12:00
+        (1, "l1"): "r_at_10",   # inclusive tie at 12:10
+        (1, "l2"): None,         # nothing after 12:40
+        (2, "l3"): None,         # no rights for key 2
+    }
+    # inner drops the unmatched rows
+    inner = asof_join(
+        left, right, on=["k"], left_time="ts", right_time="rts",
+        right_cols=["state"], how="inner", direction="forward",
+    )
+    assert {r.tag for r in inner.collect()} == {"l0", "l1"}
