@@ -1244,6 +1244,20 @@ ORACLES: dict[str, str] = {
               2.0 * (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM g)
         ORDER BY part_value DESC, p_partkey
     """,
+    "q12_shipmode_priority": """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     # Streaming twins, driver-checked: the STREAMING engine's output
     # (availableNow drain) must hash-match the batch SQL on the same
     # parquet — arrival order and micro-batching must be invisible.

@@ -1445,6 +1445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_event_counts": sliding_event_counts,
     "scd2_incremental_merge": scd2_incremental_merge,
     "asof_next_touch": asof_next_touch,
+    "q12_shipmode_priority": T.q12_shipmode_priority,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --

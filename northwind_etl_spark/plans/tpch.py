@@ -556,3 +556,45 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("part_value"), "p_partkey")
     )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 shape: orders joined to late-shipped lines with a
+    conditional-count split on priority class, grouped by a lineitem
+    attribute (l_returnflag stands in for l_shipmode; "shipped > 60
+    days after order" stands in for the commit/receipt lateness test —
+    the testdata schema has neither shipmode nor those dates).
+
+    Scale: the join shuffles both sides on the order key once; the
+    CASE split is a map-side conditional aggregate, and the final
+    groupBy has dimension cardinality (3 flags). No subqueries, no
+    broadcast needed beyond AQE's own choice at small SF.
+
+    Reference parity: the reference's conditional-count reporting shape
+    (Project Plan7.md:23-36 query list) widened to TPC-H q12 semantics.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    joined = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

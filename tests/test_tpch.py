@@ -30,6 +30,7 @@ TPCH = [
     "q20_promo_part_suppliers",
     "q21_late_supplier",
     "q22_dormant_customers",
+    "q12_shipmode_priority",
 ]
 
 # q22's threshold is a 1-row aggregate cross-joined in — Spark plans a
