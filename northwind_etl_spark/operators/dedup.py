@@ -638,3 +638,82 @@ def ngram_jaccard(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicated_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Exact cross-document n-gram span coverage — the substring-dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (the suffix-array pass), re-expressed set-based: a
+    position is "duplicated" when the n-gram starting there also occurs
+    in at least one OTHER document.  Per doc, reports how much of the
+    token stream those duplicated spans cover — the score a pipeline
+    thresholds to drop boilerplate-heavy documents.
+
+    Shape (all JVM-side, no UDF):
+      1. one tokenization pass (positions via transform over a guarded
+         sequence; docs shorter than n produce no grams);
+      2. grams travel as md5 DIGESTS, never strings: the gram→doc-count
+         aggregation and the join back both shuffle 32-hex-char keys
+         regardless of n — at 100 TB the shuffle width is fixed, and
+         the oracle applies the identical md5 so results stay exact
+         (no collision asymmetry between engines);
+      3. duplicated = COUNT(DISTINCT doc) > 1, computed by groupBy with
+         partial aggregation;
+      4. coverage = union length of the equal-length intervals
+         [start, start+n): sorted by start per doc, each interval
+         contributes min(next_start − start, n) — ONE lead() window
+         keyed by doc (per-doc state is bounded by doc length, so the
+         keyed-window hot-key ceiling does not apply).
+
+    Returns (doc_id, n_tokens, dup_positions, covered_tokens,
+    coverage_frac) for documents with at least one duplicated span.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.texttools import tokens_expr
+
+    toks = df.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    k = F.size("__toks") - F.lit(n - 1)
+    # sequence(0, -1) yields DESCENDING [0, -1], not empty — guard
+    idx = F.when(k >= 1, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(F.array_join(F.slice("__toks", i + 1, n), " ")),
+            )
+        ).alias("start", "gram_h"),
+    )
+    grams = persist_stage(grams)
+    dup = (
+        grams.groupBy("gram_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram_h")
+    )
+    hits = grams.join(dup, "gram_h").select(id_col, "n_tokens", "start")
+    w = Window.partitionBy(id_col).orderBy("start")
+    covered = hits.withColumn("nxt", F.lead("start").over(w)).withColumn(
+        "cov",
+        F.when(F.col("nxt").isNull(), F.lit(n)).otherwise(
+            F.least(F.col("nxt") - F.col("start"), F.lit(n))
+        ),
+    )
+    return covered.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("dup_positions"),
+        F.sum("cov").alias("covered_tokens"),
+        F.round(F.sum("cov") / F.first("n_tokens"), 6).alias("coverage_frac"),
+    )

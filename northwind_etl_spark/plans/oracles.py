@@ -1244,6 +1244,31 @@ ORACLES: dict[str, str] = {
               2.0 * (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM g)
         ORDER BY part_value DESC, p_partkey
     """,
+    "dup_ngram_coverage": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, len(toks) AS n_tokens,
+                     unnest(list_transform(
+                         generate_series(1, greatest(len(toks) - 4, 0)),
+                         i -> md5(array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram_h,
+                     unnest(generate_series(0, greatest(len(toks) - 4, 0) - 1)) AS start
+              FROM t),
+        dup AS (SELECT gram_h FROM g GROUP BY gram_h
+                HAVING COUNT(DISTINCT doc_id) > 1),
+        hits AS (SELECT doc_id, n_tokens, start,
+                        lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+                 FROM g JOIN dup USING (gram_h)),
+        cov AS (SELECT doc_id, n_tokens, start,
+                       CASE WHEN nxt IS NULL THEN 5
+                            ELSE least(nxt - start, 5) END AS c
+                FROM hits)
+        SELECT doc_id,
+               CAST(MIN(n_tokens) AS INT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS dup_positions,
+               CAST(SUM(c) AS BIGINT) AS covered_tokens,
+               ROUND(CAST(SUM(c) AS DOUBLE) / MIN(n_tokens), 6) AS coverage_frac
+        FROM cov
+        GROUP BY doc_id
+    """,
     "q12_shipmode_priority": """
         SELECT l_returnflag,
                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

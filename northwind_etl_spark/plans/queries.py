@@ -778,6 +778,16 @@ def dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_hash(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 5-gram span coverage per doc
+    (operators/dedup.py::duplicated_ngram_coverage) — the exact
+    substring-dedup signal; the oracle recomputes the interval union
+    with the same md5 gram keys and lead() merge."""
+    return D.duplicated_ngram_coverage(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=5
+    )
+
+
 def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators/chunking.py) over
     every document: one row per (doc, chunk) with the chunk's token
@@ -1446,6 +1456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_incremental_merge": scd2_incremental_merge,
     "asof_next_touch": asof_next_touch,
     "q12_shipmode_priority": T.q12_shipmode_priority,
+    "dup_ngram_coverage": dup_ngram_coverage,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --

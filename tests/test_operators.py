@@ -142,3 +142,59 @@ def test_sliding_counts_window_membership(spark):
     assert got[dt.datetime(2024, 3, 1, 11, 15, 0)] == 2
     # the window starting 12:45 contains only t2
     assert got[dt.datetime(2024, 3, 1, 12, 45, 0)] == 1
+
+
+def test_duplicated_ngram_coverage_interval_union(spark):
+    """Planted fixture pins the exact semantics: only CROSS-document
+    n-grams count (within-doc repeats alone don't), and overlapping
+    duplicated spans merge via interval union, not naive n-per-hit."""
+    from northwind_etl_spark.operators.dedup import duplicated_ngram_coverage
+
+    shared = "alpha beta gamma"  # the planted 3-gram, in docs 1 and 2
+    rows = [
+        # doc 1: shared gram at positions 2 AND 3 (overlapping via the
+        # extra 'alpha'): tokens = x y alpha alpha beta gamma z
+        # -> grams at 2 ('alpha alpha beta') no, recompute below
+        (1, f"x y {shared} z w"),
+        (2, f"p q r {shared}"),
+        # doc 3: repeats a gram WITHIN itself only -> must not appear
+        (3, "solo solo solo solo solo"),
+        # doc 4: too short for any 3-gram
+        (4, "a b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_ngram_coverage(df, "text", "doc_id", n=3).collect()
+    }
+    # docs 3 (within-doc only) and 4 (too short) are absent
+    assert set(out) == {1, 2}
+    # doc 1: tokens x y alpha beta gamma z w -> one hit at start=2,
+    # covers 3 of 7 tokens
+    assert out[1]["n_tokens"] == 7
+    assert out[1]["dup_positions"] == 1
+    assert out[1]["covered_tokens"] == 3
+    assert abs(out[1]["coverage_frac"] - round(3 / 7, 6)) < 1e-9
+    # doc 2: hit at start=3 of 6 tokens
+    assert out[2]["covered_tokens"] == 3
+    assert out[2]["n_tokens"] == 6
+
+
+def test_duplicated_ngram_coverage_overlap_merges(spark):
+    """Two duplicated grams whose spans overlap contribute the union
+    length (lead-window merge), not 2*n."""
+    from northwind_etl_spark.operators.dedup import duplicated_ngram_coverage
+
+    # docs 1 and 2 share the 4-token run 'a b c d' -> with n=3 both
+    # 'a b c' (start 0) and 'b c d' (start 1) are duplicated; union
+    # covers 4 tokens, not 6.
+    rows = [(1, "a b c d x y"), (2, "z a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_ngram_coverage(df, "text", "doc_id", n=3).collect()
+    }
+    assert out[1]["dup_positions"] == 2
+    assert out[1]["covered_tokens"] == 4
+    assert out[2]["dup_positions"] == 2
+    assert out[2]["covered_tokens"] == 4
