@@ -263,3 +263,74 @@ def tf_idf(
             ).alias("tf_idf"),
         )
     )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 5.0,
+    min_stopword_ratio: float = 0.01,
+    max_top_term_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher-style composite quality verdict per document (Rae et al.
+    2021, "Scaling Language Models" §A1.1 filtering heuristics), the
+    pass/fail gate a training-data pipeline applies before dedup:
+
+      ok_len         — token count within [min_tokens, max_tokens]
+      ok_word_len    — mean token length within [min_word_len, max_word_len]
+      ok_stopwords   — stopword occurrence ratio >= min_stopword_ratio
+      ok_repetition  — most-frequent term's share <= max_top_term_frac
+      passes         — conjunction of the four
+
+    ALL four signals derive from the one shared persisted
+    (doc, term, tf) aggregate: n = Σtf, mean word length =
+    Σ len(term)·tf / n, stopword ratio = Σ tf[term∈stoplist] / n, top
+    term share = max tf / n.  One tokenization, one per-doc aggregation,
+    no second scan — at 100 TB the marginal cost over computing any one
+    signal is zero.  Ratio comparisons are integer-sum / integer-count
+    double divisions, bit-identical across engines, so threshold
+    comparisons cannot flip between this and a SQL oracle.
+
+    Default thresholds are tuned to the synthetic corpus so the filter
+    is non-vacuous in both directions (each rule fails a real slice);
+    production corpora retune via the keyword parameters.
+    """
+    dt = _doc_term_counts(df, text_col, id_col)
+    sig = dt.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        (
+            F.sum(F.length("term") * F.col("tf")).cast("double")
+            / F.sum("tf")
+        ).alias("__awl"),
+        (
+            F.sum(F.when(F.col("term").isin(STOPWORDS), F.col("tf")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("tf")
+        ).alias("__swr"),
+        (F.max("tf").cast("double") / F.sum("tf")).alias("__ttf"),
+    )
+    flags = sig.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        ((F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)).alias(
+            "ok_len"
+        ),
+        ((F.col("__awl") >= min_word_len) & (F.col("__awl") <= max_word_len)).alias(
+            "ok_word_len"
+        ),
+        (F.col("__swr") >= min_stopword_ratio).alias("ok_stopwords"),
+        (F.col("__ttf") <= max_top_term_frac).alias("ok_repetition"),
+    )
+    return flags.withColumn(
+        "passes",
+        F.col("ok_len")
+        & F.col("ok_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_repetition"),
+    )

@@ -1244,6 +1244,29 @@ ORACLES: dict[str, str] = {
               2.0 * (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM g)
         ORDER BY part_value DESC, p_partkey
     """,
+    "gopher_quality_verdicts": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        sig AS (
+            SELECT doc_id,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   CAST(SUM(length(term) * tf) AS DOUBLE) / SUM(tf) AS awl,
+                   CAST(SUM(CASE WHEN term IN
+                            ('the','a','and','of','to','is','in','it')
+                            THEN tf ELSE 0 END) AS DOUBLE) / SUM(tf) AS swr,
+                   CAST(MAX(tf) AS DOUBLE) / SUM(tf) AS ttf
+            FROM tf GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               (n_tokens >= 20 AND n_tokens <= 100000) AS ok_len,
+               (awl >= 3.0 AND awl <= 5.0) AS ok_word_len,
+               (swr >= 0.01) AS ok_stopwords,
+               (ttf <= 0.15) AS ok_repetition,
+               ((n_tokens >= 20 AND n_tokens <= 100000)
+                AND (awl >= 3.0 AND awl <= 5.0)
+                AND (swr >= 0.01) AND (ttf <= 0.15)) AS passes
+        FROM sig
+    """,
     "dup_ngram_coverage": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         g AS (SELECT doc_id, len(toks) AS n_tokens,

@@ -852,6 +852,13 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.text_quality(_t(spark, sf_dir, "documents"))
 
 
+def gopher_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule pass/fail flags per doc
+    (operators/text.py::gopher_quality_filter); the oracle recomputes
+    every rule from the same (doc, term, tf) aggregate."""
+    return X.gopher_quality_filter(_t(spark, sf_dir, "documents"))
+
+
 def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -1457,6 +1464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_next_touch": asof_next_touch,
     "q12_shipmode_priority": T.q12_shipmode_priority,
     "dup_ngram_coverage": dup_ngram_coverage,
+    "gopher_quality_verdicts": gopher_quality_verdicts,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --

@@ -198,3 +198,30 @@ def test_duplicated_ngram_coverage_overlap_merges(spark):
     assert out[1]["covered_tokens"] == 4
     assert out[2]["dup_positions"] == 2
     assert out[2]["covered_tokens"] == 4
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule trips on its planted violator and only that
+    rule; the clean doc passes everything."""
+    from northwind_etl_spark.operators.text import gopher_quality_filter
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and wolves run far "
+        "of every hill to reach is what it takes while birds sing songs "
+        "green trees sway gently under bright skies near calm rivers today"
+    )
+    rows = [
+        (1, good),                                   # passes all
+        (2, "the cat sat"),                          # too short
+        (3, ("internationalization " * 30) + "the of and is it in a to"),  # long words
+        (4, "zebra yak xylophone wombat viper urchin toad snake raven quail "
+            "panda otter newt mole lion koala jackal ibex hyena gecko"),   # no stopwords
+        (5, ("spam " * 40) + "the of and is it in a to word mix here now"),  # repetition
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_quality_filter(df, "text", "doc_id").collect()}
+    assert out[1]["passes"]
+    assert not out[2]["ok_len"] and not out[2]["passes"]
+    assert not out[3]["ok_word_len"] and not out[3]["passes"]
+    assert not out[4]["ok_stopwords"] and not out[4]["passes"]
+    assert not out[5]["ok_repetition"] and not out[5]["passes"]
