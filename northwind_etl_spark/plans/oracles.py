@@ -1315,6 +1315,25 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    "stream_click_attribution_outer": """
+        WITH wm AS (
+            SELECT least(
+                (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+            ) - INTERVAL 2 HOUR AS w)
+        SELECT p.user_id,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM events p
+        LEFT JOIN events c
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        CROSS JOIN wm
+        WHERE p.event_type = 'purchase'
+          AND (c.event_id IS NOT NULL OR p.ts < wm.w)
+    """,
     "stream_dedup_events": """
         SELECT event_id, ts, user_id, event_type, value, props
         FROM events

@@ -686,6 +686,31 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream LEFT OUTER interval join, driver-checked: the
+    inner attribution plus the unattributed purchases, which emit a
+    NULL-click row only once the watermark proves no qualifying click
+    can still arrive.  The oracle mirrors Spark's eviction semantics
+    exactly: the global watermark is the MIN over both sides'
+    per-operator watermarks (each side tracks its own max event time),
+    so an unmatched purchase appears iff
+    purchase_ts < least(max click ts, max purchase ts) - 2 h — matched
+    rows emit on arrival and carry no cutoff.  This pins the one
+    outer-join subtlety availableNow drains have: rows still in state
+    when the drain ends are legitimately absent."""
+    from ..streaming.events_stream import (
+        purchase_click_attribution_stream,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return _drain_stream(
+        purchase_click_attribution_stream(stream, how="left_outer"),
+        "stream_attr_outer",
+        output_mode="append",
+    )
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup, driver-checked: the event stream unioned
     with itself (every event twice) → dropDuplicatesWithinWatermark on
@@ -1465,6 +1490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_shipmode_priority": T.q12_shipmode_priority,
     "dup_ngram_coverage": dup_ngram_coverage,
     "gopher_quality_verdicts": gopher_quality_verdicts,
+    "stream_click_attribution_outer": stream_click_attribution_outer,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --

@@ -121,7 +121,7 @@ def session_window_stream(events: DataFrame, *, gap: str = "30 minutes") -> Data
 
 
 def purchase_click_attribution_stream(
-    events: DataFrame, *, horizon_minutes: int = 30
+    events: DataFrame, *, horizon_minutes: int = 30, how: str = "inner"
 ) -> DataFrame:
     """Stream–stream interval join: each purchase joins the clicks by
     the SAME user in the preceding `horizon_minutes` — streaming
@@ -134,6 +134,15 @@ def purchase_click_attribution_stream(
     rejects unbounded stream–stream joins outright in append mode
     without watermarks).  One shuffle per side on user_id; matches emit
     as soon as both sides arrive.
+
+    how='left_outer' adds the unattributed purchases: a purchase with
+    no qualifying click emits once with NULL click columns — but only
+    after the watermark passes the point where a matching click could
+    still arrive (no future click can satisfy click_ts <= purchase_ts
+    once the watermark exceeds purchase_ts).  Purchases newer than the
+    final watermark stay in state and are NOT emitted — on an unbounded
+    stream they'd emit later; an availableNow drain ends before their
+    eviction, and a batch-equality oracle must mirror that cutoff.
     """
     clicks = events.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user_id"),
@@ -150,7 +159,7 @@ def purchase_click_attribution_stream(
         (F.col("p_user_id") == F.col("c_user_id"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
-        "inner",
+        how,
     )
     return joined.select(
         F.col("p_user_id").alias("user_id"),
