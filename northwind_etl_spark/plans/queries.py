@@ -437,6 +437,35 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reaggregable distinct-count rollup via Datasketches HLL — THE
+    100 TB pattern for distinct metrics: build per-(day, event_type)
+    sketches ONCE (what a daily ingest job would persist as a binary
+    column), then answer the coarser per-event_type question by
+    UNIONING sketches — no second pass over raw events, and the union
+    is a few-KB-per-group shuffle no matter how many billions of rows
+    produced the sketches.  approx_count_distinct gives the same
+    estimate but is NOT reaggregable across pre-aggregated partitions;
+    hll_union_agg is.
+
+    Rows-only driver check (approximations can't hash-match an
+    oracle); tests pin (a) estimate-vs-exact relative error and
+    (b) the rollup-equals-direct-sketch identity, which is exact
+    because HLL union is lossless over sketch registers."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window aggregate: per-nation monthly revenue with a
     running total ordered by month — the frame-based window family."""
@@ -1491,6 +1520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_coverage": dup_ngram_coverage,
     "gopher_quality_verdicts": gopher_quality_verdicts,
     "stream_click_attribution_outer": stream_click_attribution_outer,
+    "hll_sketch_rollup_users": hll_sketch_rollup_users,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --

@@ -215,3 +215,36 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x00")
+
+
+def test_hll_sketch_rollup_accuracy_and_identity(spark, sf_dir):
+    """(a) the sketch-union estimate lands within HLL's error envelope
+    of the exact distinct count; (b) rolling up per-day sketches gives
+    EXACTLY the same estimate as sketching the whole column directly —
+    HLL union is lossless over registers, so reaggregation costs no
+    accuracy (the property that makes pre-aggregated sketch columns
+    trustworthy at 100 TB)."""
+    from northwind_etl_spark.plans.queries import hll_sketch_rollup_users
+    from northwind_etl_spark.sources.parquet import read_events
+
+    rolled = {
+        r["event_type"]: r["approx_users"]
+        for r in hll_sketch_rollup_users(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d"))
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for et, est in rolled.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+        assert est == direct[et], (et, est, direct[et])
