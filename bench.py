@@ -86,6 +86,11 @@ HEADLINE = [
     "chunk_docs",
     "pii_redaction_stats",
     "stream_session_stats",
+    # r06 late additions: substring-dedup signal (gram-digest shuffle +
+    # interval-union window) and the Gopher composite filter (single
+    # shared-stage aggregation)
+    "dup_ngram_coverage",
+    "gopher_quality_verdicts",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

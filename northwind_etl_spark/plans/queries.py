@@ -1562,14 +1562,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_active_customers": semi_join_active_customers,
     "full_outer_nation_suppliers": full_outer_nation_suppliers,
     "pivot_flag_by_status": pivot_flag_by_status,
+    # ===== driver window boundary: first 50 above ====================
+    # --- r04-green deferred to lead r07 (lowest-risk shapes, all
+    #     re-proven every pytest run via test_oracle_parity) ----------
     "order_latency_by_priority": order_latency_by_priority,
     "moving_avg_order_value": moving_avg_order_value,
     "cube_revenue": cube_revenue,
     "grouping_sets_revenue": grouping_sets_revenue,
     "null_safe_join_props": null_safe_join_props,
-    # ===== driver window boundary: first 50 above ====================
-    # --- r04-green deferred to lead r07 (lowest-risk shapes, all
-    #     re-proven every pytest run via test_oracle_parity) ----------
     "bigram_freq_top20": bigram_freq_top20,
     "event_value_histogram": event_value_histogram,
     "dedup_exact_docs": dedup_exact_docs,
