@@ -1,0 +1,142 @@
+"""Distributed BPE merge learning — byte-pair-encoding vocabulary
+induction (Sennrich et al. 2016) as an iterative DataFrame algorithm,
+the tokenizer-training stage of an LLM data pipeline.
+
+Why this shape survives 100 TB:
+- the corpus is collapsed to weighted WORD TYPES first (one
+  tokenize+groupBy pass): every later iteration runs on a vocab-sized
+  table (|distinct words|), not the corpus — the classic BPE trick,
+  and the reason learning merges is cheap no matter how big the text
+  is.  100 TB of text has a word-type table in the low billions at
+  worst, and merging only shrinks its symbol count;
+- each iteration is ONE aggregation (adjacent-pair counts, map-side
+  combined) + ONE driver-side argmax (a single row — the only collect)
+  + ONE narrow map (the array fold below).  k merges = k small jobs;
+- the left-to-right non-overlapping merge is an `aggregate` (fold)
+  expression over the symbol array — pure Catalyst, no UDF: append
+  each symbol, and when the accumulator tail equals the pair's left
+  and the incoming symbol equals its right, replace the tail with the
+  merged symbol.  Because merged = left+right and right is non-empty,
+  a just-merged tail can no longer equal `left`, so the fold cannot
+  double-consume a symbol — it reproduces the reference greedy scan
+  exactly (a run a,a,a merges to (aa),a, not a,(aa));
+- lineage is truncated by localCheckpoint every `checkpoint_every`
+  iterations (same discipline as operators/dedup.py::duplicate_clusters
+  — without it the symbol column's plan grows by one fold per merge
+  and the optimizer chokes long before 100 iterations).
+
+Pair counting follows the canonical `get_stats` semantics: every
+adjacent position counts, so a run a,a,a contributes (a,a) twice —
+the merge step, not the count step, is what is non-overlapping.
+
+Tie-break contract: highest pair count, then lexicographically
+smallest (left, right) pair key.  Deterministic on any partitioning —
+tests pin equality against a pure-Python reference implementation.
+
+Reference parity note: the reference repo has no tokenizer induction
+(it is a SQL-Server-to-pandas ETL; see Project Plan7.md:23-36) — this
+is north-star LLM-pipeline surface, cited to the public BPE algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texttools import tokens_expr
+
+__all__ = ["learn_bpe_merges", "bpe_word_types"]
+
+# separator used for the flattened "left right" pair key; words are
+# whitespace-tokenized so a space can never appear inside a symbol
+PAIR_SEP = chr(32)
+
+
+def bpe_word_types(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) types with the word pre-split into single-char
+    symbols — the working set every merge iteration runs on."""
+    words = df.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
+    # (?!^)(?=.) — split between chars only: Spark's split keeps
+    # trailing empty fields (limit=-1), so a bare (?!^) would append
+    # an empty symbol to every word
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq")).select(
+        "word", "freq", F.split(F.col("word"), "(?!^)(?=.)").alias("syms")
+    )
+
+
+def _pair_counts(types_df: DataFrame) -> DataFrame:
+    """Adjacent-symbol-pair counts weighted by word frequency; shuffle
+    size is |distinct pairs| thanks to map-side combine."""
+    k = F.size("syms") - F.lit(1)
+    # sequence(1, 0) yields DESCENDING [1, 0], not empty — guard
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            PAIR_SEP, F.element_at("syms", i), F.element_at("syms", i + 1)
+        ),
+    )
+    return (
+        types_df.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def _apply_merge(types_df: DataFrame, left: str, right: str) -> DataFrame:
+    """Left-to-right non-overlapping replacement of (left, right) with
+    left+right in every symbol array — a Catalyst fold, no UDF."""
+    merged = left + right
+    fold = F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return types_df.select("word", "freq", fold.alias("syms"))
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 20,
+    min_freq: int = 2,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Learn `n_merges` BPE merges over the corpus; returns a DataFrame
+    (rank, left, right, merged, pair_count) in merge order.  Stops
+    early when the best remaining pair's count drops below `min_freq`.
+    """
+    spark = df.sparkSession
+    types_df = bpe_word_types(df, text_col).persist()
+    types_df.count()  # materialize the one corpus pass
+    merges: list[tuple[int, str, str, str, int]] = []
+    current = types_df
+    for rank in range(n_merges):
+        top = (
+            _pair_counts(current)
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < min_freq:
+            break
+        left, right = top[0]["pair"].split(PAIR_SEP)
+        merges.append(
+            (rank, left, right, left + right, int(top[0]["pair_count"]))
+        )
+        current = _apply_merge(current, left, right)
+        if (rank + 1) % checkpoint_every == 0:
+            current = current.localCheckpoint()
+    types_df.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )

@@ -832,6 +832,20 @@ def dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_hash(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 12 BPE merges learned over the document corpus
+    (operators/bpe.py::learn_bpe_merges) — iterative vocabulary
+    induction; rows-only by design (a k-iteration greedy argmax has no
+    single SQL oracle) with the merge sequence pinned against a pure-
+    Python reference implementation in tests/test_bpe.py.  12 merges
+    keeps the k-job driver check cheap; k is a free parameter."""
+    from ..operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(
+        _t(spark, sf_dir, "documents"), "text", n_merges=12, min_freq=2
+    )
+
+
 def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated 5-gram span coverage per doc
     (operators/dedup.py::duplicated_ngram_coverage) — the exact
@@ -1521,6 +1535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_verdicts": gopher_quality_verdicts,
     "stream_click_attribution_outer": stream_click_attribution_outer,
     "hll_sketch_rollup_users": hll_sketch_rollup_users,
+    "bpe_merges_learned": bpe_merges_learned,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1561,10 +1576,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "star_revenue_by_brand": star_revenue_by_brand,
     "semi_join_active_customers": semi_join_active_customers,
     "full_outer_nation_suppliers": full_outer_nation_suppliers,
-    "pivot_flag_by_status": pivot_flag_by_status,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "pivot_flag_by_status": pivot_flag_by_status,
     "order_latency_by_priority": order_latency_by_priority,
     "moving_avg_order_value": moving_avg_order_value,
     "cube_revenue": cube_revenue,
