@@ -102,6 +102,22 @@ def _apply_merge(types_df: DataFrame, left: str, right: str) -> DataFrame:
     return types_df.select("word", "freq", fold.alias("syms"))
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    ids: set[int] = set()
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            t._2().unpersist(False)
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -115,10 +131,18 @@ def learn_bpe_merges(
     early when the best remaining pair's count drops below `min_freq`.
     """
     spark = df.sparkSession
+    sc = spark.sparkContext
     types_df = bpe_word_types(df, text_col).persist()
     types_df.count()  # materialize the one corpus pass
     merges: list[tuple[int, str, str, str, int]] = []
     current = types_df
+    # localCheckpoint blocks are NOT tracked by the SQL cache manager
+    # and outlive the call until async ContextCleaner GC — track their
+    # RDD ids explicitly so (a) at most ONE checkpoint's blocks are
+    # ever live (the superseded one is released as soon as its
+    # successor materializes) and (b) the session is block-clean on
+    # return instead of "eventually, after GC".
+    ckpt_ids: set[int] = set()
     for rank in range(n_merges):
         top = (
             _pair_counts(current)
@@ -134,8 +158,15 @@ def learn_bpe_merges(
         )
         current = _apply_merge(current, left, right)
         if (rank + 1) % checkpoint_every == 0:
-            current = current.localCheckpoint()
+            before = _persistent_rdd_ids(sc)
+            current = current.localCheckpoint()  # eager: blocks exist now
+            new_ids = _persistent_rdd_ids(sc) - before
+            _unpersist_rdd_ids(sc, ckpt_ids)
+            ckpt_ids = new_ids
+    # the returned DataFrame is built from the collected merge list, so
+    # nothing references the final checkpoint's blocks — safe to free
     types_df.unpersist()
+    _unpersist_rdd_ids(sc, ckpt_ids)
     return spark.createDataFrame(
         merges,
         "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",

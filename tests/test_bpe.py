@@ -101,3 +101,18 @@ def test_bpe_early_stop_below_min_freq(spark):
     df = spark.createDataFrame([(0, "ab cd ef")], ["doc_id", "text"])
     out = learn_bpe_merges(df, "text", n_merges=10, min_freq=2).collect()
     assert out == []  # every pair occurs once
+
+
+def test_bpe_leaves_no_persistent_blocks(spark):
+    """learn_bpe_merges must release its word-type persist AND its
+    localCheckpoint blocks on return — checkpoint blocks bypass the SQL
+    cache manager and would otherwise linger until async GC."""
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    texts = ["low lower lowest newer newest " * 5] * 4
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    out = learn_bpe_merges(df, "text", n_merges=7, min_freq=2, checkpoint_every=2)
+    assert out.count() > 0
+    assert n_persistent() == base
