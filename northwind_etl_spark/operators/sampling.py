@@ -44,3 +44,35 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sample (map-only, no shuffle)."""
     return df.sampleBy(stratum_col, fractions, seed=seed)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    *,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with a ROW-DEPENDENT
+    keep probability — the quality-weighted downsampling step of a
+    training-data pipeline (keep pristine documents at p≈1, sample
+    boilerplate-heavy ones at p≈0.1) without any RNG.
+
+    keep ⇔ (md5-hash of key mapped uniformly onto [0, 1)) < weight.
+    The hash→uniform map reuses split_bucket_expr's md5/conv trick at
+    `resolution` buckets, so inclusion is a pure function of (key,
+    weight): reproducible on any engine, any partitioning, any rerun,
+    and SQL-oracle-checkable — DuckDB computes the identical md5
+    arithmetic.  Map-only, no shuffle, no state; at 100 TB this is a
+    scan with a codegen predicate.
+
+    `weight` must evaluate into [0, 1]; rows with NULL weight are
+    dropped (NULL comparison is false in both engines).
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % resolution
+    ) / F.lit(float(resolution))
+    return df.where(u < weight)

@@ -1244,6 +1244,36 @@ ORACLES: dict[str, str] = {
               2.0 * (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM g)
         ORDER BY part_value DESC, p_partkey
     """,
+    "weighted_sample_docs": """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 1000000) / 1000000.0
+              < least(1.0, n_chars / 200.0)
+    """,
+    "packed_batch_stats": f"""
+        WITH d AS (
+            SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+        a AS (
+            SELECT doc_id, n_tokens,
+                   CAST(floor(n_tokens / 16) AS INT) AS bucket,
+                   CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 4 AS INT) AS shard
+            FROM d),
+        c AS (
+            SELECT *, COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY bucket, shard
+                       ORDER BY n_tokens, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS tokens_before
+            FROM a)
+        SELECT bucket, shard,
+               CAST(floor(tokens_before / 256) AS INT) AS batch_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+        FROM c
+        GROUP BY 1, 2, 3
+    """,
     "gopher_quality_verdicts": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         terms AS (SELECT doc_id, unnest(toks) AS term FROM t),

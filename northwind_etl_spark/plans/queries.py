@@ -832,6 +832,37 @@ def dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_hash(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted downsampling
+    (operators/sampling.py::weighted_sample): keep probability scales
+    with document length (least(1, n_chars/200)) and inclusion is a
+    pure md5 function of doc_id — the oracle reproduces the identical
+    hash arithmetic, so the SAMPLE ITSELF is value-checked, not just
+    its size."""
+    from ..operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(200.0))
+    return weighted_sample(docs, "doc_id", w).select("doc_id", "lang", "n_chars")
+
+
+def packed_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py) over the
+    documents table: length-bucketed, md5-sharded quota packing, then
+    the per-batch fill report.  Every assignment is a deterministic
+    window expression, so the oracle recomputes identical batches."""
+    from ..functions.texttools import token_count_expr
+    from ..operators.packing import batch_fill_stats, pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr("text").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tokens", budget=256, bucket_width=16, n_shards=4
+    )
+    return batch_fill_stats(packed, "n_tokens")
+
+
 def bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 12 BPE merges learned over the document corpus
     (operators/bpe.py::learn_bpe_merges) — iterative vocabulary
@@ -1536,6 +1567,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_click_attribution_outer": stream_click_attribution_outer,
     "hll_sketch_rollup_users": hll_sketch_rollup_users,
     "bpe_merges_learned": bpe_merges_learned,
+    "weighted_sample_docs": weighted_sample_docs,
+    "packed_batch_stats": packed_batch_stats,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1574,11 +1607,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
     "tfidf_scores": tfidf_scores,
     "star_revenue_by_brand": star_revenue_by_brand,
-    "semi_join_active_customers": semi_join_active_customers,
-    "full_outer_nation_suppliers": full_outer_nation_suppliers,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "semi_join_active_customers": semi_join_active_customers,
+    "full_outer_nation_suppliers": full_outer_nation_suppliers,
     "pivot_flag_by_status": pivot_flag_by_status,
     "order_latency_by_priority": order_latency_by_priority,
     "moving_avg_order_value": moving_avg_order_value,

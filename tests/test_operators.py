@@ -225,3 +225,54 @@ def test_gopher_quality_filter_rules(spark):
     assert not out[3]["ok_word_len"] and not out[3]["passes"]
     assert not out[4]["ok_stopwords"] and not out[4]["passes"]
     assert not out[5]["ok_repetition"] and not out[5]["passes"]
+
+
+def test_weighted_sample_edges(spark):
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate([0.0] * 5 + [1.0] * 5)], ["id", "w"]
+    )
+    kept = weighted_sample(df, "id", F.col("w")).collect()
+    ids = {r["id"] for r in kept}
+    assert ids == {5, 6, 7, 8, 9}  # w=1 always kept, w=0 never
+    # NULL weight drops the row
+    dfn = spark.createDataFrame([(1, None)], "id INT, w DOUBLE")
+    assert weighted_sample(dfn, "id", F.col("w")).count() == 0
+    # deterministic: same rows on repeat
+    again = {r["id"] for r in weighted_sample(df, "id", F.col("w")).collect()}
+    assert again == ids
+
+
+def test_pack_sequences_quota_properties(spark):
+    """Every document lands in exactly one batch; within a (bucket,
+    shard) the batches partition the cumulative token line, so no
+    batch exceeds budget + its own largest member (quota slack)."""
+    import random
+
+    from northwind_etl_spark.operators.packing import (
+        batch_fill_stats,
+        pack_sequences,
+    )
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(5, 60)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = pack_sequences(
+        df, "doc_id", "n_tokens", budget=100, bucket_width=16, n_shards=2
+    )
+    got = packed.collect()
+    assert len(got) == 400 and len({r["doc_id"] for r in got}) == 400
+    stats = batch_fill_stats(packed, "n_tokens").collect()
+    assert sum(r["n_docs"] for r in stats) == 400
+    per_batch_max = {
+        (r["bucket"], r["shard"], r["batch_id"]): 0 for r in stats
+    }
+    for r in got:
+        k = (r["bucket"], r["shard"], r["batch_id"])
+        per_batch_max[k] = max(per_batch_max[k], r["n_tokens"])
+    for r in stats:
+        k = (r["bucket"], r["shard"], r["batch_id"])
+        assert r["batch_tokens"] <= 100 + per_batch_max[k], (r, per_batch_max[k])
