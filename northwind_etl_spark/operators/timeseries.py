@@ -105,3 +105,60 @@ def downsample_gapfill(
             )
         dense = dense.withColumn("value", F.coalesce(out_value, F.lit(fill).cast(vtype)))
     return dense.select(*entity_cols, "bucket", "value", *([locf_col] if locf_col else []))
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.3,
+    bucket: str = "day",
+) -> DataFrame:
+    """Exponentially-weighted moving average of a per-bucket series,
+    per key — the smoothing operator of the hypertable family
+    (recursive y_t = alpha*x_t + (1-alpha)*y_{t-1}, seeded y_1 = x_1).
+
+    A recursion cannot be a window frame, and factoring it into a
+    power-weighted window sum loses precision exponentially with
+    series length.  Instead the DOWNSAMPLED series (bounded: one point
+    per bucket, so |series| = time-range/bucket regardless of event
+    volume — the same bound the hot-key mitigations lean on) is
+    collected per key and folded with a Catalyst `aggregate`
+    expression, seeded with the first element and folding the rest.
+    A SQL oracle can run the IDENTICAL fold (DuckDB list_reduce over
+    the same ordered list), making the result bit-exact across
+    engines — no rounding tolerance needed, we round only for
+    presentation.
+
+    Per-bucket sums accumulate in DECIMAL (order-independent) before
+    the double fold, per the house determinism contract.
+    """
+    daily = (
+        df.groupBy(
+            F.col(key_col), F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    series = daily.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "x"))),
+            lambda s: s["x"],
+        ).alias("xs")
+    )
+    a = float(alpha)
+    folded = F.aggregate(
+        F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at("xs", 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return series.select(
+        F.col(key_col),
+        F.size("xs").alias("n_buckets"),
+        F.round(folded, 6).alias("ewma_value"),
+    )

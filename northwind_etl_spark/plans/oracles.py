@@ -1244,6 +1244,21 @@ ORACLES: dict[str, str] = {
               2.0 * (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM g)
         ORDER BY part_value DESC, p_partkey
     """,
+    "ewma_user_value": """
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS bucket,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS x
+            FROM events GROUP BY 1, 2),
+        series AS (
+            SELECT user_id, list(x ORDER BY bucket) AS xs
+            FROM daily GROUP BY user_id)
+        SELECT user_id,
+               CAST(len(xs) AS INT) AS n_buckets,
+               ROUND(list_reduce(xs, (acc, x) ->
+                     CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc), 6)
+                   AS ewma_value
+        FROM series
+    """,
     "weighted_sample_docs": """
         SELECT doc_id, lang, n_chars
         FROM documents

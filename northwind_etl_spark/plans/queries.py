@@ -832,6 +832,18 @@ def dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_hash(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of daily event value
+    (operators/timeseries.py::ewma_by_key, alpha=0.3): the recursive
+    smoother folded over the bounded downsampled series; the oracle
+    runs the IDENTICAL fold via DuckDB list_reduce on the same ordered
+    list, so the doubles match bit-for-bit."""
+    from ..operators.timeseries import ewma_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_by_key(ev, "user_id", "ts", "value", alpha=0.3, bucket="day")
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality-weighted downsampling
     (operators/sampling.py::weighted_sample): keep probability scales
@@ -1569,6 +1581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges_learned": bpe_merges_learned,
     "weighted_sample_docs": weighted_sample_docs,
     "packed_batch_stats": packed_batch_stats,
+    "ewma_user_value": ewma_user_value,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1606,10 +1619,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
     "tfidf_scores": tfidf_scores,
-    "star_revenue_by_brand": star_revenue_by_brand,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "star_revenue_by_brand": star_revenue_by_brand,
     "semi_join_active_customers": semi_join_active_customers,
     "full_outer_nation_suppliers": full_outer_nation_suppliers,
     "pivot_flag_by_status": pivot_flag_by_status,

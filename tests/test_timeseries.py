@@ -99,3 +99,30 @@ def test_fractional_fill_on_integral_agg_raises(spark):
         downsample_gapfill(
             df, ["entity"], "ts", "value", unit="hour", agg="count", fill=0.5
         )
+
+
+def test_ewma_matches_pandas_adjust_false(spark):
+    """ewma_by_key's fold must reproduce pandas ewm(adjust=False) on a
+    planted daily series (and seed with the first bucket, not zero)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from northwind_etl_spark.operators.timeseries import ewma_by_key
+
+    vals = [10.0, 0.0, 5.0, 5.0, 20.0]
+    rows = [
+        (1, dt.datetime(2024, 1, 1 + i, 9, 0, 0), v) for i, v in enumerate(vals)
+    ]
+    # second key with a single bucket: EWMA == that value
+    rows.append((2, dt.datetime(2024, 1, 1, 9, 0, 0), 7.5))
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP_NTZ, value DOUBLE")
+    out = {
+        r["user_id"]: r
+        for r in ewma_by_key(df, "user_id", "ts", "value", alpha=0.3).collect()
+    }
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+    assert out[1]["n_buckets"] == 5
+    assert out[1]["ewma_value"] == round(want, 6)
+    assert out[2]["n_buckets"] == 1
+    assert out[2]["ewma_value"] == 7.5
