@@ -334,3 +334,64 @@ def gopher_quality_filter(
         & F.col("ok_stopwords")
         & F.col("ok_repetition"),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc mean bigram surprisal −(1/n)·Σ ln P(w₂|w₁) under the
+    corpus bigram model with add-1 smoothing over the unigram
+    vocabulary — the conditional-probability upgrade of
+    unigram_surprisal (templated boilerplate scores LOW even when its
+    unigrams are rare, because its transitions are predictable; docs
+    with unusual word ORDER score high).
+
+    P(w₂|w₁) = (c(w₁,w₂) + 1) / (c₁'(w₁) + V) where c₁' counts w₁ in
+    non-final positions (Σ over bigrams starting with w₁ — consistent
+    with the numerator by construction) and V = |unigram vocabulary|.
+
+    All counting reads the ONE shared token-array stage; the per-doc
+    sum uses the same DECIMAL(26,12)·tf regrouping as
+    unigram_surprisal, so the result is order-independent and equals
+    the oracle's per-occurrence decimal sum bit-for-bit.  Docs with
+    fewer than 2 tokens are absent (no transitions to score).
+    """
+    from ..functions.texttools import bigrams_from_tokens
+
+    toks = _doc_tokens(df, text_col, id_col)
+    bg = toks.select(
+        F.col(id_col), F.explode(bigrams_from_tokens(F.col("__toks"))).alias("bg")
+    )
+    dbg = persist_stage(
+        bg.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("tf2"))
+    )
+    c2 = dbg.groupBy("bg").agg(F.sum("tf2").alias("c2"))
+    c1 = (
+        c2.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    vocab = toks.select(F.explode("__toks").alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    lp = (
+        dbg.join(c2, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "ln_p",
+            F.log(
+                (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))
+            ),
+        )
+    )
+    weighted = F.col("ln_p").cast("decimal(26,12)") * F.col("tf2").cast(
+        "decimal(10,0)"
+    )
+    return lp.groupBy(id_col).agg(
+        F.round(
+            (-F.sum(weighted)).cast("double") / F.sum("tf2"), 6
+        ).alias("mean_bigram_surprisal"),
+        F.sum("tf2").alias("n_bigrams"),
+    )

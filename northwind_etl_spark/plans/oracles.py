@@ -650,6 +650,32 @@ ORACLES: dict[str, str] = {
         FROM lp
         GROUP BY doc_id
     """,
+    "bigram_surprisal_scores": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        bgs AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bg
+            FROM t),
+        c2 AS (SELECT bg, COUNT(*) AS c2 FROM bgs GROUP BY bg),
+        c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+               FROM c2 GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT term) AS v
+                  FROM (SELECT unnest(toks) AS term FROM t)),
+        lp AS (
+            SELECT doc_id,
+                   ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v)) AS ln_p
+            FROM bgs
+            JOIN c2 USING (bg)
+            JOIN c1 ON split_part(bg, ' ', 1) = c1.w1
+            CROSS JOIN vocab)
+        SELECT doc_id,
+               ROUND(CAST(-SUM(CAST(ln_p AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_bigram_surprisal,
+               COUNT(*) AS n_bigrams
+        FROM lp
+        GROUP BY doc_id
+    """,
     "doc_fingerprints": """
         SELECT doc_id,
                list_reduce(

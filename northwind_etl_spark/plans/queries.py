@@ -1013,6 +1013,33 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram LM scoring (operators/text.py::
+    bigram_surprisal, add-1 smoothing) — the oracle recomputes the
+    identical model from the same tokenization."""
+    return X.bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash near-dup pairs
+    (operators/dedup.py::duplicate_clusters — iterative pointer-jumping
+    min-label propagation), reported as a cluster-size histogram.
+    Rows-only by design twice over: the upstream candidate set is
+    hash-seeded LSH and the closure is iterative; correctness is
+    pinned by planted-transitive-chain tests (tests/test_dedup_clusters
+    .py).  This gives the iterative operator driver-visible evidence."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5)
+    clusters = D.duplicate_clusters(pairs.select("id_a", "id_b"))
+    return (
+        clusters.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(_t(spark, sf_dir, "documents"))
 
@@ -1582,6 +1609,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_docs": weighted_sample_docs,
     "packed_batch_stats": packed_batch_stats,
     "ewma_user_value": ewma_user_value,
+    "bigram_surprisal_scores": bigram_surprisal_scores,
+    "duplicate_cluster_sizes": duplicate_cluster_sizes,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1617,11 +1646,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
-    "tfidf_scores": tfidf_scores,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
+    "tfidf_scores": tfidf_scores,
     "star_revenue_by_brand": star_revenue_by_brand,
     "semi_join_active_customers": semi_join_active_customers,
     "full_outer_nation_suppliers": full_outer_nation_suppliers,
