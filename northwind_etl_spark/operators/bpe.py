@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from ..functions.texttools import tokens_expr
 
-__all__ = ["learn_bpe_merges", "bpe_word_types"]
+__all__ = ["learn_bpe_merges", "bpe_word_types", "encode_with_merges"]
 
 # separator used for the flattened "left right" pair key; words are
 # whitespace-tokenized so a space can never appear inside a symbol
@@ -170,4 +170,61 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         merges,
         "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+def encode_with_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Apply a learned merge list (rank order) and return per-doc
+    encoded statistics: (id, n_words, n_symbols) where n_symbols is
+    the post-BPE symbol count — the token count a trainer would see.
+
+    Same word-type trick as learning: the k merges run over the
+    DISTINCT words (k chained folds on a vocab-sized table, lineage
+    truncated like learn_bpe_merges), and documents join the resulting
+    word → symbol-count map — the corpus itself is never folded.  The
+    join is per word occurrence; broadcast-ability follows vocab size,
+    left to AQE.
+    """
+    sc = df.sparkSession.sparkContext
+    words = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("word")
+    )
+    types_df = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq")).select(
+        "word", F.split(F.col("word"), "(?!^)(?=.)").alias("syms")
+    )
+    current = types_df.select("word", F.lit(1).alias("freq"), "syms")
+    ckpt_ids: set[int] = set()
+    for i, (left, right) in enumerate(merges):
+        current = _apply_merge(current, left, right)
+        if (i + 1) % checkpoint_every == 0:
+            before = _persistent_rdd_ids(sc)
+            current = current.localCheckpoint()
+            new_ids = _persistent_rdd_ids(sc) - before
+            _unpersist_rdd_ids(sc, ckpt_ids)
+            ckpt_ids = new_ids
+    from ..cache import persist_stage
+
+    # land the vocab-sized word→symbol-count map in the TRACKED stage
+    # cache (caller releases via release_stages / stage_cache_scope),
+    # materialize it, then free the intermediate checkpoint blocks —
+    # the returned plan reads the persisted map, not the checkpoints
+    sym_counts = persist_stage(
+        current.select("word", F.size("syms").alias("n_syms"))
+    )
+    sym_counts.count()
+    _unpersist_rdd_ids(sc, ckpt_ids)
+    return (
+        words.join(sym_counts, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_symbols"),
+        )
     )

@@ -844,6 +844,24 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_by_key(ev, "user_id", "ts", "value", alpha=0.3, bucket="day")
 
 
+def bpe_encoded_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 12 BPE merges, then ENCODE the corpus with them
+    (operators/bpe.py::encode_with_merges): per-doc post-BPE symbol
+    counts — the full tokenizer round-trip.  Rows-only (iterative);
+    the encode fold is pinned against the reference implementation's
+    final vocab in tests/test_bpe.py."""
+    from ..operators.bpe import encode_with_merges, learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, "text", n_merges=12, min_freq=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    return encode_with_merges(docs, merges, "text", "doc_id")
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality-weighted downsampling
     (operators/sampling.py::weighted_sample): keep probability scales
@@ -1611,6 +1629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_user_value": ewma_user_value,
     "bigram_surprisal_scores": bigram_surprisal_scores,
     "duplicate_cluster_sizes": duplicate_cluster_sizes,
+    "bpe_encoded_token_counts": bpe_encoded_token_counts,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1645,10 +1664,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_stats": multimodal_image_stats,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
     "tfidf_scores": tfidf_scores,
     "star_revenue_by_brand": star_revenue_by_brand,

@@ -116,3 +116,50 @@ def test_bpe_leaves_no_persistent_blocks(spark):
     out = learn_bpe_merges(df, "text", n_merges=7, min_freq=2, checkpoint_every=2)
     assert out.count() > 0
     assert n_persistent() == base
+
+
+def test_encode_with_merges_matches_reference_vocab(spark):
+    """Encoding with the learned merges must give each doc the symbol
+    count the reference implementation's final vocab implies."""
+    from northwind_etl_spark.operators.bpe import encode_with_merges
+
+    texts = ["low lower lowest", "low low lowest", "newer newest new"]
+    n = 8
+    merges = _reference_bpe(texts, n, 2)
+    pairs = [(m[1], m[2]) for m in merges]
+    # reference final vocab
+    vocab = {}
+    for t in texts:
+        for w in t.split():
+            vocab.setdefault(w, list(w))
+    for left, right in pairs:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    want = {
+        di: sum(len(vocab[w]) for w in t.split())
+        for di, t in enumerate(texts)
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["n_symbols"]
+        for r in encode_with_merges(df, pairs, "text", "doc_id",
+                                    checkpoint_every=3).collect()
+    }
+    assert got == want
+    # intermediate checkpoint blocks are freed; only the tracked
+    # stage-cache entry (the word->symbol map) remains, and
+    # release_stages clears it
+    from northwind_etl_spark.cache import release_stages
+
+    release_stages()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
