@@ -150,3 +150,47 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_checkpoint_restart_processes_only_new_files(spark):
+    """The incremental-ingest contract: a restarted stream with the
+    same checkpoint picks up ONLY files that arrived since the last
+    run — batch 1's input is not reprocessed, batch 2's delta lands
+    exactly once."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="ckpt_delta_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+
+    batch1 = spark.range(0, 100).select(
+        F.col("id").alias("event_id"), F.lit("a").alias("tag")
+    )
+    batch1.write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id LONG, tag STRING")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 100
+
+    batch2 = spark.range(1000, 1050).select(
+        F.col("id").alias("event_id"), F.lit("b").alias("tag")
+    )
+    batch2.write.mode("append").parquet(src)
+    run_once()  # restart: must process ONLY the 50 new rows
+    loaded = spark.read.parquet(out)
+    assert loaded.count() == 150
+    # exactly once: no event_id duplicated, both tags present
+    assert loaded.select("event_id").distinct().count() == 150
+    assert loaded.where(F.col("tag") == "b").count() == 50
