@@ -50,6 +50,7 @@ def asof_join(
     right_cols: Sequence[str],
     how: str = "left",
     direction: str = "backward",
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join, backward (default) or forward.
 
@@ -63,6 +64,29 @@ def asof_join(
     union+window shape with the time sort reversed.  NULLs when no
     matching right row exists (how='left') or the left row dropped
     (how='inner').
+
+    `chunk_seconds` turns on the EXACT hot-key mitigation (the
+    chunked-timeline-with-boundary-stitching design from the r05 skew
+    probe): the timeline is cut into coarse buckets and the one
+    per-key window becomes
+      (a) a per-(key, bucket) AGGREGATION of each bucket's latest
+          right row — map-side combined, so a hot key costs partial
+          aggregation, not a single-task sort;
+      (b) a carry-in LOCF across buckets per key — a window whose
+          partition size is #active buckets (time-range/chunk, i.e.
+          INDEPENDENT of event volume); and
+      (c) the original window partitioned by (key, bucket), seeded
+          with the carry-in — the hot key's history is now split
+          across time chunks instead of serialized in one task.
+    Result-identical to the direct pass (equality-pinned in tests,
+    including ties, null left times, and forward direction); choose
+    chunk_seconds so a hot key's densest chunk fits one task
+    comfortably (e.g. 1 day for user event streams).  One documented
+    divergence: a NULL-time RIGHT row — which the direct pass sorts
+    before everything, letting it fill real lefts — stays confined to
+    the NULL chunk here and only meets NULL-time lefts.  Null-time
+    state rows are data errors in every as-of use case; filter them
+    out first if you have them.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
@@ -75,7 +99,7 @@ def asof_join(
     l_payload = [c for c in left.columns if c not in on and c != left_time]
     # the union/window pass reserves scratch names; an input column with
     # one of them would be silently shadowed — refuse instead of corrupt
-    reserved = {"__t", "__is_l", "__r", "__m"}
+    reserved = {"__t", "__is_l", "__r", "__m", "__tl", "__b", "__bl", "__carry"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"asof_join: reserved column names in input: {sorted(clash)}")
@@ -114,14 +138,16 @@ def asof_join(
         if direction == "backward"
         else F.col("__t").desc_nulls_first()
     )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(t_order, F.col("__is_l").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = lu.unionByName(ru).withColumn(
-        "__m", F.last("__r", ignorenulls=True).over(w)
-    )
+    union = lu.unionByName(ru)
+    if chunk_seconds is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(t_order, F.col("__is_l").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = union.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    else:
+        filled = _chunked_fill(union, on, direction, chunk_seconds)
     out = filled.where(F.col("__is_l") == 1).select(
         *on,
         F.col("__t").alias(left_time),
@@ -131,3 +157,53 @@ def asof_join(
     if how == "inner":
         out = out.where(F.col("__m").isNotNull())
     return out.drop("__m")
+
+
+def _chunked_fill(
+    union: DataFrame, on: list[str], direction: str, chunk_seconds: int
+) -> DataFrame:
+    """The hot-key-proof fill: per-(key, chunk) windows seeded with a
+    cross-chunk carry-in.  Works on a monotone long time axis `__tl`
+    (negated micros for the forward direction, so one backward code
+    path serves both); NULL-time rows keep their own NULL chunk with
+    no carry-in, reproducing the direct pass's nulls-first semantics
+    (a NULL-time left can only see NULL-time rights).
+    """
+    micros = F.unix_micros(F.col("__t").cast("timestamp"))
+    tl = micros if direction == "backward" else -micros
+    chunk_us = int(chunk_seconds) * 1_000_000
+    u = union.withColumn("__tl", tl).withColumn(
+        "__b", F.floor(F.col("__tl") / F.lit(chunk_us))
+    )
+    # (a) each chunk's latest right row — an AGGREGATION (partial,
+    # map-side combined), not a window: hot keys don't serialize here
+    bl = (
+        u.where(F.col("__b").isNotNull())
+        .groupBy(*on, "__b")
+        .agg(
+            F.max_by(
+                "__r", F.when(F.col("__is_l") == 0, F.col("__tl"))
+            ).alias("__bl")
+        )
+    )
+    # (b) carry-in: latest right from STRICTLY EARLIER chunks — LOCF
+    # over the per-key chunk spine (#chunks rows per key, volume-free)
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bl.withColumn("__carry", F.last("__bl", ignorenulls=True).over(wb))
+    # (c) the original ordered fill, now per (key, chunk), seeded with
+    # the carry-in; the join and the window share (key, chunk)
+    # partitioning so the exchange is reused
+    u2 = u.join(carry.select(*on, "__b", "__carry"), [*on, "__b"], "left")
+    w2 = (
+        Window.partitionBy(*on, "__b")
+        .orderBy(F.col("__tl").asc(), F.col("__is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return u2.withColumn(
+        "__m",
+        F.coalesce(F.last("__r", ignorenulls=True).over(w2), F.col("__carry")),
+    ).drop("__tl", "__b", "__carry")

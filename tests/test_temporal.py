@@ -301,3 +301,61 @@ def test_asof_forward_planted(spark):
         right_cols=["state"], how="inner", direction="forward",
     )
     assert {r.tag for r in inner.collect()} == {"l0", "l1"}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("how", ["left", "inner"])
+def test_asof_chunked_equals_direct(spark, direction, how):
+    """The chunk_seconds hot-key mitigation must be result-identical
+    to the direct single-window pass — randomized hot-key data with
+    ties and null LEFT times, tiny chunks so many boundaries are
+    crossed, both directions, both join modes."""
+    import datetime as dt
+    import random
+
+    rnd = random.Random(13)
+    t0 = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for i in range(400):
+        k = 1 if i % 4 else 2 + (i % 3)  # key 1 is hot (75% of rows)
+        t = t0 + dt.timedelta(seconds=rnd.randint(0, 86400))
+        lrows.append((k, t, i))
+    for i in range(150):
+        k = 1 if i % 3 else 2 + (i % 3)
+        t = t0 + dt.timedelta(seconds=rnd.randint(0, 86400))
+        rrows.append((k, t, f"v{i}"))
+    # planted exact ties between a left and a right
+    tie = t0 + dt.timedelta(hours=5)
+    lrows.append((1, tie, 9001))
+    rrows.append((1, tie, "tied"))
+    # a null-time left: must match nothing in both variants
+    lrows.append((1, None, 9002))
+    left = spark.createDataFrame(lrows, "k LONG, lt TIMESTAMP_NTZ, lid LONG")
+    right = spark.createDataFrame(rrows, "k LONG, rt TIMESTAMP_NTZ, v STRING")
+    # right side deduped to one row per (k, rt) for determinism
+    right = right.groupBy("k", "rt").agg(F.min("v").alias("v"))
+
+    def run(chunk):
+        return sorted(
+            (
+                (r["k"], r["lt"], r["lid"], r["v"])
+                for r in asof_join(
+                left,
+                right,
+                on=["k"],
+                left_time="lt",
+                right_time="rt",
+                right_cols=["v"],
+                how=how,
+                direction=direction,
+                chunk_seconds=chunk,
+            ).collect()
+            ),
+            key=lambda t: (t[0], t[2]),
+        )
+
+    direct = run(None)
+    chunked = run(3600)  # 1 h chunks over a 24 h timeline
+    assert chunked == direct
+    # degenerate chunk sizes also agree
+    assert run(86400 * 7) == direct  # one chunk swallows everything
