@@ -1196,6 +1196,22 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return I.ivf_topk(indexed, centroids, qvec, k=10, nprobe=3)
 
 
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (operators/pq.py): byte-coded
+    corpus + ADC lookup fold, scan + TakeOrderedAndProject with zero
+    shuffle (plan-asserted in tests/test_pq.py).  Rows-only: an
+    approximation with sample-trained codebooks has no SQL oracle;
+    recall/self-hit/twin bounds are pinned in tests.  Deterministic
+    end-to-end (sample, seeding, Lloyd passes), so the driver row is
+    stable."""
+    from ..operators import pq as P
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    books = P.train_pq_codebooks(emb, m=32, k=32)
+    return P.pq_topk(P.encode_pq(emb, books), books, qvec, k=10)
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dup pairs via banded LSH buckets (rows-only check).
 
@@ -1630,6 +1646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_surprisal_scores": bigram_surprisal_scores,
     "duplicate_cluster_sizes": duplicate_cluster_sizes,
     "bpe_encoded_token_counts": bpe_encoded_token_counts,
+    "pq_ann_topk": pq_ann_topk,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1663,10 +1680,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_image_stats": multimodal_image_stats,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
-    "minhash_near_dup_pairs": minhash_near_dup_pairs,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
     "tfidf_scores": tfidf_scores,
