@@ -276,3 +276,25 @@ def test_pack_sequences_quota_properties(spark):
     for r in stats:
         k = (r["bucket"], r["shard"], r["batch_id"])
         assert r["batch_tokens"] <= 100 + per_batch_max[k], (r, per_batch_max[k])
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    """Raising every row's keep probability can only ADD rows — the
+    per-row hash threshold is fixed, so the kept set at weight w is a
+    subset of the kept set at any w' >= w (the property that makes
+    re-sampling at a new rate incremental instead of a reshuffle)."""
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.operators.sampling import weighted_sample
+
+    df = spark.range(500).select(F.col("id"))
+    low = {
+        r["id"] for r in weighted_sample(df, "id", F.lit(0.3)).collect()
+    }
+    high = {
+        r["id"] for r in weighted_sample(df, "id", F.lit(0.7)).collect()
+    }
+    assert low <= high
+    # and rates land near their targets on 500 rows
+    assert 0.2 < len(low) / 500 < 0.4
+    assert 0.6 < len(high) / 500 < 0.8
