@@ -19,9 +19,11 @@ so decode → per-channel stats flow end-to-end and are oracle-checkable
 byte arithmetic.  PNG is a REAL compressed codec too — encode_png /
 decode_png below implement it on stdlib zlib (CRC-verified chunks, all
 five scanline filters on decode), so the compressed path runs without
-any codec library.  Audio is real for PCM WAV (encode_wav/decode_wav on the stdlib
-`wave` module).  Only JPEG and compressed audio
-(MP3/AAC) remain environment-blocked stubs in `_decode_compressed`.
+any codec library.  Baseline JPEG is real as well (operators/jpeg.py:
+stdlib+numpy DCT/quantization/Huffman).  Audio is real for PCM WAV
+(encode_wav/decode_wav on the stdlib `wave` module).  Only compressed
+audio (MP3/AAC) remains an environment-blocked stub in
+`_decode_compressed`.
 """
 
 from __future__ import annotations
@@ -103,14 +105,19 @@ def encode_ppm(arr: "np.ndarray") -> bytes:
 
 def _decode_compressed(blob: bytes) -> "np.ndarray":
     """Compressed-format dispatch.  PNG is decoded for real (stdlib
-    zlib — see decode_png below); JPEG/audio codecs are genuinely not
-    in this container and remain declared stubs — swap in Pillow/ffmpeg
-    here; the mapInPandas plumbing above is unchanged either way."""
+    zlib — see decode_png below) and so is baseline JPEG (stdlib+numpy
+    DCT/Huffman — operators/jpeg.py); compressed AUDIO (mp3/aac) is the
+    one remaining declared stub — swap in ffmpeg here; the mapInPandas
+    plumbing above is unchanged either way."""
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
+    if blob[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError(
-        "JPEG/compressed-audio codecs not available in this environment"
-        " (PNG: decode_png; PCM WAV: decode_wav)"
+        "compressed-audio codecs not available in this environment"
+        " (PNG: decode_png; JPEG: operators/jpeg.py; PCM WAV: decode_wav)"
     )
 
 
@@ -521,3 +528,57 @@ def audio_stats(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return audio.select("doc_id", "audio").mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------- JPEG round-trip
+JPEG_STATS_SCHEMA = (
+    "doc_id long, width int, height int, jpeg_bytes int, psnr_db double"
+)
+
+
+def jpeg_roundtrip_stats(
+    documents: DataFrame, *, width: int = IMAGE_WIDTH, quality: int = 90
+) -> DataFrame:
+    """Render each document's utf-8 bytes as the deterministic RGB
+    image (same raster as make_image_table), push it through the REAL
+    baseline JPEG codec (operators/jpeg.py: DCT, Annex-K quantization,
+    Huffman, byte stuffing) and report per-doc compressed size and
+    round-trip PSNR — the fidelity report an image-ingest pipeline
+    monitors.
+
+    JPEG is lossy, so unlike the PNG path there is no pixel-exact SQL
+    oracle; instead the whole pipeline is deterministic (render, DCT,
+    quantizer, canonical Huffman), making the driver's rows-only check
+    stable, and tests pin a PSNR floor that any real codec defect
+    (wrong quant table, Huffman drift, zigzag slip) crashes through.
+    Text bytes render as near-noise — JPEG's worst case — so the pinned
+    floor is conservative for natural images.
+    """
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    row_bytes = width * 3
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: [] for k in ("doc_id", "width", "height", "jpeg_bytes", "psnr_db")
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8")
+                h = max(1, -(-len(data) // row_bytes))
+                buf = data + b"\x00" * (h * row_bytes - len(data))
+                arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, width, 3)
+                blob = encode_jpeg(arr, quality=quality)
+                dec = decode_jpeg(blob)
+                mse = float(
+                    ((dec.astype(np.float64) - arr.astype(np.float64)) ** 2).mean()
+                )
+                psnr = 99.0 if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(dec.shape[1])
+                rows["height"].append(dec.shape[0])
+                rows["jpeg_bytes"].append(len(blob))
+                rows["psnr_db"].append(round(psnr, 3))
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id", "text").mapInPandas(stats, JPEG_STATS_SCHEMA)

@@ -1270,6 +1270,19 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_stats(imgs)
 
 
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG path (operators/jpeg.py: stdlib+numpy DCT +
+    Annex-K quantization + canonical Huffman + byte stuffing): render
+    each document's bytes as the deterministic RGB raster, encode at
+    q95, decode back through the compressed dispatch, and report
+    compressed size + round-trip PSNR per doc.  Rows-only by design —
+    JPEG is lossy so no SQL oracle can reproduce the pixels — but the
+    whole pipeline is deterministic (stable driver rows) and
+    tests/test_jpeg.py pins PSNR floors, marker structure, Annex-K
+    table constants, and decoder error contracts."""
+    return M.jpeg_roundtrip_stats(_t(spark, sf_dir, "documents"), quality=95)
+
+
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio path: render each document's utf-8 bytes as genuine
     16-bit mono PCM WAV (RIFF chunks on stdlib struct), decode it back
@@ -1647,6 +1660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_cluster_sizes": duplicate_cluster_sizes,
     "bpe_encoded_token_counts": bpe_encoded_token_counts,
     "pq_ann_topk": pq_ann_topk,
+    "multimodal_jpeg_stats": multimodal_jpeg_stats,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1679,10 +1693,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_blob_features": multimodal_blob_features,
     "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_image_stats": multimodal_image_stats,
-    "simhash_near_dup_pairs": simhash_near_dup_pairs,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "fuzzy_name_match_pairs": fuzzy_name_match_pairs,

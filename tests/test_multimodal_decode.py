@@ -45,12 +45,15 @@ def test_truncated_header_raises():
 
 
 def test_compressed_format_dispatch():
-    # PNG dispatches to the real stdlib-zlib decoder (truncated input
-    # fails loudly, not silently); JPEG/audio remain declared stubs
+    # PNG and JPEG both dispatch to real decoders (truncated input
+    # fails loudly, not silently); only compressed audio remains a
+    # declared stub
     with pytest.raises(ValueError, match="IEND|IHDR|truncated"):
         M.decode_image(b"\x89PNG\r\n\x1a\nrest")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="truncated|marker"):
         M.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
+    with pytest.raises(NotImplementedError, match="audio"):
+        M.decode_image(b"ID3\x04unsupported-mp3")
 
 
 # ------------------------------------------------------- spark pipeline
