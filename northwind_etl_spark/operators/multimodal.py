@@ -21,9 +21,10 @@ decode_png below implement it on stdlib zlib (CRC-verified chunks, all
 five scanline filters on decode), so the compressed path runs without
 any codec library.  Baseline JPEG is real as well (operators/jpeg.py:
 stdlib+numpy DCT/quantization/Huffman).  Audio is real for PCM WAV
-(encode_wav/decode_wav on the stdlib `wave` module).  Only compressed
-audio (MP3/AAC) remains an environment-blocked stub in
-`_decode_compressed`.
+(encode_wav/decode_wav on the stdlib `wave` module) AND for compressed
+audio via IMA ADPCM (encode_adpcm/decode_adpcm on stdlib audioop,
+4 bits/sample).  Perceptual codecs (MP3/AAC) remain out of scope
+without ffmpeg — the one remaining environment-blocked format.
 """
 
 from __future__ import annotations
@@ -104,11 +105,12 @@ def encode_ppm(arr: "np.ndarray") -> bytes:
 
 
 def _decode_compressed(blob: bytes) -> "np.ndarray":
-    """Compressed-format dispatch.  PNG is decoded for real (stdlib
+    """Compressed-IMAGE dispatch.  PNG is decoded for real (stdlib
     zlib — see decode_png below) and so is baseline JPEG (stdlib+numpy
-    DCT/Huffman — operators/jpeg.py); compressed AUDIO (mp3/aac) is the
-    one remaining declared stub — swap in ffmpeg here; the mapInPandas
-    plumbing above is unchanged either way."""
+    DCT/Huffman — operators/jpeg.py).  Audio never routes here
+    (decode_wav / decode_adpcm); perceptual audio (mp3/aac) is the one
+    remaining declared stub — swap in ffmpeg where this raises; the
+    mapInPandas plumbing above is unchanged either way."""
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
     if blob[:3] == b"\xff\xd8\xff":
@@ -116,8 +118,9 @@ def _decode_compressed(blob: bytes) -> "np.ndarray":
 
         return decode_jpeg(blob)
     raise NotImplementedError(
-        "compressed-audio codecs not available in this environment"
-        " (PNG: decode_png; JPEG: operators/jpeg.py; PCM WAV: decode_wav)"
+        "unrecognized blob format; perceptual audio codecs are not"
+        " available in this environment (PNG: decode_png; JPEG:"
+        " operators/jpeg.py; PCM WAV: decode_wav; ADPCM: decode_adpcm)"
     )
 
 
@@ -582,3 +585,116 @@ def jpeg_roundtrip_stats(
             yield pd.DataFrame(rows)
 
     return documents.select("doc_id", "text").mapInPandas(stats, JPEG_STATS_SCHEMA)
+
+
+# ------------------------------------------- IMA-ADPCM compressed audio
+# The COMPRESSED audio path on the stdlib: IMA ADPCM (4 bits/sample,
+# 4:1 vs 16-bit PCM) via the `audioop` module that ships with this
+# CPython (deprecated upstream; the import is gated so a future
+# interpreter degrades this back to a declared stub instead of
+# breaking the module).  Perceptual codecs (MP3/AAC) stay out of scope
+# without ffmpeg — ADPCM is the honest stdlib-only compressed-audio
+# representative, exactly as PNG/JPEG are for images.
+
+ADPCM_MAGIC = b"ADP1"
+ADPCM_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, adpcm_bytes int,"
+    " compression_ratio double, snr_db double"
+)
+
+
+def _audioop():
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop
+        return audioop
+    except ImportError as ex:  # pragma: no cover - future interpreters
+        raise NotImplementedError(
+            "IMA-ADPCM needs the stdlib audioop module (removed in"
+            " Python 3.13+); swap in an external codec here"
+        ) from ex
+
+
+def encode_adpcm(samples: "np.ndarray", *, sample_rate: int = 8000) -> bytes:
+    """Compress int16 mono samples to IMA ADPCM in a small framed
+    container: magic + rate + sample count + nibble stream."""
+    import struct
+
+    au = _audioop()
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data, _state = au.lin2adpcm(s.tobytes(), 2, None)
+    return ADPCM_MAGIC + struct.pack("<II", sample_rate, len(s)) + data
+
+
+def decode_adpcm(blob: bytes) -> tuple["np.ndarray", int]:
+    """Decode the framed ADPCM blob back to int16 samples; ValueError
+    on bad magic or truncation (same contract as decode_wav/png/jpeg)."""
+    import struct
+
+    au = _audioop()
+    if blob[:4] != ADPCM_MAGIC:
+        raise ValueError("not an ADP1 blob (bad magic)")
+    if len(blob) < 12:
+        raise ValueError("truncated ADPCM header")
+    rate, n = struct.unpack_from("<II", blob, 4)
+    payload = blob[12:]
+    if len(payload) < -(-n // 2):
+        raise ValueError("truncated ADPCM payload")
+    pcm, _state = au.adpcm2lin(payload, 2, None)
+    samples = np.frombuffer(pcm, dtype="<i2")[:n]
+    if len(samples) < n:
+        raise ValueError("truncated ADPCM payload")
+    return samples, rate
+
+
+def adpcm_roundtrip_stats(
+    documents: DataFrame, *, sample_rate: int = 8000
+) -> DataFrame:
+    """Synthesize a deterministic tone per document (frequency keyed on
+    doc_id, length on n_chars — the tonal regime ADPCM is built for),
+    push it through the real IMA-ADPCM codec and report compression
+    ratio + SNR.  Lossy ⇒ rows-only (no SQL oracle can reproduce the
+    nibble predictor), but fully deterministic, with SNR floors pinned
+    in tests."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "sample_rate", "n_samples", "adpcm_bytes",
+                    "compression_ratio", "snr_db",
+                )
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                n = max(256, 4 * len(t or ""))
+                # 50-250 Hz: the band where a 4-bit delta codec holds
+                # ~30-45 dB SNR (it degrades ~6 dB/octave above that)
+                freq = 50.0 + (int(doc_id) * 37) % 200
+                tt = np.arange(n, dtype=np.float64) / sample_rate
+                samples = (12000.0 * np.sin(2 * np.pi * freq * tt)).astype("<i2")
+                blob = encode_adpcm(samples, sample_rate=sample_rate)
+                dec, rate = decode_adpcm(blob)
+                # measure steady-state fidelity: the delta predictor
+                # ramps from zero over the first few dozen samples, so
+                # SNR excludes the standard warm-up window
+                warm = 64
+                ref = samples[warm:].astype(np.float64)
+                err = dec[warm:].astype(np.float64) - ref
+                sig = float((ref**2).mean())
+                mse = float((err**2).mean())
+                snr = 99.0 if mse == 0 else 10.0 * np.log10(sig / mse)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["adpcm_bytes"].append(len(blob))
+                rows["compression_ratio"].append(
+                    round(2.0 * n / max(len(blob) - 12, 1), 3)
+                )
+                rows["snr_db"].append(round(snr, 3))
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id", "text").mapInPandas(stats, ADPCM_STATS_SCHEMA)

@@ -1283,6 +1283,15 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.jpeg_roundtrip_stats(_t(spark, sf_dir, "documents"), quality=95)
 
 
+def multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio path (operators/multimodal.py::encode_adpcm /
+    decode_adpcm — IMA ADPCM on stdlib audioop, 4 bits/sample):
+    deterministic per-doc tone → compress → decompress → compression
+    ratio + SNR.  Rows-only (lossy nibble predictor, no SQL oracle);
+    SNR floors and framing/error contracts pinned in tests."""
+    return M.adpcm_roundtrip_stats(_t(spark, sf_dir, "documents"))
+
+
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio path: render each document's utf-8 bytes as genuine
     16-bit mono PCM WAV (RIFF chunks on stdlib struct), decode it back
@@ -1661,6 +1670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encoded_token_counts": bpe_encoded_token_counts,
     "pq_ann_topk": pq_ann_topk,
     "multimodal_jpeg_stats": multimodal_jpeg_stats,
+    "multimodal_adpcm_stats": multimodal_adpcm_stats,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1692,10 +1702,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_stats": doc_repetition_stats,
     "multimodal_blob_features": multimodal_blob_features,
     "multimodal_frame_stats": multimodal_frame_stats,
-    "multimodal_image_stats": multimodal_image_stats,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "multimodal_image_stats": multimodal_image_stats,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
