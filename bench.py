@@ -91,6 +91,9 @@ HEADLINE = [
     # shared-stage aggregation)
     "dup_ngram_coverage",
     "gopher_quality_verdicts",
+    "ewma_user_value",
+    "bigram_surprisal_scores",
+    "packed_batch_stats",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact
