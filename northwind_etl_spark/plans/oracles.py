@@ -1270,6 +1270,60 @@ ORACLES: dict[str, str] = {
               2.0 * (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM g)
         ORDER BY part_value DESC, p_partkey
     """,
+    "conversion_funnel_counts": """
+        WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t1
+                AND e.ts <= v.t1 + INTERVAL 12 HOUR
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                AND e.ts <= c.t2 + INTERVAL 12 HOUR
+              GROUP BY e.user_id)
+        SELECT 1 AS step, 'view' AS step_name,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 2, 'click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+        ORDER BY step
+    """,
+    "weekly_retention_cohorts": """
+        WITH a AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+                   FROM events),
+        f AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY user_id)
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) / 7 AS INT)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "event_anomaly_flags": """
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                       AS day_value
+            FROM events GROUP BY 1, 2),
+        scored AS (
+            SELECT user_id, day, day_value,
+                   AVG(day_value) OVER w AS mu,
+                   STDDEV_SAMP(day_value) OVER w AS sd
+            FROM daily
+            WINDOW w AS (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT user_id, day,
+               ROUND(day_value, 2) AS day_value,
+               ROUND((day_value - mu) / sd, 6) AS z_score,
+               (abs(ROUND((day_value - mu) / sd, 6)) > 2.0) AS is_anomaly
+        FROM scored
+        WHERE sd IS NOT NULL AND sd > 0
+    """,
     "ewma_user_value": """
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS bucket,

@@ -613,6 +613,104 @@ def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.tumbling_counts(_t(spark, sf_dir, "events"), duration="1 hour")
 
 
+def conversion_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase with a 12 h
+    conversion window per hop: a user counts at step k only if step
+    k's FIRST qualifying event happens strictly after their
+    step-(k−1) anchor and within the window — the classic
+    product-analytics funnel, as three chained per-user min
+    aggregations (each one shuffle on user_id; no window function, no
+    self-join explosion — at 100 TB each stage is a keyed agg over a
+    filtered scan).  The window is what makes the step counts
+    discriminative (150 → 37 → 7 at sf0.01)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    hop = F.expr("INTERVAL 12 HOURS")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + hop))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + hop))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    step = lambda df, n, name: df.agg(  # noqa: E731
+        F.lit(n).alias("step"),
+        F.lit(name).alias("step_name"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    return (
+        step(v, 1, "view")
+        .unionByName(step(c, 2, "click_after_view"))
+        .unionByName(step(p, 3, "purchase_after_click"))
+        .orderBy("step")
+    )
+
+
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their
+    FIRST event; each (cohort_week, week_offset) cell counts the
+    cohort's users active in that later week.  Two keyed aggregations
+    (first-seen per user, distinct user-weeks) and one broadcast-sized
+    join back — the standard retention shape, no window functions."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def event_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) value anomalies: z-score of each day's total
+    against the user's TRAILING 7 observed days (frame excludes the
+    current row, so the baseline can't absorb the spike) — one keyed
+    window whose per-key state is bounded by days, not events.  Days
+    with fewer than 2 trailing observations carry no score and are
+    dropped; |z| > 2 flags the anomaly."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("day_value")
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+    scored = (
+        daily.withColumn("mu", F.avg("day_value").over(w))
+        .withColumn("sd", F.stddev_samp("day_value").over(w))
+        .where(F.col("sd").isNotNull() & (F.col("sd") > 0))
+        .withColumn(
+            "z_score", F.round((F.col("day_value") - F.col("mu")) / F.col("sd"), 6)
+        )
+    )
+    return scored.select(
+        "user_id",
+        "day",
+        F.round("day_value", 2).alias("day_value"),
+        "z_score",
+        (F.abs(F.col("z_score")) > 2.0).alias("is_anomaly"),
+    )
+
+
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -1671,6 +1769,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann_topk": pq_ann_topk,
     "multimodal_jpeg_stats": multimodal_jpeg_stats,
     "multimodal_adpcm_stats": multimodal_adpcm_stats,
+    "conversion_funnel_counts": conversion_funnel_counts,
+    "weekly_retention_cohorts": weekly_retention_cohorts,
+    "event_anomaly_flags": event_anomaly_flags,
     # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
     # --- r05 overflow pair (newest driver row r02): lead the window --
@@ -1699,12 +1800,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_late_supplier": T.q21_late_supplier,
     "q22_dormant_customers": T.q22_dormant_customers,
     "q6_forecast_revenue": q6_forecast_revenue,
-    "doc_repetition_stats": doc_repetition_stats,
-    "multimodal_blob_features": multimodal_blob_features,
-    "multimodal_frame_stats": multimodal_frame_stats,
     # ===== driver window boundary: first 50 above ====================
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity) ----------
+    "doc_repetition_stats": doc_repetition_stats,
+    "multimodal_blob_features": multimodal_blob_features,
+    "multimodal_frame_stats": multimodal_frame_stats,
     "multimodal_image_stats": multimodal_image_stats,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "minhash_near_dup_pairs": minhash_near_dup_pairs,
