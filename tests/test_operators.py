@@ -298,3 +298,49 @@ def test_weighted_sample_monotone_in_weight(spark):
     # and rates land near their targets on 500 rows
     assert 0.2 < len(low) / 500 < 0.4
     assert 0.6 < len(high) / 500 < 0.8
+
+
+def test_funnel_ordering_and_window_semantics(spark, monkeypatch, tmp_path):
+    """Planted users pin the funnel rules: clicks BEFORE the first view
+    don't count, clicks outside the 12 h hop window don't count, and
+    the purchase anchor is the first QUALIFYING click, not any click."""
+    import datetime as dt
+
+    from northwind_etl_spark.plans.queries import conversion_funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def ev(uid, kind, minutes):
+        return (
+            len(rows), t0 + dt.timedelta(minutes=minutes), uid, kind, 1.0, "{}"
+        )
+
+    rows = []
+    # u1: view -> click(+1h) -> purchase(+2h): full funnel
+    rows.append(ev(1, "view", 0)); rows.append(ev(1, "click", 60))
+    rows.append(ev(1, "purchase", 120))
+    # u2: click BEFORE first view, none after: stops at step 1
+    rows.append(ev(2, "click", 0)); rows.append(ev(2, "view", 60))
+    # u3: click 13h after view (outside hop): stops at step 1
+    rows.append(ev(3, "view", 0)); rows.append(ev(3, "click", 13 * 60))
+    # u4: qualifying click at +1h, purchase 13h after THAT click: step 2
+    rows.append(ev(4, "view", 0)); rows.append(ev(4, "click", 60))
+    rows.append(ev(4, "purchase", 60 + 13 * 60))
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    # point the events reader at the planted table
+    import northwind_etl_spark.plans.queries as Q
+
+    monkeypatch.setattr(
+        Q, "_t", lambda spark_, sf_dir, name: spark_.read.parquet(path)
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in conversion_funnel_counts(spark, "ignored").collect()
+    }
+    assert got == {1: 4, 2: 2, 3: 1}
