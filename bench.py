@@ -94,6 +94,11 @@ HEADLINE = [
     "ewma_user_value",
     "bigram_surprisal_scores",
     "packed_batch_stats",
+    # r06 scale-pattern batch: bloom pre-cut join, two-level snapshot
+    # reconciliation, gaps-and-islands window
+    "bloom_filtered_orders",
+    "table_diff_summary",
+    "user_activity_islands",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -1,0 +1,76 @@
+"""Incremental aggregate maintenance: merge partial aggregation states
+instead of recomputing history.
+
+The reference's loads are truncate-and-reload (etl_orders.py:96-137):
+every run recomputes every aggregate from scratch.  At 100 TB that is
+the difference between re-reading six years of history and reading one
+day of delta.  The standard fix is to keep aggregates as MERGEABLE
+STATES — (decimal_sum, count) pairs, min/max, HLL sketches — so that
+
+    state(history ∪ delta) = merge(state(history), state(delta))
+
+holds exactly, and only the delta partition is ever re-scanned.  This
+module implements the batch pattern: partialize each input slice, union
+the tiny state tables, merge with a second group-by, then finalize
+(derive AVG from sum/count, round money once at the end).
+
+Exactness notes that make the merge safe:
+- sums accumulate as DECIMAL(38,6) (associative, no float drift) and
+  are rounded only in finalize — merging pre-rounded doubles would NOT
+  equal the direct computation;
+- COUNT and MIN/MAX are trivially mergeable;
+- AVG is NOT mergeable directly and is derived from (sum, count) at
+  finalize, matching functions.money.decimal_avg bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_states(
+    df: DataFrame, keys: Sequence[str], value: str
+) -> DataFrame:
+    """Mergeable per-key state for SUM/AVG/MIN/MAX/COUNT over `value`."""
+    v = F.col(value).cast("decimal(38,6)")
+    return df.groupBy(*keys).agg(
+        F.sum(v).alias("__sum"),
+        F.count(v).alias("__cnt"),
+        F.min(v).alias("__min"),
+        F.max(v).alias("__max"),
+    )
+
+
+def merge_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of partial-state tables (same grouping keys)."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if not c.startswith("__")]
+    return merged.groupBy(*keys).agg(
+        F.sum("__sum").alias("__sum"),
+        F.sum("__cnt").alias("__cnt"),
+        F.min("__min").alias("__min"),
+        F.max("__max").alias("__max"),
+    )
+
+
+def finalize(states: DataFrame, *, prefix: str) -> DataFrame:
+    """Collapse states to presentation columns, rounding exactly once
+    (mirrors functions.money.decimal_sum / decimal_avg)."""
+    keys = [c for c in states.columns if not c.startswith("__")]
+    total = F.round(F.col("__sum"), 2).cast("double")
+    avg = F.round(
+        F.col("__sum").cast("double") / F.col("__cnt"), 6
+    ).cast("double")
+    return states.select(
+        *keys,
+        total.alias(f"{prefix}_total"),
+        F.col("__cnt").alias(f"{prefix}_count"),
+        avg.alias(f"{prefix}_avg"),
+        F.col("__min").cast("double").alias(f"{prefix}_min"),
+        F.col("__max").cast("double").alias(f"{prefix}_max"),
+    )

@@ -17,6 +17,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_distinct_count(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    distinct_col: str,
+    alias: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact COUNT(DISTINCT distinct_col) per group via salted two-phase
+    aggregation — the canonical hot-key fix for distinct aggregation.
+
+    A plain ``groupBy(k).agg(countDistinct(v))`` builds one per-key
+    distinct set on one reduce task; a key holding 10% of a 100 TB
+    table's values makes that task the job.  Salting by the *value*
+    space fixes it exactly: ``salt = pmod(xxhash64(v), R)`` partitions
+    the distinct values of v into R disjoint classes, so
+
+        COUNT(DISTINCT v) == SUM over salt of COUNT(DISTINCT v within salt)
+
+    with no approximation.  Phase 1 groups by (k, salt) — the hot key's
+    set is now built by R tasks — phase 2 sums the R partial counts
+    (one row per (k, salt), trivially small).
+
+    Unlike salting a SUM/COUNT (which Spark's map-side partial
+    aggregation already de-skews), distinct aggregation genuinely needs
+    this: the reduce side must see every raw value, and salting is what
+    spreads them.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*group_cols, "__salt").agg(
+        F.count_distinct(distinct_col).alias("__partial")
+    )
+    return partial.groupBy(*group_cols).agg(F.sum("__partial").alias(alias))
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -1509,6 +1509,78 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY user_id
     """,
+    # Gaps-and-islands: day - row_number is constant within a run of
+    # consecutive days — identical trick on both engines.
+    "user_activity_islands": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        anchored AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+            FROM days),
+        islands AS (
+            SELECT user_id, anchor, COUNT(*) AS streak_days
+            FROM anchored GROUP BY user_id, anchor)
+        SELECT streak_days, COUNT(*) AS n_islands,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM islands GROUP BY streak_days ORDER BY streak_days
+    """,
+    # The salted two-phase plan must equal the plain COUNT(DISTINCT):
+    # the salt hash-partitions the VALUE space into disjoint classes,
+    # so the partial distinct counts sum exactly.
+    "salted_distinct_users": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # The merged history+delta states must equal aggregating the union
+    # directly (same decimal-domain rules as every money aggregate).
+    "incremental_order_stats": f"""
+        SELECT o_orderpriority,
+               {_dsum("o_totalprice", "price_total")},
+               COUNT(o_totalprice) AS price_count,
+               {_davg("o_totalprice", "price_avg")},
+               CAST(MIN(o_totalprice) AS DOUBLE) AS price_min,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS price_max
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    # The bloom pre-cut admits false positives only; after the exact
+    # semi-join the result is the plain semi-join.
+    "bloom_filtered_orders": f"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               {_dsum("o_totalprice", "total_price")}
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    # Direct FULL OUTER JOIN diff of the same deterministic mutation;
+    # only o_totalprice ever changes, so comparing it alone classifies
+    # 'changed' exactly as the full-row hash does.
+    "table_diff_summary": """
+        WITH newt AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 103 = 0),
+        j AS (
+            SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                        ELSE 'unchanged' END AS state
+            FROM orders o FULL OUTER JOIN newt n
+              ON o.o_orderkey = n.o_orderkey)
+        SELECT CAST(COUNT(*) FILTER (WHERE state = 'added') AS BIGINT) AS n_added,
+               CAST(COUNT(*) FILTER (WHERE state = 'removed') AS BIGINT) AS n_removed,
+               CAST(COUNT(*) FILTER (WHERE state = 'changed') AS BIGINT) AS n_changed,
+               CAST(COUNT(*) FILTER (WHERE state = 'unchanged') AS BIGINT) AS n_unchanged
+        FROM j
+    """,
 }
 
 # The PNG round-trip must land on the SAME pixels as the uncompressed

@@ -725,6 +725,116 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of CONSECUTIVE active days,
+    reduced to a streak-length histogram.  The classic trick — day
+    minus per-user row_number is constant within a run — costs one
+    keyed window plus one group-by on the same (user) key; the window
+    input is distinct (user, day) pairs, so per-key state is bounded
+    by days, not events."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    return (
+        islands.groupBy("streak_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("streak_days")
+    )
+
+
+def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type distinct users via salted two-phase
+    aggregation (operators/skew.py::salted_distinct_count): the value
+    space is hash-split into 16 disjoint classes so no single reduce
+    task ever builds a hot key's whole distinct set.  Result-identical
+    to plain COUNT(DISTINCT) — the oracle is the plain form."""
+    from ..operators.skew import salted_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_distinct_count(
+        ev, group_cols=["event_type"], distinct_col="user_id", alias="n_users"
+    ).orderBy("event_type")
+
+
+def incremental_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: orders split at 1999-01-01
+    into 'history' and 'delta' slices, aggregated separately into
+    mergeable (decimal sum, count, min, max) states, merged, then
+    finalized — proving state(h ∪ d) == merge(state(h), state(d))
+    against an oracle that aggregates the union directly.  At 100 TB
+    only the delta slice is ever re-scanned on a refresh."""
+    from ..operators import incremental as I
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    hist = I.partial_states(
+        o.where(F.col("o_orderdate") < cutoff), ["o_orderpriority"], "o_totalprice"
+    )
+    delta = I.partial_states(
+        o.where(F.col("o_orderdate") >= cutoff), ["o_orderpriority"], "o_totalprice"
+    )
+    return I.finalize(I.merge_states(hist, delta), prefix="price").orderBy(
+        "o_orderpriority"
+    )
+
+
+def bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning
+    (operators/bloomjoin.py::bloom_semi_join): orders of BUILDING-
+    segment customers, with the orders side pre-cut by k=3 broadcast
+    membership probes before the exact semi-join — the big side's
+    shuffle sees only candidate rows.  Exact by construction (the
+    bloom admits false positives, never false negatives; the final
+    semi-join removes them), so the oracle is the plain semi-join."""
+    from ..operators.bloomjoin import bloom_semi_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    matched = bloom_semi_join(
+        o, c, probe_key="o_custkey", build_key="c_custkey", m=1 << 18, k=3
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum("o_totalprice", "total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/reconcile.py::snapshot_diff):
+    orders vs a deterministically mutated copy (keys %97 removed,
+    %101 repriced, %103 re-added under negated keys) diffed with the
+    two-level bucket-fingerprint scheme — clean buckets are settled
+    from one aggregation pass and never reach the row-level join.
+    The oracle computes the same added/removed/changed/unchanged
+    counts with a direct FULL OUTER JOIN."""
+    from ..operators.reconcile import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    mutated = o.withColumn(
+        "o_totalprice",
+        F.when(k % 101 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).where(k % 97 != 0)
+    added = o.where(k % 103 == 0).withColumn("o_orderkey", -k)
+    new = mutated.unionByName(added.select(*mutated.columns))
+    return snapshot_diff(o, new, key="o_orderkey", buckets=256)
+
+
 _STREAM_SINK_SEQ = iter(range(1, 1 << 30))
 _SPILL_ROOT: list[str] = []
 
@@ -1747,6 +1857,11 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to lead the r07 window (see ROUND_NOTES.md window history).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in r06 (never driver-checked): front --------------------
+    "user_activity_islands": user_activity_islands,
+    "salted_distinct_users": salted_distinct_users,
+    "incremental_order_stats": incremental_order_stats,
+    "bloom_filtered_orders": bloom_filtered_orders,
+    "table_diff_summary": table_diff_summary,
     "chunk_docs": chunk_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
@@ -1795,14 +1910,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_part_variety": T.q16_supplier_part_variety,
     "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
     "q18_large_volume_customers": T.q18_large_volume_customers,
+    # ===== driver window boundary: first 50 above ====================
+    # --- r04-green deferred to lead r07 (lowest-risk shapes, all
+    #     re-proven every pytest run via test_oracle_parity; q19-q22 +
+    #     q6 displaced by the 5 late-r06 entries above, same rationale:
+    #     pure SQL shapes re-proven every pytest run) -----------------
     "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
     "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
     "q21_late_supplier": T.q21_late_supplier,
     "q22_dormant_customers": T.q22_dormant_customers,
     "q6_forecast_revenue": q6_forecast_revenue,
-    # ===== driver window boundary: first 50 above ====================
-    # --- r04-green deferred to lead r07 (lowest-risk shapes, all
-    #     re-proven every pytest run via test_oracle_parity) ----------
     "doc_repetition_stats": doc_repetition_stats,
     "multimodal_blob_features": multimodal_blob_features,
     "multimodal_frame_stats": multimodal_frame_stats,

@@ -1,0 +1,193 @@
+"""Planted-fixture proofs for the scale-pattern operators added late in
+round 6: bloom join pruning, snapshot reconciliation, mergeable partial
+aggregates, and salted distinct counting.  Each pattern's contract is
+exactness — the scale trick may only change the physical plan, never
+the result — so every test pins equality against the direct form."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.operators import incremental as I
+from northwind_etl_spark.operators.bloomjoin import (
+    bloom_prefilter,
+    bloom_positions,
+    bloom_semi_join,
+)
+from northwind_etl_spark.operators.reconcile import snapshot_diff
+from northwind_etl_spark.operators.skew import salted_distinct_count
+
+
+# ------------------------------------------------------------- bloom join
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    # tiny m forces false positives; the contract is zero false negatives
+    probe = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    build = spark.createDataFrame([(i,) for i in range(0, 500, 7)], ["bk"])
+    positions = bloom_positions(build.withColumnRenamed("bk", "__k"), "__k", m=64, k=3)
+    kept = {r.k for r in bloom_prefilter(probe, "k", positions, m=64, k=3).collect()}
+    true_matches = set(range(0, 500, 7))
+    assert true_matches <= kept  # every true match survives the pre-cut
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    probe = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(1000)], ["k", "payload"]
+    )
+    build = spark.createDataFrame([(i,) for i in range(0, 1000, 13)], ["bk"])
+    got = sorted(
+        (r.k, r.payload)
+        for r in bloom_semi_join(
+            probe, build, probe_key="k", build_key="bk", m=256, k=3
+        ).collect()
+    )
+    want = sorted(
+        (r.k, r.payload)
+        for r in probe.join(
+            build, on=probe.k == build.bk, how="left_semi"
+        ).collect()
+    )
+    assert got == want and len(want) == len(range(0, 1000, 13))
+
+
+def test_bloom_prefilter_plan_is_broadcast_only(spark):
+    # the pre-cut must not shuffle the probe side: k broadcast hash
+    # joins, no SortMergeJoin/Exchange introduced by the filter itself
+    probe = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    build = spark.createDataFrame([(i,) for i in range(0, 100, 5)], ["bk"])
+    positions = bloom_positions(build.withColumnRenamed("bk", "__k"), "__k", m=1 << 12, k=3)
+    plan = (
+        bloom_prefilter(probe, "k", positions, m=1 << 12, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_false_positive_rate_is_bounded(spark):
+    # m=8·n, k=3 → theoretical fp ≈ (1-e^{-3/8})³ ≈ 3.1%; assert an
+    # order-of-magnitude sane cut so a hashing bug (everything passes)
+    # cannot hide
+    probe = spark.createDataFrame([(i,) for i in range(4000)], ["k"])
+    build = spark.createDataFrame([(i,) for i in range(0, 4000, 40)], ["bk"])  # 100 keys
+    positions = bloom_positions(build.withColumnRenamed("bk", "__k"), "__k", m=800, k=3)
+    kept = bloom_prefilter(probe, "k", positions, m=800, k=3).count()
+    assert kept >= 100  # all true matches
+    assert kept <= 100 + int(0.10 * 3900)  # fp well under 10%
+
+
+# ---------------------------------------------------------- reconciliation
+
+
+def _diff_row(spark, old_rows, new_rows, **kw):
+    schema = "id int, val double, note string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    [r] = snapshot_diff(old, new, key="id", **kw).collect()
+    return (r.n_added, r.n_removed, r.n_changed, r.n_unchanged)
+
+
+def test_snapshot_diff_planted(spark):
+    old = [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, None)]
+    new = [(1, 10.0, "a"), (2, 99.0, "b"), (4, 40.0, None), (5, 50.0, "e")]
+    assert _diff_row(spark, old, new, buckets=4) == (1, 1, 1, 2)
+
+
+def test_snapshot_diff_null_vs_empty_string_is_a_change(spark):
+    # the NULL sentinel must keep NULL distinct from '' (a bare
+    # concat_ws would collapse them into 'unchanged')
+    old = [(1, 1.0, None)]
+    new = [(1, 1.0, "")]
+    assert _diff_row(spark, old, new, buckets=2) == (0, 0, 1, 0)
+
+
+def test_snapshot_diff_identical_snapshots(spark):
+    rows = [(i, float(i), f"n{i}") for i in range(50)]
+    assert _diff_row(spark, rows, rows, buckets=8) == (0, 0, 0, 50)
+
+
+def test_snapshot_diff_clean_buckets_settled_without_row_join(spark):
+    # mutation confined to one bucket: with key%4 bucketing, only ids
+    # ≡1 (mod 4) are touched — every other bucket must be settled from
+    # fingerprints alone, and the counts must still be exact
+    rows = [(i, float(i), "x") for i in range(100)]
+    new = [(i, float(i) + (1.0 if i % 4 == 1 else 0.0), "x") for i in range(100)]
+    assert _diff_row(spark, rows, new, buckets=4) == (0, 0, 25, 75)
+
+
+# ------------------------------------------------------- partial-agg merge
+
+
+def test_merge_states_equals_direct(spark):
+    rows = [
+        (f"g{i % 3}", float(i) + 0.25) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    direct = I.finalize(I.partial_states(df, ["g"], "v"), prefix="v")
+    a = I.partial_states(df.where(F.col("v") < 60), ["g"], "v")
+    b = I.partial_states(df.where((F.col("v") >= 60) & (F.col("v") < 140)), ["g"], "v")
+    c = I.partial_states(df.where(F.col("v") >= 140), ["g"], "v")
+    merged = I.finalize(I.merge_states(a, b, c), prefix="v")
+    key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert key(merged) == key(direct)
+
+
+def test_merge_states_with_empty_delta(spark):
+    df = spark.createDataFrame([("g", 1.5), ("g", 2.5)], ["g", "v"])
+    empty = df.where(F.lit(False))
+    merged = I.finalize(
+        I.merge_states(I.partial_states(df, ["g"], "v"), I.partial_states(empty, ["g"], "v")),
+        prefix="v",
+    )
+    [r] = merged.collect()
+    assert (r.v_total, r.v_count, r.v_avg, r.v_min, r.v_max) == (4.0, 2, 2.0, 1.5, 2.5)
+
+
+def test_merge_states_key_only_in_delta(spark):
+    hist = spark.createDataFrame([("old", 1.0)], ["g", "v"])
+    delta = spark.createDataFrame([("new", 2.0)], ["g", "v"])
+    merged = I.finalize(
+        I.merge_states(I.partial_states(hist, ["g"], "v"), I.partial_states(delta, ["g"], "v")),
+        prefix="v",
+    )
+    got = {r.g: (r.v_total, r.v_count) for r in merged.collect()}
+    assert got == {"old": (1.0, 1), "new": (2.0, 1)}
+
+
+# ------------------------------------------------------- salted distinct
+
+
+def test_salted_distinct_count_equals_plain_with_hot_key(spark):
+    # one group holds 90% of rows and a repeated-value hot set
+    rows = [("hot", i % 37) for i in range(900)]
+    rows += [("cold", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r.g: r.n
+        for r in salted_distinct_count(
+            df, group_cols=["g"], distinct_col="v", alias="n", salt_buckets=16
+        ).collect()
+    }
+    want = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert got == want == {"hot": 37, "cold": 100}
+
+
+def test_salted_distinct_count_null_values(spark):
+    # COUNT(DISTINCT) ignores NULLs; the salted plan must too (xxhash64
+    # of NULL lands in one salt class, count_distinct drops it there)
+    df = spark.createDataFrame(
+        [("g", None), ("g", 1), ("g", 1), ("g", None), ("g", 2)],
+        "g string, v int",
+    )
+    [r] = salted_distinct_count(
+        df, group_cols=["g"], distinct_col="v", alias="n", salt_buckets=4
+    ).collect()
+    assert r.n == 2
