@@ -99,6 +99,7 @@ HEADLINE = [
     "bloom_filtered_orders",
     "table_diff_summary",
     "user_activity_islands",
+    "kmv_distinct_users",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -1554,6 +1554,36 @@ ORACLES: dict[str, str] = {
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    # KMV sketch: md5 is bit-standard and hex strings order identically,
+    # so the oracle reproduces the k-th smallest hash AND the estimate
+    # exactly.  U_k uses 13 nibbles (52 bits): the integer, its double
+    # rendering, and the division are exact IEEE ops in both engines.
+    "kmv_distinct_users": """
+        WITH h AS (
+            SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+            FROM events WHERE user_id IS NOT NULL),
+        r AS (
+            SELECT event_type, hx,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS nd
+            FROM h),
+        kth AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = 16 THEN hx END) AS kth_hash,
+                   MAX(nd) AS nd
+            FROM r WHERE rn <= 16 GROUP BY event_type),
+        u AS (
+            SELECT event_type, nd, kth_hash,
+                   (SELECT SUM((strpos('0123456789abcdef', substr(kth_hash, i, 1)) - 1)
+                               * POWER(16.0, 13 - i))
+                    FROM generate_series(1, 13) t(i)) / POWER(16.0, 13) AS uk
+            FROM kth)
+        SELECT event_type,
+               CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+                    ELSE ROUND(15.0 / uk, 4) END AS est_distinct,
+               CASE WHEN nd < 16 THEN NULL ELSE kth_hash END AS kth_hash
+        FROM u ORDER BY event_type
+    """,
     # Direct FULL OUTER JOIN diff of the same deterministic mutation;
     # only o_totalprice ever changes, so comparing it alone classifies
     # 'changed' exactly as the full-row hash does.

@@ -812,6 +812,20 @@ def bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch (operators/kmv.py): per
+    event_type, the 16 smallest md5 hashes of distinct users and the
+    (k-1)/U_k estimate.  Unlike the HLL rollup this sketch's state AND
+    estimate are engine-portable, so the DuckDB oracle reproduces the
+    k-th hash and the estimate bit-for-bit — an approximate operator
+    with an exact cross-engine check."""
+    from ..operators import kmv
+
+    ev = _t(spark, sf_dir, "events")
+    state = kmv.kmv_state(ev, ["event_type"], "user_id", k=16)
+    return kmv.kmv_estimate(state, k=16).orderBy("event_type")
+
+
 def table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (operators/reconcile.py::snapshot_diff):
     orders vs a deterministically mutated copy (keys %97 removed,
@@ -1862,6 +1876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_order_stats": incremental_order_stats,
     "bloom_filtered_orders": bloom_filtered_orders,
     "table_diff_summary": table_diff_summary,
+    "kmv_distinct_users": kmv_distinct_users,
     "chunk_docs": chunk_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
@@ -1909,8 +1924,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_top_supplier": T.q15_top_supplier,
     "q16_supplier_part_variety": T.q16_supplier_part_variety,
     "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
-    "q18_large_volume_customers": T.q18_large_volume_customers,
     # ===== driver window boundary: first 50 above ====================
+    "q18_large_volume_customers": T.q18_large_volume_customers,
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity; q19-q22 +
     #     q6 displaced by the 5 late-r06 entries above, same rationale:

@@ -101,7 +101,95 @@ def main() -> None:
         _emb_hot_section(spark, sf_dir, factor)
     if _want("q1_shape"):
         _li_section(spark, sf_dir, factor)
+    if _want("reconcile"):
+        _reconcile_section(spark, sf_dir, factor)
+    if _want("bloom"):
+        _bloom_section(spark, sf_dir, factor)
     spark.stop()
+
+
+def _reconcile_section(spark, sf_dir, factor):
+    """snapshot_diff at factor× orders: sparse drift (0.1% of keys,
+    bucket-confined) vs dense drift (~3% spread over every bucket) vs
+    zero drift.  The claim under test: clean buckets never reach the
+    row-level join, so sparse-drift cost ≈ fingerprint cost."""
+    from northwind_etl_spark.operators.reconcile import snapshot_diff
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = replicate(o, factor, "o_orderkey", 10_000_000).persist()
+    n = big.count()
+    k = F.col("o_orderkey")
+
+    def run(tag, new_df):
+        timed(
+            f"reconcile_{tag}_{factor}x_{n}rows",
+            lambda: snapshot_diff(big, new_df, key="o_orderkey", buckets=256)
+            .collect()[0]
+            .n_unchanged,
+        )
+
+    run("zero_drift", big)
+    # sparse: reprice keys ≡ 0 (mod 1024·256) — same residue mod 256,
+    # so every mutation lands in ONE bucket of 256
+    sparse = big.withColumn(
+        "o_totalprice",
+        F.when(k % (1024 * 256) == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    run("sparse_drift_1bucket", sparse)
+    # dense: reprice ~3% spread across all buckets
+    dense = big.withColumn(
+        "o_totalprice",
+        F.when(k % 31 == 0, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    run("dense_drift_allbuckets", dense)
+    big.unpersist()
+
+
+def _bloom_section(spark, sf_dir, factor):
+    """bloom_semi_join vs plain left-semi at factor× orders, varying
+    build selectivity (1 segment ≈ 20% of customers vs a 0.4% name
+    slice).  Local[32] has no network, so the bloom's shuffle saving
+    can't show as wall-clock win here; the probe pins the pre-cut's
+    bounded overhead and records the candidate-row reduction the
+    shuffle WOULD see at cluster scale."""
+    from northwind_etl_spark.operators.bloomjoin import (
+        bloom_positions,
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = replicate(o, factor, "o_orderkey", 10_000_000).persist()
+    n = big.count()
+    for tag, build in (
+        ("seg20pct", c.where(F.col("c_mktsegment") == "BUILDING")),
+        ("slice0.4pct", c.where(F.col("c_custkey") % 256 == 0)),
+    ):
+        timed(
+            f"bloom_plain_semi_{tag}_{factor}x_{n}rows",
+            lambda b=build: big.join(
+                b, on=big.o_custkey == b.c_custkey, how="left_semi"
+            ).count(),
+        )
+        timed(
+            f"bloom_precut_semi_{tag}_{factor}x_{n}rows",
+            lambda b=build: bloom_semi_join(
+                big, b, probe_key="o_custkey", build_key="c_custkey", m=1 << 18, k=3
+            ).count(),
+        )
+        pos = bloom_positions(
+            build.select(F.col("c_custkey").alias("__k")), "__k", m=1 << 18, k=3
+        )
+        timed(
+            f"bloom_candidates_{tag}_{factor}x_{n}rows",
+            lambda p=pos: bloom_prefilter(big, "o_custkey", p, m=1 << 18, k=3).count(),
+        )
+    big.unpersist()
 
 
 def _docs_section(spark, sf_dir, factor):

@@ -11,6 +11,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from northwind_etl_spark.operators import incremental as I
+from northwind_etl_spark.operators import kmv
 from northwind_etl_spark.operators.bloomjoin import (
     bloom_prefilter,
     bloom_positions,
@@ -157,6 +158,52 @@ def test_merge_states_key_only_in_delta(spark):
     )
     got = {r.g: (r.v_total, r.v_count) for r in merged.collect()}
     assert got == {"old": (1.0, 1), "new": (2.0, 1)}
+
+
+# ----------------------------------------------------------- KMV sketch
+
+
+def _kmv_rows(state):
+    return sorted((r[0], r["__rank"], r["__h"]) for r in state.collect())
+
+
+def test_kmv_merge_is_exact_lattice_join(spark):
+    # state(A ∪ B) == resketch(state(A) ∪ state(B)), including values
+    # present in both slices (the re-dedup path)
+    rows = [("g", i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    a = df.where(F.col("v") < 120)  # overlap: 100..119 in both
+    b = df.where(F.col("v") >= 100)
+    direct = kmv.kmv_state(df, ["g"], "v", k=16)
+    merged = kmv.merge_states(
+        kmv.kmv_state(a, ["g"], "v", k=16),
+        kmv.kmv_state(b, ["g"], "v", k=16),
+        k=16,
+    )
+    assert _kmv_rows(merged) == _kmv_rows(direct)
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([("g", i % 7) for i in range(50)], ["g", "v"])
+    [r] = kmv.kmv_estimate(kmv.kmv_state(df, ["g"], "v", k=16), k=16).collect()
+    assert r.est_distinct == 7.0 and r.kth_hash is None
+
+
+def test_kmv_estimate_error_bound(spark):
+    # 1000 distinct values, k=64 → stddev ≈ 1/√62 ≈ 12.7%; 4σ bound
+    df = spark.createDataFrame([("g", i) for i in range(1000)], ["g", "v"])
+    [r] = kmv.kmv_estimate(kmv.kmv_state(df, ["g"], "v", k=64), k=64).collect()
+    assert abs(r.est_distinct - 1000) / 1000 < 0.51
+    assert r.kth_hash is not None and len(r.kth_hash) == 32
+
+
+def test_kmv_state_determinism_and_salt_invariance(spark):
+    # the two-phase salted ranking must produce the same state as a
+    # single global ranking (salt_buckets=1)
+    df = spark.createDataFrame([("g", i) for i in range(300)], ["g", "v"])
+    s8 = kmv.kmv_state(df, ["g"], "v", k=16, salt_buckets=8)
+    s1 = kmv.kmv_state(df, ["g"], "v", k=16, salt_buckets=1)
+    assert _kmv_rows(s8) == _kmv_rows(s1)
 
 
 # ------------------------------------------------------- salted distinct
