@@ -100,6 +100,7 @@ HEADLINE = [
     "table_diff_summary",
     "user_activity_islands",
     "kmv_distinct_users",
+    "incremental_price_quantiles",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

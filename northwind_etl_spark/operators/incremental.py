@@ -58,6 +58,82 @@ def merge_states(*states: DataFrame) -> DataFrame:
     )
 
 
+def hist_states(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    *,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram state for quantile maintenance:
+    rows (keys…, __bin, __cnt).  Merging = summing counts per bin —
+    the quantile analog of the (sum, count) states above.  Bin width
+    should be exactly representable in binary (the callers pick
+    lo/hi/nbins so it is) to keep the bin arithmetic engine-portable.
+    Values outside [lo, hi) clamp into the edge bins, so the state is
+    total regardless of outliers."""
+    width = (hi - lo) / nbins
+    v = F.col(value).cast("double")
+    bin_ = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return df.groupBy(*keys, bin_.alias("__bin")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+
+
+def merge_hist_states(*states: DataFrame) -> DataFrame:
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if not c.startswith("__")]
+    return merged.groupBy(*keys, "__bin").agg(F.sum("__cnt").alias("__cnt"))
+
+
+def hist_quantiles(
+    states: DataFrame,
+    *,
+    lo: float,
+    hi: float,
+    nbins: int,
+    quantiles: Sequence[tuple[str, float]],
+) -> DataFrame:
+    """Quantiles from a histogram state: the smallest bin whose
+    cumulative count reaches ceil(q·n), reported as the bin midpoint.
+    Error ≤ half a bin width; the CHECK is exact — both engines run
+    the identical integer/IEEE arithmetic, so the oracle reproduces
+    every midpoint bit-for-bit.  The cumulative window's input is
+    ≤ nbins rows per key (the state, not the data)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / nbins
+    keys = [c for c in states.columns if not c.startswith("__")]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = states.withColumn("__cum", F.sum("__cnt").over(w_cum)).withColumn(
+        "__n", F.sum("__cnt").over(w_all)
+    )
+    mid = lambda b: (F.lit(lo) + (b + F.lit(0.5)) * F.lit(width))  # noqa: E731
+    aggs = [
+        mid(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")), F.col("__bin")
+                )
+            )
+        ).alias(name)
+        for name, q in quantiles
+    ]
+    return cum.groupBy(*keys).agg(*aggs)
+
+
 def finalize(states: DataFrame, *, prefix: str) -> DataFrame:
     """Collapse states to presentation columns, rounding exactly once
     (mirrors functions.money.decimal_sum / decimal_avg)."""

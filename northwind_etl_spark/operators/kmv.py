@@ -90,6 +90,57 @@ def merge_states(*states: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
+def kmv_intersect(
+    state_a: DataFrame, state_b: DataFrame, *, k: int = 16
+) -> DataFrame:
+    """Set-overlap estimates from two bottom-k states (Beyer et al.
+    2007): within the union's bottom-k, the fraction ρ of hashes
+    present in BOTH input sets estimates Jaccard, and ρ·|A∪B|̂
+    estimates the intersection.
+
+    Membership in the bottom-k STATES suffices: the union's k-th
+    smallest hash is ≤ either input's k-th smallest, so any union-
+    sketch member that belongs to A at all is inside A's bottom-k
+    (same for B) — no false negatives, and the estimator arithmetic
+    (two divisions, one multiply, IEEE doubles) is engine-portable
+    like kmv_estimate's.
+
+    One row: (n_matched, est_union, est_intersection, est_jaccard).
+    All inputs are ≤ k-row states — every join here is trivially
+    broadcast-sized regardless of the underlying data volume.
+    """
+    union = merge_states(state_a, state_b, k=k)
+    in_a = state_a.select("__h").distinct().withColumn("__ina", F.lit(1))
+    in_b = state_b.select("__h").distinct().withColumn("__inb", F.lit(1))
+    flagged = (
+        union.join(F.broadcast(in_a), "__h", "left")
+        .join(F.broadcast(in_b), "__h", "left")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("__kprime"),
+        F.sum(
+            F.when(
+                F.col("__ina").isNotNull() & F.col("__inb").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_matched"),
+        F.max(F.when(F.col("__rank") == k, F.col("__h"))).alias("__kth"),
+    )
+    u_k = (
+        F.conv(F.substring("__kth", 1, _NIBBLES), 16, 10).cast("long").cast("double")
+        / F.lit(_DENOM)
+    )
+    raw_union = F.when(
+        F.col("__kprime") < k, F.col("__kprime").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / u_k)
+    rho = F.col("n_matched") / F.col("__kprime")
+    return agg.select(
+        F.col("n_matched"),
+        F.round(raw_union, 4).alias("est_union"),
+        F.round(rho * raw_union, 4).alias("est_intersection"),
+        F.round(rho, 4).alias("est_jaccard"),
+    )
+
+
 def kmv_estimate(state: DataFrame, *, k: int = 16) -> DataFrame:
     """Collapse a bottom-k state to (group…, est_distinct, kth_hash).
 

@@ -25,25 +25,29 @@ def salted_distinct_count(
     alias: str,
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """Exact COUNT(DISTINCT distinct_col) per group via salted two-phase
-    aggregation — the canonical hot-key fix for distinct aggregation.
+    """Exact COUNT(DISTINCT distinct_col) per group via explicit salted
+    two-phase aggregation.
 
-    A plain ``groupBy(k).agg(countDistinct(v))`` builds one per-key
-    distinct set on one reduce task; a key holding 10% of a 100 TB
-    table's values makes that task the job.  Salting by the *value*
-    space fixes it exactly: ``salt = pmod(xxhash64(v), R)`` partitions
-    the distinct values of v into R disjoint classes, so
+    Salting by the *value* space is exact: ``salt = pmod(xxhash64(v),
+    R)`` partitions the distinct values of v into R disjoint classes,
+    so
 
         COUNT(DISTINCT v) == SUM over salt of COUNT(DISTINCT v within salt)
 
-    with no approximation.  Phase 1 groups by (k, salt) — the hot key's
-    set is now built by R tasks — phase 2 sums the R partial counts
-    (one row per (k, salt), trivially small).
+    with no approximation.  Phase 1 groups by (k, salt) — a hot key's
+    distinct set is built by R tasks — phase 2 sums the R tiny partial
+    counts.
 
-    Unlike salting a SUM/COUNT (which Spark's map-side partial
-    aggregation already de-skews), distinct aggregation genuinely needs
-    this: the reduce side must see every raw value, and salting is what
-    spreads them.
+    Honesty note (verified against the executed plan): for the plain
+    built-in ``countDistinct``, Catalyst's distinct-aggregate rewrite
+    ALREADY produces an equivalent shape — the dedup stage shuffles on
+    (k, v), spreading a hot key's values, before a per-key partial
+    count.  This function therefore exists as (a) the explicit,
+    plan-visible form of that contract, equality-pinned against the
+    built-in, and (b) the pattern to reach for where the rewrite does
+    NOT apply — set-building aggregates like ``collect_set``/
+    ``collect_list`` (single task per key, no rewrite) and custom
+    distinct-like UDAF state, which salt-split the same way.
     """
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(salt_buckets))
@@ -52,6 +56,35 @@ def salted_distinct_count(
         F.count_distinct(distinct_col).alias("__partial")
     )
     return partial.groupBy(*group_cols).agg(F.sum("__partial").alias(alias))
+
+
+def salted_collect_set(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    alias: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """``collect_set(v)`` per group with the set built by R tasks.
+
+    This is the case the salt pattern genuinely exists for: Catalyst
+    has NO rewrite for set-building aggregates — a plain
+    ``groupBy(k).agg(collect_set(v))`` materializes each key's whole
+    set in one task.  Salting by value partitions the set into R
+    disjoint sub-sets built independently; the merge flattens R small
+    arrays per key.  The result is the same set, returned sorted so
+    it is deterministic (collect_set's native order is not).
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*group_cols, "__salt").agg(
+        F.collect_set(value_col).alias("__part")
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.array_sort(F.flatten(F.collect_list("__part"))).alias(alias)
+    )
 
 
 def salted_join(

@@ -1554,6 +1554,79 @@ ORACLES: dict[str, str] = {
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    # KMV overlap: membership tests are md5-string equality, the
+    # estimator is two divisions and a multiply on exact doubles —
+    # the oracle replays the identical sequence.
+    "kmv_overlap_customers": """
+        WITH a AS (
+            SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS hx
+            FROM customer WHERE c_mktsegment = 'BUILDING'),
+        b AS (
+            SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hx
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+        u AS (SELECT hx FROM a UNION SELECT hx FROM b),
+        r AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rn FROM u),
+        bott AS (SELECT hx, rn FROM r WHERE rn <= 64),
+        m AS (
+            SELECT COUNT(*) AS kprime,
+                   SUM(CASE WHEN hx IN (SELECT hx FROM a)
+                             AND hx IN (SELECT hx FROM b)
+                            THEN 1 ELSE 0 END) AS n_matched,
+                   MAX(CASE WHEN rn = 64 THEN hx END) AS kth
+            FROM bott),
+        est AS (
+            SELECT kprime, n_matched,
+                   CASE WHEN kprime < 64 THEN CAST(kprime AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE) /
+                             ((SELECT SUM((strpos('0123456789abcdef',
+                                                  substr(kth, i, 1)) - 1)
+                                          * POWER(16.0, 13 - i))
+                               FROM generate_series(1, 13) t(i))
+                              / POWER(16.0, 13))
+                   END AS raw_union
+            FROM m)
+        SELECT CAST(n_matched AS BIGINT) AS n_matched,
+               ROUND(raw_union, 4) AS est_union,
+               ROUND((n_matched / kprime) * raw_union, 4) AS est_intersection,
+               ROUND(n_matched / kprime, 4) AS est_jaccard
+        FROM est
+    """,
+    # Identical fixed-bin histogram quantiles: width 1024 is exactly
+    # representable, so bin ids and midpoints are the same integers /
+    # exact doubles in both engines.  ceil(q·n) is one IEEE multiply +
+    # ceil on both sides — identical sequence, identical result.
+    "incremental_price_quantiles": """
+        WITH b AS (
+            SELECT o_orderpriority,
+                   LEAST(511, GREATEST(0,
+                       CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 1024.0) AS INT)
+                   )) AS bin
+            FROM orders),
+        c AS (
+            SELECT o_orderpriority, bin, COUNT(*) AS cnt
+            FROM b GROUP BY o_orderpriority, bin),
+        w AS (
+            SELECT o_orderpriority, bin,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+            FROM c)
+        SELECT o_orderpriority,
+               (MIN(CASE WHEN cum >= CEIL(CAST(0.5 AS DOUBLE) * n) THEN bin END)
+                + CAST(0.5 AS DOUBLE)) * CAST(1024 AS DOUBLE) AS p50,
+               (MIN(CASE WHEN cum >= CEIL(CAST(0.9 AS DOUBLE) * n) THEN bin END)
+                + CAST(0.5 AS DOUBLE)) * CAST(1024 AS DOUBLE) AS p90,
+               (MIN(CASE WHEN cum >= CEIL(CAST(0.99 AS DOUBLE) * n) THEN bin END)
+                + CAST(0.5 AS DOUBLE)) * CAST(1024 AS DOUBLE) AS p99
+        FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    # Salting only reroutes rows; the join result is the plain join's.
+    "salted_join_revenue": f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               {_dsum("o_totalprice", "total_price")}
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
     # KMV sketch: md5 is bit-standard and hex strings order identically,
     # so the oracle reproduces the k-th smallest hash AND the estimate
     # exactly.  U_k uses 13 nibbles (52 bits): the integer, its double

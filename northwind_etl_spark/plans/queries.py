@@ -752,11 +752,14 @@ def user_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-event-type distinct users via salted two-phase
-    aggregation (operators/skew.py::salted_distinct_count): the value
-    space is hash-split into 16 disjoint classes so no single reduce
-    task ever builds a hot key's whole distinct set.  Result-identical
-    to plain COUNT(DISTINCT) — the oracle is the plain form."""
+    """Exact per-event-type distinct users via explicit salted
+    two-phase aggregation (operators/skew.py::salted_distinct_count):
+    the value space is hash-split into 16 disjoint classes so no
+    single task builds a hot key's whole distinct set.  Catalyst's own
+    distinct rewrite gives plain COUNT(DISTINCT) an equivalent shape
+    (see the operator docstring); this entry pins the explicit pattern
+    — the one collect_set-style aggregates need — against the plain
+    form as oracle."""
     from ..operators.skew import salted_distinct_count
 
     ev = _t(spark, sf_dir, "events")
@@ -809,6 +812,73 @@ def bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_sum("o_totalprice", "total_price"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+def kmv_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap estimation from two KMV sketches
+    (operators/kmv.py::kmv_intersect): BUILDING-segment customers vs
+    custkeys ordering since 1999 — union, intersection, and Jaccard
+    estimated from two 64-hash states whose every membership test and
+    IEEE arithmetic step the DuckDB oracle reproduces exactly.  The
+    underlying tables are never joined; each side is sketched
+    independently (the pre-aggregable form of an overlap report)."""
+    from ..operators import kmv
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    a = kmv.kmv_state(c, [], "c_custkey", k=64)
+    b = kmv.kmv_state(o, [], "o_custkey", k=64)
+    return kmv.kmv_intersect(a, b, k=64)
+
+
+def incremental_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile maintenance from mergeable histogram states
+    (operators/incremental.py::hist_states): orders split at
+    1999-01-01, per-slice fixed-bin histograms (512 × 1024-wide bins —
+    width exactly representable, so the bin arithmetic is
+    engine-portable), merged by summing counts, then p50/p90/p99 read
+    off the cumulative histogram as bin midpoints.  Approximation
+    error ≤ half a bin; the CHECK is exact — the oracle runs the
+    identical binning and lands on the same midpoints bit-for-bit."""
+    from ..operators import incremental as I
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    kw = dict(lo=0.0, hi=524288.0, nbins=512)
+    hist = I.hist_states(
+        o.where(F.col("o_orderdate") < cutoff), ["o_orderpriority"], "o_totalprice", **kw
+    )
+    delta = I.hist_states(
+        o.where(F.col("o_orderdate") >= cutoff), ["o_orderpriority"], "o_totalprice", **kw
+    )
+    merged = I.merge_hist_states(hist, delta)
+    return I.hist_quantiles(
+        merged, quantiles=[("p50", 0.5), ("p90", 0.9), ("p99", 0.99)], **kw
+    ).orderBy("o_orderpriority")
+
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver evidence for the salted JOIN path
+    (operators/skew.py::salted_join): orders ⋈ customer with the big
+    side scattered across 8 salt values and the small side replicated
+    8×, then revenue per market segment.  The salt only changes row
+    routing — the join result is identical to the plain join, which is
+    the oracle."""
+    from ..operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    joined = salted_join(o, c, key="o_custkey", salt_buckets=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum("o_totalprice", "total_price"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 
@@ -1877,6 +1947,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_filtered_orders": bloom_filtered_orders,
     "table_diff_summary": table_diff_summary,
     "kmv_distinct_users": kmv_distinct_users,
+    "incremental_price_quantiles": incremental_price_quantiles,
+    "salted_join_revenue": salted_join_revenue,
+    "kmv_overlap_customers": kmv_overlap_customers,
     "chunk_docs": chunk_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
@@ -1921,10 +1994,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": T.q10_returned_items,
     "q13_customer_order_counts": T.q13_customer_order_counts,
     "q14_promo_revenue": T.q14_promo_revenue,
+    # ===== driver window boundary: first 50 above ====================
     "q15_top_supplier": T.q15_top_supplier,
     "q16_supplier_part_variety": T.q16_supplier_part_variety,
     "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
-    # ===== driver window boundary: first 50 above ====================
     "q18_large_volume_customers": T.q18_large_volume_customers,
     # --- r04-green deferred to lead r07 (lowest-risk shapes, all
     #     re-proven every pytest run via test_oracle_parity; q19-q22 +

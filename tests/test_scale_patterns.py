@@ -18,7 +18,10 @@ from northwind_etl_spark.operators.bloomjoin import (
     bloom_semi_join,
 )
 from northwind_etl_spark.operators.reconcile import snapshot_diff
-from northwind_etl_spark.operators.skew import salted_distinct_count
+from northwind_etl_spark.operators.skew import (
+    salted_collect_set,
+    salted_distinct_count,
+)
 
 
 # ------------------------------------------------------------- bloom join
@@ -160,6 +163,36 @@ def test_merge_states_key_only_in_delta(spark):
     assert got == {"old": (1.0, 1), "new": (2.0, 1)}
 
 
+# ------------------------------------------------- histogram quantiles
+
+
+def test_hist_state_merge_equals_direct(spark):
+    rows = [("g", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    kw = dict(lo=0.0, hi=1024.0, nbins=64)
+    direct = I.hist_states(df, ["g"], "v", **kw)
+    merged = I.merge_hist_states(
+        I.hist_states(df.where(F.col("v") < 300), ["g"], "v", **kw),
+        I.hist_states(df.where(F.col("v") >= 300), ["g"], "v", **kw),
+    )
+    key = lambda d: sorted((r.g, r["__bin"], r["__cnt"]) for r in d.collect())  # noqa: E731
+    assert key(merged) == key(direct)
+
+
+def test_hist_quantiles_accuracy_and_clamping(spark):
+    # uniform 0..999 → p50 ≈ 500 within half a bin (bin width 16);
+    # outliers beyond hi land in the top bin instead of vanishing
+    rows = [("g", float(i)) for i in range(1000)] + [("g", 10_000.0), ("g", -5.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    kw = dict(lo=0.0, hi=1024.0, nbins=64)
+    [r] = I.hist_quantiles(
+        I.hist_states(df, ["g"], "v", **kw), quantiles=[("p50", 0.5)], **kw
+    ).collect()
+    assert abs(r.p50 - 500.0) <= 16.0
+    state = {row["__bin"]: row["__cnt"] for row in I.hist_states(df, ["g"], "v", **kw).collect()}
+    assert state[63] >= 1 and state[0] >= 1  # clamped outliers counted
+
+
 # ----------------------------------------------------------- KMV sketch
 
 
@@ -197,6 +230,28 @@ def test_kmv_estimate_error_bound(spark):
     assert r.kth_hash is not None and len(r.kth_hash) == 32
 
 
+def test_kmv_intersect_planted_overlap(spark):
+    # |A| = 600 (0..599), |B| = 600 (300..899), |A∩B| = 300, J = 1/3
+    a = spark.createDataFrame([("x", i) for i in range(600)], ["g", "v"])
+    b = spark.createDataFrame([("x", i) for i in range(300, 900)], ["g", "v"])
+    sa = kmv.kmv_state(a, [], "v", k=64)
+    sb = kmv.kmv_state(b, [], "v", k=64)
+    [r] = kmv.kmv_intersect(sa, sb, k=64).collect()
+    assert abs(r.est_union - 900) / 900 < 0.5
+    assert abs(r.est_jaccard - 1 / 3) < 0.25
+    assert 0 < r.n_matched < 64
+
+
+def test_kmv_intersect_exact_when_small(spark):
+    a = spark.createDataFrame([("x", i) for i in range(10)], ["g", "v"])
+    b = spark.createDataFrame([("x", i) for i in range(5, 15)], ["g", "v"])
+    sa = kmv.kmv_state(a, [], "v", k=64)
+    sb = kmv.kmv_state(b, [], "v", k=64)
+    [r] = kmv.kmv_intersect(sa, sb, k=64).collect()
+    assert r.est_union == 15.0 and r.n_matched == 5
+    assert abs(r.est_intersection - 5.0) < 1e-9
+
+
 def test_kmv_state_determinism_and_salt_invariance(spark):
     # the two-phase salted ranking must produce the same state as a
     # single global ranking (salt_buckets=1)
@@ -225,6 +280,24 @@ def test_salted_distinct_count_equals_plain_with_hot_key(spark):
         for r in df.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
     }
     assert got == want == {"hot": 37, "cold": 100}
+
+
+def test_salted_collect_set_equals_plain(spark):
+    # the no-Catalyst-rewrite case the salt pattern exists for: the
+    # salted set merge must equal the plain collect_set, sorted
+    rows = [("hot", i % 37) for i in range(900)] + [("cold", i) for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r.g: r.vals
+        for r in salted_collect_set(
+            df, group_cols=["g"], value_col="v", alias="vals", salt_buckets=16
+        ).collect()
+    }
+    want = {
+        r.g: sorted(r.vals)
+        for r in df.groupBy("g").agg(F.collect_set("v").alias("vals")).collect()
+    }
+    assert got == want and len(got["hot"]) == 37 and len(got["cold"]) == 50
 
 
 def test_salted_distinct_count_null_values(spark):
