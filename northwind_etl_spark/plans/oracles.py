@@ -1554,6 +1554,45 @@ ORACLES: dict[str, str] = {
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    # Binned two-sample KS: identical 8-wide bins, identical cumulative
+    # sums, identical division sequence — bit-identical statistics.
+    "source_length_drift": """
+        WITH cnt AS (
+            SELECT source AS g,
+                   LEAST(127, GREATEST(0,
+                       CAST(FLOOR(CAST(n_chars AS DOUBLE) / 8.0) AS INT))) AS b,
+                   COUNT(*) AS c
+            FROM documents GROUP BY 1, 2),
+        bins AS (SELECT DISTINCT b FROM cnt),
+        groups AS (
+            SELECT g, SUM(c) AS n_g, SUM(SUM(c)) OVER () AS n_all
+            FROM cnt GROUP BY g),
+        filled AS (
+            SELECT groups.g, groups.n_g, groups.n_all, bins.b,
+                   COALESCE(cnt.c, 0) AS c
+            FROM groups CROSS JOIN bins
+            LEFT JOIN cnt ON cnt.g = groups.g AND cnt.b = bins.b),
+        cum AS (
+            SELECT g, n_g, n_all, b, c,
+                   SUM(c) OVER (PARTITION BY g ORDER BY b
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_g
+            FROM filled),
+        tot AS (
+            SELECT b, SUM(ct) OVER (ORDER BY b
+                                    RANGE BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_all
+            FROM (SELECT b, SUM(c) AS ct FROM filled GROUP BY b)),
+        diffs AS (
+            SELECT cum.g, cum.n_g,
+                   ABS(cum.cum_g / cum.n_g
+                       - (tot.cum_all - cum.cum_g) / (cum.n_all - cum.n_g)) AS d
+            FROM cum JOIN tot ON cum.b = tot.b)
+        SELECT g AS source,
+               CAST(MAX(n_g) AS BIGINT) AS n_docs,
+               ROUND(MAX(d), 6) AS ks_stat
+        FROM diffs GROUP BY g ORDER BY source
+    """,
     # KMV overlap: membership tests are md5-string equality, the
     # estimator is two divisions and a multiply on exact doubles —
     # the oracle replays the identical sequence.

@@ -815,6 +815,21 @@ def bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/drift.py): per document
+    source, the binned two-sample KS statistic between that source's
+    length distribution and the rest of the corpus (leave-one-out).
+    One aggregation touches the documents; the CDF arithmetic runs on
+    the |sources| × 128-bin grid with binary-exact bin widths, so the
+    oracle lands on bit-identical statistics."""
+    from ..operators.drift import ks_drift_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return ks_drift_by_group(
+        d, group_col="source", value_col="n_chars", lo=0.0, hi=1024.0, nbins=128
+    ).orderBy("source")
+
+
 def kmv_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-overlap estimation from two KMV sketches
     (operators/kmv.py::kmv_intersect): BUILDING-segment customers vs
@@ -1950,6 +1965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_price_quantiles": incremental_price_quantiles,
     "salted_join_revenue": salted_join_revenue,
     "kmv_overlap_customers": kmv_overlap_customers,
+    "source_length_drift": source_length_drift,
     "chunk_docs": chunk_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
@@ -1993,8 +2009,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_product_type_profit": T.q9_product_type_profit,
     "q10_returned_items": T.q10_returned_items,
     "q13_customer_order_counts": T.q13_customer_order_counts,
-    "q14_promo_revenue": T.q14_promo_revenue,
     # ===== driver window boundary: first 50 above ====================
+    "q14_promo_revenue": T.q14_promo_revenue,
     "q15_top_supplier": T.q15_top_supplier,
     "q16_supplier_part_variety": T.q16_supplier_part_variety,
     "q17_small_quantity_revenue": T.q17_small_quantity_revenue,

@@ -163,6 +163,88 @@ def test_merge_states_key_only_in_delta(spark):
     assert got == {"old": (1.0, 1), "new": (2.0, 1)}
 
 
+def test_snapshot_diff_property_random_edits(spark):
+    # one batched property sweep (Spark-roundtrip-per-example would be
+    # minutes): several deterministic pseudo-random edit scripts, each
+    # checked against a pure-Python diff of the same scripts
+    import hashlib
+
+    def h(seed, i):
+        return int.from_bytes(
+            hashlib.md5(f"{seed}:{i}".encode()).digest()[:4], "big"
+        )
+
+    for seed in ("a", "b", "c"):
+        ids = list(range(40))
+        old = {i: float(h(seed, i) % 97) for i in ids}
+        new = {}
+        for i in ids:
+            r = h(seed, i + 1000) % 10
+            if r < 2:
+                continue  # removed
+            new[i] = old[i] + (1.0 if r < 4 else 0.0)  # 2-3 → changed
+        for j in range(41, 46):
+            if h(seed, j) % 2:
+                new[j] = 7.0  # added
+        exp_added = sum(1 for k in new if k not in old)
+        exp_removed = sum(1 for k in old if k not in new)
+        exp_changed = sum(1 for k in new if k in old and new[k] != old[k])
+        exp_same = sum(1 for k in new if k in old and new[k] == old[k])
+        got = _diff_row(
+            spark,
+            [(k, v, "x") for k, v in old.items()],
+            [(k, v, "x") for k, v in new.items()],
+            buckets=8,
+        )
+        assert got == (exp_added, exp_removed, exp_changed, exp_same), seed
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # end-to-end evidence for the PLANS.md claim that AQE's runtime
+    # skew handling covers JOIN skew: one key holds ~95% of the big
+    # side; with broadcast disabled and tiny skew thresholds the final
+    # adaptive plan must mark the sort-merge join skew=true
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        from pyspark.sql import functions as SF
+
+        big = spark.range(400_000).select(
+            SF.when(SF.col("id") % 20 != 0, 7).otherwise(SF.col("id")).alias("k"),
+            SF.concat(SF.lit("payload-"), SF.col("id")).alias("pad"),
+        )
+        small = spark.range(400_000).select(SF.col("id").alias("k"), SF.lit(1).alias("m"))
+        # Two traps this test had to dodge: (1) inspect the SAME
+        # QueryExecution the action finalizes — .count() builds a
+        # separate plan whose AdaptiveSparkPlan this df never executes;
+        # (2) aggregate over the payload column, else column pruning
+        # drops it and the hot partition (one constant key) compresses
+        # to under every skew threshold in the shuffle.
+        counted = big.join(small, "k").groupBy().agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.length("pad")).alias("pad_bytes"),
+        )
+        [row] = counted.collect()
+        assert row.n == 400_000 and row.pad_bytes > 0
+        plan = counted._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 # ------------------------------------------------- histogram quantiles
 
 
@@ -191,6 +273,28 @@ def test_hist_quantiles_accuracy_and_clamping(spark):
     assert abs(r.p50 - 500.0) <= 16.0
     state = {row["__bin"]: row["__cnt"] for row in I.hist_states(df, ["g"], "v", **kw).collect()}
     assert state[63] >= 1 and state[0] >= 1  # clamped outliers counted
+
+
+# ----------------------------------------------------------- KS drift
+
+
+def test_ks_drift_planted_shift(spark):
+    from northwind_etl_spark.operators.drift import ks_drift_by_group
+
+    # identical uniform slices → ks ≈ 0; one shifted slice → ks ≈ 1
+    rows = [("a", float(i % 100)) for i in range(500)]
+    rows += [("b", float(i % 100)) for i in range(500)]
+    rows += [("shifted", 500.0 + float(i % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["src", "v"])
+    got = {
+        r.src: r.ks_stat
+        for r in ks_drift_by_group(
+            df, group_col="src", value_col="v", lo=0.0, hi=1024.0, nbins=128
+        ).collect()
+    }
+    assert got["shifted"] == 1.0  # disjoint supports → sup |ΔCDF| = 1
+    # a vs (b ∪ shifted): half the rest is identical, half disjoint
+    assert 0.4 < got["a"] < 0.6 and got["a"] == got["b"]
 
 
 # ----------------------------------------------------------- KMV sketch
