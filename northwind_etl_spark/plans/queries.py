@@ -815,6 +815,33 @@ def bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible evidence for the end-to-end training-corpus
+    pipeline (plans/llm_pipeline.py::build_training_corpus): quality
+    gate → MinHash near-dup dedup → canonical keep → deterministic
+    split → train→eval contamination audit, returned as the 1-row
+    stage-count report.  Rows-only by design: the MinHash stage is
+    hash-seeded (the pipeline's planted-dup removal and contamination
+    counts are pinned in tests/test_llm_pipeline.py)."""
+    from .llm_pipeline import build_training_corpus
+
+    _, rep = build_training_corpus(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                rep.n_input,
+                rep.n_after_quality,
+                rep.n_after_dedup,
+                rep.n_train,
+                rep.n_eval,
+                rep.n_contaminated_eval,
+            )
+        ],
+        "n_input long, n_after_quality long, n_after_dedup long, "
+        "n_train long, n_eval long, n_contaminated_eval long",
+    )
+
+
 def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor (operators/drift.py): per document
     source, the binned two-sample KS statistic between that source's
@@ -1966,6 +1993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_revenue": salted_join_revenue,
     "kmv_overlap_customers": kmv_overlap_customers,
     "source_length_drift": source_length_drift,
+    "corpus_build_report": corpus_build_report,
     "chunk_docs": chunk_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
@@ -2008,8 +2036,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_market_share": T.q8_market_share,
     "q9_product_type_profit": T.q9_product_type_profit,
     "q10_returned_items": T.q10_returned_items,
-    "q13_customer_order_counts": T.q13_customer_order_counts,
     # ===== driver window boundary: first 50 above ====================
+    "q13_customer_order_counts": T.q13_customer_order_counts,
     "q14_promo_revenue": T.q14_promo_revenue,
     "q15_top_supplier": T.q15_top_supplier,
     "q16_supplier_part_variety": T.q16_supplier_part_variety,
