@@ -1554,6 +1554,45 @@ ORACLES: dict[str, str] = {
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    # Each expectation recomputed directly; the Spark side folds the
+    # four row-local rules into one scan, but the COUNTS must agree.
+    "orders_expectations": """
+        WITH r AS (
+            SELECT 'not_null(o_custkey)' AS rule,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'in_range(o_totalprice)',
+                   CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                  AND (o_totalprice < 0 OR o_totalprice > 600000)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'in_set(o_orderstatus)',
+                   CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                  AND o_orderstatus NOT IN ('O', 'F', 'P')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'matches(o_orderpriority)',
+                   CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                                  AND NOT regexp_matches(o_orderpriority,
+                                                         '^[1-5]-[A-Z ]+$')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'unique(o_orderkey)',
+                   CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS c FROM orders
+                  GROUP BY o_orderkey HAVING COUNT(*) > 1)
+            UNION ALL
+            SELECT 'foreign_key(o_custkey)', CAST(COUNT(*) AS BIGINT)
+            FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        SELECT rule, n_violations FROM r ORDER BY rule
+    """,
     # Binned two-sample KS: identical 8-wide bins, identical cumulative
     # sums, identical division sequence — bit-identical statistics.
     "source_length_drift": """

@@ -815,6 +815,34 @@ def bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate
+    (operators/expectations.py::expectation_report): five rules over
+    orders — four row-local rules folded into ONE scan (not-null
+    custkey, totalprice range, status domain, priority format) plus
+    the keyed uniqueness pass and the broadcast FK audit.  The oracle
+    recomputes each count directly; all five are zero on the clean
+    fixture (the violating paths are pinned on planted fixtures in
+    tests/test_scale_patterns.py)."""
+    from ..operators import expectations as X2
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return X2.expectation_report(
+        o,
+        row_rules=[
+            X2.not_null("o_custkey"),
+            X2.in_range("o_totalprice", 0, 600000),
+            X2.in_set("o_orderstatus", ["O", "F", "P"]),
+            X2.matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+        ],
+        extra=[
+            X2.unique_rule(o, ["o_orderkey"]),
+            X2.foreign_key_rule(o, "o_custkey", c, "c_custkey"),
+        ],
+    )
+
+
 def corpus_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible evidence for the end-to-end training-corpus
     pipeline (plans/llm_pipeline.py::build_training_corpus): quality
@@ -1994,6 +2022,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_overlap_customers": kmv_overlap_customers,
     "source_length_drift": source_length_drift,
     "corpus_build_report": corpus_build_report,
+    "orders_expectations": orders_expectations,
     "chunk_docs": chunk_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
@@ -2035,8 +2064,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_volume_shipping": T.q7_volume_shipping,
     "q8_market_share": T.q8_market_share,
     "q9_product_type_profit": T.q9_product_type_profit,
-    "q10_returned_items": T.q10_returned_items,
     # ===== driver window boundary: first 50 above ====================
+    "q10_returned_items": T.q10_returned_items,
     "q13_customer_order_counts": T.q13_customer_order_counts,
     "q14_promo_revenue": T.q14_promo_revenue,
     "q15_top_supplier": T.q15_top_supplier,

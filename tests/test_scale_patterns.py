@@ -275,6 +275,61 @@ def test_hist_quantiles_accuracy_and_clamping(spark):
     assert state[63] >= 1 and state[0] >= 1  # clamped outliers counted
 
 
+# ------------------------------------------------------- expectations
+
+
+def test_expectations_planted_violations(spark):
+    from northwind_etl_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O", "1-URGENT"),
+            (1, 20.0, "F", "2-HIGH"),  # duplicate key 1
+            (None, 30.0, "O", "3-MEDIUM"),  # null custkey-ish
+            (4, -5.0, "Z", "bad"),  # range + set + regex
+            (99, 40.0, "P", "5-LOW"),  # orphan FK
+        ],
+        "k int, price double, status string, prio string",
+    )
+    dim = spark.createDataFrame([(1,), (4,)], ["dk"])
+    report = X.expectation_report(
+        df,
+        row_rules=[
+            X.not_null("k"),
+            X.in_range("price", 0, 100),
+            X.in_set("status", ["O", "F", "P"]),
+            X.matches("prio", r"^[1-5]-[A-Z ]+$"),
+        ],
+        extra=[
+            X.unique_rule(df, ["k"]),
+            X.foreign_key_rule(df, "k", dim, "dk"),
+        ],
+    )
+    got = {r.rule: r.n_violations for r in report.collect()}
+    assert got == {
+        "not_null(k)": 1,
+        "in_range(price)": 1,
+        "in_set(status)": 1,
+        "matches(prio)": 1,
+        "unique(k)": 1,
+        "foreign_key(k)": 1,
+    }
+
+
+def test_expectations_row_rules_are_one_scan(spark):
+    from northwind_etl_spark.operators import expectations as X
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["k", "v"])
+    report = X.expectation_report(
+        df,
+        row_rules=[X.not_null("k"), X.in_range("v", 0, 1000), X.in_set("k", [1])],
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    # one aggregation pass: a single pair of partial/final HashAggregate
+    # nodes (or Sort+ObjectHash fallbacks), never one scan per rule
+    assert plan.count("Scan ") + plan.count("LocalTableScan") <= 1, plan[:1500]
+
+
 # ----------------------------------------------------------- KS drift
 
 
