@@ -395,3 +395,46 @@ def bigram_surprisal(
         ).alias("mean_bigram_surprisal"),
         F.sum("tf2").alias("n_bigrams"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc zlib compression ratio — the classic "machine-generated
+    or boilerplate" quality signal (highly repetitive text compresses
+    far below natural prose).  This is deliberately the repo's one
+    text-family Pandas UDF: DEFLATE has no Catalyst expression, and the
+    UDF-policy measurement (PLANS.md "UDF policy") says Arrow-batched
+    is the acceptable form — the batch reaches Python as one Arrow
+    buffer, zlib runs at C speed, and the plan stays map-only
+    (ArrowEvalPython, no shuffle).
+
+    ratio = compressed_len / raw_len over utf-8 bytes (level 6);
+    empty text → ratio NULL.  No SQL oracle (DuckDB has no zlib);
+    the planted-fixture tests pin the discriminative behavior.
+    """
+    import pandas as pd  # noqa: F401 - resolves the stringified hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_fn(texts):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    # explicit annotations (not `from __future__` strings): the module
+    # defers annotation evaluation, which breaks pandas_udf's hint
+    # resolution for locally-imported pandas
+    _ratio_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _ratio = pandas_udf(_ratio_fn, "double")
+
+    return df.select(
+        id_col, F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio")
+    )

@@ -815,6 +815,17 @@ def bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal
+    (operators/text.py::compression_ratio): the classic machine-text /
+    boilerplate detector, as the repo's one text-family Arrow-batched
+    Pandas UDF (no Catalyst DEFLATE; plan stays map-only).  Rows-only:
+    DuckDB has no zlib — discriminative behavior (repetitive text
+    compresses several× below prose) is pinned in planted tests."""
+    d = _t(spark, sf_dir, "documents")
+    return X.compression_ratio(d).orderBy("doc_id")
+
+
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate
     (operators/expectations.py::expectation_report): five rules over
@@ -2023,6 +2034,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_length_drift": source_length_drift,
     "corpus_build_report": corpus_build_report,
     "orders_expectations": orders_expectations,
+    "doc_compression_ratio": doc_compression_ratio,
     "chunk_docs": chunk_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
@@ -2063,8 +2075,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_late_order_priority": T.q4_late_order_priority,
     "q7_volume_shipping": T.q7_volume_shipping,
     "q8_market_share": T.q8_market_share,
-    "q9_product_type_profit": T.q9_product_type_profit,
     # ===== driver window boundary: first 50 above ====================
+    "q9_product_type_profit": T.q9_product_type_profit,
     "q10_returned_items": T.q10_returned_items,
     "q13_customer_order_counts": T.q13_customer_order_counts,
     "q14_promo_revenue": T.q14_promo_revenue,

@@ -275,6 +275,31 @@ def test_hist_quantiles_accuracy_and_clamping(spark):
     assert state[63] >= 1 and state[0] >= 1  # clamped outliers counted
 
 
+# ------------------------------------------------ compression ratio
+
+
+def test_compression_ratio_discriminates_repetition(spark):
+    import zlib
+
+    from northwind_etl_spark.operators.text import compression_ratio
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "wizards briskly mix quartz vials of zesty pomegranate juice."
+    ) * 4
+    boiler = "click here to subscribe now " * 18
+    df = spark.createDataFrame(
+        [(1, prose), (2, boiler), (3, None), (4, "")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.compression_ratio for r in compression_ratio(df).collect()}
+    # pinned to the exact stdlib arithmetic, not just a direction
+    exp = round(len(zlib.compress(prose.encode(), 6)) / len(prose.encode()), 6)
+    assert got[1] == exp
+    assert got[2] < got[1] / 2  # boilerplate compresses far harder
+    assert got[3] is None and got[4] is None
+
+
 # ------------------------------------------------------- expectations
 
 
