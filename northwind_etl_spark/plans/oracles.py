@@ -1554,6 +1554,19 @@ ORACLES: dict[str, str] = {
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    # The streamed, batch-by-batch-merged state must equal the plain
+    # batch aggregate.  min/max go through the same DECIMAL(38,6)
+    # rounding the Spark states carry (events.value has full double
+    # precision — a raw MIN would differ in the 7th decimal).
+    "stream_incremental_user_value": f"""
+        SELECT user_id,
+               {_dsum("value", "value_total")},
+               COUNT(value) AS value_count,
+               {_davg("value", "value_avg")},
+               CAST(CAST(MIN(value) AS DECIMAL(38,6)) AS DOUBLE) AS value_min,
+               CAST(CAST(MAX(value) AS DECIMAL(38,6)) AS DOUBLE) AS value_max
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     # Each expectation recomputed directly; the Spark side folds the
     # four row-local rules into one scan, but the COUNTS must agree.
     "orders_expectations": """

@@ -1163,6 +1163,28 @@ def stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))
 
 
+def stream_incremental_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental aggregate maintenance, driver-checked
+    (streaming/events_stream.py::incremental_state_stream): each
+    micro-batch partializes into mergeable (decimal-sum, count, min,
+    max) states and merges with the previous STATE TABLE — never raw
+    history — under batch-id-versioned writes (replay-idempotent).
+    The finalized state must equal the plain batch GROUP BY, which is
+    the oracle; multi-batch splitting is pinned separately in
+    tests/test_streaming.py."""
+    from ..streaming.events_stream import (
+        incremental_state_stream,
+        read_events_stream,
+        read_incremental_state,
+    )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    root = _spill_dir("stream_incr_state")
+    ckpt = _spill_dir("stream_incr_ckpt")
+    incremental_state_stream(ev, root, ckpt, keys=["user_id"], value="value")
+    return read_incremental_state(spark, root, prefix="value").orderBy("user_id")
+
+
 def json_prop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = S.extract_props(_t(spark, sf_dir, "events"))
     return ev.groupBy("prop_k").agg(F.count(F.lit(1)).alias("n_events"))
@@ -2035,6 +2057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_build_report": corpus_build_report,
     "orders_expectations": orders_expectations,
     "doc_compression_ratio": doc_compression_ratio,
+    "stream_incremental_user_value": stream_incremental_user_value,
     "chunk_docs": chunk_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
@@ -2074,8 +2097,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_trend_by_nation": revenue_trend_by_nation,
     "q4_late_order_priority": T.q4_late_order_priority,
     "q7_volume_shipping": T.q7_volume_shipping,
-    "q8_market_share": T.q8_market_share,
     # ===== driver window boundary: first 50 above ====================
+    "q8_market_share": T.q8_market_share,
     "q9_product_type_profit": T.q9_product_type_profit,
     "q10_returned_items": T.q10_returned_items,
     "q13_customer_order_counts": T.q13_customer_order_counts,

@@ -239,6 +239,76 @@ def upsert_by_partition_stream(
     q.awaitTermination()
 
 
+def incremental_state_stream(
+    events: DataFrame,
+    state_root: str,
+    ckpt_path: str,
+    *,
+    keys: list[str],
+    value: str,
+) -> None:
+    """foreachBatch incremental aggregate maintenance — the streaming
+    form of operators/incremental.py's mergeable-state pattern: each
+    micro-batch is partialized into (decimal-sum, count, min, max)
+    states and merged with the previous state TABLE, never with raw
+    history.  A day of delta costs a delta-sized aggregation plus a
+    state-table-sized merge, independent of total history size.
+
+    Idempotence: each batch writes state version ``v{batch_id}``
+    derived from the newest version BELOW batch_id, so a replayed
+    batch (failure between sink write and checkpoint commit)
+    recomputes the same version from the same predecessor instead of
+    double-counting — exactly-once at state-version granularity, the
+    same contract as upsert_by_partition_stream's partition overwrite.
+    """
+    import os
+
+    from ..operators import incremental as I
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = I.partial_states(batch_df, keys, value)
+        prev_versions = []
+        if os.path.isdir(state_root):
+            for d in os.listdir(state_root):
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id:
+                    prev_versions.append(int(d[1:]))
+        if prev_versions:
+            prev = spark.read.parquet(f"{state_root}/v{max(prev_versions)}")
+            merged = I.merge_states(prev, part)
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(f"{state_root}/v{batch_id}")
+
+    q = (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_incremental_state(
+    spark: SparkSession, state_root: str, *, prefix: str
+) -> DataFrame:
+    """Finalize the newest state version (presentation columns, one
+    rounding — operators/incremental.py::finalize)."""
+    import os
+
+    from ..operators import incremental as I
+
+    versions = [
+        int(d[1:])
+        for d in os.listdir(state_root)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no state versions under {state_root}")
+    state = spark.read.parquet(f"{state_root}/v{max(versions)}")
+    return I.finalize(state, prefix=prefix)
+
+
 def run_available_now(
     df: DataFrame, query_name: str, *, output_mode: str = "update"
 ) -> DataFrame:

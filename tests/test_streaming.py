@@ -194,3 +194,74 @@ def test_checkpoint_restart_processes_only_new_files(spark):
     # exactly once: no event_id duplicated, both tags present
     assert loaded.select("event_id").distinct().count() == 150
     assert loaded.where(F.col("tag") == "b").count() == 50
+
+
+def test_incremental_state_stream_multi_batch_equals_direct(spark):
+    """The mergeable-state contract under real batch splitting: three
+    source files forced into separate micro-batches
+    (maxFilesPerTrigger=1) must merge to EXACTLY the direct aggregate
+    over the union."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.operators import incremental as I
+    from northwind_etl_spark.streaming.events_stream import (
+        read_incremental_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="incr_state_")
+    src, root, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
+    for lo, hi in ((0, 40), (40, 75), (75, 100)):
+        spark.range(lo, hi).select(
+            (F.col("id") % 7).alias("user_id"),
+            (F.col("id") * 1.5 + 0.123456789).alias("value"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("user_id LONG, value DOUBLE").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    from northwind_etl_spark.operators import incremental as I2
+
+    def merge(batch_df, batch_id):
+        import os
+
+        part = I2.partial_states(batch_df, ["user_id"], "value")
+        prev = [
+            int(d[1:])
+            for d in (os.listdir(root) if os.path.isdir(root) else [])
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+        ]
+        merged = (
+            I2.merge_states(spark.read.parquet(f"{root}/v{max(prev)}"), part)
+            if prev
+            else part
+        )
+        merged.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
+        # replay idempotence: recomputing the SAME version must land on
+        # identical state (same predecessor, same batch)
+        merged.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    import os
+
+    n_batches = len([d for d in os.listdir(root) if d.startswith("v")])
+    assert n_batches == 3  # the split actually happened
+
+    final = read_incremental_state(spark, root, prefix="value")
+    direct = I.finalize(
+        I.partial_states(
+            spark.read.parquet(src), ["user_id"], "value"
+        ),
+        prefix="value",
+    )
+    key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert key(final) == key(direct)
