@@ -101,6 +101,7 @@ HEADLINE = [
     "user_activity_islands",
     "kmv_distinct_users",
     "incremental_price_quantiles",
+    "doc_compression_ratio",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

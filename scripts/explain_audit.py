@@ -30,6 +30,13 @@ DEFAULT = [
     "embedding_near_dup_pairs",
     "contamination_check",
     "fuzzy_name_match_pairs",
+    # r06 scale-pattern batch
+    "bloom_filtered_orders",
+    "table_diff_summary",
+    "kmv_distinct_users",
+    "incremental_price_quantiles",
+    "source_length_drift",
+    "orders_expectations",
 ]
 
 
