@@ -162,3 +162,39 @@ def ewma_by_key(
         F.size("xs").alias("n_buckets"),
         F.round(folded, 6).alias("ewma_value"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key time-weighted average: each observation's value holds
+    until the key's next observation (step interpolation), weighted by
+    that duration in microseconds; the final observation has no
+    duration and is excluded.  The metric a dashboard actually wants
+    for irregularly-sampled series — a plain AVG over-weights bursts.
+
+    One keyed window (lead) + one keyed aggregation, same single
+    hash-partitioning both stages.  Exactness contract: durations are
+    exact integral microseconds on both engines (unix_micros /
+    epoch_us), the value×duration product is one IEEE double multiply,
+    and the weighted sum goes through the DECIMAL(38,6) money-sum
+    domain — so the DuckDB oracle lands on identical doubles.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, value_col)
+    us = F.unix_micros(F.col(ts_col))
+    stepped = (
+        df.select(key_col, ts_col, value_col)
+        .withColumn("__dur_us", F.lead(us).over(w) - us)
+        .where(F.col("__dur_us").isNotNull())
+    )
+    weighted = (F.col(value_col) * F.col("__dur_us")).cast("decimal(38,6)")
+    return stepped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(weighted).cast("double") / F.sum("__dur_us").cast("double"), 6
+        ).alias("twa_value"),
+    )

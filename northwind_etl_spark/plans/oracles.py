@@ -1554,6 +1554,22 @@ ORACLES: dict[str, str] = {
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    # Identical step-interpolated weighting: exact integral-microsecond
+    # durations (epoch_us ≡ unix_micros), one IEEE multiply, decimal-
+    # domain weighted sum, (ts, value) tie-break on both engines.
+    "time_weighted_user_value": """
+        WITH s AS (
+            SELECT user_id, value,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, value)
+                   - epoch_us(ts) AS dur
+            FROM events),
+        t AS (SELECT user_id, value, dur FROM s WHERE dur IS NOT NULL)
+        SELECT user_id, COUNT(*) AS n_intervals,
+               ROUND(CAST(SUM(CAST(value * dur AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(SUM(dur) AS DOUBLE), 6) AS twa_value
+        FROM t GROUP BY user_id ORDER BY user_id
+    """,
     # The streamed, batch-by-batch-merged state must equal the plain
     # batch aggregate.  min/max go through the same DECIMAL(38,6)
     # rounding the Spark states carry (events.value has full double

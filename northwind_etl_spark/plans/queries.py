@@ -1163,6 +1163,24 @@ def stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))
 
 
+def time_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user
+    (operators/timeseries.py::time_weighted_avg): step interpolation —
+    each value holds until the user's next event, weighted by exact
+    integral microseconds; the last observation (unknown duration) is
+    excluded.  One keyed window + one keyed agg on the same
+    partitioning; oracle runs the identical (ts, value)-ordered lead
+    and decimal-domain weighted sum."""
+    from ..operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return time_weighted_avg(
+        ev, key_col="user_id", ts_col="ts", value_col="value"
+    ).orderBy("user_id")
+
+
 def stream_incremental_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch incremental aggregate maintenance, driver-checked
     (streaming/events_stream.py::incremental_state_stream): each
@@ -2058,6 +2076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_expectations": orders_expectations,
     "doc_compression_ratio": doc_compression_ratio,
     "stream_incremental_user_value": stream_incremental_user_value,
+    "time_weighted_user_value": time_weighted_user_value,
     "chunk_docs": chunk_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "stream_session_stats": stream_session_stats,
@@ -2096,8 +2115,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_value_rank_stats": order_value_rank_stats,
     "revenue_trend_by_nation": revenue_trend_by_nation,
     "q4_late_order_priority": T.q4_late_order_priority,
-    "q7_volume_shipping": T.q7_volume_shipping,
     # ===== driver window boundary: first 50 above ====================
+    "q7_volume_shipping": T.q7_volume_shipping,
     "q8_market_share": T.q8_market_share,
     "q9_product_type_profit": T.q9_product_type_profit,
     "q10_returned_items": T.q10_returned_items,

@@ -275,6 +275,43 @@ def test_hist_quantiles_accuracy_and_clamping(spark):
     assert state[63] >= 1 and state[0] >= 1  # clamped outliers counted
 
 
+# ------------------------------------------------ time-weighted avg
+
+
+def test_time_weighted_avg_planted(spark):
+    import datetime as dt
+
+    from northwind_etl_spark.operators.timeseries import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # u1: 10.0 holds 10 s, 20.0 holds 30 s, last excluded
+        # → (10·10 + 20·30) / 40 = 17.5
+        (1, at(0), 10.0),
+        (1, at(10), 20.0),
+        (1, at(40), 99.0),
+        # u2: tie at t=0 — (ts, value) order gives 1.0 zero duration,
+        # 3.0 holds 4 s → twa = 3.0
+        (2, at(0), 3.0),
+        (2, at(0), 1.0),
+        (2, at(4), 99.0),
+        # u3: single event → no interval, user absent
+        (3, at(0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    got = {
+        r.user_id: (r.n_intervals, r.twa_value)
+        for r in time_weighted_avg(
+            df, key_col="user_id", ts_col="ts", value_col="value"
+        ).collect()
+    }
+    assert got == {1: (2, 17.5), 2: (2, 3.0)}
+
+
 # ------------------------------------------------ compression ratio
 
 
