@@ -102,6 +102,9 @@ HEADLINE = [
     "kmv_distinct_users",
     "incremental_price_quantiles",
     "doc_compression_ratio",
+    # r06: CCNet line-level boilerplate removal (line-digest agg +
+    # broadcast anti-join + per-doc reassembly)
+    "boilerplate_cleaned_docs",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -1,0 +1,149 @@
+"""Line-level boilerplate removal — the CCNet-style corpus cleaning
+step (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", §4.2 line-level deduplication): a line
+that recurs across many documents (headers, footers, cookie banners,
+nav menus) is boilerplate and is struck from every document that
+carries it, preserving the order of the surviving lines.
+
+North-star extension operator (not in the reference — the reference is
+a batch star-schema ETL, roberthpchao/Northwind-ETL `etl_orders.py`;
+this belongs to the mandated LLM-pipeline family).
+
+100 TB shape — the whole operator is three bounded passes:
+
+1. **Line doc-frequency**: one `posexplode` of the split text (map
+   side, no shuffle), then ONE aggregation keyed by the 16-byte
+   `md5(lower(trim(line)))` digest — the shuffle carries digests and
+   doc ids, never line text.  `countDistinct(doc_id)` is Catalyst's
+   two-phase distinct rewrite: partial (key, doc_id) dedup map-side,
+   so a boilerplate line that appears 10⁹ times still ships one row
+   per (partition, key, doc) to the exchange.
+2. **Boilerplate set**: filtering the frequency table to
+   `line_df · denom ≥ num · total_docs` (an integer-exact fraction
+   test, no float) leaves only the boilerplate keys.  *By definition
+   of boilerplate this set is small* — it is the distinct lines shared
+   across ≥ the threshold fraction of a corpus, i.e. templates, not
+   content — so it is explicitly `F.broadcast` and the removal is a
+   broadcast LEFT ANTI join: the line table is never shuffled for the
+   filter.  (A corpus where the "boilerplate" set itself is huge
+   violates the operator's premise; the knob to tighten is
+   `min_df_frac`.)
+3. **Reassembly**: one `groupBy(doc_id)` whose per-key state is the
+   document's own surviving lines (bounded by document size, the same
+   per-key bound every keyed window in this repo relies on), sorted
+   array-locally by position — no window function.
+
+The total-docs scalar joins in as a broadcast 1-row cross join (the
+same shape as q11/q22's scalar subqueries) — no driver action, no
+collect.
+
+Determinism: line keys are md5 of the lower/trimmed line; the fraction
+test is pure integer arithmetic (`line_df * denom >= num * total`), so
+DuckDB reproduces every keep/drop decision bit-for-bit and the
+reassembled text hashes identically (see plans/oracles.py
+::boilerplate_cleaned_docs).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """One row per (doc, position, line).  Blank / whitespace-only
+    lines are dropped before counting (they are neither content nor
+    boilerplate; both engines agree on the trim)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    return lines.where(F.trim("line") != "")
+
+
+def line_doc_frequency(
+    lines: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct-document frequency per normalized line key.
+
+    The shuffle key is the md5 digest (16 bytes), never the line text;
+    countDistinct gets Catalyst's two-phase rewrite so the hot
+    boilerplate keys partially deduplicate map-side.
+    """
+    keyed = lines.select(
+        F.md5(F.lower(F.trim("line"))).alias("line_key"), F.col(id_col)
+    )
+    return keyed.groupBy("line_key").agg(
+        F.countDistinct(id_col).alias("line_df")
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df_frac: float = 0.05,
+    delim: str = "\n",
+) -> DataFrame:
+    """Strike every line whose document frequency is ≥ `min_df_frac`
+    of the corpus; return one row per document with the cleaned text
+    and keep/drop counts.
+
+    Output: (id_col, n_lines int, n_kept int, n_dropped int,
+    cleaned_text string) — cleaned_text is the surviving lines joined
+    by `delim` in their original order ('' when everything was
+    boilerplate).
+    """
+    frac = Fraction(min_df_frac).limit_denominator(10**6)
+    num, denom = frac.numerator, frac.denominator
+
+    lines = split_lines(df, text_col=text_col, id_col=id_col, delim=delim)
+    keyed = lines.withColumn("line_key", F.md5(F.lower(F.trim("line"))))
+
+    total = df.select(F.count(F.lit(1)).alias("total_docs"))
+    freq = line_doc_frequency(lines, id_col=id_col)
+    # integer-exact fraction test: df/total >= num/denom
+    boiler = (
+        freq.crossJoin(F.broadcast(total))
+        .where(F.col("line_df") * denom >= F.col("total_docs") * num)
+        .select("line_key")
+    )
+
+    kept = keyed.join(F.broadcast(boiler), "line_key", "left_anti")
+    per_doc_kept = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("cleaned_text"),
+    )
+    per_doc_all = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines")
+    )
+    # left join: a doc whose every line was boilerplate has no kept row
+    return (
+        per_doc_all.join(per_doc_kept, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -1570,6 +1570,67 @@ ORACLES: dict[str, str] = {
                      / CAST(SUM(dur) AS DOUBLE), 6) AS twa_value
         FROM t GROUP BY user_id ORDER BY user_id
     """,
+    # Mirror of operators/lines.py::remove_boilerplate_lines over the
+    # line-seeded docs of queries._line_seeded_docs (HEADER/FOOTER on
+    # every doc, 10-token body lines, PROMO on every third doc; keep
+    # the seeding in sync).  min_df_frac=0.05 → the integer-exact test
+    # line_df*20 >= total_docs*1; line keys are md5(lower(trim(line)))
+    # so every keep/drop decision and the reassembled md5 agree
+    # bit-for-bit.  Ordinality pos is 1-based here vs posexplode's
+    # 0-based — only used for ordering, never emitted.
+    "boilerplate_cleaned_docs": f"""
+        WITH tk AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ), seeded AS (
+            SELECT doc_id,
+                   ['HEADER nav menu home']
+                   || list_transform(
+                        range(0, greatest(1, (len(t)+9)//10)),
+                        i -> array_to_string(
+                             t[CAST(i*10+1 AS INT) : CAST(i*10+10 AS INT)],
+                             ' '))
+                   || ['FOOTER copyright all rights reserved']
+                   || (CASE WHEN doc_id % 3 = 0
+                            THEN ['PROMO subscribe to the newsletter']
+                            ELSE [] END) AS ls
+            FROM tk
+        ), lines0 AS (
+            SELECT doc_id, ls,
+                   CAST(unnest(range(1, len(ls)+1)) AS INT) AS pos
+            FROM seeded
+        ), lines AS (
+            SELECT doc_id, pos, ls[pos] AS line
+            FROM lines0 WHERE trim(ls[pos]) <> ''
+        ), keyed AS (
+            SELECT doc_id, pos, line,
+                   md5(lower(trim(line))) AS line_key
+            FROM lines
+        ), total AS (
+            SELECT COUNT(*) AS total_docs FROM documents
+        ), freq AS (
+            SELECT line_key, COUNT(DISTINCT doc_id) AS line_df
+            FROM keyed GROUP BY 1
+        ), boiler AS (
+            SELECT line_key FROM freq, total
+            WHERE line_df * 20 >= total_docs * 1
+        ), kept AS (
+            SELECT k.* FROM keyed k
+            WHERE k.line_key NOT IN (SELECT line_key FROM boiler)
+        ), per_all AS (
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines
+            FROM keyed GROUP BY 1
+        ), per_kept AS (
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+            FROM kept GROUP BY 1
+        )
+        SELECT a.doc_id, a.n_lines,
+               COALESCE(k.n_kept, 0) AS n_kept,
+               CAST(a.n_lines - COALESCE(k.n_kept, 0) AS INT) AS n_dropped,
+               md5(COALESCE(k.cleaned_text, '')) AS cleaned_md5
+        FROM per_all a LEFT JOIN per_kept k USING (doc_id)
+        ORDER BY a.doc_id
+    """,
     # The streamed, batch-by-batch-merged state must equal the plain
     # batch aggregate.  min/max go through the same DECIMAL(38,6)
     # rounding the Spark states carry (events.value has full double
