@@ -103,8 +103,10 @@ HEADLINE = [
     "incremental_price_quantiles",
     "doc_compression_ratio",
     # r06: CCNet line-level boilerplate removal (line-digest agg +
-    # broadcast anti-join + per-doc reassembly)
+    # broadcast anti-join + per-doc reassembly) and SemDeDup
+    # (k-means-bucketed semantic near-dup pruning, applyInPandas)
     "boilerplate_cleaned_docs",
+    "semantic_dedup_verdicts",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -1,0 +1,138 @@
+"""SemDeDup — semantic deduplication of an embedding corpus (Abbas et
+al., "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", 2023): k-means-cluster the embeddings, then inside each
+cluster strike every item whose cosine similarity to an already-kept
+item exceeds a threshold, keeping one representative per semantic-
+duplicate group.
+
+North-star extension operator (not in the reference — the reference is
+a batch star-schema ETL; this belongs to the mandated LLM-pipeline
+dedup family alongside operators/dedup.py's MinHash/SimHash and
+operators/similarity.py's LSH near-dup).
+
+Why clustering first: the paper's observation is that semantic dups
+land in the same k-means cluster with overwhelming probability, so the
+O(n²) cosine matrix never has to be built — only per-cluster matrices
+of size ≤ max_cluster².  That is exactly the bucket-grouped candidate
+discipline every other near-dup operator in this repo uses, with the
+k-means assignment as the bucketing function.
+
+100 TB shape:
+- **train**: `operators/ivf.py::train_centroids` — seeds are the k
+  lowest-id vectors (deterministic), each Lloyd pass is one
+  distributed assign + one groupBy-mean; the only driver-side state is
+  the (k × dim) centroid matrix.
+- **assign**: one Arrow-batched numpy matmul per batch
+  (`assign_clusters`), map-only.
+- **dedup**: ONE shuffle keyed by cluster_id into `applyInPandas`;
+  each task holds one cluster's (≤ max_cluster × dim) matrix, computes
+  its pairwise-cosine upper triangle with a single numpy gram product,
+  and runs the paper's greedy keep pass.  Per-task cost is bounded by
+  max_cluster²·dim flops; k scales the parallelism.
+- A corpus-sized k (the paper uses k ≈ n/10⁴) keeps clusters at the
+  cap; `on_overflow` decides whether an over-cap cluster raises
+  (default — the honest signal to re-train with larger k) or keeps its
+  overflow items un-deduped (`'keep'` — the safe direction: never
+  silently drop content).
+
+Greedy order inside a cluster follows the paper: items are visited in
+DESCENDING distance from the centroid (ascending centroid-cosine,
+vec_id tie-break), so the kept representative of each duplicate group
+is the one farthest from the centroid — the paper's choice, keeping
+the "edge" examples and discarding redundant near-centroid mass.
+
+Determinism: seeds by lowest id, numpy argmax breaks ties at the first
+index, greedy order is (centroid_cos, id)-lexicographic — two runs on
+the same data produce identical verdicts (pinned in
+tests/test_semdedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ivf import _normalize, assign_clusters, train_centroids
+
+VERDICT_SCHEMA = (
+    "vec_id long, cluster_id int, centroid_cosine double, "
+    "keep boolean, kept_by long"
+)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    k: int = 16,
+    iters: int = 2,
+    threshold: float = 0.97,
+    max_cluster: int = 4096,
+    on_overflow: str = "raise",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One verdict row per input vector: (vec_id, cluster_id,
+    centroid_cosine, keep, kept_by) — `kept_by` is the id of the kept
+    representative a dropped item matched (NULL for kept items).
+    """
+    if on_overflow not in ("raise", "keep"):
+        raise ValueError(f"on_overflow must be 'raise' or 'keep', got {on_overflow!r}")
+    centroids = train_centroids(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assign_clusters(embeddings, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"), "cluster_id"
+    )
+
+    cent = centroids  # (k, dim), unit rows
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["cluster_id"].iloc[0])
+        if len(pdf) > max_cluster and on_overflow == "raise":
+            raise ValueError(
+                f"semantic_dedup: cluster {cid} holds {len(pdf)} items "
+                f"(max_cluster={max_cluster}); re-train with larger k or "
+                "pass on_overflow='keep'"
+            )
+        mat = _normalize(np.vstack(pdf["v"].to_numpy()).astype(np.float64))
+        cc = mat @ cent[cid]
+        ids = pdf["vec_id"].to_numpy()
+        # paper order: farthest-from-centroid first; id tie-break
+        order = np.lexsort((ids, cc))
+        overflow = set(order[max_cluster:].tolist())
+        keep = np.ones(len(pdf), dtype=bool)
+        kept_by = np.full(len(pdf), -1, dtype=np.int64)
+        gram = mat @ mat.T
+        kept_rows = np.empty(len(pdf), dtype=np.int64)
+        m = 0
+        for pos in order:
+            if pos in overflow:
+                continue  # on_overflow='keep': stays kept, un-deduped
+            if m:
+                sims = gram[pos, kept_rows[:m]]
+                hit = sims >= threshold
+                if hit.any():
+                    keep[pos] = False
+                    # first kept item (in greedy order) it matched
+                    kept_by[pos] = ids[kept_rows[:m][int(np.argmax(hit))]]
+                    continue
+            kept_rows[m] = pos
+            m += 1
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": np.full(len(pdf), cid, dtype=np.int32),
+                "centroid_cosine": np.round(cc, 6),
+                "keep": keep,
+                "kept_by": kept_by,
+            }
+        )
+
+    out = assigned.groupBy("cluster_id").applyInPandas(
+        dedup_cluster, schema=VERDICT_SCHEMA
+    )
+    return out.withColumn(
+        "kept_by", F.when(F.col("kept_by") >= 0, F.col("kept_by"))
+    )

@@ -1235,6 +1235,38 @@ def boilerplate_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): k-means-bucketed semantic
+    near-dup pruning over the embedding corpus.  The corpus has no
+    natural semantic dups (max pairwise cosine ≈ 0.51), so the entry
+    plants a deterministic twin for every 10th vector (first component
+    scaled by 1.001 → cosine ≈ 1−1e⁻⁷) and runs at threshold 0.99:
+    exactly one of each twin pair must survive.  Rows-only (Lloyd
+    iterations + applyInPandas are not SQL-expressible); the greedy
+    keep/drop semantics, paper ordering, and determinism are pinned in
+    tests/test_semdedup.py."""
+    from ..operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (F.lit(1.0) + F.when(i == 0, F.lit(0.001)).otherwise(F.lit(0.0))),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    out = semantic_dedup(corpus, k=8, iters=2, threshold=0.99)
+    return out.select(
+        "vec_id",
+        "cluster_id",
+        F.round("centroid_cosine", 4).alias("centroid_cosine"),
+        "keep",
+        "kept_by",
+    ).orderBy("vec_id")
+
+
 def stream_incremental_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch incremental aggregate maintenance, driver-checked
     (streaming/events_stream.py::incremental_state_stream): each
@@ -2117,6 +2149,7 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in r06 (never driver-checked): front --------------------
     "boilerplate_cleaned_docs": boilerplate_cleaned_docs,
+    "semantic_dedup_verdicts": semantic_dedup_verdicts,
     "user_activity_islands": user_activity_islands,
     "salted_distinct_users": salted_distinct_users,
     "incremental_order_stats": incremental_order_stats,
@@ -2168,10 +2201,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_overlap_pairs": session_overlap_pairs,
     "scd2_user_event_history": scd2_user_event_history,
     "order_value_rank_stats": order_value_rank_stats,
-    "revenue_trend_by_nation": revenue_trend_by_nation,
     # ===== driver window boundary: first 50 above ====================
-    # q4 displaced to lead r07 by boilerplate_cleaned_docs (same
-    # rationale as q19-q22: pure SQL shape re-proven every pytest run)
+    # q4 + revenue_trend displaced to lead r07 by the two new entries
+    # (boilerplate_cleaned_docs, semantic_dedup_verdicts); both are
+    # r04-green and re-proven every pytest run.
+    "revenue_trend_by_nation": revenue_trend_by_nation,
     "q4_late_order_priority": T.q4_late_order_priority,
     "q7_volume_shipping": T.q7_volume_shipping,
     "q8_market_share": T.q8_market_share,
