@@ -27,11 +27,15 @@ this belongs to the mandated LLM-pipeline family).
    broadcast LEFT ANTI join: the line table is never shuffled for the
    filter.  (A corpus where the "boilerplate" set itself is huge
    violates the operator's premise; the knob to tighten is
-   `min_df_frac`.)
+   `min_df_frac`.)  The join is a flagged LEFT OUTER rather than an
+   anti join so the drop COUNTS survive into the same pass.
 3. **Reassembly**: one `groupBy(doc_id)` whose per-key state is the
    document's own surviving lines (bounded by document size, the same
    per-key bound every keyed window in this repo relies on), sorted
-   array-locally by position — no window function.
+   array-locally by position — no window function.  Counting and
+   reassembly share this single aggregation, so the corpus is exploded
+   exactly twice end-to-end (once feeding the frequency agg, once
+   feeding the reassembly) — there is no third per-doc counting scan.
 
 The total-docs scalar joins in as a broadcast 1-row cross join (the
 same shape as q11/q22's scalar subqueries) — no driver action, no
@@ -118,32 +122,28 @@ def remove_boilerplate_lines(
         .select("line_key")
     )
 
-    kept = keyed.join(F.broadcast(boiler), "line_key", "left_anti")
-    per_doc_kept = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    # flagged broadcast LEFT OUTER (not anti) so counting and
+    # reassembly fold into ONE aggregation pass over ONE explode —
+    # collect_list skips the NULL that when() leaves on boilerplate
+    # rows, so the kept-only struct array comes out of the same agg
+    # that counts all lines.
+    marked = keyed.join(
+        F.broadcast(boiler.withColumn("__boiler", F.lit(True))),
+        "line_key",
+        "left",
+    )
+    kept_struct = F.when(
+        F.col("__boiler").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.count(kept_struct).cast("int").alias("n_kept"),
+        (F.count(F.lit(1)) - F.count(kept_struct)).cast("int").alias("n_dropped"),
         F.array_join(
             F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
-                ),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda s: s["line"],
             ),
             delim,
         ).alias("cleaned_text"),
-    )
-    per_doc_all = lines.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_lines")
-    )
-    # left join: a doc whose every line was boilerplate has no kept row
-    return (
-        per_doc_all.join(per_doc_kept, id_col, "left")
-        .select(
-            id_col,
-            "n_lines",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .cast("int")
-            .alias("n_dropped"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-        )
     )

@@ -101,24 +101,25 @@ def semantic_dedup(
         ids = pdf["vec_id"].to_numpy()
         # paper order: farthest-from-centroid first; id tie-break
         order = np.lexsort((ids, cc))
-        overflow = set(order[max_cluster:].tolist())
+        in_cap = order[:max_cluster]  # over-cap tail stays kept
         keep = np.ones(len(pdf), dtype=bool)
         kept_by = np.full(len(pdf), -1, dtype=np.int64)
-        gram = mat @ mat.T
-        kept_rows = np.empty(len(pdf), dtype=np.int64)
+        # the gram matrix is built ONLY over the in-cap prefix — this
+        # is what makes max_cluster a real memory/compute bound
+        # (≤ cap²), not just a candidate-count knob
+        sub = mat[in_cap]
+        gram = sub @ sub.T
+        kept_local = np.empty(len(in_cap), dtype=np.int64)
         m = 0
-        for pos in order:
-            if pos in overflow:
-                continue  # on_overflow='keep': stays kept, un-deduped
+        for j, pos in enumerate(in_cap):
             if m:
-                sims = gram[pos, kept_rows[:m]]
-                hit = sims >= threshold
+                hit = gram[j, kept_local[:m]] >= threshold
                 if hit.any():
                     keep[pos] = False
                     # first kept item (in greedy order) it matched
-                    kept_by[pos] = ids[kept_rows[:m][int(np.argmax(hit))]]
+                    kept_by[pos] = ids[in_cap[kept_local[:m][int(np.argmax(hit))]]]
                     continue
-            kept_rows[m] = pos
+            kept_local[m] = j
             m += 1
         return pd.DataFrame(
             {

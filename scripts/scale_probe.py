@@ -105,7 +105,88 @@ def main() -> None:
         _reconcile_section(spark, sf_dir, factor)
     if _want("bloom"):
         _bloom_section(spark, sf_dir, factor)
+    if _want("lines"):
+        _lines_section(spark, sf_dir, factor)
+    if _want("semdedup"):
+        _semdedup_section(spark, sf_dir, factor)
     spark.stop()
+
+
+def _lines_section(spark, sf_dir, factor):
+    """Boilerplate line removal: runtime vs corpus size, and vs the
+    SIZE OF THE BOILERPLATE SET (the broadcast side).  Replicas carry
+    disjoint tokens so natural body lines stay unique; the seeded
+    HEADER/FOOTER/PROMO keep scaling their df with N (boilerplate by
+    construction).  The wide variant plants 200 distinct boilerplate
+    lines (each on 1/3 of docs) to grow the broadcast key set."""
+    from northwind_etl_spark.operators.lines import remove_boilerplate_lines
+    from northwind_etl_spark.plans.queries import _line_seeded_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.count()
+    for times in (1, factor):
+        corp = replicate(docs, times, "doc_id", base * 10, _doc_variant)
+        seeded = _line_seeded_docs(corp)
+        timed(
+            f"boilerplate_lines x{times}",
+            lambda s=seeded: remove_boilerplate_lines(s, min_df_frac=0.05)
+            .where(F.col("n_dropped") > 0)
+            .count(),
+        )
+        # wide boilerplate set: 200 distinct planted lines, df = n/3
+        wide = seeded.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit("\nBANNER variant "),
+                (F.col("doc_id") % 200).cast("string"),
+            ),
+        )
+        timed(
+            f"boilerplate_lines_wideset x{times}",
+            lambda w=wide: remove_boilerplate_lines(w, min_df_frac=0.001)
+            .where(F.col("n_dropped") > 0)
+            .count(),
+        )
+
+
+def _semdedup_section(spark, sf_dir, factor):
+    """SemDeDup: runtime vs corpus size in the paper's regime (k grows
+    with N so expected cluster size stays flat → per-task gram cost
+    flat, parallelism carries the scale), plus the degenerate
+    hot-cluster corpus (every vector identical direction) where the
+    max_cluster cap must bound the gram cost."""
+    from northwind_etl_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.count()
+    for times in (1, factor):
+        corp = replicate(emb, times, "vec_id", base * 10, _vec_variant)
+        k = 8 * times  # paper regime: cluster size ~ constant
+        timed(
+            f"semdedup x{times} k={k}",
+            lambda c=corp, kk=k: semantic_dedup(
+                c, k=kk, iters=2, threshold=0.99
+            )
+            .where(~F.col("keep"))
+            .count(),
+        )
+    hot = emb.withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x, i: F.lit(1.0) + 0.0001 * F.col("vec_id") * F.when(i == 0, 1.0).otherwise(0.0)),
+    )
+    hot_corp = replicate(hot, factor, "vec_id", base * 10)
+    timed(
+        f"semdedup_hotcluster x{factor} capped",
+        lambda: semantic_dedup(
+            hot_corp, k=4, iters=1, threshold=0.999999, max_cluster=512,
+            on_overflow="keep",
+        )
+        .where(~F.col("keep"))
+        .count(),
+    )
 
 
 def _reconcile_section(spark, sf_dir, factor):

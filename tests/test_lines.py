@@ -97,18 +97,17 @@ def test_no_boilerplate_below_threshold_is_identity(spark):
     assert texts == {0: "a b\nc d", 1: "e f\ng h", 2: "i j"}
 
 
-def test_removal_is_broadcast_anti_join(spark):
+def test_removal_is_broadcast_join_single_agg(spark):
     """The boilerplate filter must never shuffle the line table: the
-    anti join against the (small by definition) boilerplate key set
-    has to be broadcast, and the only SortMergeJoin allowed in the
-    whole plan is the final per-doc left join of two same-keyed aggs."""
+    flagged join against the (small by definition) boilerplate key set
+    has to be broadcast, with no SortMergeJoin anywhere — counting and
+    reassembly share one aggregation, so there is no per-doc join."""
     plan = (
         remove_boilerplate_lines(_fixture(spark), min_df_frac=0.5)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "CartesianProduct" not in plan
-    anti_idx = plan.find("LeftAnti")
-    assert "SortMergeJoin" not in plan[anti_idx : anti_idx + 200]
+    assert "SortMergeJoin" not in plan
