@@ -107,6 +107,7 @@ HEADLINE = [
     # (k-means-bucketed semantic near-dup pruning, applyInPandas)
     "boilerplate_cleaned_docs",
     "semantic_dedup_verdicts",
+    "cms_term_counts",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

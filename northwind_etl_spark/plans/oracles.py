@@ -1631,6 +1631,44 @@ ORACLES: dict[str, str] = {
         FROM per_all a LEFT JOIN per_kept k USING (doc_id)
         ORDER BY a.doc_id
     """,
+    # Mirror of operators/cms.py: cell = first-13-md5-nibbles of
+    # "{row}:"||term (exact in IEEE doubles AND bigints — the KMV
+    # nibble discipline) mod 1024; sketch = SUM per (row, cell);
+    # estimate = MIN over the term's 4 cells.  Every counter and MIN
+    # must agree bit-for-bit with Spark's conv(substring(md5(…),1,13),
+    # 16,10) % 1024 path.
+    "cms_term_counts": f"""
+        WITH toks AS (
+            SELECT unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term
+        ), rws AS (
+            SELECT unnest(range(0, 4)) AS rw
+        ), cells AS (
+            SELECT r.rw, f.term, f.n,
+                   CAST((SELECT SUM((strpos('0123456789abcdef',
+                              substr(md5(CAST(r.rw AS VARCHAR) || ':' || f.term),
+                                     i, 1)) - 1)
+                              * POWER(16.0, 13 - i))
+                         FROM generate_series(1, 13) t(i)) AS BIGINT)
+                   % 1024 AS cell
+            FROM tf f, rws r
+        ), sketch AS (
+            SELECT rw, cell, CAST(SUM(n) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2
+        ), top AS (
+            SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 20
+        ), est AS (
+            SELECT t.term, t.n, MIN(s.cnt) AS cms_n
+            FROM top t
+            JOIN cells c ON c.term = t.term
+            JOIN sketch s ON s.rw = c.rw AND s.cell = c.cell
+            GROUP BY t.term, t.n
+        )
+        SELECT term, n AS exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+               CAST(cms_n - n AS BIGINT) AS overcount
+        FROM est ORDER BY exact_n DESC, term
+    """,
     # The streamed, batch-by-batch-merged state must equal the plain
     # batch aggregate.  min/max go through the same DECIMAL(38,6)
     # rounding the Spark states carry (events.value has full double

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Pre-flight the driver's correctness window: run the first N (50)
+registry entries at sf0.01 exactly the way the driver will — vanilla
+session, oracle compare where an oracle exists, rows-only otherwise —
+and print one status line per entry plus a summary.
+
+Usage: python scripts/preflight.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from oracle_harness import compare, duck_connection
+
+    qs, osql = E.queries(), E.oracle_sql()
+    con = duck_connection(sf_dir)
+    window = list(qs)[:n]
+    bad = []
+    for name in window:
+        t0 = time.perf_counter()
+        try:
+            if name in osql:
+                r = compare(qs[name](spark, sf_dir), con, osql[name])
+                ok, detail = r["ok"], {
+                    k: r[k] for k in ("count_match", "schema_match", "value_match")
+                }
+            else:
+                rows = qs[name](spark, sf_dir).count()
+                ok, detail = True, {"rows_only": rows}
+        except Exception as exc:  # noqa: BLE001 — report, don't abort
+            ok, detail = False, {"err": repr(exc)[:200]}
+        dt = round(time.perf_counter() - t0, 1)
+        status = "ok " if ok else "FAIL"
+        print(f"{status} {name:42s} {dt:6.1f}s {detail}", flush=True)
+        if not ok:
+            bad.append(name)
+    print(f"\n{len(window) - len(bad)}/{len(window)} green; failures: {bad}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
