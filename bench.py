@@ -108,6 +108,7 @@ HEADLINE = [
     "boilerplate_cleaned_docs",
     "semantic_dedup_verdicts",
     "cms_term_counts",
+    "per_source_doc_sample",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -76,3 +76,48 @@ def weighted_sample(
         % resolution
     ) / F.lit(float(resolution))
     return df.where(u < weight)
+
+
+def group_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    *,
+    k: int = 20,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Deterministic k-per-group sample — exactly min(k, |group|) rows
+    per group, selected by ranking md5(id) (id tie-break), so the
+    sample is a pure function of the data: same rows on any engine,
+    any partitioning, any rerun.  The balanced-subset selector (k docs
+    per source/language) a corpus build runs after quality filtering.
+
+    Hot-group-proof by the same two-phase argument as
+    operators/kmv.py::kmv_state: phase 1 ranks within (group,
+    hash-salt) classes — a group with 10⁹ rows is ranked by
+    `salt_buckets` independent tasks, each keeping ≤ k — and phase 2
+    ranks the ≤ salt_buckets·k survivors per group.  top-k of the
+    per-slice top-k's over a partition of the value space IS the
+    global top-k (the same lattice argument as KMV's bottom-k), so the
+    result equals the single-window form bit-for-bit (pinned in
+    tests/test_cms.py::test_group_sample_*; the DuckDB oracle runs the
+    single-window form).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    salted = df.select(*group_cols, F.col(id_col), h.alias("__h")).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("__h")), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy("__h", id_col)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("__h", id_col)
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= k)
+        .drop("__h")
+    )

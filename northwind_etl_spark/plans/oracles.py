@@ -1669,6 +1669,19 @@ ORACLES: dict[str, str] = {
                CAST(cms_n - n AS BIGINT) AS overcount
         FROM est ORDER BY exact_n DESC, term
     """,
+    # Single-window form of sampling.group_sample's two-phase ranking
+    # (top-k of per-salt-slice top-k's == global top-k; equality pinned
+    # in tests) — same md5 order, same id tie-break.
+    "per_source_doc_sample": """
+        WITH r AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+        SELECT source, doc_id, CAST(rk AS INT) AS sample_rank
+        FROM r WHERE rk <= 20 ORDER BY source, sample_rank
+    """,
     # The streamed, batch-by-batch-merged state must equal the plain
     # batch aggregate.  min/max go through the same DECIMAL(38,6)
     # rounding the Spark states carry (events.value has full double

@@ -1301,6 +1301,20 @@ def cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def per_source_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample
+    (operators/sampling.py::group_sample): exactly min(20, |source|)
+    docs per source, ranked by md5(doc_id) — the balanced-subset
+    selector.  Spark runs the hot-group-proof two-phase form; the
+    oracle runs the single-window form they provably equal."""
+    from ..operators.sampling import group_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_sample(docs, ["source"], "doc_id", k=20).orderBy(
+        "source", "sample_rank"
+    )
+
+
 def stream_incremental_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch incremental aggregate maintenance, driver-checked
     (streaming/events_stream.py::incremental_state_stream): each
@@ -2185,6 +2199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_cleaned_docs": boilerplate_cleaned_docs,
     "semantic_dedup_verdicts": semantic_dedup_verdicts,
     "cms_term_counts": cms_term_counts,
+    "per_source_doc_sample": per_source_doc_sample,
     "user_activity_islands": user_activity_islands,
     "salted_distinct_users": salted_distinct_users,
     "incremental_order_stats": incremental_order_stats,
@@ -2234,12 +2249,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
-    "scd2_user_event_history": scd2_user_event_history,
     # ===== driver window boundary: first 50 above ====================
-    # q4 + revenue_trend + order_value_rank_stats displaced to lead r07
-    # by the three new entries (boilerplate_cleaned_docs,
-    # semantic_dedup_verdicts, cms_term_counts); all r04-green and
-    # re-proven every pytest run.
+    "scd2_user_event_history": scd2_user_event_history,
+    # q4 + revenue_trend + order_value_rank_stats + scd2 displaced to
+    # lead r07 by the four new entries (boilerplate_cleaned_docs,
+    # semantic_dedup_verdicts, cms_term_counts, per_source_doc_sample);
+    # all r04-green and re-proven every pytest run.
     "order_value_rank_stats": order_value_rank_stats,
     "revenue_trend_by_nation": revenue_trend_by_nation,
     "q4_late_order_priority": T.q4_late_order_priority,

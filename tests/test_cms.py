@@ -86,3 +86,34 @@ def test_probe_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_group_sample_equals_single_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from northwind_etl_spark.operators.sampling import group_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    two_phase = group_sample(docs, ["source"], "doc_id", k=20)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    single = (
+        docs.select("source", "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 20)
+    )
+    a = sorted(map(tuple, two_phase.select("source", "doc_id", "sample_rank").collect()))
+    b = sorted(map(tuple, single.collect()))
+    assert a == b
+
+
+def test_group_sample_counts_and_partitioning_invariance(spark, sf_dir):
+    from northwind_etl_spark.operators.sampling import group_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = group_sample(docs, ["source"], "doc_id", k=20)
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {s: min(20, n) for s, n in sizes.items()}
+    rep = group_sample(docs.repartition(16), ["source"], "doc_id", k=20)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rep.collect()))
