@@ -79,17 +79,36 @@ def cms_build(
         exploded.groupBy(
             F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell")
         )
-        .agg(F.sum("__w").cast("long").alias("cnt"))
+        .agg(
+            F.sum("__w")
+            .cast("long")
+            # (depth, width) travel WITH the sketch: cms_estimate reads
+            # them back, so a probe can never silently hash against the
+            # wrong grid (which would return 0 and break the
+            # never-undercounts guarantee)
+            .alias("cnt", metadata={"cms_depth": depth, "cms_width": width})
+        )
     )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Cell-wise sum — exact by linearity: merge(build(A), build(B))
-    ≡ build(A ∪ B)."""
+    ≡ build(A ∪ B).  Refuses to merge sketches with different stamped
+    grids (cell indices would not be comparable) and re-stamps the
+    result."""
+    metas = [s.schema["cnt"].metadata for s in sketches]
+    grids = {
+        (m.get("cms_depth"), m.get("cms_width")) for m in metas
+    }
+    if len(grids) > 1:
+        raise ValueError(f"cms_merge: incompatible sketch grids {sorted(grids)}")
+    meta = metas[0]
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "cell").agg(F.sum("cnt").cast("long").alias("cnt"))
+    return out.groupBy("row", "cell").agg(
+        F.sum("cnt").cast("long").alias("cnt", metadata=dict(meta))
+    )
 
 
 def cms_estimate(
@@ -97,13 +116,33 @@ def cms_estimate(
     queries: DataFrame,
     value_col: str,
     *,
-    depth: int = 4,
-    width: int = 1024,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Point estimates for `queries[value_col]`: MIN over the item's
     depth cells.  The sketch (≤ d·w rows) is broadcast; a cell no item
     ever hashed to reads as 0 (the true CMS semantics for absent
-    counters)."""
+    counters).
+
+    depth/width default to the values stamped on the sketch by
+    cms_build; passing values that contradict the stamp raises —
+    probing a sketch with the wrong grid would silently estimate 0.
+    """
+    meta = sketch.schema["cnt"].metadata if "cnt" in sketch.columns else {}
+    for name, given, key in (("depth", depth, "cms_depth"), ("width", width, "cms_width")):
+        stamped = meta.get(key)
+        if given is None and stamped is None:
+            raise ValueError(
+                f"cms_estimate: {name} not given and the sketch carries no "
+                f"{key} stamp — pass {name}= explicitly"
+            )
+        if given is not None and stamped is not None and given != stamped:
+            raise ValueError(
+                f"cms_estimate: {name}={given} contradicts the sketch's "
+                f"{key}={stamped}"
+            )
+    depth = depth if depth is not None else int(meta["cms_depth"])
+    width = width if width is not None else int(meta["cms_width"])
     v = F.col(value_col).cast("string")
     probes = queries.select(
         F.col(value_col),

@@ -50,6 +50,7 @@ reassembled text hashes identically (see plans/oracles.py
 
 from __future__ import annotations
 
+import re
 from fractions import Fraction
 
 from pyspark.sql import DataFrame
@@ -65,10 +66,14 @@ def split_lines(
 ) -> DataFrame:
     """One row per (doc, position, line).  Blank / whitespace-only
     lines are dropped before counting (they are neither content nor
-    boilerplate; both engines agree on the trim)."""
+    boilerplate; both engines agree on the trim).  `delim` is a
+    LITERAL separator — it is regex-escaped before F.split so '|',
+    '.', etc. split where the delimiter actually occurs."""
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(delim))).alias(
+            "pos", "line"
+        ),
     )
     return lines.where(F.trim("line") != "")
 
@@ -110,8 +115,18 @@ def remove_boilerplate_lines(
     frac = Fraction(min_df_frac).limit_denominator(10**6)
     num, denom = frac.numerator, frac.denominator
 
-    lines = split_lines(df, text_col=text_col, id_col=id_col, delim=delim)
-    keyed = lines.withColumn("line_key", F.md5(F.lower(F.trim("line"))))
+    # keep blank rows flagged (not filtered) so a document with zero
+    # non-blank lines still reaches the final groupBy — contract: one
+    # output row per input document, with no extra join.  NULL text
+    # reads as '' (split('') yields [''] → one blank row per doc).
+    all_rows = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(delim))
+        ).alias("pos", "line"),
+    ).withColumn("__blank", F.trim("line") == "")
+    lines = all_rows.where(~F.col("__blank")).drop("__blank")
+    keyed = all_rows.withColumn("line_key", F.md5(F.lower(F.trim("line"))))
 
     total = df.select(F.count(F.lit(1)).alias("total_docs"))
     freq = line_doc_frequency(lines, id_col=id_col)
@@ -132,13 +147,15 @@ def remove_boilerplate_lines(
         "line_key",
         "left",
     )
+    real_line = F.count(F.when(~F.col("__blank"), 1))
     kept_struct = F.when(
-        F.col("__boiler").isNull(), F.struct(F.col("pos"), F.col("line"))
+        ~F.col("__blank") & F.col("__boiler").isNull(),
+        F.struct(F.col("pos"), F.col("line")),
     )
     return marked.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        real_line.cast("int").alias("n_lines"),
         F.count(kept_struct).cast("int").alias("n_kept"),
-        (F.count(F.lit(1)) - F.count(kept_struct)).cast("int").alias("n_dropped"),
+        (real_line - F.count(kept_struct)).cast("int").alias("n_dropped"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(kept_struct)),

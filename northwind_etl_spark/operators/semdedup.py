@@ -43,8 +43,13 @@ the "edge" examples and discarding redundant near-centroid mass.
 
 Determinism: seeds by lowest id, numpy argmax breaks ties at the first
 index, greedy order is (centroid_cos, id)-lexicographic — two runs on
-the same data produce identical verdicts (pinned in
-tests/test_semdedup.py).
+the same data UNDER THE SAME PARTITIONING produce identical verdicts
+(pinned in tests/test_semdedup.py).  Across different partitionings
+the Lloyd passes' distributed double sums can accumulate in a
+different order, so centroids — and, for a vector nearly equidistant
+between two of them, an assignment — may differ in low-order bits;
+the keep/drop GUARANTEES (separation of the kept set, coverage of
+dropped items) hold regardless.
 """
 
 from __future__ import annotations
@@ -103,7 +108,10 @@ def semantic_dedup(
         order = np.lexsort((ids, cc))
         in_cap = order[:max_cluster]  # over-cap tail stays kept
         keep = np.ones(len(pdf), dtype=bool)
-        kept_by = np.full(len(pdf), -1, dtype=np.int64)
+        # nullable Int64 (pd.NA for kept rows) — an in-band sentinel
+        # like -1 would corrupt corpora with negative ids
+        kept_by = np.zeros(len(pdf), dtype=np.int64)
+        has_keeper = np.zeros(len(pdf), dtype=bool)
         # the gram matrix is built ONLY over the in-cap prefix — this
         # is what makes max_cluster a real memory/compute bound
         # (≤ cap²), not just a candidate-count knob
@@ -118,6 +126,7 @@ def semantic_dedup(
                     keep[pos] = False
                     # first kept item (in greedy order) it matched
                     kept_by[pos] = ids[in_cap[kept_local[:m][int(np.argmax(hit))]]]
+                    has_keeper[pos] = True
                     continue
             kept_local[m] = j
             m += 1
@@ -127,13 +136,13 @@ def semantic_dedup(
                 "cluster_id": np.full(len(pdf), cid, dtype=np.int32),
                 "centroid_cosine": np.round(cc, 6),
                 "keep": keep,
-                "kept_by": kept_by,
+                "kept_by": pd.array(
+                    [int(k) if h else pd.NA for k, h in zip(kept_by, has_keeper)],
+                    dtype="Int64",
+                ),
             }
         )
 
-    out = assigned.groupBy("cluster_id").applyInPandas(
+    return assigned.groupBy("cluster_id").applyInPandas(
         dedup_cluster, schema=VERDICT_SCHEMA
-    )
-    return out.withColumn(
-        "kept_by", F.when(F.col("kept_by") >= 0, F.col("kept_by"))
     )

@@ -1617,8 +1617,12 @@ ORACLES: dict[str, str] = {
             SELECT k.* FROM keyed k
             WHERE k.line_key NOT IN (SELECT line_key FROM boiler)
         ), per_all AS (
-            SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines
-            FROM keyed GROUP BY 1
+            -- from seeded (not keyed): one row per INPUT doc even when
+            -- every line is blank — mirrors the operator's contract
+            SELECT doc_id,
+                   CAST(len(list_filter(ls, x -> trim(x) <> '')) AS INT)
+                       AS n_lines
+            FROM seeded
         ), per_kept AS (
             SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
                    string_agg(line, chr(10) ORDER BY pos) AS cleaned_text

@@ -37,6 +37,10 @@ DEFAULT = [
     "incremental_price_quantiles",
     "source_length_drift",
     "orders_expectations",
+    # r06 late additions
+    "boilerplate_cleaned_docs",
+    "cms_term_counts",
+    "per_source_doc_sample",
 ]
 
 

@@ -133,7 +133,9 @@ def _lines_section(spark, sf_dir, factor):
             .where(F.col("n_dropped") > 0)
             .count(),
         )
-        # wide boilerplate set: 200 distinct planted lines, df = n/3
+        # wide boilerplate set: 200 distinct planted lines, each on
+        # 1/200 of docs — above the min_df_frac=0.001 threshold, so
+        # all 200 join the broadcast key set
         wide = seeded.withColumn(
             "text",
             F.concat(

@@ -74,6 +74,22 @@ def test_weighted_build_equals_raw_build(spark):
     assert r == w
 
 
+def test_grid_mismatch_raises_instead_of_underestimating(spark):
+    import pytest
+
+    items = _items(spark, {"a": 3})
+    sketch = cms_build(items, "term", depth=4, width=2048)
+    q = spark.createDataFrame([("a",)], "term string")
+    # stamped grid is used when params are omitted
+    (got,) = cms_estimate(sketch, q, "term").collect()
+    assert got["cms_estimate"] >= 3
+    # contradicting the stamp must raise, never silently estimate 0
+    with pytest.raises(ValueError, match="contradicts"):
+        cms_estimate(sketch, q, "term", width=1024)
+    with pytest.raises(ValueError, match="incompatible"):
+        cms_merge(sketch, cms_build(items, "term", depth=4, width=1024))
+
+
 def test_probe_join_is_broadcast(spark):
     items = _items(spark, COUNTS)
     sketch = cms_build(items, "term")

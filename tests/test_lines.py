@@ -79,6 +79,32 @@ def test_keep_drop_decisions_and_boundary(spark):
     )
 
 
+def test_doc_with_no_real_lines_still_emits_a_row(spark):
+    # contract: one output row per input document — blank-only and
+    # NULL texts included (no silent drop)
+    rows = [(0, "a b\nshared"), (1, "   \n  "), (2, None), (3, "shared")]
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            _docs(spark, rows), min_df_frac=0.5
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for d in (1, 2):
+        assert out[d]["n_lines"] == 0 and out[d]["cleaned_text"] == ""
+    # 'shared' df=2 of 4 docs → 2*2 >= 4 → dropped
+    assert out[0]["cleaned_text"] == "a b" and out[3]["n_kept"] == 0
+
+
+def test_regex_metachar_delimiter_is_literal(spark):
+    rows = [(0, "keep me|boiler|also kept"), (1, "boiler"), (2, "boiler")]
+    out = remove_boilerplate_lines(
+        _docs(spark, rows), min_df_frac=0.6, delim="|"
+    )
+    got = out.where(F.col("doc_id") == 0).first()
+    assert got["n_lines"] == 3 and got["cleaned_text"] == "keep me|also kept"
+
+
 def test_order_preserved_across_removals(spark):
     rows = [
         (0, "boiler\nfirst\nboiler\nsecond\nboiler\nthird"),
