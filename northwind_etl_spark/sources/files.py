@@ -10,6 +10,8 @@ are partition-parallel and columnar.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def write_reload(df: DataFrame, path: str, *, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
@@ -55,6 +57,43 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_evolved(
+    spark: SparkSession,
+    path: str,
+    target_schema: StructType,
+    *,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Schema-evolution-safe read of a long-lived dataset whose files
+    were written across epochs with columns ADDED or REMOVED over time
+    — the normal life of a 100 TB lake table.
+
+    ``mergeSchema`` unions the per-file footers (a metadata operation —
+    files older than a column simply read it as NULL, no rewrite), then
+    the result is projected onto `target_schema`:
+
+    - a target column absent from every file → typed NULL column;
+    - file columns outside the target → dropped (column pruning still
+      reaches the scan for them);
+    - present columns → ``try_cast`` to the target type, so an
+      epoch-over-epoch type drift degrades to NULLs instead of killing
+      the job under ANSI mode (count the NULL delta to audit).
+
+    Same-name columns whose PARQUET types are incompatible across files
+    (e.g. int32 vs int64) are a write-side versioning error: Spark's
+    schema merge raises, and this function deliberately lets that
+    surface rather than guessing a winner.
+    """
+    df = spark.read.option("mergeSchema", "true").format(fmt).load(path)
+    cols = []
+    for f in target_schema.fields:
+        if f.name in df.columns:
+            cols.append(df[f.name].try_cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
 
 
 def read_json(

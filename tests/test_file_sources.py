@@ -112,3 +112,57 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "orc" in plan.lower() and "n_nationkey" in plan
+
+
+def test_read_evolved_adds_drops_and_null_fills(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from northwind_etl_spark.sources.files import read_evolved
+
+    root = str(tmp_path / "evolved")
+    # epoch 1: (a, b); epoch 2 adds c and an extra column the target
+    # does not want
+    spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string").write.parquet(
+        f"{root}/e1"
+    )
+    spark.createDataFrame(
+        [(3, "z", 1.5, "junk")], "a long, b string, c double, extra string"
+    ).write.parquet(f"{root}/e2")
+
+    target = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", StringType()),
+            StructField("c", DoubleType()),
+            StructField("d", StringType()),  # absent everywhere
+        ]
+    )
+    out = read_evolved(spark, f"{root}/*", target)
+    assert out.columns == ["a", "b", "c", "d"]
+    rows = {r["a"]: r for r in out.collect()}
+    assert rows[1]["c"] is None and rows[3]["c"] == 1.5
+    assert all(r["d"] is None for r in rows.values())
+    assert "extra" not in out.columns
+
+
+def test_read_evolved_type_drift_degrades_to_null(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from northwind_etl_spark.sources.files import read_evolved
+
+    root = str(tmp_path / "drift")
+    spark.createDataFrame([("12",), ("not_a_number",)], "v string").write.parquet(root)
+    target = StructType([StructField("v", IntegerType())])
+    got = sorted(
+        (r["v"] for r in read_evolved(spark, root, target).collect()),
+        key=lambda x: (x is None, x),
+    )
+    # try_cast: numeric string converts, garbage becomes NULL (no ANSI throw)
+    assert got == [12, None]
