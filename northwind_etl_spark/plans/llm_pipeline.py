@@ -2,16 +2,19 @@
 north-star §2b operators composed the way a real LLM data build runs
 them, each stage a lazy DataFrame plan:
 
-    quality filter → near-dup dedup (MinHash+LSH → clusters → keep
-    canonical) → deterministic train/eval split → train→eval
-    contamination audit → partitioned write
+    [line-level boilerplate removal] → quality filter → near-dup dedup
+    (MinHash+LSH → clusters → keep canonical) → deterministic
+    train/eval split → train→eval contamination audit → partitioned
+    write
 
-Scale shape: quality scoring is map-only; dedup is the bounded
-LSH pipeline (operators/dedup.py); cluster resolution touches only
-docs that appear in near-dup pairs (tiny vs corpus); the split is a
-stateless hash; the contamination audit builds postings on the EVAL
-side only (tiny) and streams train past them; the write partitions by
-split for downstream pruning.
+Scale shape: the optional boilerplate stage is two explodes + one
+digest agg + a broadcast anti-filter (operators/lines.py); quality
+scoring is map-only; dedup is the bounded LSH pipeline
+(operators/dedup.py); cluster resolution touches only docs that appear
+in near-dup pairs (tiny vs corpus); the split is a stateless hash; the
+contamination audit builds postings on the EVAL side only (tiny) and
+streams train past them; the write partitions by split for downstream
+pruning.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ class CorpusReport:
     n_train: int
     n_eval: int
     n_contaminated_eval: int
+    n_boiler_lines_dropped: int = 0
 
 
 def build_training_corpus(
@@ -50,10 +54,38 @@ def build_training_corpus(
     max_stopword_ratio: float = 0.9,
     near_dup_threshold: float = 0.7,
     train_pct: int = 80,
+    boilerplate_min_df_frac: float | None = None,
 ) -> tuple[DataFrame, CorpusReport]:
-    """Returns (final corpus with split labels, stage-count report)."""
+    """Returns (final corpus with split labels, stage-count report).
+
+    `boilerplate_min_df_frac` switches on the CCNet line-removal stage
+    ahead of everything else: lines recurring in ≥ that fraction of
+    the corpus are struck and the document text rewritten, so the
+    downstream quality/dedup stages score CONTENT, not templates
+    (shared boilerplate otherwise inflates MinHash similarity between
+    unrelated docs)."""
     docs = read_table(spark, sf_dir, "documents")
     n_input = docs.count()
+
+    # 0. optional boilerplate line removal (operators/lines.py)
+    n_boiler = 0
+    if boilerplate_min_df_frac is not None:
+        from ..operators.lines import remove_boilerplate_lines
+
+        cleaned = remove_boilerplate_lines(
+            docs, min_df_frac=boilerplate_min_df_frac
+        )
+        n_boiler = (
+            cleaned.agg(F.sum("n_dropped").alias("s")).first()["s"] or 0
+        )
+        docs = docs.drop("text", "n_chars").join(
+            cleaned.select(
+                "doc_id",
+                F.col("cleaned_text").alias("text"),
+                F.length("cleaned_text").alias("n_chars"),
+            ),
+            "doc_id",
+        )
 
     # 1. quality gate (map-only)
     quality = text_quality(docs)
@@ -106,4 +138,5 @@ def build_training_corpus(
         n_train=counts.get("train", 0),
         n_eval=counts.get("eval", 0),
         n_contaminated_eval=n_contam,
+        n_boiler_lines_dropped=int(n_boiler),
     )

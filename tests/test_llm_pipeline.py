@@ -37,3 +37,35 @@ def test_corpus_build_removes_planted_near_dups(spark, sf_dir):
     labeled, rep = build_training_corpus(spark, corpus_dir)
     # most planted dups collapse back to ~the original corpus size
     assert rep.n_after_dedup <= rep.n_after_quality - 0.7 * 40
+
+
+def test_corpus_build_boilerplate_stage_strips_templates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SITE NAV menu home\n"), F.col("text"),
+            F.lit("\nCOPYRIGHT footer terms"),
+        ).alias("text"),
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+    )
+    corpus_dir = tempfile.mkdtemp(prefix="boiler_")
+    seeded.write.parquet(f"{corpus_dir}/documents.parquet")
+    labeled, rep = build_training_corpus(
+        spark, corpus_dir, boilerplate_min_df_frac=0.5
+    )
+    # 2 planted template lines struck from each of the 40 docs
+    assert rep.n_boiler_lines_dropped == 80
+    # the templates are gone from the surviving corpus text
+    assert (
+        labeled.where(
+            F.col("text").contains("SITE NAV")
+            | F.col("text").contains("COPYRIGHT footer")
+        ).count()
+        == 0
+    )
+    # without the stage the report field stays 0
+    _, rep0 = build_training_corpus(spark, corpus_dir)
+    assert rep0.n_boiler_lines_dropped == 0
