@@ -1245,6 +1245,7 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations + applyInPandas are not SQL-expressible); the greedy
     keep/drop semantics, paper ordering, and determinism are pinned in
     tests/test_semdedup.py."""
+    from ..cache import persist_stage
     from ..operators.semdedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1256,7 +1257,10 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0) + F.when(i == 0, F.lit(0.001)).otherwise(F.lit(0.0))),
         ).alias("embedding"),
     )
-    corpus = emb.unionByName(twins)
+    # the iterative trainer scans the corpus once per Lloyd pass plus
+    # seeds + the final dedup (~4 actions) — persist the twin-union so
+    # they hit memory, not parquet+transform each time
+    corpus = persist_stage(emb.unionByName(twins))
     out = semantic_dedup(corpus, k=8, iters=2, threshold=0.99)
     return out.select(
         "vec_id",
