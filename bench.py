@@ -109,6 +109,7 @@ HEADLINE = [
     "semantic_dedup_verdicts",
     "cms_term_counts",
     "per_source_doc_sample",
+    "term_vocabulary_ids",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

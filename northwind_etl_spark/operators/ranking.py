@@ -1,0 +1,86 @@
+"""Distributed global ranking — dense global row numbers WITHOUT the
+single-task global window.
+
+The trap: ``row_number().over(Window.orderBy(...))`` (no partitionBy)
+is correct and fine on a vocabulary of thousands, but Catalyst compiles
+it to ``Exchange SinglePartition`` + one task sorting the entire
+relation — at a 100 TB corpus's vocabulary (10⁸+ terms) that is THE
+scale-killer, and it's silent: the plan runs, it just runs on one core
+with one task's memory.
+
+The fix is the classic two-phase shape (the DataFrame rendering of
+``RDD.zipWithIndex``):
+
+1. ``repartitionByRange`` on the order keys — a range exchange whose
+   bounds come from a distributed sample, so partition i holds keys
+   strictly before partition i+1 (unique total order ⇒ well-defined);
+2. per-partition LOCAL ranking — a window partitioned by
+   ``spark_partition_id()`` (captured before the window's own
+   exchange, so membership is the range partition, wherever the row
+   physically lands);
+3. per-partition counts — P rows, driver-sized by construction —
+   broadcast back as cumulative offsets; global rank = offset + local
+   rank.
+
+The result is bit-identical to the single-window form when the order
+is total (pinned in tests/test_ranking.py), costs two exchanges of
+which neither is SinglePartition, and the only driver-side data is the
+P-row count list.
+
+North-star use: stable vocabulary ids for tokenizer export
+(`term_vocabulary_ids`), global sort positions for deterministic
+sharding — anywhere "number every row of a huge sorted relation" comes
+up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    *,
+    rank_col: str = "global_rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Append 1-based `rank_col` following `order_cols` — which must be
+    a TOTAL order (include a unique tie-breaker; with ties across a
+    range-partition boundary the split, and therefore the ranks, would
+    be sample-dependent)."""
+    from ..cache import persist_stage
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # persisted: the counts action and the ranking plan must see the
+    # SAME range split (and the range exchange runs once, not twice)
+    ranged = persist_stage(
+        df.repartitionByRange(p, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    ranked = ranged.withColumn("__local", local)
+    counts = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offset = 0
+    offsets = {}
+    for r in counts:
+        offsets[r["__pid"]] = offset
+        offset += r["__n"]
+    off_expr = F.coalesce(
+        *[
+            F.when(F.col("__pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    return ranked.withColumn(
+        rank_col, (F.col("__local") + off_expr).cast("long")
+    ).drop("__pid", "__local")

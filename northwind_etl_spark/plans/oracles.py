@@ -1673,6 +1673,19 @@ ORACLES: dict[str, str] = {
                CAST(cms_n - n AS BIGINT) AS overcount
         FROM est ORDER BY exact_n DESC, term
     """,
+    # Single-window form of ranking.global_row_number's two-phase
+    # range-partition + offset shape (equal under the total order
+    # (count desc, term)).
+    "term_vocabulary_ids": f"""
+        WITH tf AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count
+            FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+            GROUP BY term
+        )
+        SELECT term, term_count,
+               row_number() OVER (ORDER BY term_count DESC, term) AS term_id
+        FROM tf ORDER BY term_id
+    """,
     # Single-window form of sampling.group_sample's two-phase ranking
     # (top-k of per-salt-slice top-k's == global top-k; equality pinned
     # in tests) — same md5 order, same id tie-break.

@@ -1271,6 +1271,21 @@ def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def term_vocabulary_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable dense vocabulary ids for tokenizer export
+    (operators/ranking.py::global_row_number): every corpus term
+    numbered 1..|V| by (count desc, term) WITHOUT the single-task
+    global window — range partition + local rank + broadcast offsets.
+    The oracle runs the plain global row_number the two-phase form
+    provably equals under a total order."""
+    from ..operators.ranking import global_row_number
+
+    vocab = X.term_frequencies(_t(spark, sf_dir, "documents"))
+    return global_row_number(
+        vocab, [F.desc("term_count"), F.asc("term")], rank_col="term_id"
+    ).select("term", "term_count", "term_id").orderBy("term_id")
+
+
 def cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch frequency estimation (operators/cms.py): build
     a 4×1024 sketch from raw token occurrences (one groupBy-sum whose
@@ -2204,6 +2219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_verdicts": semantic_dedup_verdicts,
     "cms_term_counts": cms_term_counts,
     "per_source_doc_sample": per_source_doc_sample,
+    "term_vocabulary_ids": term_vocabulary_ids,
     "user_activity_islands": user_activity_islands,
     "salted_distinct_users": salted_distinct_users,
     "incremental_order_stats": incremental_order_stats,
@@ -2252,12 +2268,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r04-green: staleness rotation (flagship backs entry() too) --
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
-    "session_overlap_pairs": session_overlap_pairs,
     # ===== driver window boundary: first 50 above ====================
+    "session_overlap_pairs": session_overlap_pairs,
     "scd2_user_event_history": scd2_user_event_history,
-    # q4 + revenue_trend + order_value_rank_stats + scd2 displaced to
-    # lead r07 by the four new entries (boilerplate_cleaned_docs,
-    # semantic_dedup_verdicts, cms_term_counts, per_source_doc_sample);
+    # q4 + revenue_trend + order_value_rank_stats + scd2 +
+    # session_overlap displaced to lead r07 by the five new entries
+    # (boilerplate_cleaned_docs, semantic_dedup_verdicts,
+    # cms_term_counts, per_source_doc_sample, term_vocabulary_ids);
     # all r04-green and re-proven every pytest run.
     "order_value_rank_stats": order_value_rank_stats,
     "revenue_trend_by_nation": revenue_trend_by_nation,
