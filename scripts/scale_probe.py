@@ -109,7 +109,46 @@ def main() -> None:
         _lines_section(spark, sf_dir, factor)
     if _want("semdedup"):
         _semdedup_section(spark, sf_dir, factor)
+    if _want("rank"):
+        _rank_section(spark, sf_dir, factor)
     spark.stop()
+
+
+def _rank_section(spark, sf_dir, factor):
+    """Distributed global ranking vs the single-task global window, on
+    a relation big enough for the difference to be structural (orders
+    replicated with shifted keys — the order keys stay a total order)."""
+    from pyspark.sql import Window
+
+    from northwind_etl_spark.cache import release_stages
+    from northwind_etl_spark.operators.ranking import global_row_number
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = orders.count()
+    for times in (1, factor):
+        corp = replicate(orders, times, "o_orderkey", base * 10)
+        order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+        timed(
+            f"rank_two_phase x{times}",
+            lambda c=corp, o=order: global_row_number(c, o, rank_col="rk")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+            or c.sparkSession.sparkContext.defaultParallelism,
+        )
+        release_stages()
+        timed(
+            f"rank_single_window_trap x{times}",
+            lambda c=corp, o=order: c.withColumn(
+                "rk", F.row_number().over(Window.orderBy(*o))
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+            or 0,
+        )
 
 
 def _lines_section(spark, sf_dir, factor):
