@@ -110,6 +110,7 @@ HEADLINE = [
     "cms_term_counts",
     "per_source_doc_sample",
     "term_vocabulary_ids",
+    "multimodal_image_dhash_dups",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -407,6 +407,62 @@ def image_stats(images: DataFrame) -> DataFrame:
     return images.select("doc_id", "image").mapInPandas(stats, IMAGE_STATS_SCHEMA)
 
 
+def image_dhash(images: DataFrame, *, hash_size: int = 8) -> DataFrame:
+    """Perceptual difference-hash per image — the standard 64-bit
+    dHash an image-dedup pipeline keys on: decode → ITU-R 601 luma →
+    box-mean downsample to (hash_size+1) × hash_size → horizontal
+    gradient sign bits packed into one long.
+
+    Near-identical images (re-encodes, small appends, minor noise)
+    land on the same or a ≤2-bit-distant hash, so image dedup becomes
+    an exact groupBy on a LONG — the same shuffle-a-digest-not-the-
+    payload discipline as the text dedup family, and at 100 TB of
+    images the only state per image is 8 bytes.  Hamming-radius
+    candidate banding, if needed, reuses the SimHash pigeonhole
+    machinery (operators/dedup.py) unchanged — dHash IS a SimHash-
+    shaped fingerprint with image gradients as features.
+
+    Output: (doc_id long, dhash long) — Arrow-batched, map-only.
+    """
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["image"]):
+                a = decode_image(bytes(blob))
+                if a.ndim == 3:
+                    # integer ITU-R 601 luma — deterministic, no floats
+                    luma = (
+                        299 * a[:, :, 0].astype(np.int64)
+                        + 587 * a[:, :, 1].astype(np.int64)
+                        + 114 * a[:, :, 2].astype(np.int64)
+                    )
+                else:
+                    luma = a.astype(np.int64) * 1000
+                h, w = luma.shape
+                # box-mean to (hash_size, hash_size+1) via reduceat on
+                # integer-spaced bin edges (works for any h, w)
+                r_edges = (np.arange(hash_size) * h) // hash_size
+                c_edges = (np.arange(hash_size + 1) * w) // (hash_size + 1)
+                small = np.add.reduceat(
+                    np.add.reduceat(luma, r_edges, axis=0), c_edges, axis=1
+                )
+                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # two's-complement into a signed long column
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                ids.append(doc_id)
+                out.append(val)
+            yield pd.DataFrame({"doc_id": ids, "dhash": out})
+
+    return images.select("doc_id", "image").mapInPandas(
+        hashes, "doc_id long, dhash long"
+    )
+
+
 def resize_images(images: DataFrame, *, factor: int = 2) -> DataFrame:
     """Real image resize: decode → nearest-neighbor subsample (every
     `factor`-th pixel in both axes) → re-encode P6.  Same mapInPandas

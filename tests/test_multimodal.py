@@ -202,3 +202,51 @@ def test_adpcm_roundtrip_stats_operator(spark, sf_dir):
     for r in rows:
         assert 3.5 < r["compression_ratio"] <= 4.5, r
         assert r["snr_db"] > 25.0, r  # tonal regime; floor is generous
+
+
+def test_image_dhash_twins_collide_and_originals_separate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.operators import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    twins = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" ")).alias("text"),
+    )
+    h = {
+        r["doc_id"]: r["dhash"]
+        for r in M.image_dhash(
+            M.make_image_table(docs.unionByName(twins))
+        ).collect()
+    }
+    twin_ids = [k for k in h if k >= 1000000]
+    assert twin_ids
+    dists = [
+        bin((h[t] ^ h[t - 1000000]) & ((1 << 64) - 1)).count("1")
+        for t in twin_ids
+    ]
+    # a one-byte append is a near-identical image: always within 2 bits,
+    # almost always an exact collision
+    assert max(dists) <= 2
+    assert sum(1 for d in dists if d == 0) >= 0.9 * len(dists)
+    # distinct documents must NOT collapse: ≥95% distinct hashes
+    originals = [v for k, v in h.items() if k < 1000000]
+    assert len(set(originals)) >= 0.95 * len(originals)
+
+
+def test_image_dhash_deterministic_and_signed_packing(spark, sf_dir):
+    from northwind_etl_spark.operators import multimodal as M
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    a = sorted(map(tuple, M.image_dhash(M.make_image_table(docs)).collect()))
+    b = sorted(map(tuple, M.image_dhash(M.make_image_table(docs)).collect()))
+    assert a == b
+    # packing fits the signed long column (two's complement applied)
+    assert all(-(1 << 63) <= v < (1 << 63) for _, v in a)
