@@ -111,6 +111,7 @@ HEADLINE = [
     "per_source_doc_sample",
     "term_vocabulary_ids",
     "multimodal_image_dhash_dups",
+    "multimodal_audio_fingerprint_dups",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -1318,6 +1318,58 @@ def multimodal_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup blocking (operators/multimodal.py::
+    audio_fingerprint): render the corpus as PCM WAV, plant a
+    volume-scaled (0.9× gain, int16 re-round) twin for every 10th doc,
+    fingerprint, and group on the exact key.  All 50 planted twins
+    collide with their source (gain invariance); the key is a
+    CANDIDATE generator — verification semantics pinned in
+    tests/test_multimodal.py.  Rows-only: FFT inside mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wavs = M.make_audio_table(docs)
+
+    def scale(batches):
+        for pdf in batches:
+            blobs = []
+            for blob in pdf["audio"]:
+                s, rate = M.decode_wav(bytes(blob))
+                s2 = np.clip(
+                    np.round(s.astype(np.float64) * 0.9), -32768, 32767
+                ).astype(np.int16)
+                blobs.append(M.encode_wav(s2, sample_rate=rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"] + 1000000, "audio": blobs}
+            )
+
+    twins = (
+        wavs.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "audio")
+        .mapInPandas(scale, "doc_id long, audio binary")
+    )
+    corpus = wavs.select("doc_id", "audio").unionByName(twins)
+    fps = M.audio_fingerprint(corpus)
+    groups = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    return (
+        fps.join(groups, "fingerprint")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "n_frames",
+            "group_size",
+            (F.col("group_size") > 1).alias("is_candidate_dup"),
+            "canonical_doc",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch frequency estimation (operators/cms.py): build
     a 4×1024 sketch from raw token occurrences (one groupBy-sum whose
@@ -2253,6 +2305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "per_source_doc_sample": per_source_doc_sample,
     "term_vocabulary_ids": term_vocabulary_ids,
     "multimodal_image_dhash_dups": multimodal_image_dhash_dups,
+    "multimodal_audio_fingerprint_dups": multimodal_audio_fingerprint_dups,
     "user_activity_islands": user_activity_islands,
     "salted_distinct_users": salted_distinct_users,
     "incremental_order_stats": incremental_order_stats,
@@ -2299,17 +2352,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
     # --- r04-green: staleness rotation (flagship backs entry() too) --
-    "flagship_revenue_by_nation": flagship_revenue_by_nation,
     # ===== driver window boundary: first 50 above ====================
+    "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
     "scd2_user_event_history": scd2_user_event_history,
     # q4 + revenue_trend + order_value_rank_stats + scd2 +
-    # session_overlap + asof_last_touch displaced to lead r07 by the
-    # six new entries (boilerplate_cleaned_docs, semantic_dedup_verdicts,
-    # cms_term_counts, per_source_doc_sample, term_vocabulary_ids,
-    # multimodal_image_dhash_dups); all r04-green and re-proven every
-    # pytest run.
+    # session_overlap + asof_last_touch + flagship displaced to lead
+    # r07 by the seven new entries (boilerplate_cleaned_docs,
+    # semantic_dedup_verdicts, cms_term_counts, per_source_doc_sample,
+    # term_vocabulary_ids, multimodal_image_dhash_dups,
+    # multimodal_audio_fingerprint_dups); all r04-green and re-proven
+    # every pytest run (flagship additionally smoke-run every round via
+    # entry()).
     "order_value_rank_stats": order_value_rank_stats,
     "revenue_trend_by_nation": revenue_trend_by_nation,
     "q4_late_order_priority": T.q4_late_order_priority,

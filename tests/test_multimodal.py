@@ -250,3 +250,96 @@ def test_image_dhash_deterministic_and_signed_packing(spark, sf_dir):
     assert a == b
     # packing fits the signed long column (two's complement applied)
     assert all(-(1 << 63) <= v < (1 << 63) for _, v in a)
+
+
+def _gain_twins(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.operators import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    wavs = M.make_audio_table(docs)
+
+    def scale(batches):
+        for pdf in batches:
+            blobs = []
+            for blob in pdf["audio"]:
+                s, rate = M.decode_wav(bytes(blob))
+                s2 = np.clip(
+                    np.round(s.astype(np.float64) * 0.9), -32768, 32767
+                ).astype(np.int16)
+                blobs.append(M.encode_wav(s2, sample_rate=rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"] + 1000000, "audio": blobs}
+            )
+
+    twins = (
+        wavs.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "audio")
+        .mapInPandas(scale, "doc_id long, audio binary")
+    )
+    return wavs.select("doc_id", "audio").unionByName(twins)
+
+
+def test_audio_fingerprint_gain_invariant_blocking(spark, sf_dir):
+    from northwind_etl_spark.operators import multimodal as M
+
+    corpus = _gain_twins(spark, sf_dir)
+    h = {
+        r["doc_id"]: r["fingerprint"]
+        for r in M.audio_fingerprint(corpus).collect()
+    }
+    twin_ids = [k for k in h if k >= 1000000]
+    assert twin_ids
+    # gain invariance: every volume-scaled twin shares its source's key
+    assert all(h[t] == h[t - 1000000] for t in twin_ids)
+    # blocking selectivity: the key separates most distinct clips
+    originals = [v for k, v in h.items() if k < 1000000]
+    assert len(set(originals)) >= 0.7 * len(originals)
+
+
+def test_audio_fingerprint_verification_rejects_false_merges(spark, sf_dir):
+    """The fingerprint is a blocking key; a gain-normalized time-domain
+    cosine inside each collided group separates planted twins (≈1.0)
+    from spectrally-similar but distinct clips."""
+    import collections
+
+    import numpy as np
+
+    from northwind_etl_spark.operators import multimodal as M
+
+    corpus = _gain_twins(spark, sf_dir)
+    rows = corpus.collect()
+    samples = {}
+    for r in rows:
+        s, _ = M.decode_wav(bytes(r["audio"]))
+        v = s.astype(np.float64)
+        samples[r["doc_id"]] = v / (np.linalg.norm(v) or 1.0)
+    fps = {
+        r["doc_id"]: r["fingerprint"]
+        for r in M.audio_fingerprint(corpus).collect()
+    }
+    groups = collections.defaultdict(list)
+    for did, f in fps.items():
+        groups[f].append(did)
+    true_pairs, false_pairs = 0, 0
+    for members in groups.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = samples[members[i]], samples[members[j]]
+                n = min(a.size, b.size)
+                cos = float(a[:n] @ b[:n]) if n else 0.0
+                is_twin = abs(members[i] - members[j]) == 1000000
+                if cos >= 0.999:
+                    assert is_twin, "false merge survived verification"
+                    true_pairs += 1
+                else:
+                    assert not is_twin, "twin failed verification"
+                    false_pairs += 1
+    assert true_pairs == 50  # every planted twin verified
+    assert false_pairs > 0  # the corpus DOES produce false merges — the
+    # verification step is load-bearing, not decorative
