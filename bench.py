@@ -112,6 +112,7 @@ HEADLINE = [
     "term_vocabulary_ids",
     "multimodal_image_dhash_dups",
     "multimodal_audio_fingerprint_dups",
+    "multimodal_scene_changes",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

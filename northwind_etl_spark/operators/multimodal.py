@@ -589,6 +589,45 @@ def audio_stats(audio: DataFrame) -> DataFrame:
     return audio.select("doc_id", "audio").mapInPandas(stats, AUDIO_STATS_SCHEMA)
 
 
+def scene_changes(frames: DataFrame, *, threshold: int = 200) -> DataFrame:
+    """Scene-change detection over a sampled frame table — the shot-
+    boundary step of a video pipeline: per-frame integer byte sum (one
+    Arrow-batched pandas_udf; with a real codec this is where a frame
+    histogram would go), then ONE keyed window per doc ordered by
+    frame_idx: |Δ feature| > threshold marks a cut.
+
+    Everything after feature extraction is integer arithmetic inside
+    Catalyst, so the whole operator is SQL-oracle-checkable
+    (plans/oracles.py::multimodal_scene_changes rebuilds every frame
+    sum from hex-recovered bytes and replays the lag).  Per-key window
+    state is bounded by frames-per-video.
+
+    Output: (doc_id, n_frames int, n_scene_changes int).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def byte_sum(fr: pd.Series) -> pd.Series:
+        return fr.map(
+            lambda b: int(np.frombuffer(bytes(b), dtype=np.uint8).sum())
+            if b is not None
+            else 0
+        )
+
+    feat = frames.withColumn("f_sum", byte_sum("frame"))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.abs(F.col("f_sum") - F.lag("f_sum").over(w))
+    flagged = feat.withColumn(
+        "is_cut",
+        F.when(delta > threshold, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum("is_cut").cast("int").alias("n_scene_changes"),
+    )
+
+
 def audio_fingerprint(
     audio: DataFrame,
     *,

@@ -1673,6 +1673,40 @@ ORACLES: dict[str, str] = {
                CAST(cms_n - n AS BIGINT) AS overcount
         FROM est ORDER BY exact_n DESC, term
     """,
+    # Mirror of multimodal.sample_frames (every 4th 32-byte chunk,
+    # n_frames = max(1, len/32), tail clamp) + scene_changes (byte-sum
+    # feature, lag, |Δ| > 200).  Bytes recovered from hex(encode(text))
+    # — the multimodal_blob_features trick — so the frame sums are
+    # exact whatever the encoding.
+    "multimodal_scene_changes": """
+        WITH b AS (
+            SELECT doc_id, octet_length(encode(text)) AS n,
+                   hex(encode(text)) AS h
+            FROM documents
+        ), fr AS (
+            SELECT doc_id, n, h, CAST(u.i AS INT) AS frame_idx
+            FROM b, unnest(range(0, greatest(n // 32, 1), 4)) AS u(i)
+        ), bytes AS (
+            SELECT doc_id, frame_idx,
+                   (strpos('0123456789ABCDEF', substr(h, 2*p-1, 1)) - 1) * 16
+                 + (strpos('0123456789ABCDEF', substr(h, 2*p,   1)) - 1) AS byte
+            FROM fr, unnest(generate_series(frame_idx*32 + 1,
+                                 least((frame_idx+1)*32, CAST(n AS INT))))
+                     AS q(p)
+        ), sums AS (
+            SELECT doc_id, frame_idx, SUM(byte) AS f_sum
+            FROM bytes GROUP BY 1, 2
+        ), lagd AS (
+            SELECT doc_id, f_sum,
+                   lag(f_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                       AS prev
+            FROM sums
+        )
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_frames,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(f_sum - prev) > 200
+                             THEN 1 ELSE 0 END) AS INT) AS n_scene_changes
+        FROM lagd GROUP BY doc_id ORDER BY doc_id
+    """,
     # Single-window form of ranking.global_row_number's two-phase
     # range-partition + offset shape (equal under the total order
     # (count desc, term)).

@@ -1370,6 +1370,18 @@ def multimodal_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection (operators/multimodal.py::scene_changes)
+    over the sampled frame table: per-frame byte-sum feature, one keyed
+    lag window, |Δ| > 200 marks a cut.  Fully oracle-checked — DuckDB
+    rebuilds every frame sum from hex-recovered blob bytes and replays
+    the identical lag/threshold, so the Python 1→N frame expansion AND
+    the feature arithmetic are pinned cross-engine."""
+    blobs = M.make_blob_table(_t(spark, sf_dir, "documents"))
+    frames = M.sample_frames(blobs, frame_bytes=32, every_n=4)
+    return M.scene_changes(frames, threshold=200).orderBy("doc_id")
+
+
 def cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch frequency estimation (operators/cms.py): build
     a 4×1024 sketch from raw token occurrences (one groupBy-sum whose
@@ -2353,6 +2365,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_users_by_value": top_users_by_value,
     # --- r04-green: staleness rotation (flagship backs entry() too) --
     # ===== driver window boundary: first 50 above ====================
+    # multimodal_scene_changes is new-in-r06 but sits just below the
+    # boundary: the remaining window slots are held by the r02-stale
+    # overflow pair (json_prop_histogram / top_users_by_value), which
+    # the staleness policy ranks ahead of one more never-checked entry.
+    # It is oracle-parity-tested every pytest run and LEADS the r07
+    # window with the deferred r04 block below.
+    "multimodal_scene_changes": multimodal_scene_changes,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
