@@ -233,15 +233,22 @@ def decode_png(blob: bytes) -> "np.ndarray":
         ftype, data = line[0], np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int32)
         if ftype == 0:  # None
             cur = data
-        elif ftype == 2:  # Up
+        elif ftype == 2:  # Up — vectorized
             cur = (data + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+        elif ftype == 1:
+            # Sub — recon[x] = (raw[x] + recon[x-bpp]) mod 256 is a
+            # per-byte-lane prefix sum, and mod distributes over
+            # addition, so one cumsum per lane replaces the x loop
+            cur = (
+                np.cumsum(data.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(-1).astype(np.int32)
+        elif ftype in (3, 4):  # Average / Paeth: inherently sequential
+            # in x (floor-div / nonlinear min break the cumsum trick) —
+            # the residual per-byte path a C codec would replace
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 left = cur[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    cur[x] = (data[x] + left) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     cur[x] = (data[x] + ((left + prev[x]) >> 1)) & 0xFF
                 else:
                     ul = prev[x - bpp] if x >= bpp else 0
