@@ -447,14 +447,22 @@ def image_dhash(images: DataFrame, *, hash_size: int = 8) -> DataFrame:
                 else:
                     luma = a.astype(np.int64) * 1000
                 h, w = luma.shape
-                # box-mean to (hash_size, hash_size+1) via reduceat on
-                # integer-spaced bin edges (works for any h, w)
+                # box-MEAN to (hash_size, hash_size+1) via reduceat on
+                # integer-spaced bin edges (works for any h, w).  The
+                # sums must be divided by each box's area: with uneven
+                # box widths (e.g. w=16 over 9 columns) comparing raw
+                # sums encodes the GEOMETRY, not the pixels — measured
+                # 24 of 64 bits near-constant corpus-wide before the fix
                 r_edges = (np.arange(hash_size) * h) // hash_size
                 c_edges = (np.arange(hash_size + 1) * w) // (hash_size + 1)
-                small = np.add.reduceat(
+                sums = np.add.reduceat(
                     np.add.reduceat(luma, r_edges, axis=0), c_edges, axis=1
                 )
-                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                r_sizes = np.diff(np.append(r_edges, h))
+                c_sizes = np.diff(np.append(c_edges, w))
+                areas = np.maximum(np.outer(r_sizes, c_sizes), 1)
+                means = sums / areas
+                bits = (means[:, 1:] > means[:, :-1]).ravel()
                 val = 0
                 for b in bits:
                     val = (val << 1) | int(b)
@@ -633,6 +641,58 @@ def scene_changes(frames: DataFrame, *, threshold: int = 200) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_frames"),
         F.sum("is_cut").cast("int").alias("n_scene_changes"),
     )
+
+
+def append_twin_docs(
+    docs: DataFrame,
+    *,
+    every: int = 10,
+    suffix: str = " ",
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Plant a near-duplicate for every `every`-th document by
+    appending one byte to its text (→ a last-row pixel change once
+    rendered), id shifted by `id_offset`.  The ONE definition of the
+    image twin fixture — shared by the registered query and its tests."""
+    twins = docs.where(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.concat("text", F.lit(suffix)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(twins)
+
+
+def gain_twin_corpus(
+    wavs: DataFrame,
+    *,
+    every: int = 10,
+    gain: float = 0.9,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Plant a volume-scaled near-duplicate for every `every`-th clip:
+    decode → ×gain → int16 re-round → re-encode, id shifted by
+    `id_offset`.  The ONE definition of the audio twin fixture — used
+    by both the registered query and its pinning tests so the planted
+    semantics cannot drift apart."""
+
+    def scale(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for blob in pdf["audio"]:
+                s, rate = decode_wav(bytes(blob))
+                s2 = np.clip(
+                    np.round(s.astype(np.float64) * gain), -32768, 32767
+                ).astype(np.int16)
+                blobs.append(encode_wav(s2, sample_rate=rate))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"] + id_offset, "audio": blobs}
+            )
+
+    twins = (
+        wavs.where(F.col("doc_id") % every == 0)
+        .select("doc_id", "audio")
+        .mapInPandas(scale, "doc_id long, audio binary")
+    )
+    return wavs.select("doc_id", "audio").unionByName(twins)
 
 
 def audio_fingerprint(

@@ -70,17 +70,24 @@ def global_row_number(
         .collect()
     )
     offset = 0
-    offsets = {}
+    offsets = []
     for r in counts:
-        offsets[r["__pid"]] = offset
+        offsets.append((r["__pid"], offset))
         offset += r["__n"]
-    off_expr = F.coalesce(
-        *[
-            F.when(F.col("__pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
-    return ranked.withColumn(
-        rank_col, (F.col("__local") + off_expr).cast("long")
-    ).drop("__pid", "__local")
+    spark = df.sparkSession
+    # offsets attach via a broadcast join on __pid — O(1) per row; a
+    # CASE chain would be O(P) comparisons per row and a P-ary codegen
+    # expression tree, both of which blow up at cluster parallelism
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    return (
+        ranked.join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(
+            rank_col,
+            (F.col("__local") + F.coalesce(F.col("__off"), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .drop("__pid", "__local", "__off")
+    )

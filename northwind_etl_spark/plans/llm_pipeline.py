@@ -70,10 +70,15 @@ def build_training_corpus(
     # 0. optional boilerplate line removal (operators/lines.py)
     n_boiler = 0
     if boilerplate_min_df_frac is not None:
+        from ..cache import persist_stage
         from ..operators.lines import remove_boilerplate_lines
 
-        cleaned = remove_boilerplate_lines(
-            docs, min_df_frac=boilerplate_min_df_frac
+        # persisted: every downstream action (quality count, dedup
+        # count, contamination count, split counts, write) re-evaluates
+        # the docs plan — without this the two explodes + frequency agg
+        # would re-run per action
+        cleaned = persist_stage(
+            remove_boilerplate_lines(docs, min_df_frac=boilerplate_min_df_frac)
         )
         n_boiler = (
             cleaned.agg(F.sum("n_dropped").alias("s")).first()["s"] or 0

@@ -1693,9 +1693,16 @@ ORACLES: dict[str, str] = {
             FROM fr, unnest(generate_series(frame_idx*32 + 1,
                                  least((frame_idx+1)*32, CAST(n AS INT))))
                      AS q(p)
-        ), sums AS (
+        ), sums0 AS (
             SELECT doc_id, frame_idx, SUM(byte) AS f_sum
             FROM bytes GROUP BY 1, 2
+        ), sums AS (
+            -- LEFT JOIN back to fr: an empty frame (0-byte text still
+            -- yields one frame, mirroring sample_frames' max(1, ·))
+            -- must survive with f_sum = 0, not vanish
+            SELECT f.doc_id, f.frame_idx, COALESCE(s.f_sum, 0) AS f_sum
+            FROM fr f LEFT JOIN sums0 s
+              ON s.doc_id = f.doc_id AND s.frame_idx = f.frame_idx
         ), lagd AS (
             SELECT doc_id, f_sum,
                    lag(f_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)

@@ -1296,11 +1296,7 @@ def multimodal_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound in tests/test_multimodal.py).  Rows-only: the luma/box-mean/
     gradient pipeline is numpy inside mapInPandas, not SQL."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    twins = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat("text", F.lit(" ")).alias("text"),
-    )
-    hashes = M.image_dhash(M.make_image_table(docs.unionByName(twins)))
+    hashes = M.image_dhash(M.make_image_table(M.append_twin_docs(docs)))
     groups = hashes.groupBy("dhash").agg(
         F.count(F.lit(1)).alias("group_size"),
         F.min("doc_id").alias("canonical_doc"),
@@ -1326,38 +1322,19 @@ def multimodal_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataF
     collide with their source (gain invariance); the key is a
     CANDIDATE generator — verification semantics pinned in
     tests/test_multimodal.py.  Rows-only: FFT inside mapInPandas."""
-    import numpy as np
-    import pandas as pd
-
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    wavs = M.make_audio_table(docs)
-
-    def scale(batches):
-        for pdf in batches:
-            blobs = []
-            for blob in pdf["audio"]:
-                s, rate = M.decode_wav(bytes(blob))
-                s2 = np.clip(
-                    np.round(s.astype(np.float64) * 0.9), -32768, 32767
-                ).astype(np.int16)
-                blobs.append(M.encode_wav(s2, sample_rate=rate))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"] + 1000000, "audio": blobs}
-            )
-
-    twins = (
-        wavs.where(F.col("doc_id") % 10 == 0)
-        .select("doc_id", "audio")
-        .mapInPandas(scale, "doc_id long, audio binary")
-    )
-    corpus = wavs.select("doc_id", "audio").unionByName(twins)
+    corpus = M.gain_twin_corpus(M.make_audio_table(docs))
     fps = M.audio_fingerprint(corpus)
-    groups = fps.groupBy("fingerprint").agg(
+    # (fingerprint, n_frames): the packed codes are variable-length, so
+    # clips of different frame counts can alias on the long alone
+    # (leading peak-bin-0 codes are invisible) — the frame count
+    # disambiguates for free and never splits gain twins (same length)
+    groups = fps.groupBy("fingerprint", "n_frames").agg(
         F.count(F.lit(1)).alias("group_size"),
         F.min("doc_id").alias("canonical_doc"),
     )
     return (
-        fps.join(groups, "fingerprint")
+        fps.join(groups, ["fingerprint", "n_frames"])
         .select(
             "doc_id",
             "fingerprint",

@@ -205,21 +205,15 @@ def test_adpcm_roundtrip_stats_operator(spark, sf_dir):
 
 
 def test_image_dhash_twins_collide_and_originals_separate(spark, sf_dir):
-    from pyspark.sql import functions as F
-
     from northwind_etl_spark.operators import multimodal as M
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    twins = docs.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat("text", F.lit(" ")).alias("text"),
-    )
     h = {
         r["doc_id"]: r["dhash"]
         for r in M.image_dhash(
-            M.make_image_table(docs.unionByName(twins))
+            M.make_image_table(M.append_twin_docs(docs))
         ).collect()
     }
     twin_ids = [k for k in h if k >= 1000000]
@@ -253,36 +247,14 @@ def test_image_dhash_deterministic_and_signed_packing(spark, sf_dir):
 
 
 def _gain_twins(spark, sf_dir):
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F
-
+    # the ONE twin fixture definition lives in the operator module —
+    # the test pins exactly what the registered query runs
     from northwind_etl_spark.operators import multimodal as M
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    wavs = M.make_audio_table(docs)
-
-    def scale(batches):
-        for pdf in batches:
-            blobs = []
-            for blob in pdf["audio"]:
-                s, rate = M.decode_wav(bytes(blob))
-                s2 = np.clip(
-                    np.round(s.astype(np.float64) * 0.9), -32768, 32767
-                ).astype(np.int16)
-                blobs.append(M.encode_wav(s2, sample_rate=rate))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"] + 1000000, "audio": blobs}
-            )
-
-    twins = (
-        wavs.where(F.col("doc_id") % 10 == 0)
-        .select("doc_id", "audio")
-        .mapInPandas(scale, "doc_id long, audio binary")
-    )
-    return wavs.select("doc_id", "audio").unionByName(twins)
+    return M.gain_twin_corpus(M.make_audio_table(docs))
 
 
 def test_audio_fingerprint_gain_invariant_blocking(spark, sf_dir):
