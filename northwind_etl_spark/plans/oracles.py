@@ -1961,6 +1961,45 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) FILTER (WHERE state = 'unchanged') AS BIGINT) AS n_unchanged
         FROM j
     """,
+    # Replays the identical CDC batch with a row_number() last-wins
+    # resolution (seq DESC — the Spark side's struct-max picks the same
+    # winner: seqs are distinct per key except where the seq-10 delete
+    # outranks both updates) and rebuilds via anti-join + union — the
+    # naive form of merge.py's broadcast-anti plan.
+    "merge_upsert_orders": """
+        WITH ch AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 1 AS o_totalprice, o_orderdate,
+                   o_orderpriority, 1 AS seq, 'U' AS op
+            FROM orders WHERE o_orderkey % 101 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 5, o_orderdate, o_orderpriority, 2, 'U'
+            FROM orders WHERE o_orderkey % 101 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority, 10, 'D'
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority, 1, 'I'
+            FROM orders WHERE o_orderkey % 103 = 0),
+        resolved AS (
+            SELECT * FROM (
+                SELECT ch.*, row_number() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY seq DESC, op DESC) AS rn
+                FROM ch) WHERE rn = 1)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM resolved)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM resolved WHERE op <> 'D'
+        ORDER BY o_orderkey
+    """,
 }
 
 # The PNG round-trip must land on the SAME pixels as the uncompressed

@@ -1000,6 +1000,46 @@ def table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(o, new, key="o_orderkey", buckets=256)
 
 
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (operators/merge.py::merge_into): apply a
+    deterministic CDC batch to orders — two conflicting updates per
+    %101 key (seq 1: +1, seq 2: +5 — last-wins must pick +5), a delete
+    per %97 key at seq 10 (outranking the updates on the 2 overlap
+    keys), and an insert per %103 key under the negated key.  The plan
+    never shuffles the target: broadcast LEFT ANTI + union
+    (plan-asserted in tests/test_merge.py).  The oracle replays the
+    same batch with a row_number() last-wins resolution and an
+    anti-join + union rebuild."""
+    from ..operators.merge import merge_into
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd = o.where(k % 101 == 0)
+    changes = (
+        upd.withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("seq", F.lit(1))
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            upd.withColumn("o_totalprice", F.col("o_totalprice") + 5)
+            .withColumn("seq", F.lit(2))
+            .withColumn("op", F.lit("U"))
+        )
+        .unionByName(
+            o.where(k % 97 == 0)
+            .withColumn("seq", F.lit(10))
+            .withColumn("op", F.lit("D"))
+        )
+        .unionByName(
+            o.where(k % 103 == 0)
+            .withColumn("o_orderkey", -k)
+            .withColumn("seq", F.lit(1))
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    merged = merge_into(o, changes, key="o_orderkey", op_col="op", seq_col="seq")
+    return merged.orderBy("o_orderkey")
+
+
 _STREAM_SINK_SEQ = iter(range(1, 1 << 30))
 _SPILL_ROOT: list[str] = []
 
@@ -2349,6 +2389,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # It is oracle-parity-tested every pytest run and LEADS the r07
     # window with the deferred r04 block below.
     "multimodal_scene_changes": multimodal_scene_changes,
+    # --- new post-snapshot r06 entries: never driver-checked, so they
+    #     join multimodal_scene_changes at the head of the r07 window
+    #     (oracle-parity-tested every pytest run meanwhile) ------------
+    "merge_upsert_orders": merge_upsert_orders,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
