@@ -2000,6 +2000,21 @@ ORACLES: dict[str, str] = {
         FROM resolved WHERE op <> 'D'
         ORDER BY o_orderkey
     """,
+    # Same tokens contract (_TOKS), same conjunction, same total order.
+    "keyword_search_docs": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOKS}, x -> x = 'merge')) AS BIGINT) AS tf_merge,
+                   CAST(len(list_filter({_TOKS}, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+                   CAST(len(list_filter({_TOKS}, x -> x = 'dup')) AS BIGINT) AS tf_dup
+            FROM documents)
+        SELECT doc_id, tf_merge, tf_vector, tf_dup,
+               tf_merge + tf_vector + tf_dup AS score
+        FROM s
+        WHERE tf_merge > 0 AND tf_vector > 0 AND tf_dup > 0
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
 }
 
 # The PNG round-trip must land on the SAME pixels as the uncompressed

@@ -1040,6 +1040,24 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("o_orderkey")
 
 
+def keyword_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword retrieval (operators/search.py::
+    keyword_search_scan): top-20 docs containing ALL of merge/vector/
+    dup, ranked by summed term frequency with a doc_id tie-break.
+    Map-only TFs computed inside the tokens array + a scan-level
+    conjunction + TakeOrderedAndProject — ZERO shuffle (plan-asserted
+    in tests/test_search.py).  'dup' is the corpus's rarest term
+    (df=26 at sf0.01), so the conjunction is non-vacuous."""
+    from ..operators.search import keyword_search_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    out = keyword_search_scan(docs, ["merge", "vector", "dup"], k=20)
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in out.columns if c != "doc_id"],
+    )
+
+
 _STREAM_SINK_SEQ = iter(range(1, 1 << 30))
 _SPILL_ROOT: list[str] = []
 
@@ -2393,6 +2411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     join multimodal_scene_changes at the head of the r07 window
     #     (oracle-parity-tested every pytest run meanwhile) ------------
     "merge_upsert_orders": merge_upsert_orders,
+    "keyword_search_docs": keyword_search_docs,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
