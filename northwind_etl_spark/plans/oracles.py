@@ -2015,6 +2015,33 @@ ORACLES: dict[str, str] = {
         ORDER BY score DESC, doc_id
         LIMIT 20
     """,
+    # Same blocking as fuzzy_name_match_pairs over the DISTINCT-name
+    # dictionary; the verifier is DuckDB's NATIVE jaro_winkler_similarity
+    # — the Spark side's Python implementation is pinned bit-identical
+    # to it in tests/test_fuzzy_jw.py, so this is a true cross-engine
+    # check of the metric, not a replay of our own arithmetic.
+    "jaro_winkler_part_pairs": """
+        WITH base AS (
+          SELECT min(p_partkey) AS id, lower(trim(p_name)) AS name
+          FROM part GROUP BY lower(trim(p_name))),
+        g AS (
+          SELECT id, unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(length(name) - 2, 1)),
+                     i -> substr(name, i, 3)))) AS gram
+          FROM base),
+        live AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM g a JOIN live USING (gram) JOIN g b USING (gram)
+          WHERE a.id < b.id)
+        SELECT id_a, id_b,
+               ROUND(jaro_winkler_similarity(na.name, nb.name), 6) AS jw
+        FROM cand
+        JOIN base na ON na.id = id_a
+        JOIN base nb ON nb.id = id_b
+        WHERE jaro_winkler_similarity(na.name, nb.name) >= 0.85
+        ORDER BY id_a, id_b
+    """,
 }
 
 # The PNG round-trip must land on the SAME pixels as the uncompressed

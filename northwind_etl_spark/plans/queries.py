@@ -1040,6 +1040,28 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("o_orderkey")
 
 
+def jaro_winkler_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-level record linkage with Jaro-Winkler verify
+    (operators/fuzzy.py::jaro_winkler_match_pairs): the DISTINCT part
+    names (min partkey as representative — linking the name dictionary,
+    not row instances, so pair volume is vocabulary-bounded and
+    scale-independent) blocked on shared rare 3-grams, verified at
+    jw ≥ 0.85.  The Python verifier is pinned bit-identical to
+    DuckDB's native jaro_winkler_similarity (tests/test_fuzzy_jw.py),
+    making this a genuine cross-engine check of a nontrivial string
+    metric."""
+    from ..operators.fuzzy import jaro_winkler_match_pairs
+
+    parts = _t(spark, sf_dir, "part")
+    names = parts.groupBy(F.lower(F.trim("p_name")).alias("name")).agg(
+        F.min("p_partkey").alias("id")
+    )
+    pairs = jaro_winkler_match_pairs(names, "name", "id", threshold=0.85)
+    return pairs.select(
+        "id_a", "id_b", F.round("jw", 6).alias("jw")
+    ).orderBy("id_a", "id_b")
+
+
 def keyword_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive keyword retrieval (operators/search.py::
     keyword_search_scan): top-20 docs containing ALL of merge/vector/
@@ -2412,6 +2434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     (oracle-parity-tested every pytest run meanwhile) ------------
     "merge_upsert_orders": merge_upsert_orders,
     "keyword_search_docs": keyword_search_docs,
+    "jaro_winkler_part_pairs": jaro_winkler_part_pairs,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,

@@ -1,0 +1,85 @@
+"""Jaro-Winkler proofs (operators/fuzzy.py::jaro_winkler /
+jaro_winkler_match_pairs): the Python implementation is BIT-identical
+to DuckDB's native jaro_winkler_similarity (the oracle's verifier), the
+definition's edge cases hold, and the pair operator keeps the blocking
+family's recall/ordering contract."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from northwind_etl_spark.operators.fuzzy import (
+    jaro_winkler,
+    jaro_winkler_match_pairs,
+)
+
+
+def test_known_values():
+    # classic published fixtures
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611111111111111, abs=0)
+    assert jaro_winkler("dixon", "dicksonx") == pytest.approx(0.8133333333333332, abs=0)
+    # definition edges: no window clamp, boost threshold, empty convention
+    assert jaro_winkler("ab", "ba") == 0.0  # window floor(2/2)-1 = 0
+    assert jaro_winkler("abcdef", "abczzz") == pytest.approx(2 / 3)  # jaro<=0.7: no boost
+    assert jaro_winkler("", "") == 0.0 and jaro_winkler("", "abc") == 0.0
+    assert jaro_winkler("abc", "abc") == 1.0
+
+
+def test_bit_identical_to_duckdb_fuzz():
+    con = duckdb.connect()
+    rng = random.Random(42)
+    alpha = "abcdefg #0123"
+    for _ in range(1500):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        exp = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler(a, b) == exp, (a, b)
+
+
+def test_pair_operator_matches_direct_allpairs(spark):
+    rows = [
+        (1, "small ring"),
+        (2, "small rings"),
+        (3, "smal ring"),
+        (4, "blue bolt"),
+        (5, "blue belt"),
+        (6, "zzzz qqqq"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b): r.jw
+        for r in jaro_winkler_match_pairs(
+            df, "name", "id", threshold=0.9, max_df=100
+        ).collect()
+    }
+    # direct all-pairs ground truth with the same metric
+    import itertools
+
+    exp = {}
+    for (ia, na), (ib, nb) in itertools.combinations(rows, 2):
+        v = jaro_winkler(na, nb)
+        if v >= 0.9:
+            exp[(ia, ib)] = v
+    assert got == exp and (1, 2) in got and (4, 5) in got
+    assert all(a < b for a, b in got)  # sorted-posting pair orientation
+
+
+def test_normalization_and_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "  Small Ring "), (2, "small ring"), (3, "SMALL RINGS")],
+        ["id", "name"],
+    )
+    got = jaro_winkler_match_pairs(df, "name", "id", threshold=0.99).collect()
+    # 1 and 2 normalize identical -> jw exactly 1.0; 3 is below 0.99? no:
+    # 'small ring' vs 'small rings' jw > 0.98 -- compute and assert exactly
+    pairs = {(r.id_a, r.id_b): r.jw for r in got}
+    assert pairs[(1, 2)] == 1.0
+    expected_13 = jaro_winkler("small ring", "small rings")
+    for k, v in pairs.items():
+        if k != (1, 2):
+            assert v == expected_13
