@@ -113,6 +113,17 @@ HEADLINE = [
     "multimodal_image_dhash_dups",
     "multimodal_audio_fingerprint_dups",
     "multimodal_scene_changes",
+    # r06 post-snapshot: CDC merge (broadcast-anti rebuild), conjunctive
+    # keyword scan, JW linkage, pigeonhole heavy hitters, Spark 4
+    # recursive CTE, lateral top-k, URL parse chain, NFC normalize
+    "merge_upsert_orders",
+    "keyword_search_docs",
+    "jaro_winkler_part_pairs",
+    "heavy_hitter_terms",
+    "recursive_nation_hierarchy",
+    "lateral_topk_customers",
+    "url_host_stats",
+    "unicode_nfc_stats",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact
@@ -256,7 +267,27 @@ def main() -> None:
     }
     if errors:
         stdout_line["errors"] = errors
-    print(json.dumps(stdout_line, separators=(",", ":")))
+    # The driver keeps only the LAST 2000 characters of stdout; a line
+    # longer than that loses its FRONT and records "parsed": null
+    # (exactly what happened in r05).  76 headline queries no longer
+    # fit, so the stdout map keeps the SLOWEST queries (the ones that
+    # matter for perf judging) and drops the fastest until the line
+    # fits, recording how many were omitted; BENCH_LOCAL.json always
+    # holds every timing.
+    budget = 1900
+    line = json.dumps(stdout_line, separators=(",", ":"))
+    if len(line) > budget:
+        by_speed = sorted(timings, key=lambda n: (timings[n], n))
+        kept = dict(stdout_line["queries"])
+        omitted = 0
+        while by_speed and len(line) > budget:
+            kept.pop(by_speed.pop(0), None)
+            omitted += 1
+            stdout_line["queries"] = kept
+            stdout_line["queries_omitted"] = omitted
+            stdout_line["full_record"] = "BENCH_LOCAL.json"
+            line = json.dumps(stdout_line, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -1,0 +1,124 @@
+"""Exact distributed heavy hitters — the two-pass pigeonhole pattern.
+
+Finding every value with global count >= T normally costs a full
+groupBy over the corpus — at 100 TB that shuffle carries one row per
+distinct value PER MAP TASK (the partial-agg output), which for a
+heavy-tailed vocabulary is the dominant cost even though almost none
+of the values can possibly reach T.
+
+The pigeonhole pass cuts the candidate set first, exactly:
+
+    If a value's global count across P partitions is >= T, then by
+    pigeonhole its count in at least one partition is >= ceil(T / P).
+
+so `local count >= ceil(T/P) in ANY partition` yields a guaranteed
+SUPERSET of the true heavy hitters (never a miss — the classic
+distributed Misra-Gries argument without the approximation).  Pass 1
+groups by (value, partition-id): because the partition id is constant
+within each map task, Catalyst's partial aggregation compacts this to
+at most one row per value per task BEFORE the exchange, and only the
+tiny filtered candidate set survives.  Pass 2 recounts candidates
+exactly behind a broadcast semi-join, so the full-width shuffle only
+ever carries rows whose value is already known to be near-threshold.
+
+The threshold is scale-free: T = ceil(total_rows / denom), computed
+in-plan (1-row aggregate broadcast-joined, the q11/q22 scalar
+pattern) — no driver action, no collected scalar.
+
+Verified (tests/test_heavyhitters.py): result equality with the plain
+one-pass groupBy under 1/3/17-partition repartitions of the input,
+superset property on a planted-skew fixture, and a plan assertion
+that the candidate filter runs BEFORE the recount join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    denom: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact values with count >= ceil(n_rows / denom).
+
+    Returns (value_col, cnt, threshold) — `threshold` is included so
+    callers (and the oracle) can see the scale-free cutoff that was
+    applied.  `weight_col` switches count to a weighted sum (counts
+    stay exact integers).
+    """
+    from ..cache import persist_stage
+
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    v = F.col(value_col)
+
+    # Scalar totals as a 1-row broadcast: n rows and P partitions.
+    # spark_partition_id() is evaluated on the same scan that feeds
+    # the local counts, so the pigeonhole bound uses the real P.
+    # persist_stage: three plan branches (totals, local counts,
+    # recount) consume this stage and AQE does not dedup branches —
+    # without the persist the upstream (often an explode over the
+    # corpus) runs three times, and a re-scan could even change P
+    # between the bound and the counts it bounds.
+    base = persist_stage(
+        df.select(
+            v.alias(value_col),
+            w.alias("__w"),
+            F.spark_partition_id().alias("__pid"),
+        )
+    )
+    totals = base.agg(
+        F.sum("__w").alias("__total"),
+        (F.max("__pid") + F.lit(1)).alias("__nparts"),
+    )
+    # T = ceil(total/denom); local cutoff = ceil(T/P).  Integer-exact:
+    # ceil(a/b) = (a + b - 1) DIV b on non-negative longs (`/` would
+    # be double division — inexact past 2^53 and wrong to truncate).
+    totals = totals.select(
+        F.expr(f"(__total + {denom} - 1) DIV {denom}").alias("__T"),
+        "__nparts",
+    ).select(
+        "__T",
+        F.expr("(__T + __nparts - 1) DIV __nparts").alias("__local_T"),
+    )
+
+    local = (
+        base.groupBy(value_col, "__pid")
+        .agg(F.sum("__w").alias("__local_cnt"))
+        .join(F.broadcast(totals))
+        .where(F.col("__local_cnt") >= F.col("__local_T"))
+        .select(value_col)
+        .distinct()
+    )
+
+    return (
+        base.join(F.broadcast(local), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.sum("__w").alias("cnt"))
+        .join(F.broadcast(totals.select("__T")))
+        .where(F.col("cnt") >= F.col("__T"))
+        .select(value_col, "cnt", F.col("__T").alias("threshold"))
+    )
+
+
+def plain_heavy_hitters(
+    df: DataFrame, value_col: str, *, denom: int, weight_col: str | None = None
+) -> DataFrame:
+    """The single-pass trap form (full-vocabulary shuffle) — kept for
+    the equality tests; result must be identical to heavy_hitters."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    base = df.select(F.col(value_col), w.alias("__w"))
+    totals = base.agg(F.sum("__w").alias("__total")).select(
+        F.expr(f"(__total + {denom} - 1) DIV {denom}").alias("__T")
+    )
+    return (
+        base.groupBy(value_col)
+        .agg(F.sum("__w").alias("cnt"))
+        .join(F.broadcast(totals))
+        .where(F.col("cnt") >= F.col("__T"))
+        .select(value_col, "cnt", F.col("__T").alias("threshold"))
+    )

@@ -1,0 +1,71 @@
+"""URL extraction + structural parsing — the web-corpus provenance
+step (host-level quality priors, per-domain dedup scopes, UTM/source
+attribution all start from "what URLs does this document carry").
+
+Extraction is a single Java-regex ``regexp_extract_all`` kept
+RE2-compatible (no backrefs / lookaround — the redact.py discipline,
+so the DuckDB oracle can replay it verbatim); parsing is Spark's
+native ``parse_url`` expression (JVM-side, codegen) for HOST / PATH /
+QUERY-key components.  Everything is map-only until the caller
+aggregates — no exchange is introduced here.
+
+At 100 TB this is the motivating case for staying JVM-side: one
+regex pass + parse_url per document, no Python in the loop, filters
+on host push down to the scan when the URL column is materialized in
+the source.
+
+Verified: tests/test_web.py (planted URLs: multi-URL docs, query-key
+extraction, no-URL docs yield empty arrays) and the oracle-checked
+``url_host_stats`` registry entry, whose oracle recomputes every
+component from the deterministic seed formula — checking the whole
+extract→parse chain, not just counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe (and Java-safe): scheme, then any run of non-space,
+# non-quote, non-angle-bracket URL characters.
+URL_PATTERN = r"https?://[A-Za-z0-9._~:/?#@!$&'*+,;=%()\[\]-]+"
+
+
+def extract_urls(
+    df: DataFrame, text_col: str = "text", out_col: str = "urls"
+) -> DataFrame:
+    """Array of every URL occurrence in `text_col` (order preserved)."""
+    return df.withColumn(
+        out_col,
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0)),
+    )
+
+
+def url_parts(url: Column, query_key: str | None = None) -> list[Column]:
+    """(host, path[, query-param]) columns from a URL column via the
+    native parse_url expression."""
+    cols = [
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+    ]
+    if query_key is not None:
+        cols.append(
+            F.parse_url(url, F.lit("QUERY"), F.lit(query_key)).alias(query_key)
+        )
+    return cols
+
+
+def doc_url_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_key: str | None = None,
+) -> DataFrame:
+    """One row per (doc, URL occurrence) with parsed components —
+    docs without URLs drop out (inner explode by design; keep the
+    no-URL population via the caller's left join if needed)."""
+    urls = extract_urls(df, text_col)
+    exploded = urls.select(
+        F.col(id_col), F.explode("urls").alias("url")
+    )
+    return exploded.select(id_col, "url", *url_parts(F.col("url"), query_key))

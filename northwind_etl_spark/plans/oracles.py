@@ -2042,6 +2042,108 @@ ORACLES: dict[str, str] = {
         WHERE jaro_winkler_similarity(na.name, nb.name) >= 0.85
         ORDER BY id_a, id_b
     """,
+    # The trap form the pigeonhole pattern must equal: one full-vocab
+    # GROUP BY with a scale-free HAVING.  `(a + b - 1) // b` is the
+    # same exact BIGINT ceil-div Spark computes with DIV.
+    "heavy_hitter_terms": f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS term FROM documents),
+        tot AS (SELECT (COUNT(*) + 299) // 300 AS T FROM toks)
+        SELECT term, COUNT(*) AS cnt, (SELECT T FROM tot) AS threshold
+        FROM toks
+        GROUP BY term
+        HAVING COUNT(*) >= (SELECT T FROM tot)
+        ORDER BY cnt DESC, term
+    """,
+    # Identical ANSI recursive-CTE closure body as hierarchy.closure_sql,
+    # with the edge/root construction inlined as leading CTEs (WITH
+    # RECURSIVE prefixes the whole list in DuckDB; only `closure` is
+    # actually recursive).
+    "recursive_nation_hierarchy": """
+        WITH RECURSIVE
+        edges(parent_key, child_key, child_name) AS (
+            SELECT CAST(n_regionkey AS BIGINT) + 100,
+                   CAST(n_nationkey AS BIGINT) + 200, n_name FROM nation
+            UNION ALL
+            SELECT CAST(c_nationkey AS BIGINT) + 200,
+                   CAST(c_custkey + 1000000 AS BIGINT), c_name
+            FROM customer WHERE c_acctbal > 9900),
+        roots(key, name) AS (
+            SELECT CAST(r_regionkey AS BIGINT) + 100, r_name FROM region),
+        closure(key, name, path, depth) AS (
+            SELECT key, name, concat('/', name), 0
+            FROM roots
+            UNION ALL
+            SELECT e.child_key, e.child_name,
+                   concat(c.path, '/', e.child_name), c.depth + 1
+            FROM closure c
+            JOIN edges e ON e.parent_key = c.key
+            WHERE c.depth < 2
+        )
+        SELECT key, name, path, CAST(depth AS INT) AS depth
+        FROM closure
+        ORDER BY depth, path
+    """,
+    # Verbatim the same text Spark runs (queries.LATERAL_TOPK_SQL) —
+    # both engines implement ANSI correlated LATERAL with LIMIT.
+    "lateral_topk_customers": """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+    """,
+    # Recomputes every URL component from the doc_id seed formula —
+    # cross-checking Spark's regexp_extract_all + parse_url chain, not
+    # replaying it.  The .org URL carries no query string, so src is
+    # NULL there (and n_src0 counts only the .com family).
+    "url_host_stats": """
+        WITH u AS (
+            SELECT doc_id,
+                   'h' || (doc_id % 7) || '.example.com' AS host,
+                   '/p/' || doc_id AS path,
+                   's' || (doc_id % 3) AS src
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'm' || (doc_id % 5) || '.example.org' AS host,
+                   '/q/' || doc_id AS path,
+                   NULL AS src
+            FROM documents)
+        SELECT host,
+               COUNT(*) AS n_urls,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               CAST(SUM(CASE WHEN src = 's0' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_src0,
+               CAST(MAX(length(path)) AS INT) AS max_path_len
+        FROM u
+        GROUP BY host
+        ORDER BY host
+    """,
+    # DuckDB's native NFC vs the Arrow-batched unicodedata normalizer:
+    # md5(normalized) pins byte equality of two independent NFC
+    # implementations; chr(769) is the combining acute the Spark side
+    # seeds as '\\u0301', chr(252) the precomposed u-umlaut.
+    "unicode_nfc_stats": """
+        WITH s AS (
+            SELECT doc_id,
+                   text || ' ' ||
+                   repeat('e' || chr(769), CAST(doc_id % 3 + 1 AS INT)) ||
+                   ' ' || chr(252) AS text
+            FROM documents),
+        n AS (SELECT doc_id, text, nfc_normalize(text) AS t2 FROM s)
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS len_raw,
+               CAST(length(t2) AS INT) AS len_nfc,
+               CAST(length(text) - length(t2) AS INT) AS n_composed,
+               text <> t2 AS changed,
+               md5(t2) AS nfc_md5
+        FROM n
+        ORDER BY doc_id
+    """,
 }
 
 # The PNG round-trip must land on the SAME pixels as the uncompressed

@@ -1080,6 +1080,159 @@ def keyword_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via the two-pass pigeonhole pattern
+    (operators/heavyhitters.py::heavy_hitters): every term with count
+    >= ceil(total_tokens / 300) — scale-free, 30 terms at every SF.
+    Pass 1 counts per (term, partition) — partial agg compacts to one
+    row per term per task before the exchange — and keeps candidates
+    whose local count clears ceil(T/P) in any partition (a guaranteed
+    superset by pigeonhole); pass 2 recounts only candidates behind a
+    broadcast semi-join.  The oracle is the plain one-pass GROUP BY
+    HAVING — equality IS the superset-never-misses proof."""
+    from ..functions.texttools import tokens_expr
+    from ..operators.heavyhitters import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+    return heavy_hitters(toks, "term", denom=300).orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
+
+
+def recursive_nation_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native WITH RECURSIVE (operators/hierarchy.py): the
+    region → nation → high-balance-customer hierarchy expanded to one
+    row per reachable node with depth and materialized path.  Node
+    keys are namespaced (region+100, nation+200, customer+1_000_000)
+    so the closure runs over a single typed edge list.  DuckDB
+    implements the same ANSI recursive-CTE semantics, so the oracle
+    replays the identical closure body — a cross-engine check of the
+    recursion itself."""
+    from ..operators.hierarchy import descendant_closure
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    edges = (
+        n.select(
+            (F.col("n_regionkey").cast("long") + 100).alias("parent_key"),
+            (F.col("n_nationkey").cast("long") + 200).alias("child_key"),
+            F.col("n_name").alias("child_name"),
+        )
+        .unionByName(
+            c.where(F.col("c_acctbal") > 9900).select(
+                (F.col("c_nationkey").cast("long") + 200).alias("parent_key"),
+                (F.col("c_custkey") + 1000000).cast("long").alias("child_key"),
+                F.col("c_name").alias("child_name"),
+            )
+        )
+    )
+    roots = r.select(
+        (F.col("r_regionkey").cast("long") + 100).alias("key"),
+        F.col("r_name").alias("name"),
+    )
+    out = descendant_closure(spark, edges, roots, max_depth=2)
+    return out.select(
+        "key", "name", "path", F.col("depth").cast("int").alias("depth")
+    ).orderBy("depth", "path")
+
+
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the
+    per-group top-k in its declarative SQL form (Spark plans it as a
+    partitioned window under the hood; DuckDB runs the identical
+    text, so the oracle is the same query verbatim): top-2 customers
+    by account balance per nation."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus provenance (operators/web.py): two URLs seeded per
+    doc from doc_id (an .example.com one carrying ?src=, an
+    .example.org one without), extracted with an RE2-safe regex and
+    parsed with the native parse_url expression, then rolled up per
+    host.  The oracle recomputes every component from the seed
+    formula — checking the whole extract→parse chain byte-for-byte,
+    including the NULL query-param on the .org family."""
+    from ..operators.web import doc_url_components
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://h"),
+            (d % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            d.cast("string"),
+            F.lit("?src=s"),
+            (d % 3).cast("string"),
+            F.lit(" and https://m"),
+            (d % 5).cast("string"),
+            F.lit(".example.org/q/"),
+            d.cast("string"),
+        ).alias("text"),
+    )
+    comp = doc_url_components(seeded, query_key="src")
+    return (
+        comp.where(F.col("host").rlike(r"\.example\.(com|org)$"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.when(F.col("src") == "s0", 1).otherwise(0))
+            .cast("long")
+            .alias("n_src0"),
+            F.max(F.length("path")).alias("max_path_len"),
+        )
+        .orderBy("host")
+    )
+
+
+def unicode_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/normalize.py): each doc
+    gets 1–3 decomposed e+U+0301 pairs and one precomposed ü appended
+    (doc_id-seeded, so the check is non-vacuous on the ASCII corpus);
+    the Arrow-batched pandas normalizer must agree byte-for-byte with
+    DuckDB's native nfc_normalize — md5(normalized) pins the payload,
+    the code-point deltas pin how many compositions were applied."""
+    from ..operators.normalize import nfc_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            # decomposed e + combining acute (U+0301) as explicit escapes
+            # so no editor/tool silently precomposes the seed; the
+            # appended U+00FC is precomposed and must survive NFC.
+            F.expr("repeat('e\u0301', CAST(doc_id % 3 + 1 AS INT))"),
+            F.lit(" \u00fc"),
+        ).alias("text"),
+    )
+    return nfc_stats(seeded).orderBy("doc_id")
+
+
+# The one SQL text both engines run verbatim for lateral_topk_customers.
+LATERAL_TOPK_SQL = """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+"""
+
+
 _STREAM_SINK_SEQ = iter(range(1, 1 << 30))
 _SPILL_ROOT: list[str] = []
 
@@ -2435,6 +2588,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert_orders": merge_upsert_orders,
     "keyword_search_docs": keyword_search_docs,
     "jaro_winkler_part_pairs": jaro_winkler_part_pairs,
+    "heavy_hitter_terms": heavy_hitter_terms,
+    "recursive_nation_hierarchy": recursive_nation_hierarchy,
+    "lateral_topk_customers": lateral_topk_customers,
+    "url_host_stats": url_host_stats,
+    "unicode_nfc_stats": unicode_nfc_stats,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
