@@ -124,6 +124,11 @@ HEADLINE = [
     "lateral_topk_customers",
     "url_host_stats",
     "unicode_nfc_stats",
+    # graph analytics: 8-iteration integer PageRank (checkpointed
+    # loop) and degree-ordered triangle enumeration, both on the
+    # above-mean nation trade graph
+    "nation_trade_pagerank",
+    "nation_trade_triangles",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

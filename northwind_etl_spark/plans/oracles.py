@@ -2146,6 +2146,79 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+# Shared base for the graph-analytics oracles: directed nation-pair
+# lineitem counts (the q7 join shape) + the integer-exact above-mean
+# edge rule (cnt · n_pairs > total — no decimal average crosses the
+# engine boundary).
+_TRADE_PAIRS = """
+    pair AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS cnt
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_nationkey <> sn.n_nationkey
+      GROUP BY 1, 2),
+    tot AS (SELECT COUNT(*) AS np, SUM(cnt) AS tc FROM pair),
+    dedges AS (SELECT src, dst FROM pair, tot WHERE cnt * np > tc)
+"""
+
+
+def _pagerank_sql(iterations: int = 8, num: int = 85, den: int = 100,
+                  scale: int = 10**12) -> str:
+    """Unroll the EXACT integer recurrence of graph.pagerank_fixed_point
+    as chained CTEs — every DIV, multiply, and SUM replayed, so the
+    hash comparison checks all 8 iterations bit-for-bit."""
+    base = (scale * (den - num)) // den
+    ctes = [
+        _TRADE_PAIRS,
+        """nodes AS (SELECT src AS node FROM dedges
+                     UNION SELECT dst FROM dedges)""",
+        """odeg AS (SELECT src AS node, COUNT(*) AS od
+                    FROM dedges GROUP BY src)""",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""
+        r{k} AS (
+          SELECT n.node,
+                 CAST({base} + ({num} * COALESCE(s.m, 0)) // {den} AS BIGINT)
+                     AS rank
+          FROM nodes n
+          LEFT JOIN (
+              SELECT e.dst AS node, SUM(r.rank // d.od) AS m
+              FROM r{k - 1} r
+              JOIN dedges e ON e.src = r.node
+              JOIN odeg d ON d.node = r.node
+              GROUP BY e.dst) s
+          ON s.node = n.node)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node, rank FROM r{iterations} ORDER BY rank DESC, node"
+    )
+
+
+ORACLES["nation_trade_pagerank"] = _pagerank_sql()
+
+# The naive a<b<c three-way self-join the oriented enumeration must
+# exactly equal (each triangle found once, lexicographically sorted).
+ORACLES["nation_trade_triangles"] = f"""
+    WITH {_TRADE_PAIRS},
+    upair AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     SUM(cnt) AS ucnt
+              FROM pair GROUP BY 1, 2),
+    utot AS (SELECT COUNT(*) AS np, SUM(ucnt) AS tc FROM upair),
+    ue AS (SELECT a, b FROM upair, utot WHERE ucnt * np > tc)
+    SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+    FROM ue e1
+    JOIN ue e2 ON e2.a = e1.b
+    JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+    ORDER BY n1, n2, n3
+"""
+
 # The PNG round-trip must land on the SAME pixels as the uncompressed
 # P6 path — one deterministic render, two codecs, one oracle.  A bug in
 # either encode_png or decode_png shows up as a sum divergence here.

@@ -1219,6 +1219,86 @@ def unicode_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_stats(seeded).orderBy("doc_id")
 
 
+def _nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (customer-nation → supplier-nation) lineitem counts —
+    the shared base for the graph-analytics entries.  The q7 join
+    shape: fact joins, two broadcast nation lookups, one groupBy."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("ck"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sk"))
+        .where(F.col("ck") != F.col("sk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _above_mean(pairs: DataFrame, cnt_col: str) -> DataFrame:
+    """Scale-free edge rule, integer-exact in both engines: keep rows
+    with cnt > mean(cnt), tested as cnt · n_rows > total (no decimal
+    averages cross the engine boundary)."""
+    tot = pairs.agg(
+        F.count(F.lit(1)).alias("__np"), F.sum(cnt_col).alias("__tc")
+    )
+    return (
+        pairs.join(F.broadcast(tot))
+        .where(F.col(cnt_col) * F.col("__np") > F.col("__tc"))
+        .drop("__np", "__tc")
+    )
+
+
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.py) over the
+    directed nation trade graph (edge src→dst when the pair's
+    lineitem count is above the mean — 270 edges at sf0.01).  Ranks
+    are BIGINTs scaled by 1e12, every step DIV/SUM on integers, so
+    the result is bit-identical under any partitioning AND in DuckDB,
+    whose oracle unrolls the identical 8 iterations — a full
+    cross-engine check of an iterative algorithm, something
+    floating-point PageRank can never give."""
+    from ..operators.graph import pagerank_fixed_point
+
+    edges = _above_mean(_nation_trade_pairs(spark, sf_dir), "cnt").select(
+        "src", "dst"
+    )
+    out = pagerank_fixed_point(edges, iterations=8)
+    return out.orderBy(F.desc("rank"), F.asc("node"))
+
+
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle enumeration (operators/graph.py) over
+    the undirected trade graph (both directions summed, above-mean
+    cut — 132 edges / 379 triangles at sf0.01).  The oriented
+    algorithm bounds per-node wedge work by O(outdeg²) with
+    outdeg ≤ O(√m); the oracle runs the naive a<b<c three-way join it
+    must exactly equal."""
+    from ..operators.graph import triangles_oriented
+
+    pairs = _nation_trade_pairs(spark, sf_dir)
+    upairs = (
+        pairs.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "cnt",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("ucnt"))
+    )
+    edges = _above_mean(upairs, "ucnt").select("a", "b")
+    return triangles_oriented(edges).orderBy("n1", "n2", "n3")
+
+
 # The one SQL text both engines run verbatim for lateral_topk_customers.
 LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.c_acctbal
@@ -2593,6 +2673,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lateral_topk_customers": lateral_topk_customers,
     "url_host_stats": url_host_stats,
     "unicode_nfc_stats": unicode_nfc_stats,
+    "nation_trade_pagerank": nation_trade_pagerank,
+    "nation_trade_triangles": nation_trade_triangles,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
