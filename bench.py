@@ -129,6 +129,10 @@ HEADLINE = [
     # above-mean nation trade graph
     "nation_trade_pagerank",
     "nation_trade_triangles",
+    # stream-static broadcast enrichment (full availableNow drain) and
+    # the oracle-checked G.711 mu-law lossy codec
+    "stream_enriched_event_counts",
+    "multimodal_g711_stats",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -929,3 +929,88 @@ def adpcm_roundtrip_stats(
             yield pd.DataFrame(rows)
 
     return documents.select("doc_id", "text").mapInPandas(stats, ADPCM_STATS_SCHEMA)
+
+
+# --------------------------------------------- G.711 mu-law codec (stdlib)
+# Telephony companding (CCITT G.711): 16-bit PCM -> 8 bits/sample via a
+# logarithmic segment code.  Unlike ADPCM there is NO predictor state —
+# the roundtrip is a pure per-sample quantization function, which makes
+# this the one LOSSY codec whose decoded output a SQL oracle can
+# reproduce bit-for-bit (the companding formula is integer arithmetic;
+# verified identical to audioop for all 65536 int16 inputs in
+# tests/test_g711.py).
+
+ULAW_MAGIC = b"ULW1"
+G711_STATS_SCHEMA = (
+    "doc_id long, n_samples int, ulaw_bytes int,"
+    " sum_decoded long, max_abs_err int"
+)
+
+
+def encode_ulaw(samples: "np.ndarray", *, sample_rate: int = 8000) -> bytes:
+    """Compress int16 mono samples to G.711 mu-law (8 bits/sample) in
+    the same framed container style as ADPCM: magic + rate + count."""
+    import struct
+
+    au = _audioop()
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = au.lin2ulaw(s.tobytes(), 2)
+    return ULAW_MAGIC + struct.pack("<II", sample_rate, len(s)) + data
+
+
+def decode_ulaw(blob: bytes) -> tuple["np.ndarray", int]:
+    """Decode a framed mu-law blob back to int16 samples; ValueError on
+    bad magic or truncation (the decode_wav/png/jpeg contract)."""
+    import struct
+
+    au = _audioop()
+    if blob[:4] != ULAW_MAGIC:
+        raise ValueError("not a ULW1 blob (bad magic)")
+    if len(blob) < 12:
+        raise ValueError("truncated mu-law header")
+    rate, n = struct.unpack_from("<II", blob, 4)
+    payload = blob[12:]
+    if len(payload) < n:
+        raise ValueError("truncated mu-law payload")
+    pcm = au.ulaw2lin(payload[:n], 2)
+    return np.frombuffer(pcm, dtype="<i2"), rate
+
+
+def g711_roundtrip_stats(
+    documents: DataFrame, *, sample_rate: int = 8000
+) -> DataFrame:
+    """Samples from the document's utf-8 byte pairs (the
+    make_audio_table rule), through the REAL mu-law encoder and back,
+    with per-doc decoded-sum and worst quantization error.  Because the
+    roundtrip is stateless companding, the DuckDB oracle recovers every
+    sample from hex(text) and replays the exact integer formula — a
+    hash-matched check of a lossy codec (ADPCM can only be rows-only)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "n_samples", "ulaw_bytes",
+                    "sum_decoded", "max_abs_err",
+                )
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8")
+                n = len(data) // 2
+                samples = np.frombuffer(data, dtype="<i2", count=n)
+                blob = encode_ulaw(samples, sample_rate=sample_rate)
+                dec, _rate = decode_ulaw(blob)
+                err = np.abs(
+                    samples.astype(np.int64) - dec.astype(np.int64)
+                )
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["ulaw_bytes"].append(len(blob))
+                out["sum_decoded"].append(int(dec.astype(np.int64).sum()))
+                out["max_abs_err"].append(int(err.max()) if n else 0)
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        stats, G711_STATS_SCHEMA
+    )

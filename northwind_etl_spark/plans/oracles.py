@@ -2147,6 +2147,90 @@ ORACLES: dict[str, str] = {
 }
 
 
+# G.711 mu-law roundtrip, bit-exact: samples recovered from hex(text)
+# byte pairs (the multimodal_audio_stats machinery), then the CCITT
+# companding formula replayed in integer arithmetic — encode: 14-bit
+# floor(s/4), clip 8159, bias 33, 8-segment log code, XOR mask;
+# decode: (mantissa·8 + 132) << exponent, re-signed.  Verified
+# identical to stdlib audioop over ALL 65536 int16 inputs
+# (tests/test_g711.py), so a hash match here checks a real lossy
+# codec end to end.  LEFT JOIN keeps zero-sample docs (the scene-
+# change oracle lesson).
+ORACLES["multimodal_g711_stats"] = """
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS nbytes,
+               hex(encode(text)) AS h
+        FROM documents),
+    samples AS (
+        SELECT doc_id,
+               (strpos('0123456789ABCDEF', substr(h, 4*i-3, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 4*i-2, 1)) - 1) AS lo,
+               (strpos('0123456789ABCDEF', substr(h, 4*i-1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 4*i,   1)) - 1) AS hi
+        FROM b, unnest(generate_series(1, nbytes // 2)) AS t(i)),
+    signed AS (
+        SELECT doc_id,
+               CASE WHEN lo + 256 * hi >= 32768
+                    THEN lo + 256 * hi - 65536
+                    ELSE lo + 256 * hi END AS s
+        FROM samples),
+    q1 AS (SELECT doc_id, s, CAST(FLOOR(s / 4.0) AS BIGINT) AS p14
+           FROM signed),
+    e AS (SELECT doc_id, s,
+                 CASE WHEN p14 < 0 THEN 127 ELSE 255 END AS mask,
+                 LEAST(ABS(p14), 8159) + 33 AS pb
+          FROM q1),
+    seg AS (SELECT doc_id, s, mask, pb,
+                 CASE WHEN pb <= 63 THEN 0 WHEN pb <= 127 THEN 1
+                      WHEN pb <= 255 THEN 2 WHEN pb <= 511 THEN 3
+                      WHEN pb <= 1023 THEN 4 WHEN pb <= 2047 THEN 5
+                      WHEN pb <= 4095 THEN 6 WHEN pb <= 8191 THEN 7
+                      ELSE 8 END AS sg
+            FROM e),
+    u AS (SELECT doc_id, s,
+                 CASE WHEN sg >= 8 THEN xor(127, mask)
+                      ELSE xor(sg * 16
+                               + ((pb // CAST(POW(2, sg + 1) AS BIGINT))
+                                  % 16),
+                               mask) END AS uval
+          FROM seg),
+    dec AS (SELECT doc_id, s,
+                 CASE WHEN (255 - uval) >= 128
+                      THEN 132 - (((255 - uval) % 16) * 8 + 132)
+                               * CAST(POW(2, ((255 - uval) // 16) % 8)
+                                      AS BIGINT)
+                      ELSE (((255 - uval) % 16) * 8 + 132)
+                               * CAST(POW(2, ((255 - uval) // 16) % 8)
+                                      AS BIGINT) - 132
+                 END AS dv
+            FROM u),
+    agg AS (SELECT doc_id, COUNT(*) AS ns, SUM(dv) AS sd,
+                   MAX(ABS(s - dv)) AS mae
+            FROM dec GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(COALESCE(agg.ns, 0) AS INT) AS n_samples,
+           CAST(12 + COALESCE(agg.ns, 0) AS INT) AS ulaw_bytes,
+           CAST(COALESCE(agg.sd, 0) AS BIGINT) AS sum_decoded,
+           CAST(COALESCE(agg.mae, 0) AS INT) AS max_abs_err
+    FROM b LEFT JOIN agg USING (doc_id)
+    ORDER BY b.doc_id
+"""
+
+
+# Stream-static enrichment must equal the plain batch CASE rollup —
+# the broadcast dim join adds nothing the batch mapping doesn't.
+ORACLES["stream_enriched_event_counts"] = f"""
+    SELECT CASE WHEN event_type IN ('view', 'click') THEN 'browse'
+                WHEN event_type IN ('signup', 'purchase') THEN 'convert'
+                ELSE 'other' END AS stage,
+           COUNT(*) AS n_events,
+           {_dsum("value", "total_value")}
+    FROM events
+    GROUP BY 1
+    ORDER BY stage
+"""
+
+
 # Shared base for the graph-analytics oracles: directed nation-pair
 # lineitem counts (the q7 join shape) + the integer-exact above-mean
 # edge rule (cnt · n_pairs > total — no decimal average crosses the

@@ -1384,6 +1384,37 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(windowed_counts_stream(stream), "stream_tumbling")
 
 
+def stream_enriched_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, driver-checked: the event stream
+    joined per micro-batch against a broadcast funnel-stage dimension
+    (streaming/events_stream.py::enrich_with_static — no state, no
+    watermark required), then aggregated per stage.  The dim is
+    derived from the batch table's distinct event types (view/click →
+    browse, signup/purchase → convert, error → other), so the oracle
+    is the plain batch CASE rollup; the decimal sum makes the value
+    aggregation order-independent across micro-batches."""
+    from ..streaming.events_stream import enrich_with_static, read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = (
+        _t(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "stage",
+            F.when(F.col("event_type").isin("view", "click"), "browse")
+            .when(F.col("event_type").isin("signup", "purchase"), "convert")
+            .otherwise("other"),
+        )
+    )
+    enriched = enrich_with_static(stream, dim, on="event_type")
+    agg = enriched.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum("value", "total_value"),
+    )
+    return _drain_stream(agg, "stream_enrich").orderBy("stage")
+
+
 def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream interval join, driver-checked: purchases joined to
     same-user clicks within the prior 30 minutes, both sides streaming
@@ -2244,6 +2275,19 @@ def multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.adpcm_roundtrip_stats(_t(spark, sf_dir, "documents"))
 
 
+def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law codec (operators/multimodal.py::encode_ulaw /
+    decode_ulaw — stdlib audioop), ORACLE-CHECKED: because companding
+    is stateless per-sample quantization (no predictor), the DuckDB
+    oracle recovers every sample from hex(text) byte pairs and replays
+    the exact integer formula (verified ≡ audioop over all 65536
+    inputs in tests/test_g711.py) — a hash-matched LOSSY codec, where
+    ADPCM's predictor forces rows-only."""
+    return M.g711_roundtrip_stats(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio path: render each document's utf-8 bytes as genuine
     16-bit mono PCM WAV (RIFF chunks on stdlib struct), decode it back
@@ -2675,6 +2719,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_nfc_stats": unicode_nfc_stats,
     "nation_trade_pagerank": nation_trade_pagerank,
     "nation_trade_triangles": nation_trade_triangles,
+    "stream_enriched_event_counts": stream_enriched_event_counts,
+    "multimodal_g711_stats": multimodal_g711_stats,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
