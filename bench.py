@@ -133,6 +133,8 @@ HEADLINE = [
     # the oracle-checked G.711 mu-law lossy codec
     "stream_enriched_event_counts",
     "multimodal_g711_stats",
+    # sortless exact median (iterative histogram selection)
+    "exact_median_order_price",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -2147,6 +2147,20 @@ ORACLES: dict[str, str] = {
 }
 
 
+# The unambiguous k-th-element definition the sortless selection must
+# land on exactly: ORDER BY with OFFSET (n+1)//2 - 1 (lower median).
+ORACLES["exact_median_order_price"] = """
+    WITH t AS (SELECT o_totalprice AS v FROM orders
+               WHERE o_totalprice IS NOT NULL),
+    n AS (SELECT COUNT(*) AS n_rows FROM t)
+    SELECT (SELECT v FROM t ORDER BY v
+            LIMIT 1 OFFSET (SELECT (n_rows + 1) // 2 - 1 FROM n))
+               AS median_price,
+           (SELECT (n_rows + 1) // 2 FROM n) AS k,
+           (SELECT n_rows FROM n) AS n
+"""
+
+
 # G.711 mu-law roundtrip, bit-exact: samples recovered from hex(text)
 # byte pairs (the multimodal_audio_stats machinery), then the CCITT
 # companding formula replayed in integer arithmetic — encode: 14-bit

@@ -2275,6 +2275,21 @@ def multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.adpcm_roundtrip_stats(_t(spark, sf_dir, "documents"))
 
 
+def exact_median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower median of o_totalprice WITHOUT a global sort
+    (operators/selection.py::kth_smallest): driver-side binary search
+    over value space — each pass one 1024-bin histogram aggregation
+    (driver holds 1024 longs), range filters push into parquet
+    row-group stats so later passes scan less.  The oracle is the
+    unambiguous definition: ORDER BY … OFFSET (n+1)//2 − 1."""
+    from ..operators.selection import kth_smallest
+
+    v, k, n = kth_smallest(_t(spark, sf_dir, "orders"), "o_totalprice")
+    return spark.createDataFrame(
+        [(float(v), int(k), int(n))], "median_price double, k long, n long"
+    )
+
+
 def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G.711 mu-law codec (operators/multimodal.py::encode_ulaw /
     decode_ulaw — stdlib audioop), ORACLE-CHECKED: because companding
@@ -2721,6 +2736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_trade_triangles": nation_trade_triangles,
     "stream_enriched_event_counts": stream_enriched_event_counts,
     "multimodal_g711_stats": multimodal_g711_stats,
+    "exact_median_order_price": exact_median_order_price,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,

@@ -111,7 +111,95 @@ def main() -> None:
         _semdedup_section(spark, sf_dir, factor)
     if _want("rank"):
         _rank_section(spark, sf_dir, factor)
+    if _want("heavy_hitters"):
+        _hh_section(spark, sf_dir, factor)
+    if _want("pagerank", "triangles"):
+        _graph_section(spark, sf_dir, factor)
     spark.stop()
+
+
+def _hh_section(spark, sf_dir, factor):
+    """Heavy hitters: diverse corpus growth (vocab scales with size, so
+    the candidate set per partition stays proportional) vs a hot-vocab
+    adversary (every doc also carries one shared token ≈ 1% of all
+    tokens — the candidate pass must stay tiny because ONE candidate
+    is not a cost, and the recount semi-join only carries that term)."""
+    from northwind_etl_spark.functions.texttools import tokens_expr
+    from northwind_etl_spark.operators.heavyhitters import heavy_hitters
+    from northwind_etl_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    shift = 10_000_000
+
+    def toks_of(df):
+        return df.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+
+    for f in sorted({1, 2, factor}):
+        corpus = replicate(docs, f, "doc_id", shift, _doc_variant)
+        timed(
+            f"heavy_hitters_x{f}",
+            lambda c=corpus: heavy_hitters(
+                toks_of(c), "term", denom=300
+            ).count(),
+        )
+    hot = replicate(docs, factor, "doc_id", shift, _doc_variant).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" hotshared hotshared"))
+    )
+    timed(
+        f"heavy_hitters_x{factor}_hotvocab",
+        lambda: heavy_hitters(toks_of(hot), "term", denom=300).count(),
+    )
+
+
+def _graph_section(spark, sf_dir, factor):
+    """Graph family: F disjoint namespaced copies of the trade graph
+    (edge count scales F×; PageRank per-iteration join and the wedge
+    pass must scale linearly — each copy's wedges never cross copies)."""
+    from northwind_etl_spark.operators.graph import (
+        pagerank_fixed_point,
+        triangles_oriented,
+    )
+    from northwind_etl_spark.plans.queries import (
+        _above_mean,
+        _nation_trade_pairs,
+    )
+
+    pairs = _nation_trade_pairs(spark, sf_dir)
+    dedges = _above_mean(pairs, "cnt").select("src", "dst").persist()
+    upairs = (
+        pairs.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "cnt",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("ucnt"))
+    )
+    uedges = _above_mean(upairs, "ucnt").select("a", "b").persist()
+
+    def suffixed(df, times, cols):
+        parts = []
+        for i in range(times):
+            p = df
+            for c in cols:
+                p = p.withColumn(c, F.concat(F.col(c), F.lit(f"_{i}")))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    for f in sorted({1, 2, factor}):
+        de = suffixed(dedges, f, ["src", "dst"])
+        timed(
+            f"pagerank8_x{f}",
+            lambda e=de: pagerank_fixed_point(e, iterations=8).count(),
+        )
+        ue = suffixed(uedges, f, ["a", "b"])
+        timed(
+            f"triangles_x{f}",
+            lambda e=ue: triangles_oriented(e).count(),
+        )
 
 
 def _rank_section(spark, sf_dir, factor):

@@ -1,0 +1,68 @@
+"""Sortless exact-selection proofs (operators/selection.py): vs
+numpy.partition on random data, tie-heavy data, boundary ks, negative
+ranges, and the quantile convention."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from northwind_etl_spark.operators.selection import exact_quantile, kth_smallest
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(float(v),) for v in values], ["x"])
+
+
+def test_matches_numpy_on_random(spark):
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(6, 2, size=5000)
+    df = _df(spark, vals).repartition(11)
+    for k in (1, 17, 2500, 4999, 5000):
+        got, kk, n = kth_smallest(df, "x", k)
+        assert (kk, n) == (k, 5000)
+        assert got == float(np.partition(vals, k - 1)[k - 1])
+
+
+def test_median_default_and_ties(spark):
+    # heavy ties: the k-th lands inside a run of equal values and the
+    # interval must collapse to the point
+    vals = [1.0] * 100 + [2.0] * 5 + [3.0] * 100
+    got, k, n = kth_smallest(_df(spark, vals), "x")
+    assert (k, n) == (103, 205)
+    assert got == 2.0
+    got2, _, _ = kth_smallest(_df(spark, [42.0] * 999), "x")
+    assert got2 == 42.0
+
+
+def test_negative_and_single(spark):
+    vals = [-5.5, -1.25, 0.0, 3.5]
+    assert kth_smallest(_df(spark, vals), "x", 1)[0] == -5.5
+    assert kth_smallest(_df(spark, vals), "x", 4)[0] == 3.5
+    assert kth_smallest(_df(spark, [7.0]), "x")[0] == 7.0
+
+
+def test_nulls_excluded_and_empty_raises(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], ["x"])
+    got, k, n = kth_smallest(df, "x")
+    assert (got, k, n) == (1.0, 1, 2)
+    with pytest.raises(ValueError, match="empty"):
+        kth_smallest(spark.createDataFrame([], "x double"), "x")
+
+
+def test_quantile_convention(spark):
+    vals = list(range(1, 101))
+    df = _df(spark, vals)
+    assert exact_quantile(df, "x", 0.25)[0] == 25.0
+    assert exact_quantile(df, "x", 0.999)[0] == 100.0
+    assert exact_quantile(df, "x", 0.0)[0] == 1.0
+
+
+def test_adjacent_doubles_stagnation_path(spark):
+    # two adjacent representable doubles force the float-stagnation
+    # fallback (the interval cannot split between them)
+    a = 1.0
+    b = np.nextafter(a, 2.0)
+    vals = [a] * 10 + [float(b)] * 10
+    assert kth_smallest(_df(spark, vals), "x", 10)[0] == a
+    assert kth_smallest(_df(spark, vals), "x", 11)[0] == float(b)
