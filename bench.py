@@ -135,6 +135,9 @@ HEADLINE = [
     "multimodal_g711_stats",
     # sortless exact median (iterative histogram selection)
     "exact_median_order_price",
+    # basket affinity (array-local pair expansion) + Markov transitions
+    "copurchase_part_pairs",
+    "event_transition_matrix",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -1,0 +1,74 @@
+"""Market-basket affinity: co-occurrence pair counts without a
+self-join.
+
+The textbook co-purchase query self-joins the fact table on the order
+key — at 100 TB that shuffles the fact table twice and materializes
+every candidate pair as a join row.  Here each order is collapsed to
+its sorted DISTINCT item array (one groupBy — items cross the shuffle
+once), pairs are expanded ARRAY-LOCALLY inside the row (the
+dedup/ranges expansion idiom: a candidate pair that doesn't exist
+never materializes anywhere), and the pair counts are one more
+map-side-combined groupBy.  Cost per order is |basket|², bounded by
+`max_basket` with the repo's no-silent-truncation contract: an
+oversized basket RAISES in-plan (truncating it would silently
+undercount supports).
+
+Verified: tests/test_basket.py (planted baskets: pair counts, support
+cut, duplicate-line dedup, ordering, the max_basket raise) and the
+oracle-checked `copurchase_part_pairs` entry (oracle: the plain
+DISTINCT self-join + HAVING it must equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_pairs(
+    df: DataFrame,
+    order_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """(item_a, item_b, n_orders) for every unordered item pair that
+    co-occurs in at least `min_support` orders (counted once per
+    order, however many lines repeat the item)."""
+    items = F.array_sort(F.collect_set(item_col)).alias("items")
+    baskets = df.groupBy(order_col).agg(items)
+    # The guard lives INSIDE n (the expression every downstream step
+    # uses), so Catalyst cannot prune it — the ranges.py in-plan-raise
+    # idiom; the cast gives when() a concrete branch type.
+    n = F.when(
+        F.size("items") > max_basket,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"basket exceeds max_basket={max_basket} for "
+                    f"{order_col}="
+                ),
+                F.col(order_col).cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.size("items"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("items"), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("items"), i).alias("item_a"),
+                    y.alias("item_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        baskets.where(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= min_support)
+    )

@@ -169,3 +169,37 @@ def extract_props(events: DataFrame, *, props_col: str = "props") -> DataFrame:
     schema_of_json at scale — one pass, no sampling)."""
     parsed = F.from_json(F.col(props_col), "k INT")
     return events.withColumn("prop_k", parsed["k"])
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (from_type, to_type, cnt, prob).
+
+    One keyed lead() window (total order: ts then id — deterministic
+    under ties) and two map-side-combined aggregations; row-normalized
+    probabilities come from a broadcast join on the tiny per-from_type
+    totals, never a second window.  The per-key window state is one
+    row (lead 1), so there is no hot-key timeline concern.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("cnt").alias("__tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / F.col("__tot"), 6).alias("prob"),
+    )

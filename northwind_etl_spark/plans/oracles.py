@@ -2147,6 +2147,37 @@ ORACLES: dict[str, str] = {
 }
 
 
+# The textbook self-join form the array-local basket expansion must
+# equal (DISTINCT first: a part repeated on two lines of one order is
+# still one co-occurrence).
+ORACLES["copurchase_part_pairs"] = """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+          FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM p GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+"""
+
+# The identical lead() + row-normalized division, replayed.
+ORACLES["event_transition_matrix"] = """
+    WITH s AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+    c AS (SELECT from_type, to_type, COUNT(*) AS cnt
+          FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+    t AS (SELECT from_type, SUM(cnt) AS tot FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.cnt,
+           ROUND(c.cnt / t.tot, 6) AS prob
+    FROM c JOIN t USING (from_type)
+    ORDER BY from_type, to_type
+"""
+
+
 # The unambiguous k-th-element definition the sortless selection must
 # land on exactly: ORDER BY with OFFSET (n+1)//2 - 1 (lower median).
 ORACLES["exact_median_order_price"] = """

@@ -2275,6 +2275,35 @@ def multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.adpcm_roundtrip_stats(_t(spark, sf_dir, "documents"))
 
 
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (operators/basket.py): part pairs
+    co-occurring in ≥2 orders, WITHOUT the textbook fact-table
+    self-join — each order collapses to its sorted distinct part set
+    (items cross the shuffle once), pairs expand array-locally, and an
+    oversized basket raises in-plan rather than silently undercount.
+    The oracle is the plain DISTINCT self-join + HAVING."""
+    from ..operators.basket import copurchase_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = copurchase_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+    return out.select(
+        F.col("item_a").alias("part_a"),
+        F.col("item_b").alias("part_b"),
+        "n_orders",
+    ).orderBy(F.desc("n_orders"), "part_a", "part_b")
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event sequences
+    (operators/sessionize.py::event_transitions): one keyed lead()
+    window with a (ts, event_id) total order, counts + broadcast
+    row-normalization.  The oracle replays the identical lead and
+    division."""
+    return S.event_transitions(_t(spark, sf_dir, "events")).orderBy(
+        "from_type", "to_type"
+    )
+
+
 def exact_median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact lower median of o_totalprice WITHOUT a global sort
     (operators/selection.py::kth_smallest): driver-side binary search
@@ -2737,6 +2766,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enriched_event_counts": stream_enriched_event_counts,
     "multimodal_g711_stats": multimodal_g711_stats,
     "exact_median_order_price": exact_median_order_price,
+    "copurchase_part_pairs": copurchase_part_pairs,
+    "event_transition_matrix": event_transition_matrix,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,

@@ -1,0 +1,79 @@
+"""Basket-affinity proofs (operators/basket.py): planted baskets give
+exact pair counts, duplicate lines dedup per order, the support cut
+applies, singleton baskets vanish, and oversized baskets raise
+in-plan rather than truncate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.operators.basket import copurchase_pairs
+
+from northwind_etl_spark.operators.sessionize import event_transitions
+
+
+@pytest.fixture(scope="module")
+def lines(spark):
+    rows = [
+        # order 1: {10, 20, 30}; order 2: {10, 20}; order 3: {10, 20}
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 20), (3, 10), (3, 10),  # duplicate line: still ONE co-occurrence
+        (4, 99),                     # singleton: no pairs
+    ]
+    return spark.createDataFrame(rows, ["o", "p"])
+
+
+def test_pair_counts_and_support(lines):
+    got = {
+        (r.item_a, r.item_b): r.n_orders
+        for r in copurchase_pairs(lines, "o", "p", min_support=1).collect()
+    }
+    assert got == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
+    cut = {
+        (r.item_a, r.item_b): r.n_orders
+        for r in copurchase_pairs(lines, "o", "p", min_support=2).collect()
+    }
+    assert cut == {(10, 20): 3}
+
+
+def test_max_basket_raises(spark):
+    rows = [(1, i) for i in range(12)]
+    df = spark.createDataFrame(rows, ["o", "p"])
+    with pytest.raises(Exception, match="max_basket"):
+        copurchase_pairs(df, "o", "p", max_basket=10).collect()
+    # at the limit it still works
+    assert copurchase_pairs(df, "o", "p", min_support=1, max_basket=12).count() == 66
+
+
+def test_transitions_planted(spark):
+    rows = [
+        (1, 1, "a", 100), (1, 2, "b", 200), (1, 3, "a", 300), (1, 4, "c", 400),
+        (2, 5, "a", 100), (2, 6, "b", 150),
+        (3, 7, "c", 50),  # single event: no transition
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts"]
+    )
+    got = {
+        (r.from_type, r.to_type): (r.cnt, r.prob)
+        for r in event_transitions(df).collect()
+    }
+    # from 'a': a→b twice (u1, u2), a→c once → 2/3 and 1/3; from 'b':
+    # b→a once → 1.0.  No cross-user transition (u1's c is terminal).
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 6)),
+        ("a", "c"): (1, round(1 / 3, 6)),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_transitions_tie_deterministic(spark):
+    # two events with the SAME ts: the event_id tiebreak pins the order
+    rows = [(1, 2, "y", 100), (1, 1, "x", 100), (1, 3, "z", 200)]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts"]
+    )
+    got = {(r.from_type, r.to_type) for r in event_transitions(df).collect()}
+    assert got == {("x", "y"), ("y", "z")}
