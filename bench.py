@@ -138,6 +138,8 @@ HEADLINE = [
     # basket affinity (array-local pair expansion) + Markov transitions
     "copurchase_part_pairs",
     "event_transition_matrix",
+    "copurchase_rules",
+    "event_path_trigrams",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -72,3 +72,69 @@ def copurchase_pairs(
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= min_support)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    order_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """Directional association rules from the co-occurrence pairs:
+    (antecedent, consequent, pair_orders, confidence, lift).
+
+    confidence = P(consequent | antecedent) = pair / s_antecedent;
+    lift = confidence / P(consequent) = pair·N / (s_a·s_c) — computed
+    with ONE integer product and ONE division each, mirrored exactly
+    by the oracle so the doubles hash-match.  Item supports come from
+    the same DISTINCT (order, item) relation that feeds the pairs
+    (one extra map-side-combined count), joined back by item key; the
+    order total is the 1-row broadcast scalar pattern.
+    """
+    distinct_oi = df.select(order_col, item_col).distinct()
+    supports = distinct_oi.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("__s")
+    )
+    totals = distinct_oi.select(order_col).distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    pairs = copurchase_pairs(
+        df, order_col, item_col,
+        min_support=min_support, max_basket=max_basket,
+    )
+    # both rule directions from each unordered pair
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_orders",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_orders",
+        )
+    )
+    sa = supports.select(
+        F.col(item_col).alias("antecedent"), F.col("__s").alias("__sa")
+    )
+    sc = supports.select(
+        F.col(item_col).alias("consequent"), F.col("__s").alias("__sc")
+    )
+    return (
+        directed.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .join(F.broadcast(totals))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_orders").alias("pair_orders"),
+            F.round(F.col("n_orders") / F.col("__sa"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_orders") * F.col("__n"))
+                / (F.col("__sa") * F.col("__sc")),
+                6,
+            ).alias("lift"),
+        )
+    )

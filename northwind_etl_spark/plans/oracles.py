@@ -2161,6 +2161,47 @@ ORACLES["copurchase_part_pairs"] = """
     ORDER BY n_orders DESC, part_a, part_b
 """
 
+# Rules over the same DISTINCT relation: confidence = pair/s_a, lift
+# = pair·N/(s_a·s_c), each one integer product + one division — the
+# identical IEEE steps the Spark side computes.
+ORACLES["copurchase_rules"] = """
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 COUNT(*) AS n_orders
+          FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    s AS (SELECT l_partkey, COUNT(*) AS sup FROM d GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS tot FROM d),
+    directed AS (
+        SELECT part_a AS antecedent, part_b AS consequent, n_orders FROM p
+        UNION ALL
+        SELECT part_b, part_a, n_orders FROM p)
+    SELECT antecedent, consequent, n_orders AS pair_orders,
+           ROUND(n_orders / sa.sup, 6) AS confidence,
+           ROUND((n_orders * n.tot) / (sa.sup * sc.sup), 6) AS lift
+    FROM directed
+    JOIN s sa ON sa.l_partkey = antecedent
+    JOIN s sc ON sc.l_partkey = consequent
+    CROSS JOIN n
+    ORDER BY pair_orders DESC, antecedent, consequent
+"""
+
+# Two stacked leads, same total order, top-20 totally ordered.
+ORACLES["event_path_trigrams"] = """
+    WITH s AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, COUNT(*) AS cnt
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY cnt DESC, e1, e2, e3
+    LIMIT 20
+"""
+
 # The identical lead() + row-normalized division, replayed.
 ORACLES["event_transition_matrix"] = """
     WITH s AS (

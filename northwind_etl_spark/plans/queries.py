@@ -2304,6 +2304,40 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (operators/basket.py::association_rules) on
+    the co-purchase pairs: confidence and lift per direction, each one
+    integer product + one division so the doubles hash-match the
+    oracle's identical arithmetic."""
+    from ..operators.basket import association_rules
+
+    out = association_rules(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=2,
+    )
+    return out.orderBy(F.desc("pair_orders"), "antecedent", "consequent")
+
+
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-event paths across per-user sequences: two stacked
+    lead() windows on the (ts, event_id) total order, one
+    map-side-combined count, TakeOrderedAndProject.  The oracle
+    replays the identical double lead."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
 def exact_median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact lower median of o_totalprice WITHOUT a global sort
     (operators/selection.py::kth_smallest): driver-side binary search
@@ -2768,6 +2802,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_median_order_price": exact_median_order_price,
     "copurchase_part_pairs": copurchase_part_pairs,
     "event_transition_matrix": event_transition_matrix,
+    "copurchase_rules": copurchase_rules,
+    "event_path_trigrams": event_path_trigrams,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,

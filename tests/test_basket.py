@@ -77,3 +77,25 @@ def test_transitions_tie_deterministic(spark):
     )
     got = {(r.from_type, r.to_type) for r in event_transitions(df).collect()}
     assert got == {("x", "y"), ("y", "z")}
+
+
+def test_association_rules_planted(spark, lines=None):
+    from northwind_etl_spark.operators.basket import association_rules
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 20), (3, 10), (3, 10),
+        (4, 99),
+    ]
+    df = spark.createDataFrame(rows, ["o", "p"])
+    got = {
+        (r.antecedent, r.consequent): (r.pair_orders, r.confidence, r.lift)
+        for r in association_rules(df, "o", "p", min_support=2).collect()
+    }
+    # s(10)=3, s(20)=3, N=4; pair(10,20)=3
+    # conf(10→20) = 3/3 = 1.0; lift = 3*4/(3*3) = 1.333333
+    assert got == {
+        (10, 20): (3, 1.0, round(12 / 9, 6)),
+        (20, 10): (3, 1.0, round(12 / 9, 6)),
+    }
