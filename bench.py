@@ -140,6 +140,7 @@ HEADLINE = [
     "event_transition_matrix",
     "copurchase_rules",
     "event_path_trigrams",
+    "multimodal_alaw_stats",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

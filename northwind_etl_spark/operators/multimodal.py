@@ -1014,3 +1014,78 @@ def g711_roundtrip_stats(
     return documents.select("doc_id", "text").mapInPandas(
         stats, G711_STATS_SCHEMA
     )
+
+
+# ------------------------------------------------ G.711 A-law (stdlib)
+# The European companding twin: 13-bit domain (s >> 3), even-bit
+# inversion mask 0x55, linear first segment.  Stateless like mu-law,
+# so the roundtrip is again a pure integer function and the oracle
+# replays it bit-for-bit (verified over all 65536 int16 inputs in
+# tests/test_g711.py).
+
+ALAW_MAGIC = b"ALW1"
+
+
+def encode_alaw(samples: "np.ndarray", *, sample_rate: int = 8000) -> bytes:
+    """Compress int16 mono samples to G.711 A-law (8 bits/sample)."""
+    import struct
+
+    au = _audioop()
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = au.lin2alaw(s.tobytes(), 2)
+    return ALAW_MAGIC + struct.pack("<II", sample_rate, len(s)) + data
+
+
+def decode_alaw(blob: bytes) -> tuple["np.ndarray", int]:
+    """Decode a framed A-law blob; ValueError on bad magic/truncation."""
+    import struct
+
+    au = _audioop()
+    if blob[:4] != ALAW_MAGIC:
+        raise ValueError("not an ALW1 blob (bad magic)")
+    if len(blob) < 12:
+        raise ValueError("truncated A-law header")
+    rate, n = struct.unpack_from("<II", blob, 4)
+    payload = blob[12:]
+    if len(payload) < n:
+        raise ValueError("truncated A-law payload")
+    pcm = au.alaw2lin(payload[:n], 2)
+    return np.frombuffer(pcm, dtype="<i2"), rate
+
+
+def alaw_roundtrip_stats(
+    documents: DataFrame, *, sample_rate: int = 8000
+) -> DataFrame:
+    """A-law twin of g711_roundtrip_stats — same byte-pair sample rule,
+    same per-doc stats, same oracle-replayable contract."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "n_samples", "alaw_bytes",
+                    "sum_decoded", "max_abs_err",
+                )
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8")
+                n = len(data) // 2
+                samples = np.frombuffer(data, dtype="<i2", count=n)
+                blob = encode_alaw(samples, sample_rate=sample_rate)
+                dec, _rate = decode_alaw(blob)
+                err = np.abs(
+                    samples.astype(np.int64) - dec.astype(np.int64)
+                )
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["alaw_bytes"].append(len(blob))
+                out["sum_decoded"].append(int(dec.astype(np.int64).sum()))
+                out["max_abs_err"].append(int(err.max()) if n else 0)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, n_samples int, alaw_bytes int,"
+        " sum_decoded long, max_abs_err int"
+    )
+    return documents.select("doc_id", "text").mapInPandas(stats, schema)

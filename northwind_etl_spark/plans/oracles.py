@@ -2303,6 +2303,72 @@ ORACLES["multimodal_g711_stats"] = """
 """
 
 
+# A-law twin: 13-bit floor(s/8), negative values map to -p-1, clip
+# 4095, linear first segment (uval = p//2 under 32), log segments
+# above, even-bit inversion xor 0x55 (plus the sign bit 0x80 folded
+# into the positive mask 0xD5); decode re-expands (2m+1 | 2m+33 <<
+# seg-1) * 8 with sign from the inverted byte.  Verified ≡ audioop
+# over ALL 65536 int16 inputs (tests/test_g711.py).
+ORACLES["multimodal_alaw_stats"] = """
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS nbytes,
+               hex(encode(text)) AS h
+        FROM documents),
+    samples AS (
+        SELECT doc_id,
+               (strpos('0123456789ABCDEF', substr(h, 4*i-3, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 4*i-2, 1)) - 1) AS lo,
+               (strpos('0123456789ABCDEF', substr(h, 4*i-1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 4*i,   1)) - 1) AS hi
+        FROM b, unnest(generate_series(1, nbytes // 2)) AS t(i)),
+    signed AS (
+        SELECT doc_id,
+               CASE WHEN lo + 256 * hi >= 32768
+                    THEN lo + 256 * hi - 65536
+                    ELSE lo + 256 * hi END AS s
+        FROM samples),
+    q1 AS (SELECT doc_id, s, CAST(FLOOR(s / 8.0) AS BIGINT) AS p13
+           FROM signed),
+    e AS (SELECT doc_id, s,
+                 CASE WHEN p13 >= 0 THEN 213 ELSE 85 END AS mask,
+                 LEAST(CASE WHEN p13 >= 0 THEN p13 ELSE -p13 - 1 END,
+                       4095) AS pm
+          FROM q1),
+    u AS (SELECT doc_id, s, mask,
+                 CASE WHEN pm < 32 THEN pm // 2
+                      ELSE (CASE WHEN pm <= 63 THEN 1 WHEN pm <= 127 THEN 2
+                                 WHEN pm <= 255 THEN 3 WHEN pm <= 511 THEN 4
+                                 WHEN pm <= 1023 THEN 5 WHEN pm <= 2047 THEN 6
+                                 ELSE 7 END) * 16
+                           + ((pm // CAST(POW(2, CASE WHEN pm <= 63 THEN 1
+                                 WHEN pm <= 127 THEN 2 WHEN pm <= 255 THEN 3
+                                 WHEN pm <= 511 THEN 4 WHEN pm <= 1023 THEN 5
+                                 WHEN pm <= 2047 THEN 6 ELSE 7 END)
+                                 AS BIGINT)) % 16)
+                 END AS uval
+          FROM e),
+    d0 AS (SELECT doc_id, s, xor(xor(uval, mask), 85) AS a FROM u),
+    dec AS (SELECT doc_id, s,
+                 (CASE WHEN (a // 16) % 8 = 0
+                       THEN 2 * (a % 16) + 1
+                       ELSE (2 * (a % 16) + 33)
+                            * CAST(POW(2, (a // 16) % 8 - 1) AS BIGINT)
+                  END) * 8
+                 * (CASE WHEN a >= 128 THEN 1 ELSE -1 END) AS dv
+            FROM d0),
+    agg AS (SELECT doc_id, COUNT(*) AS ns, SUM(dv) AS sd,
+                   MAX(ABS(s - dv)) AS mae
+            FROM dec GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(COALESCE(agg.ns, 0) AS INT) AS n_samples,
+           CAST(12 + COALESCE(agg.ns, 0) AS INT) AS alaw_bytes,
+           CAST(COALESCE(agg.sd, 0) AS BIGINT) AS sum_decoded,
+           CAST(COALESCE(agg.mae, 0) AS INT) AS max_abs_err
+    FROM b LEFT JOIN agg USING (doc_id)
+    ORDER BY b.doc_id
+"""
+
+
 # Stream-static enrichment must equal the plain batch CASE rollup —
 # the broadcast dim join adds nothing the batch mapping doesn't.
 ORACLES["stream_enriched_event_counts"] = f"""

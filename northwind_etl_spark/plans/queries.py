@@ -2366,6 +2366,17 @@ def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_alaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 A-law twin of multimodal_g711_stats (operators/
+    multimodal.py::encode_alaw / decode_alaw): 13-bit domain, even-bit
+    0x55 inversion, linear first segment — again stateless companding,
+    so the oracle replays the exact integer formula (verified ≡
+    audioop over all 65536 inputs in tests/test_g711.py)."""
+    return M.alaw_roundtrip_stats(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio path: render each document's utf-8 bytes as genuine
     16-bit mono PCM WAV (RIFF chunks on stdlib struct), decode it back
@@ -2804,6 +2815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transition_matrix": event_transition_matrix,
     "copurchase_rules": copurchase_rules,
     "event_path_trigrams": event_path_trigrams,
+    "multimodal_alaw_stats": multimodal_alaw_stats,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,

@@ -91,3 +91,55 @@ def test_stats_on_planted_docs(spark):
     s = np.frombuffer(b"hello world!", dtype="<i2")
     want = sum(_formula_roundtrip(int(v)) for v in s)
     assert got[3].sum_decoded == want
+
+
+def _alaw_formula_roundtrip(s: int) -> int:
+    """Independent A-law composite — the oracle's exact arithmetic."""
+    p = s >> 3
+    if p >= 0:
+        mask, pm = 0xD5, p
+    else:
+        mask, pm = 0x55, -p - 1
+    pm = min(pm, 4095)
+    if pm < 32:
+        uval = pm >> 1
+    else:
+        seg = pm.bit_length() - 5
+        uval = (seg << 4) | ((pm >> seg) & 0x0F)
+    a = (uval ^ mask) ^ 0x55
+    segd, m = (a >> 4) & 0x07, a & 0x0F
+    t = (2 * m + 1) if segd == 0 else ((2 * m + 33) << (segd - 1))
+    v = t << 3
+    return v if a & 0x80 else -v
+
+
+def test_alaw_formula_matches_audioop_full_domain():
+    allv = np.arange(-32768, 32768, dtype="<i2")
+    enc = audioop.lin2alaw(allv.tobytes(), 2)
+    dec = np.frombuffer(audioop.alaw2lin(enc, 2), dtype="<i2")
+    formula = np.array(
+        [_alaw_formula_roundtrip(int(v)) for v in allv], dtype=np.int64
+    )
+    assert (dec.astype(np.int64) == formula).all()
+
+
+def test_alaw_container_and_stats(spark):
+    from northwind_etl_spark.operators.multimodal import (
+        alaw_roundtrip_stats,
+        decode_alaw,
+        encode_alaw,
+    )
+
+    s = np.array([0, 1000, -1000], dtype="<i2")
+    blob = encode_alaw(s, sample_rate=16000)
+    dec, rate = decode_alaw(blob)
+    assert rate == 16000 and len(dec) == 3
+    with pytest.raises(ValueError, match="magic"):
+        decode_alaw(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_alaw(blob[:-1])
+
+    docs = spark.createDataFrame([(1, "AB"), (2, "")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in alaw_roundtrip_stats(docs).collect()}
+    assert got[1].sum_decoded == _alaw_formula_roundtrip(16961)
+    assert got[2].n_samples == 0 and got[2].alaw_bytes == 12
