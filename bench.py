@@ -141,6 +141,7 @@ HEADLINE = [
     "copurchase_rules",
     "event_path_trigrams",
     "multimodal_alaw_stats",
+    "source_entropy_stats",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

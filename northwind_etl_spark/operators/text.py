@@ -438,3 +438,43 @@ def compression_ratio(
     return df.select(
         id_col, F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio")
     )
+
+
+def source_term_entropy(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source vocabulary (Shannon) entropy — the diversity signal
+    of a corpus slice: H = −Σ_t p_t·ln p_t over the source's term
+    distribution.  Low entropy = templated/machine text; a drop
+    against the corpus baseline is the classic symptom of a scraped
+    mirror or boilerplate flood.
+
+    Same determinism discipline as unigram_surprisal: ln p is cast to
+    DECIMAL(26,12) BEFORE the ×count weighting, so the per-source sum
+    is exact decimal arithmetic — order-independent and bit-identical
+    to the oracle replaying the same casts (the ~1-ulp engine
+    difference in ln() is absorbed by the 12-decimal quantization).
+    One explode → one (source, term) count → per-source totals joined
+    back — every aggregation map-side combined.
+    """
+    from ..functions.texttools import tokens_expr
+
+    terms = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    )
+    c = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("ct"))
+    n = c.groupBy("source").agg(
+        F.sum("ct").alias("n_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    j = c.join(n, "source").withColumn(
+        "ln_p", F.log(F.col("ct").cast("double") / F.col("n_tokens"))
+    )
+    weighted = F.col("ln_p").cast("decimal(26,12)") * F.col("ct").cast(
+        "decimal(10,0)"
+    )
+    return j.groupBy("source", "n_tokens", "vocab").agg(
+        F.round(
+            (-F.sum(weighted)).cast("double") / F.col("n_tokens"), 6
+        ).alias("entropy")
+    ).select("source", "n_tokens", "vocab", "entropy")

@@ -2161,6 +2161,27 @@ ORACLES["copurchase_part_pairs"] = """
     ORDER BY n_orders DESC, part_a, part_b
 """
 
+# Entropy with the surprisal decimal discipline: ln p quantized to
+# DECIMAL(26,12) before the ×count weighting, exact decimal sum, one
+# double division at the end.
+ORACLES["source_entropy_stats"] = f"""
+    WITH t AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+    c AS (SELECT source, term, COUNT(*) AS ct FROM t GROUP BY 1, 2),
+    n AS (SELECT source, SUM(ct) AS n_tok, COUNT(*) AS vocab
+          FROM c GROUP BY 1)
+    SELECT c.source,
+           CAST(n.n_tok AS BIGINT) AS n_tokens,
+           CAST(n.vocab AS BIGINT) AS vocab,
+           ROUND(
+               CAST(-SUM(CAST(ln(CAST(ct AS DOUBLE) / n.n_tok)
+                              AS DECIMAL(26,12))
+                         * CAST(ct AS DECIMAL(10,0))) AS DOUBLE)
+               / n.n_tok, 6) AS entropy
+    FROM c JOIN n USING (source)
+    GROUP BY c.source, n.n_tok, n.vocab
+    ORDER BY source
+"""
+
 # Rules over the same DISTINCT relation: confidence = pair/s_a, lift
 # = pair·N/(s_a·s_c), each one integer product + one division — the
 # identical IEEE steps the Spark side computes.

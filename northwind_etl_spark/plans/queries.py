@@ -2304,6 +2304,17 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the term distribution
+    (operators/text.py::source_term_entropy) — the corpus-diversity
+    monitor (a templated/mirrored source shows as an entropy drop).
+    Decimal-quantized ln weighting makes the sum order-independent
+    and oracle-hash-exact (the unigram_surprisal discipline)."""
+    return X.source_term_entropy(_t(spark, sf_dir, "documents")).orderBy(
+        "source"
+    )
+
+
 def copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules (operators/basket.py::association_rules) on
     the co-purchase pairs: confidence and lift per direction, each one
@@ -2816,6 +2827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_rules": copurchase_rules,
     "event_path_trigrams": event_path_trigrams,
     "multimodal_alaw_stats": multimodal_alaw_stats,
+    "source_entropy_stats": source_entropy_stats,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,

@@ -99,3 +99,24 @@ def test_association_rules_planted(spark, lines=None):
         (10, 20): (3, 1.0, round(12 / 9, 6)),
         (20, 10): (3, 1.0, round(12 / 9, 6)),
     }
+
+
+def test_source_entropy_planted(spark):
+    import math
+
+    from northwind_etl_spark.operators.text import source_term_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x x", "uniform0"),   # one term → H = 0
+            (2, "a b", "twoterm"),        # uniform over 2 → H = ln 2
+            (3, "a a a b", "skewed"),     # p = (3/4, 1/4)
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source: r for r in source_term_entropy(docs).collect()}
+    assert got["uniform0"].entropy == 0.0
+    assert got["uniform0"].vocab == 1 and got["uniform0"].n_tokens == 4
+    assert got["twoterm"].entropy == round(math.log(2), 6)
+    want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(got["skewed"].entropy - round(want, 6)) <= 1e-6
