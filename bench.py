@@ -142,6 +142,7 @@ HEADLINE = [
     "event_path_trigrams",
     "multimodal_alaw_stats",
     "source_entropy_stats",
+    "entity_resolution_clusters",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -2161,6 +2161,47 @@ ORACLES["copurchase_part_pairs"] = """
     ORDER BY n_orders DESC, part_a, part_b
 """
 
+# Connected components by an INDEPENDENT algorithm: the same JW pair
+# graph (native jaro_winkler_similarity, same blocking) closed with a
+# recursive-CTE reachability closure + MIN — cross-checking the
+# pointer-jumping min-label propagation hash-for-hash.  UNION (not
+# UNION ALL) recursion terminates on the finite closure; closure size
+# is bounded by the sum of squared component sizes of the name
+# dictionary (tiny).
+ORACLES["entity_resolution_clusters"] = """
+    WITH RECURSIVE
+    base AS (
+      SELECT min(p_partkey) AS id, lower(trim(p_name)) AS name
+      FROM part GROUP BY lower(trim(p_name))),
+    g AS (
+      SELECT id, unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(length(name) - 2, 1)),
+                 i -> substr(name, i, 3)))) AS gram
+      FROM base),
+    live AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM g a JOIN live USING (gram) JOIN g b USING (gram)
+      WHERE a.id < b.id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN base na ON na.id = id_a
+      JOIN base nb ON nb.id = id_b
+      WHERE jaro_winkler_similarity(na.name, nb.name) >= 0.85),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+    )
+    SELECT id, MIN(r) AS cluster
+    FROM reach
+    GROUP BY id
+    ORDER BY id
+"""
+
 # Entropy with the surprisal decimal discipline: ln p quantized to
 # DECIMAL(26,12) before the ×count weighting, exact decimal sum, one
 # double division at the end.

@@ -2304,6 +2304,28 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution, ORACLE-checked through the
+    iterative operator: the Jaro-Winkler pair graph (same dictionary
+    blocking as jaro_winkler_part_pairs) contracted to connected
+    components by operators/dedup.py::duplicate_clusters (pointer-
+    jumping min-label propagation).  The oracle recomputes the SAME
+    pairs (DuckDB's native JW metric) and closes them with a
+    recursive-CTE reachability closure + MIN — an INDEPENDENT
+    algorithm for the same components, upgrading the iterative CC
+    operator from rows-only to hash-matched evidence."""
+    from ..operators.dedup import duplicate_clusters
+    from ..operators.fuzzy import jaro_winkler_match_pairs
+
+    parts = _t(spark, sf_dir, "part")
+    names = parts.groupBy(F.lower(F.trim("p_name")).alias("name")).agg(
+        F.min("p_partkey").alias("id")
+    )
+    pairs = jaro_winkler_match_pairs(names, "name", "id", threshold=0.85)
+    out = duplicate_clusters(pairs.select("id_a", "id_b"))
+    return out.orderBy("id")
+
+
 def source_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Shannon entropy of the term distribution
     (operators/text.py::source_term_entropy) — the corpus-diversity
@@ -2828,6 +2850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_path_trigrams": event_path_trigrams,
     "multimodal_alaw_stats": multimodal_alaw_stats,
     "source_entropy_stats": source_entropy_stats,
+    "entity_resolution_clusters": entity_resolution_clusters,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
