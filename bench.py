@@ -143,6 +143,7 @@ HEADLINE = [
     "multimodal_alaw_stats",
     "source_entropy_stats",
     "entity_resolution_clusters",
+    "incremental_join_revenue",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

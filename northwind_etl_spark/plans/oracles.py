@@ -2161,6 +2161,31 @@ ORACLES["copurchase_part_pairs"] = """
     ORDER BY n_orders DESC, part_a, part_b
 """
 
+# The IVM decomposition proven, not replayed: the view delta computed
+# independently as (new ⋈ new) EXCEPT ALL (old ⋈ old), then the same
+# decimal aggregate.
+ORACLES["incremental_join_revenue"] = f"""
+    WITH oo AS (SELECT * FROM orders WHERE o_orderkey % 101 <> 0),
+    od AS (SELECT * FROM orders WHERE o_orderkey % 101 = 0),
+    co AS (SELECT * FROM customer WHERE c_custkey % 97 <> 0),
+    cd AS (SELECT * FROM customer WHERE c_custkey % 97 = 0),
+    newv AS (
+        SELECT c_nationkey, o_totalprice
+        FROM (SELECT * FROM oo UNION ALL SELECT * FROM od) o
+        JOIN (SELECT * FROM co UNION ALL SELECT * FROM cd) c
+        ON o.o_custkey = c.c_custkey),
+    oldv AS (
+        SELECT c_nationkey, o_totalprice
+        FROM oo JOIN co ON oo.o_custkey = co.c_custkey),
+    delta AS (
+        SELECT * FROM newv EXCEPT ALL SELECT * FROM oldv)
+    SELECT c_nationkey, COUNT(*) AS n_rows,
+           {_dsum("o_totalprice", "delta_revenue")}
+    FROM delta
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""
+
 # Connected components by an INDEPENDENT algorithm: the same JW pair
 # graph (native jaro_winkler_similarity, same blocking) closed with a
 # recursive-CTE reachability closure + MIN — cross-checking the

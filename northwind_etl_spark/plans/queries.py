@@ -2304,6 +2304,36 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/incremental.py::
+    join_view_delta): orders and customer each split into history +
+    insert-delta (doc-seeded: o_orderkey %101, c_custkey %97); the
+    per-nation revenue contribution of the view delta is aggregated
+    from the three delta-sized joins only.  The oracle computes the
+    SAME delta independently as (new ⋈ new) EXCEPT ALL (old ⋈ old) —
+    proving the IVM decomposition, not replaying it."""
+    from ..operators.incremental import join_view_delta
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ok = F.col("o_orderkey") % 101 == 0
+    ck = F.col("c_custkey") % 97 == 0
+    a_old, a_delta = o.where(~ok), o.where(ok)
+    b_old, b_delta = (
+        c.where(~ck).withColumnRenamed("c_custkey", "o_custkey"),
+        c.where(ck).withColumnRenamed("c_custkey", "o_custkey"),
+    )
+    dv = join_view_delta(a_old, a_delta, b_old, b_delta, on="o_custkey")
+    return (
+        dv.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            decimal_sum("o_totalprice", "delta_revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution, ORACLE-checked through the
     iterative operator: the Jaro-Winkler pair graph (same dictionary
@@ -2851,6 +2881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_alaw_stats": multimodal_alaw_stats,
     "source_entropy_stats": source_entropy_stats,
     "entity_resolution_clusters": entity_resolution_clusters,
+    "incremental_join_revenue": incremental_join_revenue,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,
