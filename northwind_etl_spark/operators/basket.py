@@ -1,28 +1,68 @@
-"""Market-basket affinity: co-occurrence pair counts without a
-self-join.
+"""Market-basket affinity: co-occurrence pair counts and association
+rules without a self-join.
 
 The textbook co-purchase query self-joins the fact table on the order
 key — at 100 TB that shuffles the fact table twice and materializes
 every candidate pair as a join row.  Here each order is collapsed to
-its sorted DISTINCT item array (one groupBy — items cross the shuffle
-once), pairs are expanded ARRAY-LOCALLY inside the row (the
-dedup/ranges expansion idiom: a candidate pair that doesn't exist
-never materializes anywhere), and the pair counts are one more
+its sorted DISTINCT item array (ONE groupBy — the fact table crosses
+the shuffle once, and every downstream statistic derives from that
+baskets relation), pairs are expanded ARRAY-LOCALLY inside the row
+(functions/arrays.py::sorted_pairs: a candidate pair that doesn't
+exist never materializes anywhere), and the pair counts are one more
 map-side-combined groupBy.  Cost per order is |basket|², bounded by
 `max_basket` with the repo's no-silent-truncation contract: an
 oversized basket RAISES in-plan (truncating it would silently
 undercount supports).
 
 Verified: tests/test_basket.py (planted baskets: pair counts, support
-cut, duplicate-line dedup, ordering, the max_basket raise) and the
-oracle-checked `copurchase_part_pairs` entry (oracle: the plain
-DISTINCT self-join + HAVING it must equal).
+cut, duplicate-line dedup, rule confidence/lift, the max_basket
+raise) and the oracle-checked `copurchase_part_pairs` /
+`copurchase_rules` entries (oracle: the plain DISTINCT self-join +
+HAVING they must equal).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.arrays import sorted_pairs
+
+
+def _baskets(
+    df: DataFrame, order_col: str, item_col: str, *, max_basket: int
+) -> DataFrame:
+    """(order, items, n) — sorted distinct item array per order, with
+    the oversize guard fused into `n` (the expression every consumer
+    uses, so Catalyst cannot prune it — the ranges.py in-plan-raise
+    idiom; the cast gives when() a concrete branch type)."""
+    baskets = df.groupBy(order_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("items")
+    )
+    n = F.when(
+        F.size("items") > max_basket,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"basket exceeds max_basket={max_basket} for "
+                    f"{order_col}="
+                ),
+                F.col(order_col).cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.size("items"))
+    return baskets.withColumn("n", n)
+
+
+def _pair_counts(baskets: DataFrame, *, min_support: int) -> DataFrame:
+    pairs = sorted_pairs(F.col("items"), "item_a", "item_b")
+    return (
+        baskets.where(F.col("n") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= min_support)
+    )
 
 
 def copurchase_pairs(
@@ -36,41 +76,9 @@ def copurchase_pairs(
     """(item_a, item_b, n_orders) for every unordered item pair that
     co-occurs in at least `min_support` orders (counted once per
     order, however many lines repeat the item)."""
-    items = F.array_sort(F.collect_set(item_col)).alias("items")
-    baskets = df.groupBy(order_col).agg(items)
-    # The guard lives INSIDE n (the expression every downstream step
-    # uses), so Catalyst cannot prune it — the ranges.py in-plan-raise
-    # idiom; the cast gives when() a concrete branch type.
-    n = F.when(
-        F.size("items") > max_basket,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"basket exceeds max_basket={max_basket} for "
-                    f"{order_col}="
-                ),
-                F.col(order_col).cast("string"),
-            )
-        ).cast("int"),
-    ).otherwise(F.size("items"))
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(F.col("items"), i + 1, n - i),
-                lambda y: F.struct(
-                    F.element_at(F.col("items"), i).alias("item_a"),
-                    y.alias("item_b"),
-                ),
-            ),
-        )
-    )
-    return (
-        baskets.where(n >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .groupBy("p.item_a", "p.item_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= min_support)
+    return _pair_counts(
+        _baskets(df, order_col, item_col, max_basket=max_basket),
+        min_support=min_support,
     )
 
 
@@ -88,22 +96,24 @@ def association_rules(
     confidence = P(consequent | antecedent) = pair / s_antecedent;
     lift = confidence / P(consequent) = pair·N / (s_a·s_c) — computed
     with ONE integer product and ONE division each, mirrored exactly
-    by the oracle so the doubles hash-match.  Item supports come from
-    the same DISTINCT (order, item) relation that feeds the pairs
-    (one extra map-side-combined count), joined back by item key; the
-    order total is the 1-row broadcast scalar pattern.
+    by the oracle so the doubles hash-match.  Every statistic (pair
+    counts, item supports, order total) derives from the ONE persisted
+    baskets relation — the fact table is shuffled once, not three
+    times (supports = explode + count over the basket arrays; the
+    order total is a count of baskets, a 1-row broadcast).
     """
-    distinct_oi = df.select(order_col, item_col).distinct()
-    supports = distinct_oi.groupBy(item_col).agg(
-        F.count(F.lit(1)).alias("__s")
+    from ..cache import persist_stage
+
+    baskets = persist_stage(
+        _baskets(df, order_col, item_col, max_basket=max_basket)
     )
-    totals = distinct_oi.select(order_col).distinct().agg(
-        F.count(F.lit(1)).alias("__n")
+    pairs = _pair_counts(baskets, min_support=min_support)
+    supports = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("__s"))
     )
-    pairs = copurchase_pairs(
-        df, order_col, item_col,
-        min_support=min_support, max_basket=max_basket,
-    )
+    totals = baskets.agg(F.count(F.lit(1)).alias("__n"))
     # both rule directions from each unordered pair
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),
@@ -117,10 +127,10 @@ def association_rules(
         )
     )
     sa = supports.select(
-        F.col(item_col).alias("antecedent"), F.col("__s").alias("__sa")
+        F.col("item").alias("antecedent"), F.col("__s").alias("__sa")
     )
     sc = supports.select(
-        F.col(item_col).alias("consequent"), F.col("__s").alias("__sc")
+        F.col("item").alias("consequent"), F.col("__s").alias("__sc")
     )
     return (
         directed.join(sa, "antecedent")

@@ -92,18 +92,9 @@ def _blocked_candidates(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .where((F.size("ids") > 1) & (F.size("ids") <= max_df))
     )
-    n = F.size("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(F.col("ids"), i + 1, n - i),
-                lambda y: F.struct(
-                    F.element_at(F.col("ids"), i).alias("id_a"), y.alias("id_b")
-                ),
-            ),
-        )
-    )
+    from ..functions.arrays import sorted_pairs
+
+    pair_arr = sorted_pairs(F.col("ids"), "id_a", "id_b")
     # id_a != id_b: a duplicated id value would appear twice in a
     # posting list and emit a degenerate self-pair (edit_distance 0);
     # the oracle's a.id < b.id already excludes those

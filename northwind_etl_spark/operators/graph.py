@@ -66,29 +66,26 @@ def pagerank_fixed_point(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    # The edge list and degree table feed every iteration — persist
-    # once; ranks are re-checkpointed as the loop advances.
+    # Everything loop-invariant is joined ONCE and persisted: the
+    # edge list already carries its source's out-degree, so each
+    # iteration is a single ranks⋈edges join + one groupBy — not the
+    # two joins a naive loop would redo every pass.
     e = persist_stage(e)
     nodes = persist_stage(
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
         .distinct()
     )
-    outdeg = persist_stage(
-        e.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias("od")
-        )
-    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    edges_od = persist_stage(e.join(outdeg, "src"))
 
     base = (scale * (den - num)) // den
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for i in range(iterations):
         contribs = (
-            ranks.join(outdeg, "node")
-            .select("node", F.expr("rank DIV od").alias("c"))
-            .join(e, F.col("node") == F.col("src"))
+            ranks.join(edges_od, F.col("node") == F.col("src"))
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("m"))
+            .agg(F.sum(F.expr("rank DIV od")).alias("m"))
         )
         ranks = nodes.join(contribs, "node", "left").select(
             "node",

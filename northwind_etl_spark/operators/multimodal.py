@@ -947,51 +947,67 @@ G711_STATS_SCHEMA = (
 )
 
 
-def encode_ulaw(samples: "np.ndarray", *, sample_rate: int = 8000) -> bytes:
-    """Compress int16 mono samples to G.711 mu-law (8 bits/sample) in
-    the same framed container style as ADPCM: magic + rate + count."""
+def _frame_g711(
+    magic: bytes, samples: "np.ndarray", conv, sample_rate: int
+) -> bytes:
+    """Shared companded-audio container: magic + rate + count + bytes."""
     import struct
 
-    au = _audioop()
     s = np.ascontiguousarray(samples, dtype="<i2")
-    data = au.lin2ulaw(s.tobytes(), 2)
-    return ULAW_MAGIC + struct.pack("<II", sample_rate, len(s)) + data
+    return magic + struct.pack("<II", sample_rate, len(s)) + conv(s.tobytes(), 2)
 
 
-def decode_ulaw(blob: bytes) -> tuple["np.ndarray", int]:
-    """Decode a framed mu-law blob back to int16 samples; ValueError on
-    bad magic or truncation (the decode_wav/png/jpeg contract)."""
+def _parse_g711(
+    magic: bytes, blob: bytes, conv, label: str
+) -> tuple["np.ndarray", int]:
+    """Shared companded-audio parser; ValueError on bad magic or
+    truncation (the decode_wav/png/jpeg contract)."""
     import struct
 
-    au = _audioop()
-    if blob[:4] != ULAW_MAGIC:
-        raise ValueError("not a ULW1 blob (bad magic)")
+    if blob[:4] != magic:
+        raise ValueError(f"not a {magic.decode()} blob (bad magic)")
     if len(blob) < 12:
-        raise ValueError("truncated mu-law header")
+        raise ValueError(f"truncated {label} header")
     rate, n = struct.unpack_from("<II", blob, 4)
     payload = blob[12:]
     if len(payload) < n:
-        raise ValueError("truncated mu-law payload")
-    pcm = au.ulaw2lin(payload[:n], 2)
-    return np.frombuffer(pcm, dtype="<i2"), rate
+        raise ValueError(f"truncated {label} payload")
+    return np.frombuffer(conv(payload[:n], 2), dtype="<i2"), rate
 
 
-def g711_roundtrip_stats(
-    documents: DataFrame, *, sample_rate: int = 8000
+def encode_ulaw(samples: "np.ndarray", *, sample_rate: int = 8000) -> bytes:
+    """Compress int16 mono samples to G.711 mu-law (8 bits/sample) in
+    the same framed container style as ADPCM: magic + rate + count."""
+    return _frame_g711(ULAW_MAGIC, samples, _audioop().lin2ulaw, sample_rate)
+
+
+def decode_ulaw(blob: bytes) -> tuple["np.ndarray", int]:
+    """Decode a framed mu-law blob back to int16 samples."""
+    return _parse_g711(ULAW_MAGIC, blob, _audioop().ulaw2lin, "mu-law")
+
+
+def _companded_roundtrip_stats(
+    documents: DataFrame,
+    *,
+    encode,
+    decode,
+    bytes_col: str,
+    sample_rate: int,
 ) -> DataFrame:
-    """Samples from the document's utf-8 byte pairs (the
-    make_audio_table rule), through the REAL mu-law encoder and back,
-    with per-doc decoded-sum and worst quantization error.  Because the
-    roundtrip is stateless companding, the DuckDB oracle recovers every
-    sample from hex(text) and replays the exact integer formula — a
-    hash-matched check of a lossy codec (ADPCM can only be rows-only)."""
+    """Shared mu-law/A-law stats pass: samples from the document's
+    utf-8 byte pairs (the make_audio_table rule), through the REAL
+    codec and back, with per-doc decoded-sum and worst quantization
+    error.  Because companding is stateless, the DuckDB oracles
+    recover every sample from hex(text) and replay the exact integer
+    formulas — hash-matched checks of lossy codecs (ADPCM's predictor
+    state forces rows-only)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
                 k: []
                 for k in (
-                    "doc_id", "n_samples", "ulaw_bytes",
+                    "doc_id", "n_samples", bytes_col,
                     "sum_decoded", "max_abs_err",
                 )
             }
@@ -999,20 +1015,35 @@ def g711_roundtrip_stats(
                 data = (t or "").encode("utf-8")
                 n = len(data) // 2
                 samples = np.frombuffer(data, dtype="<i2", count=n)
-                blob = encode_ulaw(samples, sample_rate=sample_rate)
-                dec, _rate = decode_ulaw(blob)
+                blob = encode(samples, sample_rate=sample_rate)
+                dec, _rate = decode(blob)
                 err = np.abs(
                     samples.astype(np.int64) - dec.astype(np.int64)
                 )
                 out["doc_id"].append(doc_id)
                 out["n_samples"].append(n)
-                out["ulaw_bytes"].append(len(blob))
+                out[bytes_col].append(len(blob))
                 out["sum_decoded"].append(int(dec.astype(np.int64).sum()))
                 out["max_abs_err"].append(int(err.max()) if n else 0)
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id", "text").mapInPandas(
-        stats, G711_STATS_SCHEMA
+    schema = (
+        f"doc_id long, n_samples int, {bytes_col} int,"
+        " sum_decoded long, max_abs_err int"
+    )
+    return documents.select("doc_id", "text").mapInPandas(stats, schema)
+
+
+def g711_roundtrip_stats(
+    documents: DataFrame, *, sample_rate: int = 8000
+) -> DataFrame:
+    """Mu-law roundtrip stats — see _companded_roundtrip_stats."""
+    return _companded_roundtrip_stats(
+        documents,
+        encode=encode_ulaw,
+        decode=decode_ulaw,
+        bytes_col="ulaw_bytes",
+        sample_rate=sample_rate,
     )
 
 
@@ -1028,64 +1059,22 @@ ALAW_MAGIC = b"ALW1"
 
 def encode_alaw(samples: "np.ndarray", *, sample_rate: int = 8000) -> bytes:
     """Compress int16 mono samples to G.711 A-law (8 bits/sample)."""
-    import struct
-
-    au = _audioop()
-    s = np.ascontiguousarray(samples, dtype="<i2")
-    data = au.lin2alaw(s.tobytes(), 2)
-    return ALAW_MAGIC + struct.pack("<II", sample_rate, len(s)) + data
+    return _frame_g711(ALAW_MAGIC, samples, _audioop().lin2alaw, sample_rate)
 
 
 def decode_alaw(blob: bytes) -> tuple["np.ndarray", int]:
-    """Decode a framed A-law blob; ValueError on bad magic/truncation."""
-    import struct
-
-    au = _audioop()
-    if blob[:4] != ALAW_MAGIC:
-        raise ValueError("not an ALW1 blob (bad magic)")
-    if len(blob) < 12:
-        raise ValueError("truncated A-law header")
-    rate, n = struct.unpack_from("<II", blob, 4)
-    payload = blob[12:]
-    if len(payload) < n:
-        raise ValueError("truncated A-law payload")
-    pcm = au.alaw2lin(payload[:n], 2)
-    return np.frombuffer(pcm, dtype="<i2"), rate
+    """Decode a framed A-law blob."""
+    return _parse_g711(ALAW_MAGIC, blob, _audioop().alaw2lin, "A-law")
 
 
 def alaw_roundtrip_stats(
     documents: DataFrame, *, sample_rate: int = 8000
 ) -> DataFrame:
-    """A-law twin of g711_roundtrip_stats — same byte-pair sample rule,
-    same per-doc stats, same oracle-replayable contract."""
-
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {
-                k: []
-                for k in (
-                    "doc_id", "n_samples", "alaw_bytes",
-                    "sum_decoded", "max_abs_err",
-                )
-            }
-            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                data = (t or "").encode("utf-8")
-                n = len(data) // 2
-                samples = np.frombuffer(data, dtype="<i2", count=n)
-                blob = encode_alaw(samples, sample_rate=sample_rate)
-                dec, _rate = decode_alaw(blob)
-                err = np.abs(
-                    samples.astype(np.int64) - dec.astype(np.int64)
-                )
-                out["doc_id"].append(doc_id)
-                out["n_samples"].append(n)
-                out["alaw_bytes"].append(len(blob))
-                out["sum_decoded"].append(int(dec.astype(np.int64).sum()))
-                out["max_abs_err"].append(int(err.max()) if n else 0)
-            yield pd.DataFrame(out)
-
-    schema = (
-        "doc_id long, n_samples int, alaw_bytes int,"
-        " sum_decoded long, max_abs_err int"
+    """A-law roundtrip stats — see _companded_roundtrip_stats."""
+    return _companded_roundtrip_stats(
+        documents,
+        encode=encode_alaw,
+        decode=decode_alaw,
+        bytes_col="alaw_bytes",
+        sample_rate=sample_rate,
     )
-    return documents.select("doc_id", "text").mapInPandas(stats, schema)

@@ -7,20 +7,35 @@ The naive exact median is ORDER BY + OFFSET — a single-task total sort
 gets the EXACT order statistic with a driver-side binary search over
 value space: each pass is one histogram aggregation (map-side
 combined, 1024 bins), the driver keeps only the 1024 counts, picks
-the bin containing the k-th element, and narrows the range.  A
+the bin containing the k-th element, and narrows to that bin.  A
 double's exponent+mantissa range collapses in a handful of passes
 (each divides the candidate interval by 1024); ties collapse the
 interval to a point immediately.
 
-Per pass: one scan-filter + one tiny aggregation; driver state: 1024
-longs.  At 100 TB the scan-filter pushes the narrowed [lo, hi] range
-into the parquet row-group stats, so later passes read a shrinking
-fraction of the data — the selection gets CHEAPER as it converges.
+Floating-point discipline: rows are filtered by the SAME bin
+expression that produced the counts (`floor((v - lo)/width) ==
+chosen`, identical literals), never by re-derived `lo + chosen·width`
+bounds — product-form bounds and floor classification can round
+differently at bin edges, which would desynchronize the rank
+bookkeeping from the surviving rows.  The next pass's [lo, hi] is
+then the measured min/max of the survivors (authoritative, not
+arithmetic).  Non-finite values (NaN/±inf) have no place on the
+histogram number line; the initial scan counts them and raises — the
+caller decides how to clean them (the ANSI order-statistic convention
+of silently sorting NaN greatest is exactly the kind of silent
+semantics this repo's oracles exist to preclude).
+
+Per pass: one filtered histogram aggregation + one min/max of the
+survivors; driver state: 1024 longs.  At 100 TB the narrowed range
+filter pushes into parquet row-group stats, so later passes read a
+shrinking fraction of the data — the selection gets CHEAPER as it
+converges.
 
 Verified: tests/test_selection.py (vs numpy.partition on random data,
-all-duplicates, k=1/k=n, negative values, convergence-pass bound) and
-the oracle-checked `exact_median_order_price` entry (DuckDB ORDER BY
-… OFFSET — the unambiguous definition of the k-th element).
+all-duplicates, k=1/k=n, negative values, adjacent-double stagnation,
+NaN/inf rejection, quantile convention) and the oracle-checked
+`exact_median_order_price` entry (DuckDB ORDER BY … OFFSET — the
+unambiguous definition of the k-th element).
 """
 
 from __future__ import annotations
@@ -38,25 +53,50 @@ def kth_smallest(
     col: str,
     k: int | None = None,
     *,
+    q: float | None = None,
     max_passes: int = 12,
 ) -> tuple[float, int, int]:
-    """Exact k-th smallest value of `col` (1-based k; default k =
-    (n+1)//2, the lower median).  Returns (value, k, n).
+    """Exact k-th smallest value of `col` (1-based k).  Exactly one of
+    `k` / `q` may be given; default is the lower median.  With `q`,
+    k = max(1, ceil(q·n)) — the `quantile_disc` convention.  Returns
+    (value, k, n).
 
-    NULLs are excluded (order statistics over present values).  The
-    driver never holds more than the 1024-bin histogram.
+    NULLs are excluded (order statistics over present values);
+    NaN/±inf raise.  The driver never holds more than the 1024-bin
+    histogram.
     """
-    base = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
-    total = base.count()
+    if k is not None and q is not None:
+        raise ValueError("pass k or q, not both")
+    v = F.col("v")
+    base = df.select(F.col(col).alias("v")).where(v.isNotNull())
+    # ONE initial job: count, range, and the non-finite census.
+    first = base.agg(
+        F.count(v).alias("n"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+        F.sum(
+            F.when(
+                F.isnan(v) | (v == float("inf")) | (v == float("-inf")), 1
+            ).otherwise(0)
+        ).alias("bad"),
+    ).first()
+    total = first.n
     if total == 0:
         raise ValueError("kth_smallest on an empty relation")
-    if k is None:
+    if first.bad:
+        raise ValueError(
+            f"kth_smallest: {first.bad} non-finite value(s) in {col!r};"
+            " filter NaN/inf first — they have no place on the"
+            " histogram number line"
+        )
+    if q is not None:
+        k = max(1, math.ceil(q * total))
+    elif k is None:
         k = (total + 1) // 2
     if not 1 <= k <= total:
         raise ValueError(f"k={k} outside 1..{total}")
 
-    row = base.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
-    lo, hi = float(row.lo), float(row.hi)
+    lo, hi = float(first.lo), float(first.hi)
     remaining_k = k
     cur = base
     for _ in range(max_passes):
@@ -65,20 +105,16 @@ def kth_smallest(
         width = (hi - lo) / _BINS
         if width == 0 or not math.isfinite(width):
             break
-        # bin index, clipped into [0, _BINS-1] (hi lands in the last bin)
+        # THE bin expression — used for both counting and filtering,
+        # so classification and survival can never disagree.
         b = F.least(
             F.lit(_BINS - 1),
             F.greatest(
                 F.lit(0),
-                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
             ),
         )
-        counts = dict(
-            cur.where(F.col("v").between(lo, hi))
-            .groupBy(b.alias("b"))
-            .count()
-            .collect()
-        )
+        counts = dict(cur.groupBy(b.alias("b")).count().collect())
         cum = 0
         chosen = _BINS - 1
         for i in range(_BINS):
@@ -88,30 +124,18 @@ def kth_smallest(
                 remaining_k -= cum
                 break
             cum += c
-        new_lo = lo + chosen * width
-        new_hi = hi if chosen == _BINS - 1 else lo + (chosen + 1) * width
-        # Guard against float stagnation: if the interval no longer
-        # shrinks, the candidates are a handful of adjacent doubles.
+        cur = cur.where(b == F.lit(chosen))
+        # Authoritative bounds for the next pass: the survivors'
+        # actual range (never re-derived bin-edge arithmetic).
+        row = cur.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+        new_lo, new_hi = float(row.lo), float(row.hi)
         if (new_lo, new_hi) == (lo, hi):
-            break
-        # The bin predicate is [new_lo, new_hi) except the last bin,
-        # which is inclusive — re-anchor on the exact same predicate.
+            break  # float stagnation: a handful of adjacent doubles
         lo, hi = new_lo, new_hi
-        cur = cur.where(
-            (F.col("v") >= F.lit(lo))
-            & (
-                F.col("v") <= F.lit(hi)
-                if chosen == _BINS - 1
-                else F.col("v") < F.lit(hi)
-            )
-        )
-    # Finish exactly: after the loop the survivors span a handful of
-    # adjacent distinct doubles (float stagnation), however many ROWS
-    # hold them — so walk the per-distinct-value counts (driver gets
-    # one row per distinct survivor value, not per row).
+    # Finish exactly: however many ROWS remain, they span few distinct
+    # doubles — walk per-distinct-value counts (one row per value).
     vals = sorted(
-        cur.where(F.col("v").between(lo, hi)).groupBy("v").count().collect(),
-        key=lambda r: r.v,
+        cur.groupBy("v").count().collect(), key=lambda r: r.v
     )
     cum = 0
     for r in vals:
@@ -124,9 +148,6 @@ def kth_smallest(
 def exact_quantile(
     df: DataFrame, col: str, q: float, **kw
 ) -> tuple[float, int, int]:
-    """Exact discrete quantile: the k-th smallest with
-    k = max(1, ceil(q·n)) — the `quantile_disc` convention."""
-    base = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
-    n = base.count()
-    k = max(1, math.ceil(q * n))
-    return kth_smallest(df, col, k, **kw)
+    """Exact discrete quantile — thin wrapper over kth_smallest(q=q)
+    (one scan computes count/range/census; no separate count job)."""
+    return kth_smallest(df, col, q=q, **kw)

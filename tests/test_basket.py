@@ -79,7 +79,7 @@ def test_transitions_tie_deterministic(spark):
     assert got == {("x", "y"), ("y", "z")}
 
 
-def test_association_rules_planted(spark, lines=None):
+def test_association_rules_planted(spark):
     from northwind_etl_spark.operators.basket import association_rules
 
     rows = [

@@ -66,3 +66,22 @@ def test_adjacent_doubles_stagnation_path(spark):
     vals = [a] * 10 + [float(b)] * 10
     assert kth_smallest(_df(spark, vals), "x", 10)[0] == a
     assert kth_smallest(_df(spark, vals), "x", 11)[0] == float(b)
+
+
+def test_nonfinite_rejected(spark):
+    df = spark.createDataFrame([(1.0,), (float("nan"),)], ["x"])
+    with pytest.raises(ValueError, match="non-finite"):
+        kth_smallest(df, "x")
+    df2 = spark.createDataFrame([(1.0,), (float("inf"),)], ["x"])
+    with pytest.raises(ValueError, match="non-finite"):
+        kth_smallest(df2, "x")
+
+
+def test_boundary_heavy_values(spark):
+    # values engineered onto early bin edges: exact powers of the bin
+    # width so floor((v-lo)/width) sits on integer boundaries
+    vals = [float(i) for i in range(0, 2048, 2)]
+    df = _df(spark, vals).repartition(9)
+    for k in (1, 512, 1024):
+        got, _, _ = kth_smallest(df, "x", k)
+        assert got == float(np.partition(np.array(vals), k - 1)[k - 1])
