@@ -144,6 +144,7 @@ HEADLINE = [
     "source_entropy_stats",
     "entity_resolution_clusters",
     "incremental_join_revenue",
+    "exact_p90_price_by_priority",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

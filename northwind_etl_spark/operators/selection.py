@@ -151,3 +151,175 @@ def exact_quantile(
     """Exact discrete quantile — thin wrapper over kth_smallest(q=q)
     (one scan computes count/range/census; no separate count job)."""
     return kth_smallest(df, col, q=q, **kw)
+
+
+def group_kth_smallest(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    k: int | None = None,
+    q: float | None = None,
+    max_passes: int = 12,
+) -> list[tuple]:
+    """Exact per-group order statistic — every group's k-th smallest
+    (or q-quantile, k = max(1, ceil(q·n_g))) WITHOUT a per-group sort.
+
+    All unresolved groups advance together: each pass is ONE histogram
+    aggregation over (group, bin) — the bin expression reads each
+    group's own [lo, width] from a broadcast-joined spec built from
+    driver state — followed by one per-group min/max of the survivors.
+    Driver state is O(#groups) plus the ≤ #groups·1024 histogram rows
+    per pass; groups resolve (and leave the scan) as soon as their
+    interval collapses or stagnates.  The same float discipline as
+    kth_smallest: survivors are filtered by the IDENTICAL bin
+    expression that produced the counts, never re-derived bounds.
+
+    Returns [(group, value, k, n)] sorted by group.  Intended for
+    LOW-cardinality groups (priorities, sources, partitions of an
+    experiment); for millions of groups use hist_quantiles
+    (operators/incremental.py), which trades exactness for one pass.
+    """
+    if k is not None and q is not None:
+        raise ValueError("pass k or q, not both")
+    spark = df.sparkSession
+    v, g = F.col("v"), F.col("g")
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(col).alias("v")
+    ).where(v.isNotNull())
+    first = (
+        base.groupBy("g")
+        .agg(
+            F.count(v).alias("n"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+            F.sum(
+                F.when(
+                    F.isnan(v) | (v == float("inf")) | (v == float("-inf")),
+                    1,
+                ).otherwise(0)
+            ).alias("bad"),
+        )
+        .collect()
+    )
+    if not first:
+        raise ValueError("group_kth_smallest on an empty relation")
+    bad = {r.g: r.bad for r in first if r.bad}
+    if bad:
+        raise ValueError(f"non-finite values in groups {sorted(bad)}")
+
+    # driver state per group
+    state = {}
+    for r in first:
+        kg = (
+            max(1, math.ceil(q * r.n))
+            if q is not None
+            else ((r.n + 1) // 2 if k is None else k)
+        )
+        if not 1 <= kg <= r.n:
+            raise ValueError(f"k={kg} outside 1..{r.n} for group {r.g!r}")
+        state[r.g] = {
+            "k": kg, "n": r.n, "rem": kg,
+            "lo": float(r.lo), "hi": float(r.hi), "done": None,
+        }
+
+    def finish_by_walk(frame, groups):
+        """Resolve `groups` by walking their per-distinct-value counts
+        — must run while `frame` still CONTAINS their rows (a later
+        pass's inner spec-join would drop resolved/stagnant groups)."""
+        if not groups:
+            return
+        per = {}
+        for r in (
+            frame.where(g.isin(list(groups))).groupBy("g", "v").count()
+        ).collect():
+            per.setdefault(r.g, []).append((r.v, r["count"]))
+        for gk in groups:
+            s = state[gk]
+            cum = 0
+            for val, c in sorted(per.get(gk, [])):
+                cum += c
+                if cum >= s["rem"]:
+                    s["done"] = float(val)
+                    break
+            if s["done"] is None:  # pragma: no cover
+                raise AssertionError(
+                    "group selection invariant violated"
+                )
+
+    cur = base
+    for _ in range(max_passes):
+        live = {gk: s for gk, s in state.items() if s["done"] is None}
+        for gk, s in list(live.items()):
+            if s["lo"] == s["hi"]:
+                s["done"] = s["lo"]
+                del live[gk]
+        # Groups whose interval can no longer split (zero/non-finite
+        # width) are finished NOW, while cur still holds their rows.
+        spec_rows, stagnant = [], []
+        for gk, s in live.items():
+            width = (s["hi"] - s["lo"]) / _BINS
+            if width == 0 or not math.isfinite(width):
+                stagnant.append(gk)
+            else:
+                spec_rows.append((gk, s["lo"], width))
+        finish_by_walk(cur, stagnant)
+        if not spec_rows:
+            break
+        spec = spark.createDataFrame(spec_rows, ["g", "__lo", "__width"])
+        cur = cur.join(F.broadcast(spec), "g").select(
+            "g", "v", "__lo", "__width"
+        )
+        b = F.least(
+            F.lit(_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - F.col("__lo")) / F.col("__width")).cast("int"),
+            ),
+        )
+        counts = {}
+        for r in cur.groupBy("g", b.alias("b")).count().collect():
+            counts.setdefault(r.g, {})[r.b] = r["count"]
+        chosen_rows = []
+        for gk, _lo, _w in spec_rows:
+            s = state[gk]
+            cum, chosen = 0, _BINS - 1
+            for i in range(_BINS):
+                c = counts.get(gk, {}).get(i, 0)
+                if cum + c >= s["rem"]:
+                    chosen = i
+                    s["rem"] -= cum
+                    break
+                cum += c
+            chosen_rows.append((gk, chosen))
+        ch = spark.createDataFrame(chosen_rows, ["g", "__chosen"])
+        cur = (
+            cur.join(F.broadcast(ch), "g")
+            .where(b == F.col("__chosen"))
+            .select("g", "v")
+        )
+        ranges = {
+            r.g: (float(r.lo), float(r.hi))
+            for r in cur.groupBy("g")
+            .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+            .collect()
+        }
+        unchanged = []
+        for gk, _lo, _w in spec_rows:
+            s = state[gk]
+            new = ranges[gk]
+            if new == (s["lo"], s["hi"]):
+                unchanged.append(gk)  # float stagnation
+            s["lo"], s["hi"] = new
+        # Stagnated-in-place groups also finish NOW (their rows are
+        # still in cur; the next pass's spec-join would drop them).
+        finish_by_walk(cur, unchanged)
+
+    # max_passes exhausted (or every group left the spec): finish the
+    # rest — all still present in cur, since they were in its last spec.
+    finish_by_walk(
+        cur, [gk for gk, s in state.items() if s["done"] is None]
+    )
+    return sorted(
+        (gk, s["done"], s["k"], s["n"]) for gk, s in state.items()
+    )

@@ -2306,6 +2306,22 @@ ORACLES["event_transition_matrix"] = """
 """
 
 
+# The per-group k-th element by its row_number definition (k =
+# ceil(0.9·n_g), the quantile_disc convention group_kth_smallest uses).
+ORACLES["exact_p90_price_by_priority"] = """
+    WITH t AS (SELECT o_orderpriority AS g, o_totalprice AS v
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    r AS (SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM t)
+    SELECT g AS o_orderpriority, v AS p90_price,
+           CAST(rn AS BIGINT) AS k, CAST(n AS BIGINT) AS n
+    FROM r
+    WHERE rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+    ORDER BY o_orderpriority
+"""
+
 # The unambiguous k-th-element definition the sortless selection must
 # land on exactly: ORDER BY with OFFSET (n+1)//2 - 1 (lower median).
 ORACLES["exact_median_order_price"] = """

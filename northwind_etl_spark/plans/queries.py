@@ -2275,6 +2275,25 @@ def multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.adpcm_roundtrip_stats(_t(spark, sf_dir, "documents"))
 
 
+def exact_p90_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact order statistics WITHOUT a per-group sort
+    (operators/selection.py::group_kth_smallest): the exact p90 of
+    o_totalprice per order priority — all groups advance together,
+    one (group, bin) histogram aggregation per pass with each group's
+    own range broadcast-joined in.  The oracle is the per-group
+    row_number definition."""
+    from ..operators.selection import group_kth_smallest
+
+    rows = group_kth_smallest(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
+        q=0.9,
+    )
+    return spark.createDataFrame(
+        [(gk, float(val), int(kk), int(n)) for gk, val, kk, n in rows],
+        "o_orderpriority string, p90_price double, k long, n long",
+    ).orderBy("o_orderpriority")
+
+
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity (operators/basket.py): part pairs
     co-occurring in ≥2 orders, WITHOUT the textbook fact-table
@@ -2882,6 +2901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_entropy_stats": source_entropy_stats,
     "entity_resolution_clusters": entity_resolution_clusters,
     "incremental_join_revenue": incremental_join_revenue,
+    "exact_p90_price_by_priority": exact_p90_price_by_priority,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
     "asof_last_touch": asof_last_touch,
     "session_overlap_pairs": session_overlap_pairs,

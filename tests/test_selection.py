@@ -85,3 +85,42 @@ def test_boundary_heavy_values(spark):
     for k in (1, 512, 1024):
         got, _, _ = kth_smallest(df, "x", k)
         assert got == float(np.partition(np.array(vals), k - 1)[k - 1])
+
+
+def test_group_kth_matches_numpy(spark):
+    from northwind_etl_spark.operators.selection import group_kth_smallest
+
+    rng = np.random.RandomState(3)
+    rows = []
+    sizes = {"a": 701, "b": 40, "c": 1, "d": 1000}
+    data = {}
+    for gname, n in sizes.items():
+        vals = rng.lognormal(4, 2, size=n)
+        data[gname] = vals
+        rows += [(gname, float(x)) for x in vals]
+    df = spark.createDataFrame(rows, ["g", "x"]).repartition(7)
+    got = group_kth_smallest(df, "x", "g", q=0.9)
+    assert [r[0] for r in got] == ["a", "b", "c", "d"]
+    for gname, val, kk, n in got:
+        want_k = max(1, int(np.ceil(0.9 * sizes[gname])))
+        assert (kk, n) == (want_k, sizes[gname])
+        assert val == float(np.partition(data[gname], want_k - 1)[want_k - 1])
+
+
+def test_group_kth_ties_and_stagnation(spark):
+    from northwind_etl_spark.operators.selection import group_kth_smallest
+
+    a = 1.0
+    b = float(np.nextafter(a, 2.0))
+    rows = (
+        [("t", 5.0)] * 9                       # all-ties group
+        + [("s", a)] * 10 + [("s", b)] * 10    # adjacent-doubles group
+        + [("u", float(i)) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x"])
+    with pytest.raises(ValueError, match="outside"):
+        group_kth_smallest(df, "x", "g", k=10)  # k=10 > n=9 for 't'
+    got = {r[0]: r for r in group_kth_smallest(df, "x", "g", k=9)}
+    assert got["t"][1] == 5.0                  # all-ties collapses
+    assert got["s"][1] == a                    # 9th of 10+10 adjacent
+    assert got["u"][1] == 8.0
