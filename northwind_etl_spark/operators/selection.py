@@ -114,21 +114,30 @@ def kth_smallest(
                 F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
             ),
         )
-        counts = dict(cur.groupBy(b.alias("b")).count().collect())
+        # ONE job per pass: each bin's count AND measured value range
+        # (the chosen bin's min/max are the next pass's authoritative
+        # bounds — no separate survivors scan, no re-derived edges).
+        stats = {
+            r.b: (r["count"], float(r.lo), float(r.hi))
+            for r in cur.groupBy(b.alias("b"))
+            .agg(
+                F.count(v).alias("count"),
+                F.min(v).alias("lo"),
+                F.max(v).alias("hi"),
+            )
+            .collect()
+        }
         cum = 0
         chosen = _BINS - 1
         for i in range(_BINS):
-            c = counts.get(i, 0)
+            c = stats.get(i, (0,))[0]
             if cum + c >= remaining_k:
                 chosen = i
                 remaining_k -= cum
                 break
             cum += c
         cur = cur.where(b == F.lit(chosen))
-        # Authoritative bounds for the next pass: the survivors'
-        # actual range (never re-derived bin-edge arithmetic).
-        row = cur.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
-        new_lo, new_hi = float(row.lo), float(row.hi)
+        new_lo, new_hi = stats[chosen][1], stats[chosen][2]
         if (new_lo, new_hi) == (lo, hi):
             break  # float stagnation: a handful of adjacent doubles
         lo, hi = new_lo, new_hi
@@ -277,40 +286,44 @@ def group_kth_smallest(
                 F.floor((v - F.col("__lo")) / F.col("__width")).cast("int"),
             ),
         )
-        counts = {}
-        for r in cur.groupBy("g", b.alias("b")).count().collect():
-            counts.setdefault(r.g, {})[r.b] = r["count"]
-        chosen_rows = []
+        # ONE job per pass: per-(group, bin) count AND measured value
+        # range — the chosen bin's min/max are the group's next
+        # bounds, so no separate survivors scan is needed.
+        stats = {}
+        for r in (
+            cur.groupBy("g", b.alias("b"))
+            .agg(
+                F.count(v).alias("count"),
+                F.min(v).alias("lo"),
+                F.max(v).alias("hi"),
+            )
+            .collect()
+        ):
+            stats.setdefault(r.g, {})[r.b] = (
+                r["count"], float(r.lo), float(r.hi)
+            )
+        chosen_rows, unchanged = [], []
         for gk, _lo, _w in spec_rows:
             s = state[gk]
             cum, chosen = 0, _BINS - 1
             for i in range(_BINS):
-                c = counts.get(gk, {}).get(i, 0)
+                c = stats.get(gk, {}).get(i, (0,))[0]
                 if cum + c >= s["rem"]:
                     chosen = i
                     s["rem"] -= cum
                     break
                 cum += c
             chosen_rows.append((gk, chosen))
+            new = stats[gk][chosen][1:]
+            if new == (s["lo"], s["hi"]):
+                unchanged.append(gk)  # float stagnation
+            s["lo"], s["hi"] = new
         ch = spark.createDataFrame(chosen_rows, ["g", "__chosen"])
         cur = (
             cur.join(F.broadcast(ch), "g")
             .where(b == F.col("__chosen"))
             .select("g", "v")
         )
-        ranges = {
-            r.g: (float(r.lo), float(r.hi))
-            for r in cur.groupBy("g")
-            .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
-            .collect()
-        }
-        unchanged = []
-        for gk, _lo, _w in spec_rows:
-            s = state[gk]
-            new = ranges[gk]
-            if new == (s["lo"], s["hi"]):
-                unchanged.append(gk)  # float stagnation
-            s["lo"], s["hi"] = new
         # Stagnated-in-place groups also finish NOW (their rows are
         # still in cur; the next pass's spec-join would drop them).
         finish_by_walk(cur, unchanged)
