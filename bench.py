@@ -145,6 +145,8 @@ HEADLINE = [
     "entity_resolution_clusters",
     "incremental_join_revenue",
     "exact_p90_price_by_priority",
+    # sorted-neighborhood linkage (range-ranked candidates, JW verify)
+    "sorted_neighborhood_part_pairs",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -155,6 +155,81 @@ def jaro_winkler(s1: str, s2: str) -> float:
     return j
 
 
+def _jw_pandas_udf():
+    """The shared Arrow-batched Jaro-Winkler verifier (bit-identical
+    to DuckDB's native metric — tests/test_fuzzy_jw.py)."""
+
+    @pandas_udf("double")
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    return jw_udf
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 5,
+    threshold: float = 0.9,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995):
+    rank every record by its normalized sort key, take every pair
+    within `window` ranks as a candidate, verify with Jaro-Winkler.
+
+    The complementary blocking paradigm to q-gram posting lists
+    (`_blocked_candidates`):
+
+    - **Cost is data-INDEPENDENT**: exactly n·window candidate pairs,
+      whatever the value distribution — no hot-gram quadratic mode
+      exists, so there is nothing to cap and nothing to truncate.
+    - **Recall profile differs**: catches prefix-similar names that
+      share no rare gram; misses pairs that diverge in their leading
+      characters (the classic SNM tradeoff — multi-pass SNM with a
+      second key ordering is the textbook fix, composable by union).
+
+    Scale shape: the ranking is `global_row_number`'s two-exchange
+    form (range exchange + per-partition local window — never
+    `Exchange SinglePartition`); candidates come from replicating each
+    ranked row `window` times (`explode(sequence(rk+1, rk+window))`)
+    into an equi-join on rank, so the shuffle carries n·window rows of
+    (rank, id, key) — no posting lists, no array blowup.  Returns
+    (id_a, id_b, jw) with id_a the lower-RANKED record (both engines
+    derive the same assignment from the same total order).
+    """
+    from .ranking import global_row_number
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.lower(F.trim(F.col(text_col))).alias("__name"),
+    )
+    ranked = persist_stage(
+        global_row_number(
+            base, ["__name", "id"], rank_col="__rk", partitions=partitions
+        )
+    )
+    left = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("__name").alias("__na"),
+        F.explode(
+            F.sequence(F.col("__rk") + 1, F.col("__rk") + window)
+        ).alias("__rk"),
+    )
+    right = ranked.select(
+        "__rk", F.col("id").alias("id_b"), F.col("__name").alias("__nb")
+    )
+    jw_udf = _jw_pandas_udf()
+    return (
+        left.join(right, "__rk")
+        .select("id_a", "id_b", jw_udf("__na", "__nb").alias("jw"))
+        .where(F.col("jw") >= threshold)
+    )
+
+
 def jaro_winkler_match_pairs(
     df: DataFrame,
     text_col: str,
@@ -175,12 +250,7 @@ def jaro_winkler_match_pairs(
     would swap the Python body for a C implementation (rapidfuzz) —
     the batching, blocking, and plan shape are the contract here.
     """
-    @pandas_udf("double")
-    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
-        )
-
+    jw_udf = _jw_pandas_udf()
     base, cands = _blocked_candidates(df, text_col, id_col, ngram_n, max_df)
     a = base.select(F.col("id").alias("id_a"), F.col("__name").alias("__na"))
     b = base.select(F.col("id").alias("id_b"), F.col("__name").alias("__nb"))

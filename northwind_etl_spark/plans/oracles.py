@@ -2042,6 +2042,26 @@ ORACLES: dict[str, str] = {
         WHERE jaro_winkler_similarity(na.name, nb.name) >= 0.85
         ORDER BY id_a, id_b
     """,
+    # The sorted-neighborhood form over the same dictionary: a plain
+    # row_number over the identical (name, id) total order, candidates
+    # = rank distance <= 5, DuckDB's NATIVE jaro_winkler_similarity as
+    # the verifier — cross-engine on both the distributed ranking
+    # (global_row_number's two-exchange form ≡ the single window) and
+    # the string metric.
+    "sorted_neighborhood_part_pairs": """
+        WITH base AS (
+          SELECT min(p_partkey) AS id, lower(trim(p_name)) AS name
+          FROM part GROUP BY lower(trim(p_name))),
+        r AS (
+          SELECT id, name,
+                 row_number() OVER (ORDER BY name, id) AS rk
+          FROM base)
+        SELECT a.id AS id_a, b.id AS id_b,
+               ROUND(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5
+        WHERE jaro_winkler_similarity(a.name, b.name) >= 0.85
+        ORDER BY id_a, id_b
+    """,
     # The trap form the pigeonhole pattern must equal: one full-vocab
     # GROUP BY with a scale-free HAVING.  `(a + b - 1) // b` is the
     # same exact BIGINT ceil-div Spark computes with DIV.

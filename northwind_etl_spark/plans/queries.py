@@ -1062,6 +1062,34 @@ def jaro_winkler_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def sorted_neighborhood_part_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (operators/fuzzy.py::
+    sorted_neighborhood_pairs) over the same DISTINCT part-name
+    dictionary as jaro_winkler_part_pairs — the complementary blocking
+    paradigm: rank by the normalized name (global_row_number's
+    two-exchange form, never a single-task window), candidates are the
+    exactly n·window pairs within 5 ranks (data-independent cost — no
+    hot-gram mode exists), verified at jw >= 0.85 with the verifier
+    pinned bit-identical to DuckDB's native jaro_winkler_similarity.
+    The oracle replays the identical total order with a plain
+    row_number and DuckDB's native metric — cross-engine on both the
+    ranking and the string metric."""
+    from ..operators.fuzzy import sorted_neighborhood_pairs
+
+    parts = _t(spark, sf_dir, "part")
+    names = parts.groupBy(F.lower(F.trim("p_name")).alias("name")).agg(
+        F.min("p_partkey").alias("id")
+    )
+    pairs = sorted_neighborhood_pairs(
+        names, "name", "id", window=5, threshold=0.85
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jw", 6).alias("jw")
+    ).orderBy("id_a", "id_b")
+
+
 def keyword_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive keyword retrieval (operators/search.py::
     keyword_search_scan): top-20 docs containing ALL of merge/vector/
@@ -3014,4 +3042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_lineitem": profile_lineitem,
     "quantiles_quantity": quantiles_quantity,
     "tumbling_event_counts": tumbling_event_counts,
+    # --- final r06 additions (never driver-checked → lead r07 with the
+    #     other post-snapshot entries) --------------------------------
+    "sorted_neighborhood_part_pairs": sorted_neighborhood_part_pairs,
 }

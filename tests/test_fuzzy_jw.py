@@ -83,3 +83,65 @@ def test_normalization_and_threshold(spark):
     for k, v in pairs.items():
         if k != (1, 2):
             assert v == expected_13
+
+
+def test_sorted_neighborhood_matches_definition(spark):
+    """SNM candidates are EXACTLY the pairs within `window` ranks of
+    the (normalized name, id) total order; survivors match the direct
+    JW evaluation over that candidate set."""
+    from northwind_etl_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    rows = [
+        (10, "  Alpha Widget "),
+        (11, "alpha widgets"),
+        (12, "alpha widgetz"),
+        (13, "beta gadget"),
+        (14, "beta gadgets"),
+        (15, "zeta unrelated"),
+        (16, "alpha widget"),  # exact dup of 10 after normalization
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    w = 2
+    got = {
+        (r.id_a, r.id_b): r.jw
+        for r in sorted_neighborhood_pairs(
+            df, "name", "id", window=w, threshold=0.85
+        ).collect()
+    }
+    # ground truth: rank by (normalized, id), pair ranks within w
+    norm = sorted((n.strip().lower(), i) for i, n in rows)
+    exp = {}
+    for a in range(len(norm)):
+        for b in range(a + 1, min(a + w + 1, len(norm))):
+            v = jaro_winkler(norm[a][0], norm[b][0])
+            if v >= 0.85:
+                exp[(norm[a][1], norm[b][1])] = v
+    assert got == exp
+    # the exact-dup pair must surface with jw == 1.0 (adjacent ranks)
+    assert got[(10, 16)] == 1.0
+    # data-independent candidate bound: never more than n*w survivors
+    assert len(got) <= len(rows) * w
+
+
+def test_sorted_neighborhood_recall_tradeoff(spark):
+    """The documented SNM miss: prefix-divergent near-identical names
+    that sort far apart are NOT candidates (q-gram blocking's case),
+    while a wide-enough window recovers sort-adjacent pairs."""
+    from northwind_etl_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "aaaa cable kit"),
+        (2, "zzzz cable kit"),  # JW-similar suffix, sorts to the far end
+        (3, "aaab cable kit"),
+        (4, "mmmm mmmm mmmm"),
+        (5, "mmmm mmmm mmmn"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "name", "id", window=1, threshold=0.8
+        ).collect()
+    }
+    assert (1, 3) in got and (4, 5) in got  # sort-adjacent pairs found
+    assert (1, 2) not in got and (3, 2) not in got  # prefix-divergent missed
