@@ -147,6 +147,8 @@ HEADLINE = [
     "exact_p90_price_by_priority",
     # sorted-neighborhood linkage (range-ranked candidates, JW verify)
     "sorted_neighborhood_part_pairs",
+    # robust median/MAD outliers (two composed selection passes)
+    "robust_outliers_by_priority",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -336,3 +336,50 @@ def group_kth_smallest(
     return sorted(
         (gk, s["done"], s["k"], s["n"]) for gk, s in state.items()
     )
+
+
+def group_median_mad(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    *,
+    max_passes: int = 12,
+) -> list[tuple]:
+    """Exact per-group robust location/scale — (lower) median and MAD
+    (median absolute deviation) — by composing two `group_kth_smallest`
+    passes.  Median and MAD have a 50% breakdown point where
+    mean/stddev have 0%: a single corrupt shard can move the mean
+    arbitrarily but cannot move these, which is why robust z-scores
+    (|v − med| > c·MAD) are the outlier rule for dirty corpora.
+
+    Pass 1 selects each group's median; the deviations |v − med| are a
+    derived column (med broadcast back, double IEEE arithmetic that an
+    oracle can replay exactly); pass 2 selects the median deviation.
+    Everything inherits the selection operator's scale shape — one
+    histogram aggregation per pass, driver state O(#groups), no
+    per-group sort anywhere.
+
+    Returns [(group, median, mad, n)] sorted by group.
+    """
+    spark = df.sparkSession
+    med = group_kth_smallest(
+        df, col, group_col, max_passes=max_passes
+    )
+    med_df = spark.createDataFrame(
+        [(gk, v) for gk, v, _, _ in med], ["g", "__med"]
+    )
+    dev = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(col).cast("double").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .join(F.broadcast(med_df), "g")
+        .select("g", F.abs(F.col("v") - F.col("__med")).alias("adev"))
+    )
+    mad = group_kth_smallest(dev, "adev", "g", max_passes=max_passes)
+    n_by_g = {gk: n for gk, _, _, n in med}
+    med_by_g = {gk: v for gk, v, _, _ in med}
+    return sorted(
+        (gk, med_by_g[gk], v, n_by_g[gk]) for gk, v, _, n in mad
+    )

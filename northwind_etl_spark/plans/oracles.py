@@ -2342,6 +2342,39 @@ ORACLES["exact_p90_price_by_priority"] = """
     ORDER BY o_orderpriority
 """
 
+# Robust median/MAD outliers: both medians replayed as the per-group
+# row_number definition at rn = (n+1)//2 (lower median, the selection
+# operator's convention); deviations and the 3·MAD comparison are
+# plain double IEEE steps identical in both engines.  The median pass
+# orders the DECIMAL column (order-preserved under the double cast the
+# Spark side returns); the MAD pass orders the derived double.
+ORACLES["robust_outliers_by_priority"] = """
+    WITH t AS (SELECT o_orderpriority AS g,
+                      CAST(o_totalprice AS DOUBLE) AS v
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    m AS (SELECT g, v AS med FROM (
+            SELECT g, v,
+                   row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM t)
+          WHERE rn = (n + 1) // 2),
+    d AS (SELECT t.g, t.v, m.med, abs(t.v - m.med) AS adev
+          FROM t JOIN m USING (g)),
+    s AS (SELECT g, adev AS mad FROM (
+            SELECT g, adev,
+                   row_number() OVER (PARTITION BY g ORDER BY adev) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM d)
+          WHERE rn = (n + 1) // 2)
+    SELECT d.g AS o_orderpriority, d.med AS median_price, s.mad AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * s.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n
+    FROM d JOIN s USING (g)
+    GROUP BY d.g, d.med, s.mad
+    ORDER BY o_orderpriority
+"""
+
 # The unambiguous k-th-element definition the sortless selection must
 # land on exactly: ORDER BY with OFFSET (n+1)//2 - 1 (lower median).
 ORACLES["exact_median_order_price"] = """

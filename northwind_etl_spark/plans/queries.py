@@ -2322,6 +2322,51 @@ def exact_p90_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def robust_outliers_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median/MAD (operators/selection.py::
+    group_median_mad): per order priority, the exact lower median of
+    o_totalprice and the exact median absolute deviation — the 50%-
+    breakdown location/scale pair (mean/stddev break at a single
+    corrupt shard) — then the count of rows with |v − med| > 3·MAD.
+    Both medians come from the sortless per-group selection operator
+    (two composed histogram-selection passes, no per-group sort); the
+    deviation and threshold arithmetic is plain double IEEE, so the
+    oracle replays the identical two row_number medians and the same
+    comparison."""
+    from ..operators.selection import group_median_mad
+
+    orders = _t(spark, sf_dir, "orders")
+    stats = group_median_mad(orders, "o_totalprice", "o_orderpriority")
+    stat_df = spark.createDataFrame(
+        [(g, float(m), float(s), int(n)) for g, m, s, n in stats],
+        "g string, med double, mad double, n long",
+    )
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_totalprice").cast("double").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .join(F.broadcast(stat_df), "g")
+        .groupBy("g", "med", "mad", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            F.col("g").alias("o_orderpriority"),
+            F.col("med").alias("median_price"),
+            F.col("mad").alias("mad"),
+            "n_outliers",
+            "n",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity (operators/basket.py): part pairs
     co-occurring in ≥2 orders, WITHOUT the textbook fact-table
@@ -3045,4 +3090,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- final r06 additions (never driver-checked → lead r07 with the
     #     other post-snapshot entries) --------------------------------
     "sorted_neighborhood_part_pairs": sorted_neighborhood_part_pairs,
+    "robust_outliers_by_priority": robust_outliers_by_priority,
 }

@@ -124,3 +124,50 @@ def test_group_kth_ties_and_stagnation(spark):
     assert got["t"][1] == 5.0                  # all-ties collapses
     assert got["s"][1] == a                    # 9th of 10+10 adjacent
     assert got["u"][1] == 8.0
+
+
+def test_group_median_mad_matches_numpy(spark):
+    """group_median_mad equals the definitional lower-median /
+    lower-median-of-deviations computed in numpy, on random data with
+    planted ties, negatives, and uneven group sizes."""
+    from northwind_etl_spark.operators.selection import group_median_mad
+
+    rng = np.random.default_rng(7)
+    rows = []
+    data = {}
+    for g, n in (("a", 101), ("b", 64), ("c", 7), ("d", 1)):
+        vals = np.round(rng.normal(0, 50, n), 2)
+        vals[: n // 3] = np.round(vals[: n // 3])  # plant ties
+        data[g] = vals
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = group_median_mad(df, "v", "g")
+
+    def lower_median(a):
+        k = (len(a) + 1) // 2
+        return float(np.sort(a)[k - 1])
+
+    for g, med, mad, n in got:
+        a = data[g]
+        assert n == len(a)
+        exp_med = lower_median(a)
+        assert med == exp_med, (g, med, exp_med)
+        exp_mad = lower_median(np.abs(a - exp_med))
+        assert mad == exp_mad, (g, mad, exp_mad)
+    assert [g for g, *_ in got] == ["a", "b", "c", "d"]
+
+
+def test_group_median_mad_planted_outlier(spark):
+    """A single gross outlier cannot move median/MAD (50% breakdown):
+    the robust pair flags it while remaining at the clean values."""
+    from northwind_etl_spark.operators.selection import group_median_mad
+
+    clean = [("g", float(v)) for v in range(1, 12)]  # 1..11, med 6
+    df = spark.createDataFrame(clean + [("g", 1e9)], ["g", "v"])
+    ((grp, med, mad, n),) = group_median_mad(df, "v", "g")
+    assert (grp, n) == ("g", 12)
+    assert med == 6.0  # lower median of 12 values = 6th smallest
+    # deviations from 6 sorted: [0,1,1,2,2,3,3,4,4,5,5, 1e9-6]
+    # -> lower median (6th smallest) = 3
+    assert mad == 3.0
+    assert abs(1e9 - med) > 3 * mad  # the outlier is flagged
