@@ -149,6 +149,8 @@ HEADLINE = [
     "sorted_neighborhood_part_pairs",
     # robust median/MAD outliers (two composed selection passes)
     "robust_outliers_by_priority",
+    # frontier BFS hop distances (checkpointed level iteration)
+    "nation_trade_bfs_hops",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

@@ -197,3 +197,68 @@ def triangles_naive(edges: DataFrame) -> DataFrame:
     e2 = e.select(F.col("a").alias("n2"), F.col("b").alias("n3"))
     e3 = e.select(F.col("a").alias("n1"), F.col("b").alias("n3"))
     return e1.join(e2, "n2").join(e3, ["n1", "n3"]).select("n1", "n2", "n3")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_depth: int | None = None,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Single-source shortest HOP distances by frontier BFS — the
+    third iterative-graph shape next to pointer-jumping (connected
+    components) and fixed-point iteration (PageRank): a frontier that
+    advances level by level against a growing visited set.
+
+    Per round: frontier ⋈ edges (the frontier is the small side —
+    Catalyst/AQE broadcasts it), distinct, then LEFT ANTI against
+    visited (first arrival IS the shortest hop count, since every
+    level-d node is emitted before any level-d+1 node).  Rounds are
+    bounded by the graph's diameter; each round's frontier is
+    localCheckpointed (it seeds the next join), and the visited union
+    chain is compacted every `checkpoint_every` rounds — the
+    duplicate_clusters lineage discipline.
+
+    Exactness: hop counts are small integers — bit-identical in any
+    engine replaying the same reachability (the DuckDB oracle closes
+    the same edges with a depth-bounded recursive CTE + MIN(d)).
+    Unreachable nodes are absent from the result (both engines).
+
+    Returns (node, hops) with hops an INT, source at hops=0.
+    """
+    from ..cache import persist_stage
+
+    spark = edges.sparkSession
+    e = persist_stage(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    frontier = (
+        spark.range(1)
+        .select(F.lit(source).alias("node"), F.lit(0).cast("int").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    d = 0
+    while True:
+        d += 1
+        if max_depth is not None and d > max_depth:
+            break
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("hops", F.lit(d).cast("int"))
+        )
+        new = nxt.join(
+            visited.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        visited = visited.union(new)
+        if d % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = new
+    return visited

@@ -2595,6 +2595,30 @@ def _pagerank_sql(iterations: int = 8, num: int = 85, den: int = 100,
 
 ORACLES["nation_trade_pagerank"] = _pagerank_sql()
 
+# BFS hop distances closed by an INDEPENDENT algorithm: the Spark side
+# runs frontier BFS (level order, anti-join on visited), the oracle
+# enumerates depth-bounded walks with a recursive CTE and takes
+# MIN(d).  UNION (distinct) dedups (node, d) states and the d+1 <
+# |nodes| bound terminates cycles, so the state space is ≤ |V|².
+ORACLES["nation_trade_bfs_hops"] = (
+    "WITH RECURSIVE "
+    + _TRADE_PAIRS.strip()
+    + """,
+    nn AS (SELECT COUNT(*) AS n FROM
+             (SELECT src AS x FROM dedges UNION SELECT dst FROM dedges)),
+    root AS (SELECT MIN(src) AS node FROM dedges),
+    walk AS (
+      SELECT node, 0 AS d FROM root
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN dedges e ON e.src = w.node
+      WHERE w.d + 1 < (SELECT n FROM nn)
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+    FROM walk GROUP BY node ORDER BY hops, node
+"""
+)
+
 # The naive a<b<c three-way self-join the oriented enumeration must
 # exactly equal (each triangle found once, lexicographically sorted).
 ORACLES["nation_trade_triangles"] = f"""

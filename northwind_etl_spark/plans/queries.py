@@ -1327,6 +1327,31 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_oriented(edges).orderBy("n1", "n2", "n3")
 
 
+def nation_trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop distances (operators/graph.py::
+    bfs_hops) over the directed above-mean nation trade graph, rooted
+    at the lexicographically smallest source nation — frontier BFS
+    with a per-round LEFT ANTI against the visited set (first arrival
+    = shortest level), checkpointed lineage.  The oracle closes the
+    same edges with a depth-bounded recursive CTE + MIN(d) — an
+    INDEPENDENT algorithm (breadth-levels vs path enumeration)
+    hash-matching the iterative operator, the entity_resolution
+    pattern applied to distances."""
+    from ..cache import persist_stage
+    from ..operators.graph import bfs_hops
+
+    edges = persist_stage(
+        _above_mean(_nation_trade_pairs(spark, sf_dir), "cnt").select(
+            "src", "dst"
+        )
+    )
+    src = edges.agg(F.min("src")).first()[0]
+    out = bfs_hops(edges, src)
+    return out.select(
+        "node", F.col("hops").cast("long").alias("hops")
+    ).orderBy("hops", "node")
+
+
 # The one SQL text both engines run verbatim for lateral_topk_customers.
 LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.c_acctbal
@@ -3091,4 +3116,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     other post-snapshot entries) --------------------------------
     "sorted_neighborhood_part_pairs": sorted_neighborhood_part_pairs,
     "robust_outliers_by_priority": robust_outliers_by_priority,
+    "nation_trade_bfs_hops": nation_trade_bfs_hops,
 }

@@ -123,3 +123,37 @@ def test_oriented_equals_naive_on_trade_graph(spark, sf_dir):
     got = _tri_set(triangles_oriented(edges))
     want = _tri_set(triangles_naive(edges))
     assert got == want and len(got) > 100
+
+
+def test_bfs_hops_planted(spark):
+    """BFS distances on a hand-checked digraph: a chain with a
+    shortcut (shortest wins), a cycle (terminates, no revisit), and an
+    unreachable component (absent from the result)."""
+    from northwind_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"),  # chain
+            ("s", "c"),                                      # shortcut: c at 1
+            ("d", "s"),                                      # cycle back
+            ("x", "y"),                                      # unreachable
+        ],
+        ["src", "dst"],
+    )
+    got = {r.node: r.hops for r in bfs_hops(edges, "s").collect()}
+    assert got == {"s": 0, "a": 1, "c": 1, "b": 2, "d": 2}
+    # shortcut beat the chain (c would be 3 without it; d rides c+1)
+    assert "x" not in got and "y" not in got
+
+
+def test_bfs_hops_max_depth_and_isolated_source(spark):
+    from northwind_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    got = {r.node: r.hops for r in bfs_hops(edges, "s", max_depth=1).collect()}
+    assert got == {"s": 0, "a": 1}
+    # a source with no outgoing edges: just itself at 0
+    got = {r.node: r.hops for r in bfs_hops(edges, "zzz").collect()}
+    assert got == {"zzz": 0}
