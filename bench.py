@@ -151,6 +151,8 @@ HEADLINE = [
     "robust_outliers_by_priority",
     # frontier BFS hop distances (checkpointed level iteration)
     "nation_trade_bfs_hops",
+    # sort-based exact 2D skyline (distinct-x agg + range prefix-max)
+    "order_value_skyline",
 ]
 
 # External-anchor subset: the heaviest headline queries that have exact

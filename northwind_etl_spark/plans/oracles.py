@@ -2342,6 +2342,24 @@ ORACLES["exact_p90_price_by_priority"] = """
     ORDER BY o_orderpriority
 """
 
+# The skyline definition itself — quadratic NOT EXISTS dominance
+# (maximize date, maximize price; >= both, > at least one).  The Spark
+# side's sort-based algorithm must equal this exactly; all comparisons
+# are native date/decimal, no float arithmetic on either side.
+ORACLES["order_value_skyline"] = """
+    SELECT p.o_orderkey, p.o_orderdate, p.o_totalprice
+    FROM orders p
+    WHERE p.o_orderdate IS NOT NULL AND p.o_totalprice IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM orders q
+        WHERE q.o_orderdate IS NOT NULL AND q.o_totalprice IS NOT NULL
+          AND q.o_orderdate >= p.o_orderdate
+          AND q.o_totalprice >= p.o_totalprice
+          AND (q.o_orderdate > p.o_orderdate
+               OR q.o_totalprice > p.o_totalprice))
+    ORDER BY p.o_orderdate DESC, p.o_orderkey
+"""
+
 # Robust median/MAD outliers: both medians replayed as the per-group
 # row_number definition at rn = (n+1)//2 (lower median, the selection
 # operator's convention); deviations and the 3·MAD comparison are

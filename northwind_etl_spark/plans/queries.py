@@ -2347,6 +2347,25 @@ def exact_p90_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def order_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (operators/skyline.py::skyline_2d):
+    orders no other order beats on BOTH recency (o_orderdate) and
+    value (o_totalprice) — the sort-based exact 2D algorithm: distinct-
+    date ymax aggregation, prefix-max in date-desc order via the
+    range-partition + P-row-prior discipline (never a single-task
+    window), then an equi-join back.  All comparisons stay in the
+    native date/decimal types — no float arithmetic — so the quadratic
+    NOT EXISTS dominance definition the oracle runs must match
+    hash-exactly."""
+    from ..operators.skyline import skyline_2d
+
+    orders = _t(spark, sf_dir, "orders")
+    sky = skyline_2d(orders, "o_orderdate", "o_totalprice")
+    return sky.select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).orderBy(F.desc("o_orderdate"), "o_orderkey")
+
+
 def robust_outliers_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection via median/MAD (operators/selection.py::
     group_median_mad): per order priority, the exact lower median of
@@ -3117,4 +3136,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sorted_neighborhood_part_pairs": sorted_neighborhood_part_pairs,
     "robust_outliers_by_priority": robust_outliers_by_priority,
     "nation_trade_bfs_hops": nation_trade_bfs_hops,
+    "order_value_skyline": order_value_skyline,
 }
