@@ -2342,6 +2342,29 @@ ORACLES["exact_p90_price_by_priority"] = """
     ORDER BY o_orderpriority
 """
 
+# The set-similarity join DEFINITION — a quadratic self-join with
+# exact list intersections.  The Spark side's prefix filter must find
+# every one of these pairs (the no-false-negative lemma); the
+# threshold test is the same integer cross-multiplication and the
+# jaccard column the same single int/int double division.
+ORACLES["jaccard_prefix_join_pairs"] = f"""
+    WITH t AS (
+      SELECT doc_id, list_sort(list_distinct({_TOKS})) AS ts
+      FROM documents),
+    tn AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.ts, b.ts)) AS inter,
+             a.n + b.n - len(list_intersect(a.ts, b.ts)) AS uni
+      FROM tn a JOIN tn b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+           inter / uni AS jaccard
+    FROM p
+    WHERE inter * 10 >= 9 * uni
+    ORDER BY doc_a, doc_b
+"""
+
 # The skyline definition itself — quadratic NOT EXISTS dominance
 # (maximize date, maximize price; >= both, > at least one).  The Spark
 # side's sort-based algorithm must equal this exactly; all comparisons

@@ -2347,6 +2347,28 @@ def exact_p90_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def jaccard_prefix_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering (operators/setjoin.py::jaccard_threshold_pairs, the
+    PPJoin family): every document pair with token-set Jaccard ≥ 9/10
+    (the synthetic corpus is vocabulary-dense — at 0.6 half of all
+    pairs qualify and blocking prunes nothing; 0.9 keeps the entry
+    discriminative: ~9k of 125k possible pairs at sf0.01).
+    Candidates come only from shared RAREST-tokens prefixes of length
+    n − ⌈0.9n⌉ + 1 (the no-false-negative lemma), the threshold test
+    is integer cross-multiplication, and the one double division is
+    replayed identically by the oracle — which runs the quadratic
+    definitional self-join, so a hash match proves the prefix filter
+    missed nothing."""
+    from ..operators.setjoin import jaccard_threshold_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = jaccard_threshold_pairs(
+        docs, "text", "doc_id", threshold=(9, 10)
+    )
+    return out.orderBy("doc_a", "doc_b")
+
+
 def order_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto frontier (operators/skyline.py::skyline_2d):
     orders no other order beats on BOTH recency (o_orderdate) and
@@ -3137,4 +3159,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_outliers_by_priority": robust_outliers_by_priority,
     "nation_trade_bfs_hops": nation_trade_bfs_hops,
     "order_value_skyline": order_value_skyline,
+    "jaccard_prefix_join_pairs": jaccard_prefix_join_pairs,
 }
