@@ -153,6 +153,8 @@ HEADLINE = [
     "nation_trade_bfs_hops",
     # sort-based exact 2D skyline (distinct-x agg + range prefix-max)
     "order_value_skyline",
+    # exact-moment Pearson/OLS (decimal sums, IEEE finalizer)
+    "price_quantity_corr",
     # jaccard_prefix_join_pairs is deliberately NOT a headline: the
     # saturated synthetic vocabulary makes the TRUE output ~965k pairs
     # at sf0.1 (35.6k even at J=1.0), so the exact join is output-bound

@@ -59,3 +59,59 @@ def fit_linear_by_group(
         )
 
     return df.groupBy(*group_cols).applyInPandas(fit, schema=schema)
+
+
+def closed_form_corr_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    x_decimal: str = "decimal(12,2)",
+    y_decimal: str = "decimal(14,2)",
+) -> DataFrame:
+    """Whole-relation Pearson correlation + OLS (y = slope·x +
+    intercept) from EXACT mergeable moments — the cross-engine-exact
+    complement to fit_linear_by_group's per-group Arrow fit.
+
+    The five moments (Σx, Σy, Σxy, Σx², Σy²) are summed in the decimal
+    domain (order-independent, partition-count-independent — the money
+    discipline), then corr/slope/intercept are derived in a FIXED
+    sequence of double IEEE steps both engines replay identically:
+    cast each exact sum to double once, then only correctly-rounded
+    ops (·, −, /, sqrt).  This is also the mergeable-state story: the
+    moment vector is additive, so shard states merge by plain + (the
+    incremental.py contract) and the finalizer is this same scalar
+    math.
+
+    Decimal widths are the caller's overflow contract: defaults fit
+    TPC-H quantity/price at any tested SF (products peak < 1e15 at
+    sf0.1 vs the 10^34 capacity of the sum type).
+    """
+    from pyspark.sql import functions as F
+
+    x = F.col(x_col).cast(x_decimal)
+    y = F.col(y_col).cast(y_decimal)
+    s = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr"),
+        (cov_n / var_x).alias("slope"),
+        ((sy - (cov_n / var_x) * sx) / nd).alias("intercept"),
+    )

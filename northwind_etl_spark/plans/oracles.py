@@ -2342,6 +2342,37 @@ ORACLES["exact_p90_price_by_priority"] = """
     ORDER BY o_orderpriority
 """
 
+# Exact-moment Pearson/OLS: the five sums in the decimal domain
+# (identical casts), then the identical fixed sequence of double IEEE
+# steps — cast-each-sum-once, then only correctly-rounded ·,−,/,sqrt.
+ORACLES["price_quantity_corr"] = """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * CAST(l_extendedprice AS DECIMAL(14,2))) AS syy
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    d AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx,
+             CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+             CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy
+      FROM s)
+    SELECT n,
+           (nd*sxy - sx*sy)
+             / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy)) AS corr,
+           (nd*sxy - sx*sy) / (nd*sxx - sx*sx) AS slope,
+           (sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd
+               AS intercept
+    FROM d
+"""
+
 # The set-similarity join DEFINITION — a quadratic self-join with
 # exact list intersections.  The Spark side's prefix filter must find
 # every one of these pairs (the no-false-negative lemma); the

@@ -2347,6 +2347,20 @@ def exact_p90_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS of l_extendedprice on l_quantity from
+    EXACT decimal moments (operators/modelfit.py::closed_form_corr_ols):
+    the five sums are decimal-domain (order/partitioning-independent),
+    the finalizer is a fixed sequence of double IEEE steps — so unlike
+    a float corr() aggregate, this hash-matches across engines.  The
+    oracle replays the identical casts, exact sums, and scalar math."""
+    from ..operators.modelfit import closed_form_corr_ols
+
+    return closed_form_corr_ols(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
 def jaccard_prefix_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard-threshold set-similarity self-join via prefix
     filtering (operators/setjoin.py::jaccard_threshold_pairs, the
@@ -3160,4 +3174,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_trade_bfs_hops": nation_trade_bfs_hops,
     "order_value_skyline": order_value_skyline,
     "jaccard_prefix_join_pairs": jaccard_prefix_join_pairs,
+    "price_quantity_corr": price_quantity_corr,
 }
