@@ -155,6 +155,8 @@ HEADLINE = [
     "order_value_skyline",
     # exact-moment Pearson/OLS (decimal sums, IEEE finalizer)
     "price_quantity_corr",
+    # distributed exact-moment PCA (one mapInPandas Gram pass)
+    "pca_label_projection",
     # jaccard_prefix_join_pairs is deliberately NOT a headline: the
     # saturated synthetic vocabulary makes the TRUE output ~965k pairs
     # at sf0.1 (35.6k even at J=1.0), so the exact join is output-bound

@@ -2347,6 +2347,31 @@ def exact_p90_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def pca_label_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact-moment PCA (operators/pca.py): fit the top-8
+    principal components of the 64-dim embeddings from ONE mapInPandas
+    moment pass (driver holds only the dim² Gram), project with one
+    Arrow matmul per batch, and roll up per label — the
+    dimensionality-reduction stage an LLM pipeline runs before ANN
+    indexing.  Rows-only by declared design (eigendecomposition is not
+    SQL); numpy-agreement, orthonormality, and determinism pinned in
+    tests/test_pca.py."""
+    from ..operators.pca import project_pca, train_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = train_pca(emb, k=8)
+    proj = project_pca(emb, model)
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.col("pca")[0]), 6).alias("avg_pc1"),
+            F.round(F.avg(F.col("pca")[1]), 6).alias("avg_pc2"),
+        )
+        .orderBy("label")
+    )
+
+
 def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation + OLS of l_extendedprice on l_quantity from
     EXACT decimal moments (operators/modelfit.py::closed_form_corr_ols):
@@ -3175,4 +3200,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_value_skyline": order_value_skyline,
     "jaccard_prefix_join_pairs": jaccard_prefix_join_pairs,
     "price_quantity_corr": price_quantity_corr,
+    "pca_label_projection": pca_label_projection,
 }
