@@ -157,6 +157,8 @@ HEADLINE = [
     "price_quantity_corr",
     # distributed exact-moment PCA (one mapInPandas Gram pass)
     "pca_label_projection",
+    # blocking-quality evaluation (both blockers + union-verify truth)
+    "blocking_quality_metrics",
     # jaccard_prefix_join_pairs is deliberately NOT a headline: the
     # saturated synthetic vocabulary makes the TRUE output ~965k pairs
     # at sf0.1 (35.6k even at J=1.0), so the exact join is output-bound

@@ -201,6 +201,27 @@ def sorted_neighborhood_pairs(
     (id_a, id_b, jw) with id_a the lower-RANKED record (both engines
     derive the same assignment from the same total order).
     """
+    cands = sorted_neighborhood_candidates(
+        df, text_col, id_col, window=window, partitions=partitions
+    )
+    jw_udf = _jw_pandas_udf()
+    return cands.select(
+        "id_a", "id_b", jw_udf("__na", "__nb").alias("jw")
+    ).where(F.col("jw") >= threshold)
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 5,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The SNM candidate stage alone — (id_a, id_b, __na, __nb) for
+    every pair within `window` ranks of the (normalized key, id) total
+    order; exposed separately so blocking-quality evaluation can count
+    candidates before any verify."""
     from .ranking import global_row_number
 
     base = df.select(
@@ -222,12 +243,7 @@ def sorted_neighborhood_pairs(
     right = ranked.select(
         "__rk", F.col("id").alias("id_b"), F.col("__name").alias("__nb")
     )
-    jw_udf = _jw_pandas_udf()
-    return (
-        left.join(right, "__rk")
-        .select("id_a", "id_b", jw_udf("__na", "__nb").alias("jw"))
-        .where(F.col("jw") >= threshold)
-    )
+    return left.join(right, "__rk").select("id_a", "id_b", "__na", "__nb")
 
 
 def jaro_winkler_match_pairs(

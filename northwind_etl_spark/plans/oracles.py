@@ -2342,6 +2342,60 @@ ORACLES["exact_p90_price_by_priority"] = """
     ORDER BY o_orderpriority
 """
 
+# Blocking-quality evaluation: BOTH blockings replayed (the q-gram
+# posting CTE from jaro_winkler_part_pairs, the rank-window CTE from
+# sorted_neighborhood_part_pairs), ground truth = DuckDB's native JW
+# >= 0.85 over the candidate UNION, ratios the identical single
+# double divisions.
+ORACLES["blocking_quality_metrics"] = """
+    WITH base AS (
+      SELECT min(p_partkey) AS id, lower(trim(p_name)) AS name
+      FROM part GROUP BY lower(trim(p_name))),
+    nn AS (SELECT COUNT(*) AS n FROM base),
+    g AS (
+      SELECT id, unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(length(name) - 2, 1)),
+                 i -> substr(name, i, 3)))) AS gram
+      FROM base),
+    live AS (SELECT gram FROM g GROUP BY gram
+             HAVING COUNT(*) BETWEEN 2 AND 100),
+    gc AS (
+      SELECT DISTINCT a.id AS lo, b.id AS hi
+      FROM g a JOIN live USING (gram) JOIN g b USING (gram)
+      WHERE a.id < b.id),
+    r AS (SELECT id, name,
+                 row_number() OVER (ORDER BY name, id) AS rk
+          FROM base),
+    sc AS (
+      SELECT DISTINCT least(a.id, b.id) AS lo, greatest(a.id, b.id) AS hi
+      FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 5),
+    uc AS (SELECT lo, hi FROM gc UNION SELECT lo, hi FROM sc),
+    tp AS (
+      SELECT u.lo, u.hi
+      FROM uc u JOIN base x ON x.id = u.lo JOIN base y ON y.id = u.hi
+      WHERE jaro_winkler_similarity(x.name, y.name) >= 0.85),
+    tn AS (SELECT COUNT(*) AS t FROM tp),
+    m AS (
+      SELECT 'qgram' AS method,
+             (SELECT COUNT(*) FROM gc) AS n_candidates,
+             (SELECT COUNT(*) FROM gc JOIN tp USING (lo, hi))
+                 AS n_true_found
+      UNION ALL
+      SELECT 'snm',
+             (SELECT COUNT(*) FROM sc),
+             (SELECT COUNT(*) FROM sc JOIN tp USING (lo, hi)))
+    SELECT method,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true_found AS BIGINT) AS n_true_found,
+           1.0 - CAST(n_candidates AS DOUBLE) * 2.0
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+               AS reduction_ratio,
+           CAST(n_true_found AS DOUBLE) / CAST(t AS DOUBLE)
+               AS relative_recall
+    FROM m, nn, tn
+    ORDER BY method
+"""
+
 # Exact-moment Pearson/OLS: the five sums in the decimal domain
 # (identical casts), then the identical fixed sequence of double IEEE
 # steps — cast-each-sum-once, then only correctly-rounded ·,−,/,sqrt.

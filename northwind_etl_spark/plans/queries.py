@@ -2347,6 +2347,88 @@ def exact_p90_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation (the record-linkage literature's
+    reduction ratio + pairs completeness) comparing the repo's two
+    blocking paradigms on the same part-name dictionary: q-gram
+    posting lists (operators/fuzzy.py::_blocked_candidates, max_df
+    100) vs sorted-neighborhood rank windows (window 5).  Ground truth
+    is the RELATIVE standard the literature uses when all-pairs is
+    infeasible: JW ≥ 0.85 verified over the UNION of both candidate
+    sets (documented: recall is relative to what either blocker can
+    see, which is exactly the quantity that ranks them).  All counts
+    are exact integers; the two ratios are single double divisions —
+    the oracle replays both blockings, the union verify with DuckDB's
+    native JW, and the identical ratio arithmetic."""
+    from ..cache import persist_stage
+    from ..operators.fuzzy import (
+        _blocked_candidates,
+        _jw_pandas_udf,
+        sorted_neighborhood_candidates,
+    )
+
+    parts = _t(spark, sf_dir, "part")
+    names = parts.groupBy(F.lower(F.trim("p_name")).alias("name")).agg(
+        F.min("p_partkey").alias("id")
+    )
+    base, gcands = _blocked_candidates(names, "name", "id", 3, 100)
+    lo, hi = F.least("id_a", "id_b"), F.greatest("id_a", "id_b")
+    gc = persist_stage(
+        gcands.select(lo.alias("lo"), hi.alias("hi")).distinct()
+    )
+    sc = persist_stage(
+        sorted_neighborhood_candidates(names, "name", "id", window=5)
+        .select(lo.alias("lo"), hi.alias("hi"))
+        .distinct()
+    )
+    jw_udf = _jw_pandas_udf()
+    a = base.select(F.col("id").alias("lo"), F.col("__name").alias("__na"))
+    b = base.select(F.col("id").alias("hi"), F.col("__name").alias("__nb"))
+    tp = persist_stage(
+        gc.union(sc)
+        .distinct()
+        .join(a, "lo")
+        .join(b, "hi")
+        .where(jw_udf("__na", "__nb") >= 0.85)
+        .select("lo", "hi")
+    )
+
+    def method_stats(c: DataFrame, label: str) -> DataFrame:
+        n_c = c.agg(F.count(F.lit(1)).alias("n_candidates"))
+        n_t = c.join(tp, ["lo", "hi"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_true_found")
+        )
+        return (
+            n_c.join(F.broadcast(n_t))
+            .withColumn("method", F.lit(label))
+        )
+
+    nn = base.agg(F.count(F.lit(1)).alias("__n"))
+    tn = tp.agg(F.count(F.lit(1)).alias("__t"))
+    m = method_stats(gc, "qgram").union(method_stats(sc, "snm"))
+    nd = F.col("__n").cast("double")
+    return (
+        m.join(F.broadcast(nn))
+        .join(F.broadcast(tn))
+        .select(
+            "method",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_true_found").cast("long").alias("n_true_found"),
+            (
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double")
+                * F.lit(2.0)
+                / (nd * (F.col("__n") - 1).cast("double"))
+            ).alias("reduction_ratio"),
+            (
+                F.col("n_true_found").cast("double")
+                / F.col("__t").cast("double")
+            ).alias("relative_recall"),
+        )
+        .orderBy("method")
+    )
+
+
 def pca_label_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed exact-moment PCA (operators/pca.py): fit the top-8
     principal components of the 64-dim embeddings from ONE mapInPandas
@@ -3201,4 +3283,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_prefix_join_pairs": jaccard_prefix_join_pairs,
     "price_quantity_corr": price_quantity_corr,
     "pca_label_projection": pca_label_projection,
+    "blocking_quality_metrics": blocking_quality_metrics,
 }

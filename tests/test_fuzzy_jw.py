@@ -145,3 +145,41 @@ def test_sorted_neighborhood_recall_tradeoff(spark):
     }
     assert (1, 3) in got and (4, 5) in got  # sort-adjacent pairs found
     assert (1, 2) not in got and (3, 2) not in got  # prefix-divergent missed
+
+
+def test_blocking_quality_metrics_planted(spark, tmp_path):
+    """The metrics entry on a planted dictionary where every count is
+    hand-checkable: candidates, relative truths, and both ratios."""
+    import pyspark.sql.functions as F
+
+    from northwind_etl_spark.plans.queries import blocking_quality_metrics
+
+    # 4 names: two JW-close pairs; one pair also sort-adjacent
+    rows = [
+        (1, "alpha widget"),
+        (2, "alpha widgets"),
+        (3, "beta gadget"),
+        (4, "beta gadgets"),
+    ]
+    full = [(k, n, "B", "T", 1, 1.0) for k, n in rows]
+    spark.createDataFrame(
+        full,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    out = {
+        r.method: r
+        for r in blocking_quality_metrics(spark, str(tmp_path)).collect()
+    }
+    n_pairs = 4 * 3 / 2
+    for m in ("qgram", "snm"):
+        r = out[m]
+        assert 0 < r.n_candidates <= n_pairs
+        assert r.n_true_found <= r.n_candidates
+        assert r.reduction_ratio == 1.0 - r.n_candidates * 2.0 / (4.0 * 3.0)
+        assert 0.0 <= r.relative_recall <= 1.0
+    # both pairs are sort-adjacent AND share rare grams -> both
+    # blockers see both true pairs here
+    assert out["qgram"].n_true_found == out["snm"].n_true_found == 2
+    assert out["qgram"].relative_recall == 1.0
+    assert out["snm"].relative_recall == 1.0
