@@ -150,8 +150,6 @@ def test_sorted_neighborhood_recall_tradeoff(spark):
 def test_blocking_quality_metrics_planted(spark, tmp_path):
     """The metrics entry on a planted dictionary where every count is
     hand-checkable: candidates, relative truths, and both ratios."""
-    import pyspark.sql.functions as F
-
     from northwind_etl_spark.plans.queries import blocking_quality_metrics
 
     # 4 names: two JW-close pairs; one pair also sort-adjacent
@@ -183,3 +181,18 @@ def test_blocking_quality_metrics_planted(spark, tmp_path):
     assert out["qgram"].n_true_found == out["snm"].n_true_found == 2
     assert out["qgram"].relative_recall == 1.0
     assert out["snm"].relative_recall == 1.0
+
+
+def test_snm_plan_has_no_single_partition_exchange(spark):
+    """SNM inherits global_row_number's two-exchange ranking — the
+    candidate plan must stay free of Exchange SinglePartition."""
+    from northwind_etl_spark.operators.fuzzy import (
+        sorted_neighborhood_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"name {i % 50} v{i}") for i in range(300)], ["id", "name"]
+    )
+    out = sorted_neighborhood_candidates(df, "name", "id", window=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

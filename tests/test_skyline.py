@@ -78,3 +78,14 @@ def test_all_columns_preserved(spark):
     )
     rows = skyline_2d(df, "x", "y").collect()
     assert len(rows) == 1 and rows[0].tag == "keep" and rows[0].id == 1
+
+
+def test_no_single_partition_exchange(spark):
+    """The prefix-max must come from range-partitioned local windows +
+    the P-row prior broadcast — never a single-task global window."""
+    df = spark.createDataFrame(
+        [(i, i % 37, (i * 7) % 41) for i in range(500)], ["id", "x", "y"]
+    )
+    out = skyline_2d(df, "x", "y")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
