@@ -68,6 +68,8 @@ def train_pca(
 
     def partials(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: nothing to add
+                continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             state = np.concatenate(
                 [[float(len(mat))], mat.sum(axis=0), (mat.T @ mat).ravel()]
