@@ -159,6 +159,8 @@ HEADLINE = [
     "pca_label_projection",
     # blocking-quality evaluation (both blockers + union-verify truth)
     "blocking_quality_metrics",
+    # weighted SSSP (early-stopped distributed Bellman-Ford)
+    "nation_trade_sssp",
     # jaccard_prefix_join_pairs is deliberately NOT a headline: the
     # saturated synthetic vocabulary makes the TRUE output ~965k pairs
     # at sf0.1 (35.6k even at J=1.0), so the exact join is output-bound

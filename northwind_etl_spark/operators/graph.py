@@ -262,3 +262,84 @@ def bfs_hops(
             visited = visited.localCheckpoint(eager=True)
         frontier = new
     return visited
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    source,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    *,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Weighted single-source shortest paths by distributed
+    Bellman-Ford — the min-plus companion to `bfs_hops`: per round,
+    every reached node relaxes its out-edges (one keyed join), and
+    dist' = MIN per node over {dist} ∪ {relaxations} (one groupBy).
+    Stops at the first round that improves nothing; rounds are bounded
+    by |V|−1 for non-negative integer weights.
+
+    The dist relation is O(|V|) rows and is consumed TWICE per round
+    (the fixed-point check and the next relax), so it is
+    localCheckpointed every round — unlike pagerank's every-k policy,
+    leaving it lazy here re-executes the whole inter-checkpoint chain
+    once per consumer (measured 8 s → 2 s at sf0.001).
+
+    Exactness: costs are BIGINT sums of integer weights — min-plus has
+    no rounding, so any engine replaying the same recurrence matches
+    bit-for-bit (the oracle unrolls d_{k+1}(v) = min(d_k(v),
+    min_{u→v}(d_k(u)+w)) as chained CTEs, the pagerank_fixed_point
+    discipline; extra iterations past the fixed point are no-ops, so
+    a ≥diameter unroll equals the early-stopped loop).  Unreachable
+    nodes are absent.  Returns (node, cost).
+    """
+    from ..cache import persist_stage
+
+    spark = edges.sparkSession
+    e = persist_stage(
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+    )
+    dist = (
+        spark.range(1)
+        .select(F.lit(source).alias("node"), F.lit(0).cast("long").alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        if max_rounds is not None and rounds > max_rounds:
+            break
+        # rename before joining: after round 1 dist derives from e, so
+        # qualified refs (dist["cost"], e["w"]) become ambiguous
+        relax = (
+            dist.withColumnRenamed("node", "__dn")
+            .withColumnRenamed("cost", "__dc")
+            .join(e, F.col("__dn") == F.col("src"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("__dc") + F.col("w")).alias("cost"),
+            )
+        )
+        new = (
+            dist.union(relax)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        # fixed point: nothing improved and nothing newly reached
+        improved = (
+            new.join(dist.withColumnRenamed("cost", "__old"), "node", "left")
+            .where(
+                F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
+            )
+            .isEmpty()
+        )
+        prev, dist = dist, new
+        if improved:
+            return prev  # new == prev at the fixed point
+    return dist

@@ -2721,6 +2721,40 @@ def _pagerank_sql(iterations: int = 8, num: int = 85, den: int = 100,
 
 ORACLES["nation_trade_pagerank"] = _pagerank_sql()
 
+def _sssp_sql(iterations: int = 24) -> str:
+    """Unroll the Bellman-Ford min-plus recurrence (graph.sssp_weighted)
+    as chained CTEs — d_{k+1}(v) = MIN(d_k(v), MIN_{u→v}(d_k(u)+w)),
+    every BIGINT sum and MIN replayed.  24 iterations ≥ |V|−1 for the
+    ≤25-node nation graph; iterations past the fixed point are no-ops,
+    so this equals the Spark side's early-stopped loop exactly."""
+    # Each d_k references d_{k-1} TWICE — without MATERIALIZED DuckDB
+    # inlines CTEs and the plan (and its parquet file handles) doubles
+    # per iteration: 2^24 expansion, "Too many open files".
+    ctes = [
+        _TRADE_PAIRS,
+        """wedges AS MATERIALIZED (
+              SELECT p.src, p.dst, p.cnt AS w
+              FROM pair p, tot WHERE p.cnt * tot.np > tot.tc)""",
+        """root AS (SELECT MIN(src) AS node FROM wedges)""",
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS cost FROM root)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""
+        d{k} AS MATERIALIZED (
+          SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM d{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.cost + e.w
+            FROM d{k - 1} d JOIN wedges e ON e.src = d.node)
+          GROUP BY node)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node, cost FROM d{iterations} ORDER BY cost, node"
+    )
+
+
+ORACLES["nation_trade_sssp"] = _sssp_sql()
+
 # BFS hop distances closed by an INDEPENDENT algorithm: the Spark side
 # runs frontier BFS (level order, anti-join on visited), the oracle
 # enumerates depth-bounded walks with a recursive CTE and takes

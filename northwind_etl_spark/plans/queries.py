@@ -1352,6 +1352,28 @@ def nation_trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hops", "node")
 
 
+def nation_trade_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (operators/graph.py::
+    sssp_weighted) over the above-mean trade graph with the pair's
+    lineitem count as the integer edge weight, rooted at the
+    lexicographically smallest source — distributed Bellman-Ford with
+    early stop.  The oracle unrolls the identical min-plus recurrence
+    24 times (≥ |V|−1, since the nation graph has ≤ 25 nodes; extra
+    iterations past the fixed point are no-ops) — every BIGINT sum and
+    MIN replayed, the pagerank discipline for iterative algorithms."""
+    from ..cache import persist_stage
+    from ..operators.graph import sssp_weighted
+
+    edges = persist_stage(
+        _above_mean(_nation_trade_pairs(spark, sf_dir), "cnt").select(
+            "src", "dst", "cnt"
+        )
+    )
+    src = edges.agg(F.min("src")).first()[0]
+    out = sssp_weighted(edges, src, weight_col="cnt")
+    return out.orderBy("cost", "node")
+
+
 # The one SQL text both engines run verbatim for lateral_topk_customers.
 LATERAL_TOPK_SQL = """
     SELECT n.n_name, t.c_custkey, t.c_acctbal
@@ -3284,4 +3306,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_quantity_corr": price_quantity_corr,
     "pca_label_projection": pca_label_projection,
     "blocking_quality_metrics": blocking_quality_metrics,
+    "nation_trade_sssp": nation_trade_sssp,
 }

@@ -157,3 +157,38 @@ def test_bfs_hops_max_depth_and_isolated_source(spark):
     # a source with no outgoing edges: just itself at 0
     got = {r.node: r.hops for r in bfs_hops(edges, "zzz").collect()}
     assert got == {"zzz": 0}
+
+
+def test_sssp_weighted_planted(spark):
+    """Bellman-Ford on a hand-checked digraph: the cheapest path is
+    NOT the fewest-hops path, zero-weight edges work, cycles
+    terminate, unreachable nodes are absent."""
+    from northwind_etl_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", 10),      # direct but expensive
+            ("s", "b", 1),
+            ("b", "c", 1),
+            ("c", "a", 1),       # s->b->c->a = 3 beats s->a = 10
+            ("a", "d", 0),       # zero-weight edge
+            ("d", "s", 1),       # cycle back
+            ("x", "y", 1),       # unreachable island
+        ],
+        ["src", "dst", "w"],
+    )
+    got = {r.node: r.cost for r in sssp_weighted(edges, "s").collect()}
+    assert got == {"s": 0, "b": 1, "c": 2, "a": 3, "d": 3}
+    assert "x" not in got and "y" not in got
+
+
+def test_sssp_equals_bfs_on_unit_weights(spark):
+    """With all weights 1, SSSP cost must equal BFS hop count."""
+    from northwind_etl_spark.operators.graph import bfs_hops, sssp_weighted
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("s", "b"), ("b", "c")], ["src", "dst"]
+    ).withColumn("w", F.lit(1))
+    sp = {r.node: r.cost for r in sssp_weighted(edges, "s").collect()}
+    hp = {r.node: r.hops for r in bfs_hops(edges, "s").collect()}
+    assert sp == hp
