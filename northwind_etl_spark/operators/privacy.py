@@ -1,0 +1,235 @@
+"""k-anonymity auditing over quasi-identifier (QI) columns — the
+privacy-governance operator that closes the training-data governance
+family next to `chunking.py` (span extraction) and `redact.py` (PII
+masking): before a corpus with user-derived attributes ships, the
+pipeline must know which attribute combinations single people out.
+
+A relation is k-anonymous over a QI tuple when every equivalence
+class (group of rows agreeing on all QI values) holds at least k rows
+(Samarati & Sweeney 1998).  Two questions matter operationally:
+
+1. *Which classes are risky?*  `k_anonymity_audit` — one hash
+   aggregation on the QI tuple, `class_size < k` filter.  Map-side
+   partial aggregation makes the shuffle carry one row per CLASS per
+   task, not per input row; output is bounded by the class count.
+2. *How much suppression fixes it?*  Generalization by suffix
+   suppression (drop the last QI column, then the last two, ...) is
+   exactly the lattice Spark's ROLLUP enumerates — so
+   `suppression_level_stats` computes EVERY level's class sizes in
+   ONE aggregation pass: `df.rollup(*qi).count()` rides a single
+   shuffle (d+1 output rows per input group in the worst case, the
+   price of getting the whole ladder without d+1 jobs), and a second,
+   level-count-sized aggregation reduces each level to its class
+   count and minimum class size.  Rows are assigned to levels by
+   `grouping_id()` — NOT by NULL-ness of the rolled columns — so
+   genuine NULL QI values stay distinct from rollup subtotals.
+
+At 100 TB both shapes are plain hash aggregations: no join, no
+window, no driver state beyond the (d+1)-row level table.  The
+finest-level aggregation is the same shuffle any groupBy dedup pays;
+skewed QI tuples (one giant class) are partial-aggregated before the
+exchange, so a hot class costs its one combined row per map task.
+
+Verified: tests/test_privacy.py (planted equivalence classes, NULL QI
+values vs rollup subtotals, rollup stats ≡ brute-force per-level
+groupBys) and the oracle-checked `kanonymity_risky_classes` /
+`kanonymity_level_stats` entries (DuckDB replays the definitional
+GROUP BYs level by level).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def equivalence_classes(df: DataFrame, quasi_cols: Sequence[str]) -> DataFrame:
+    """(qi..., class_size) — one row per distinct QI tuple.  NULL is a
+    QI value like any other (SQL GROUP BY semantics, identical in the
+    oracle engine)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Equivalence classes violating k-anonymity: (qi..., class_size)
+    with class_size < k.  Empty result == the relation is k-anonymous
+    over these QI columns."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuous)")
+    return equivalence_classes(df, quasi_cols).where(F.col("class_size") < k)
+
+
+def suppression_level_stats(
+    df: DataFrame, quasi_cols: Sequence[str]
+) -> DataFrame:
+    """Per suppression level l (= drop the LAST l QI columns, so level
+    0 is the full tuple and level d groups everything into one class):
+    (level, n_classes, min_class_size) — the whole ladder from ONE
+    rollup aggregation.
+
+    ROLLUP(q1..qd) emits exactly the suffix-suppression lattice; a
+    row's level is bit_count(grouping_id()) because rollup only rolls
+    suffixes (gid ∈ {0, 1, 11b, 111b, ...}).  min_class_size at the
+    first level where it reaches k is the suppression answer; callers
+    threshold the returned table (see `smallest_k_level`).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    rolled = df.rollup(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.grouping_id().alias("__gid"),
+    )
+    return (
+        rolled.select(
+            F.bit_count("__gid").cast("int").alias("level"), "class_size"
+        )
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("class_size").cast("long").alias("min_class_size"),
+        )
+    )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """Equivalence classes whose sensitive attribute takes fewer than
+    l distinct values (Machanavajjhala et al. 2007, distinct
+    l-diversity): (qi..., class_size, distinct_sensitive) with
+    distinct_sensitive < l.  A k-anonymous class can still leak when
+    everyone in it shares one diagnosis; this is the follow-up audit.
+
+    Two stacked hash aggregations on the same keys — (QI, s) counts,
+    then QI — so the second agg rides the first's partitioning with no
+    extra shuffle of note; never a COUNT(DISTINCT) expansion over raw
+    rows.  NULL **is a sensitive value here** (a class where the value
+    is always missing is uniform, i.e. maximally leaky) — deliberately
+    NOT SQL COUNT(DISTINCT) semantics, so the oracle replays the same
+    two-level GROUP BY instead.
+    """
+    if l < 2:
+        raise ValueError("l must be >= 2 (l=1 is vacuous)")
+    per_value = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        per_value.groupBy(*quasi_cols)
+        .agg(
+            F.sum("__cnt").cast("long").alias("class_size"),
+            F.count(F.lit(1)).cast("long").alias("distinct_sensitive"),
+        )
+        .where(F.col("distinct_sensitive") < l)
+    )
+
+
+def t_closeness_distances(
+    df: DataFrame, quasi_cols: Sequence[str], sensitive_col: str
+) -> DataFrame:
+    """Per equivalence class, the total-variation distance between the
+    class's sensitive-value distribution and the whole relation's
+    (t-closeness with the variational metric, Li et al. 2007):
+
+        tvd(c) = 1/2 * sum_v | n_cv/n_c  -  N_v/N |
+
+    Exact until the last step: every term is cross-multiplied into
+    integers — |n_cv*N - N_v*n_c| — summed in DECIMAL(38,0) (bigint
+    products overflow near 10^10 rows; decimal doesn't), and values
+    the class never exhibits contribute N_v*n_c without being
+    materialized, because  sum_{v not in c} N_v = N - sum_{v in c} N_v.
+    The single inexact step is one final correctly-rounded double
+    division, so the oracle engine reproduces the value bit-for-bit.
+
+    Shape: one (QI, s) aggregation, a sum window on its own QI
+    partitioning for n_c, a broadcast join of the tiny sensitive-value
+    marginal, a 1-row scalar broadcast for N, and the per-class
+    reduction — one real shuffle of class-size rows end to end.
+    Returns (qi..., class_size, tvd) for EVERY class; callers
+    threshold tvd > t.
+    """
+    from pyspark.sql import Window
+
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    dec = "decimal(19,0)"
+    per_value = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__n_cv")
+    )
+    marginal = per_value.groupBy(sensitive_col).agg(
+        F.sum("__n_cv").cast("long").alias("__n_v")
+    )
+    total = marginal.agg(F.sum("__n_v").cast("long").alias("__n"))
+    with_nc = per_value.withColumn(
+        "__n_c",
+        F.sum("__n_cv").over(Window.partitionBy(*quasi_cols)).cast("long"),
+    )
+    joined = with_nc.join(F.broadcast(marginal), on=sensitive_col).crossJoin(
+        F.broadcast(total)
+    )
+    per_class = joined.groupBy(*quasi_cols).agg(
+        F.max("__n_c").alias("class_size"),
+        F.max("__n").alias("__n"),
+        F.sum(
+            F.abs(
+                F.col("__n_cv").cast(dec) * F.col("__n").cast(dec)
+                - F.col("__n_v").cast(dec) * F.col("__n_c").cast(dec)
+            )
+        ).alias("__numer_present"),
+        F.sum(F.col("__n_v").cast(dec)).alias("__present_nv"),
+    )
+    return per_class.select(
+        *quasi_cols,
+        "class_size",
+        (
+            (
+                F.col("__numer_present")
+                + F.col("class_size").cast(dec)
+                * (F.col("__n").cast(dec) - F.col("__present_nv"))
+            ).cast("double")
+            / (
+                F.lit(2).cast(dec)
+                * F.col("class_size").cast(dec)
+                * F.col("__n").cast(dec)
+            ).cast("double")
+        ).alias("tvd"),
+    )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float,
+) -> DataFrame:
+    """Classes farther than t from the global sensitive distribution —
+    the ones whose release teaches an attacker something about members
+    beyond the public marginal.  Empty result == t-close."""
+    if not 0 < t < 1:
+        raise ValueError("t must lie in (0, 1)")
+    return t_closeness_distances(df, quasi_cols, sensitive_col).where(
+        F.col("tvd") > t
+    )
+
+
+def smallest_k_level(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> int | None:
+    """The least suppression level whose every class holds >= k rows,
+    or None when even full suppression (one class = the whole
+    relation) stays under k.  Driver state: the (d+1)-row level table."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 is vacuous)")
+    rows = suppression_level_stats(df, quasi_cols).collect()
+    ok = [r["level"] for r in rows if r["min_class_size"] >= k]
+    return min(ok) if ok else None

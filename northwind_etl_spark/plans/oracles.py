@@ -2836,3 +2836,126 @@ ORACLES["multimodal_audio_stats"] = """
            CAST(COALESCE(a.max_abs, 0) AS INT) AS max_abs
     FROM b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """
+
+# k-anonymity audit: the definitional GROUP BY on the QI tuple with
+# the class_size < k filter.  QI derivations (substr country code,
+# balance-sign CASE) are byte-identical expressions in both engines;
+# COUNT(*) is BIGINT in DuckDB already, cast kept for explicitness.
+ORACLES["kanonymity_risky_classes"] = """
+    WITH qi AS (
+      SELECT CAST(c_nationkey AS INT) AS nation,
+             c_mktsegment AS segment,
+             CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END
+               AS balance_sign
+      FROM customer),
+    cls AS (
+      SELECT nation, segment, balance_sign, COUNT(*) AS class_size
+      FROM qi GROUP BY nation, segment, balance_sign)
+    SELECT nation, segment, balance_sign,
+           CAST(class_size AS BIGINT) AS class_size
+    FROM cls
+    WHERE class_size < 5
+    ORDER BY nation, segment, balance_sign
+"""
+
+# Suppression-ladder stats: the Spark side's single ROLLUP pass must
+# equal the four definitional per-level GROUP BYs unioned — the
+# replay deliberately does NOT use rollup so the two engines reach
+# the same table by different routes.
+ORACLES["kanonymity_level_stats"] = """
+    WITH qi AS (
+      SELECT CAST(c_nationkey AS INT) AS nation,
+             c_mktsegment AS segment,
+             CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END
+               AS balance_sign
+      FROM customer),
+    l0 AS (SELECT COUNT(*) AS c FROM qi
+           GROUP BY nation, segment, balance_sign),
+    l1 AS (SELECT COUNT(*) AS c FROM qi GROUP BY nation, segment),
+    l2 AS (SELECT COUNT(*) AS c FROM qi GROUP BY nation),
+    l3 AS (SELECT COUNT(*) AS c FROM qi),
+    s AS (
+      SELECT 0 AS level, COUNT(*) AS n, MIN(c) AS m FROM l0
+      UNION ALL SELECT 1, COUNT(*), MIN(c) FROM l1
+      UNION ALL SELECT 2, COUNT(*), MIN(c) FROM l2
+      UNION ALL SELECT 3, COUNT(*), MIN(c) FROM l3)
+    SELECT CAST(level AS INT) AS level,
+           CAST(n AS BIGINT) AS n_classes,
+           CAST(m AS BIGINT) AS min_class_size,
+           m >= 5 AS meets_k
+    FROM s ORDER BY level
+"""
+
+# Distinct l-diversity: the same two-level GROUP BY the Spark side
+# runs (NOT COUNT(DISTINCT) — NULL counts as a sensitive value by the
+# operator's documented semantics).  The balance bucket is the shared
+# 3-IEEE-step binning: +1000.0, /1000.0, floor — bit-identical here.
+ORACLES["ldiversity_risky_classes"] = """
+    WITH qi AS (
+      SELECT CAST(c_nationkey AS INT) AS nation,
+             CAST(FLOOR((c_acctbal + 1000.0) / 1000.0) AS INT)
+               AS balance_bucket,
+             c_mktsegment AS segment
+      FROM customer),
+    pv AS (
+      SELECT nation, balance_bucket, segment, COUNT(*) AS c
+      FROM qi GROUP BY 1, 2, 3),
+    cls AS (
+      SELECT nation, balance_bucket,
+             CAST(SUM(c) AS BIGINT) AS class_size,
+             CAST(COUNT(*) AS BIGINT) AS distinct_sensitive
+      FROM pv GROUP BY 1, 2)
+    SELECT nation, balance_bucket, class_size, distinct_sensitive
+    FROM cls
+    WHERE distinct_sensitive < 4
+    ORDER BY nation, balance_bucket
+"""
+
+# t-closeness TVD replay: identical integer cross-multiplication
+# (absent segments folded in as n_c * (N - sum of present N_v)) and
+# the identical single double division — every value before the final
+# division is an exact integer < 2^53, so the doubles match
+# bit-for-bit.
+ORACLES["tcloseness_class_distances"] = """
+    WITH qi AS (
+      SELECT CAST(c_nationkey AS INT) AS nation,
+             CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END
+               AS balance_sign,
+             c_mktsegment AS segment
+      FROM customer),
+    pv AS (
+      SELECT nation, balance_sign, segment, COUNT(*) AS n_cv
+      FROM qi GROUP BY 1, 2, 3),
+    marg AS (SELECT segment, SUM(n_cv) AS n_v FROM pv GROUP BY 1),
+    tot AS (SELECT SUM(n_v) AS n FROM marg),
+    cls AS (
+      SELECT nation, balance_sign, SUM(n_cv) AS n_c
+      FROM pv GROUP BY 1, 2),
+    per_class AS (
+      SELECT pv.nation, pv.balance_sign,
+             CAST(cls.n_c AS BIGINT) AS class_size,
+             CAST(tot.n AS BIGINT) AS n,
+             SUM(ABS(CAST(pv.n_cv AS DECIMAL(19,0)) * CAST(tot.n AS DECIMAL(19,0))
+                     - CAST(marg.n_v AS DECIMAL(19,0)) * CAST(cls.n_c AS DECIMAL(19,0))))
+               AS numer_present,
+             SUM(CAST(marg.n_v AS DECIMAL(19,0))) AS present_nv
+      FROM pv
+      JOIN marg ON marg.segment = pv.segment
+      JOIN cls ON cls.nation = pv.nation
+              AND cls.balance_sign = pv.balance_sign
+      CROSS JOIN tot
+      GROUP BY 1, 2, 3, 4)
+    SELECT nation, balance_sign, class_size,
+           CAST(numer_present
+                + CAST(class_size AS DECIMAL(19,0))
+                  * (CAST(n AS DECIMAL(19,0)) - present_nv) AS DOUBLE)
+           / CAST(2 * CAST(class_size AS DECIMAL(19,0))
+                  * CAST(n AS DECIMAL(19,0)) AS DOUBLE) AS tvd,
+           (CAST(numer_present
+                 + CAST(class_size AS DECIMAL(19,0))
+                   * (CAST(n AS DECIMAL(19,0)) - present_nv) AS DOUBLE)
+            / CAST(2 * CAST(class_size AS DECIMAL(19,0))
+                   * CAST(n AS DECIMAL(19,0)) AS DOUBLE)) <= 0.15 AS meets_t
+    FROM per_class
+    ORDER BY nation, balance_sign
+"""

@@ -3088,6 +3088,123 @@ def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kanonymity_risky_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/privacy.py::k_anonymity_audit):
+    equivalence classes of the customer quasi-identifier tuple
+    (nation, market segment, account-balance sign) holding fewer than
+    k=5 customers — the attribute combinations that single people
+    out, which a governance gate must generalize or suppress before
+    release.  One hash aggregation with map-side combine; the QI
+    derivations are pure codegen CASE/cast expressions identical in
+    the DuckDB oracle."""
+    from ..operators.privacy import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .otherwise(F.lit("nonneg"))
+        .alias("balance_sign"),
+    )
+    return (
+        k_anonymity_audit(qi, ["nation", "segment", "balance_sign"], k=5)
+        .select(
+            "nation",
+            "segment",
+            "balance_sign",
+            F.col("class_size").cast("long").alias("class_size"),
+        )
+        .orderBy("nation", "segment", "balance_sign")
+    )
+
+
+def kanonymity_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression-ladder k-anonymity stats (operators/privacy.py::
+    suppression_level_stats): for every suffix-suppression level of
+    the same customer QI tuple — level 0 = (nation, segment,
+    balance_sign) ... level 3 = everything in one class — the class
+    count and minimum class size, ALL levels from ONE rollup
+    aggregation (grouping sets ARE the suppression lattice; levels
+    assigned by grouping_id, so real NULL QI values could never be
+    confused with subtotals).  meets_k flags the levels that satisfy
+    k=5; the least flagged level is the suppression answer.  The
+    oracle replays the four definitional GROUP BYs and the same
+    threshold."""
+    from ..operators.privacy import suppression_level_stats
+
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .otherwise(F.lit("nonneg"))
+        .alias("balance_sign"),
+    )
+    return (
+        suppression_level_stats(qi, ["nation", "segment", "balance_sign"])
+        .withColumn("meets_k", F.col("min_class_size") >= F.lit(5))
+        .orderBy("level")
+    )
+
+
+def ldiversity_risky_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (operators/privacy.py::
+    l_diversity_audit): quasi-identifier classes of (nation,
+    thousand-dollar balance bucket) whose market segment — the
+    sensitive attribute here — takes fewer than l=4 distinct values,
+    i.e. the classes where knowing someone's nation and rough balance
+    narrows their segment.  c_acctbal is a raw double, so the bucket
+    is three correctly-rounded IEEE steps — (x + 1000.0) / 1000.0,
+    floor — identical in both engines (the source_length_drift
+    binning recipe; the +1000 offset keeps TPC-H's [-999.99, 9999.99]
+    domain nonnegative).  Two stacked hash aggregations, no distinct
+    expansion; NULL would count as a sensitive value by design (the
+    oracle replays the same two-level GROUP BY, not COUNT(DISTINCT))."""
+    from ..operators.privacy import l_diversity_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(1000.0))
+        .cast("int")
+        .alias("balance_bucket"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        l_diversity_audit(qi, ["nation", "balance_bucket"], "segment", l=4)
+        .select("nation", "balance_bucket", "class_size", "distinct_sensitive")
+        .orderBy("nation", "balance_bucket")
+    )
+
+
+def tcloseness_class_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness distances (operators/privacy.py::
+    t_closeness_distances): for every (nation, balance-sign) class,
+    the exact total-variation distance between the class's
+    market-segment distribution and the whole table's.  All arithmetic
+    is cross-multiplied integers summed in DECIMAL(38,0) — absent
+    segments contribute via N - sum(present N_v), never a
+    domain-spine join — with ONE correctly-rounded double division at
+    the end, so DuckDB reproduces the distance bit-for-bit.  meets_t
+    flags the classes within t=0.15 of the public marginal."""
+    from ..operators.privacy import t_closeness_distances
+
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .otherwise(F.lit("nonneg"))
+        .alias("balance_sign"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        t_closeness_distances(qi, ["nation", "balance_sign"], "segment")
+        .withColumn("meets_t", F.col("tvd") <= F.lit(0.15))
+        .orderBy("nation", "balance_sign")
+    )
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -3307,4 +3424,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_label_projection": pca_label_projection,
     "blocking_quality_metrics": blocking_quality_metrics,
     "nation_trade_sssp": nation_trade_sssp,
+    # --- governance family completion (new post-snapshot, leads r07) --
+    "kanonymity_risky_classes": kanonymity_risky_classes,
+    "kanonymity_level_stats": kanonymity_level_stats,
+    "ldiversity_risky_classes": ldiversity_risky_classes,
+    "tcloseness_class_distances": tcloseness_class_distances,
 }
