@@ -222,6 +222,70 @@ def t_closeness_audit(
     )
 
 
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    scale: str,
+    salt: str,
+) -> DataFrame:
+    """Laplace-mechanism noisy group counts — the release step that
+    follows the audits above: per group, true count n plus Laplace
+    noise of the given scale (= sensitivity/epsilon; COUNT has
+    sensitivity 1, so scale '2.0' is epsilon 0.5).
+
+    The noise is generated by a KEYED, REPLAYABLE pseudo-random map,
+    not an RNG: u = (md5(group-key ‖ salt) first-32-bits + 0.5) / 2^32
+    (never exactly 0 or 1, so the inverse CDF below cannot hit ln(0)),
+    then the Laplace inverse CDF  -scale * sign(u-1/2) * ln(1-2|u-1/2|).
+    Every step is engine-portable: md5 and the power-of-two division
+    are exact, the IEEE +,-,*,abs steps are correctly rounded, ln is
+    quantized to DECIMAL(14,12) immediately (the repo's proven
+    12-decimal cross-engine recipe, narrowed so the decimal multiply
+    chain stays under DuckDB's strict 38-digit product-width rule —
+    |ln| < 23 here because u is at least 2^-33 from the endpoints;
+    a last-ulp libm difference is absorbed by the quantization), and
+    `scale` is a DECIMAL STRING so the final
+    noise = -sign * ln_q * scale and noisy = n + noise stay exact
+    decimal arithmetic.  Pass a terminating decimal for `scale` (e.g.
+    '2.0', '0.5') and the output DECIMAL(38,12) is exact in both
+    engines, bit-for-bit.
+
+    Privacy caveat, stated honestly: hash-keyed noise gives the
+    Laplace mechanism's *arithmetic* with perfect replayability (what
+    the oracle checks); the DP guarantee itself additionally requires
+    the salt to be secret and used once per release, and a production
+    deployment would draw the salt from a sealed secret store.  One
+    hash aggregation + map-only noise expressions; nothing leaves the
+    executors.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in group_cols
+        ],
+        F.lit(salt),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    c = u - F.lit(0.5)
+    ln_q = F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c)).cast("decimal(14,12)")
+    sign = (
+        F.when(c >= 0, F.lit(1)).otherwise(F.lit(-1)).cast("decimal(2,0)")
+    )
+    noise = -sign * ln_q * F.lit(scale).cast("decimal(8,6)")
+    return counts.select(
+        *group_cols,
+        (F.col("n").cast("decimal(19,0)") + noise)
+        .cast("decimal(38,12)")
+        .alias("noisy_count"),
+    )
+
+
 def smallest_k_level(
     df: DataFrame, quasi_cols: Sequence[str], k: int
 ) -> int | None:

@@ -2959,3 +2959,31 @@ ORACLES["tcloseness_class_distances"] = """
     FROM per_class
     ORDER BY nation, balance_sign
 """
+
+# Laplace-mechanism replay: the identical md5 noise map (chr(31) is
+# the concat_ws separator, '0x'||hex cast is the conv(16,10) twin),
+# identical IEEE steps, the identical DECIMAL(14,12) ln quantization
+# and (8,6) scale — every noisy count matches bit-for-bit.  Widths
+# are chosen so each decimal product stays within DuckDB's strict
+# 38-digit combined-width rule.
+ORACLES["dp_noisy_nation_counts"] = """
+    WITH cnt AS (
+      SELECT CAST(c_nationkey AS INT) AS nation, COUNT(*) AS n
+      FROM customer GROUP BY 1),
+    nz AS (
+      SELECT nation, n,
+             (CAST(CAST('0x' || substring(md5(
+                    CAST(nation AS VARCHAR) || chr(31) || 'release-r06'
+                ), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+      FROM cnt)
+    SELECT nation,
+           CAST(CAST(n AS DECIMAL(19,0))
+                + (CAST(0 AS DECIMAL(2,0))
+                   - CASE WHEN u - 0.5 >= 0
+                          THEN CAST(1 AS DECIMAL(2,0))
+                          ELSE CAST(-1 AS DECIMAL(2,0)) END)
+                  * CAST(ln(1.0 - 2.0 * abs(u - 0.5)) AS DECIMAL(14,12))
+                  * CAST('2.0' AS DECIMAL(8,6))
+                AS DECIMAL(38,12)) AS noisy_count
+    FROM nz ORDER BY nation
+"""

@@ -3205,6 +3205,24 @@ def tcloseness_class_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private noisy customer counts per nation
+    (operators/privacy.py::dp_noisy_counts) — the release step after
+    the k-anonymity/l-diversity/t-closeness audits: Laplace noise at
+    scale 2.0 (epsilon 0.5 for a sensitivity-1 count) from the keyed
+    replayable md5 noise map.  Every arithmetic step is engine-exact
+    (power-of-two division, quantized ln, decimal multiply/add), so
+    the DuckDB oracle reproduces each noisy count bit-for-bit — the
+    strongest possible check that the mechanism's math is right."""
+    from ..operators.privacy import dp_noisy_counts
+
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.select(F.col("c_nationkey").cast("int").alias("nation"))
+    return dp_noisy_counts(
+        qi, ["nation"], scale="2.0", salt="release-r06"
+    ).orderBy("nation")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -3429,4 +3447,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kanonymity_level_stats": kanonymity_level_stats,
     "ldiversity_risky_classes": ldiversity_risky_classes,
     "tcloseness_class_distances": tcloseness_class_distances,
+    "dp_noisy_nation_counts": dp_noisy_nation_counts,
 }

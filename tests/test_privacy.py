@@ -199,3 +199,58 @@ def test_t_closeness_audit_threshold(spark):
         t_closeness_audit(df, ["region"], "diag", t=0.0)
     with pytest.raises(ValueError):
         t_closeness_distances(df, [], "diag")
+
+
+# --- DP noisy counts (Laplace release) ------------------------------
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    # 200 groups x 3 rows
+    return spark.range(600).select(
+        (F.col("id") % 200).cast("int").alias("g")
+    )
+
+
+def test_dp_noisy_counts_deterministic(grouped):
+    from northwind_etl_spark.operators.privacy import dp_noisy_counts
+
+    a = {r["g"]: r["noisy_count"]
+         for r in dp_noisy_counts(grouped, ["g"], scale="2.0", salt="s").collect()}
+    b = {r["g"]: r["noisy_count"]
+         for r in dp_noisy_counts(grouped, ["g"], scale="2.0", salt="s").collect()}
+    assert a == b and len(a) == 200
+
+
+def test_dp_noise_bounded_and_laplace_shaped(grouped):
+    from northwind_etl_spark.operators.privacy import dp_noisy_counts
+
+    rows = dp_noisy_counts(grouped, ["g"], scale="2.0", salt="s").collect()
+    noises = [float(r["noisy_count"]) - 3.0 for r in rows]
+    # hard bound: |noise| <= scale * 32*ln(2) (u is >= 2^-33 from 0/1)
+    assert max(abs(x) for x in noises) <= 2.0 * 32 * 0.6931471805599453
+    # Laplace(scale=2): E[X]=0, E|X|=2 -- loose empirical bands at n=200
+    assert abs(sum(noises) / len(noises)) < 0.75
+    assert 1.0 < sum(abs(x) for x in noises) / len(noises) < 3.5
+    # noise must actually vary across groups
+    assert len({round(x, 6) for x in noises}) > 150
+
+
+def test_dp_salt_changes_noise(grouped):
+    from northwind_etl_spark.operators.privacy import dp_noisy_counts
+
+    a = {r["g"]: r["noisy_count"]
+         for r in dp_noisy_counts(grouped, ["g"], scale="2.0", salt="s1").collect()}
+    b = {r["g"]: r["noisy_count"]
+         for r in dp_noisy_counts(grouped, ["g"], scale="2.0", salt="s2").collect()}
+    assert sum(a[g] != b[g] for g in a) > 190
+
+
+def test_dp_null_group_key_and_errors(spark):
+    from northwind_etl_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([("x",), (None,), (None,)], "g string")
+    rows = dp_noisy_counts(df, ["g"], scale="0.5", salt="s").collect()
+    got = {r["g"]: float(r["noisy_count"]) for r in rows}
+    assert set(got) == {"x", None} and abs(got[None] - 2) < 16.1
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, [], scale="2.0", salt="s")
