@@ -233,6 +233,52 @@ def repetition_stats(
     )
 
 
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Hashing-trick text features (Weinberger et al. 2009): each term
+    maps to bucket = md5-first-32-bits mod n_buckets with a sign from
+    the digest's 9th hex nibble's parity (independent bits of the SAME
+    digest — one hash evaluation per term), and a document's feature
+    vector is the signed term-frequency sum per bucket.  The signed
+    variant keeps collisions unbiased (E[collision contribution] = 0),
+    which is why it beats unsigned counting at small n_buckets.
+
+    Emitted LONG-FORM — (doc, bucket, weight), zero rows for empty
+    buckets — the sparse layout a trainer's collector wants and the
+    layout an engine can verify exactly.  Rides the shared
+    `_doc_term_counts` stage (no extra tokenization), then one hash
+    aggregation whose output is bounded by docs x n_buckets.  All
+    arithmetic is integer + md5 — engine-portable; the oracle replays
+    every bucket and weight exactly.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    tc = _doc_term_counts(df, text_col, id_col)
+    digest = F.md5(F.col("term"))
+    bucket = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(digest, 9, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tc.select(
+            F.col(id_col),
+            bucket.alias("bucket"),
+            (sign * F.col("tf")).cast("long").alias("__signed_tf"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__signed_tf").cast("long").alias("weight"))
+    )
+
+
 def tf_idf(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

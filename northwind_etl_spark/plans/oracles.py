@@ -2987,3 +2987,22 @@ ORACLES["dp_noisy_nation_counts"] = """
                 AS DECIMAL(38,12)) AS noisy_count
     FROM nz ORDER BY nation
 """
+
+# Hashing-trick replay: same tokenization macro, same md5 digest split
+# (first 8 hex = bucket, 9th nibble parity = sign), same integer sums.
+ORACLES["hashed_doc_features"] = f"""
+    WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    h AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(term), 1, 8) AS BIGINT)
+                  % 64 AS INT) AS bucket,
+             CASE WHEN CAST('0x' || substring(md5(term), 9, 1) AS BIGINT)
+                       % 2 = 0
+                  THEN CAST(tf AS BIGINT) ELSE -CAST(tf AS BIGINT)
+             END AS s
+      FROM tc)
+    SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS weight
+    FROM h GROUP BY 1, 2
+    ORDER BY doc_id, bucket
+"""

@@ -3223,6 +3223,19 @@ def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation")
 
 
+def hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick features (operators/text.py::hashed_features):
+    signed 64-bucket hashed term-frequency vectors per document in
+    sparse long form — the fixed-width, vocabulary-free feature layout
+    a downstream trainer consumes.  Bucket and sign both come from ONE
+    md5 digest per term; integer arithmetic end to end, so the oracle
+    replays every (doc, bucket, weight) row exactly."""
+    from ..operators.text import hashed_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_features(docs, n_buckets=64).orderBy("doc_id", "bucket")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -3448,4 +3461,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ldiversity_risky_classes": ldiversity_risky_classes,
     "tcloseness_class_distances": tcloseness_class_distances,
     "dp_noisy_nation_counts": dp_noisy_nation_counts,
+    "hashed_doc_features": hashed_doc_features,
 }
