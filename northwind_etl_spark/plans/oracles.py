@@ -3006,3 +3006,18 @@ ORACLES["hashed_doc_features"] = f"""
     FROM h GROUP BY 1, 2
     ORDER BY doc_id, bucket
 """
+
+# Equal-frequency binning replay: identical total order (price, key),
+# identical (rank-1)*10 // n assignment, per-bin count/min/max.
+ORACLES["order_price_decile_bins"] = """
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER () AS total
+      FROM orders WHERE o_totalprice IS NOT NULL)
+    SELECT CAST(((rn - 1) * 10) // total AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM r GROUP BY 1 ORDER BY bin
+"""

@@ -3236,6 +3236,23 @@ def hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features(docs, n_buckets=64).orderBy("doc_id", "bucket")
 
 
+def order_price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (operators/features.py::
+    quantile_bin_summary): o_totalprice split into 10 exact deciles
+    under the total order (price, orderkey) — bin = (rank-1)*10 DIV n,
+    rank from the range-partition + local-sort + offset-broadcast
+    global ranking, so bin populations are exact to +-1 with NO global
+    single-partition sort.  Output is the 10-row discretization table
+    (count, lo, hi per bin); the oracle replays the identical
+    ROW_NUMBER arithmetic."""
+    from ..operators.features import quantile_bin_summary
+
+    orders = _t(spark, sf_dir, "orders")
+    return quantile_bin_summary(
+        orders, "o_totalprice", "o_orderkey", n_bins=10
+    ).orderBy("bin")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -3462,4 +3479,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tcloseness_class_distances": tcloseness_class_distances,
     "dp_noisy_nation_counts": dp_noisy_nation_counts,
     "hashed_doc_features": hashed_doc_features,
+    "order_price_decile_bins": order_price_decile_bins,
 }

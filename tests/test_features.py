@@ -1,0 +1,72 @@
+"""Equal-frequency quantile binning (operators/features.py): exact
+bin populations, tie/NULL handling, partitioning-invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.operators.features import (
+    quantile_bin,
+    quantile_bin_summary,
+)
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # 17 rows, values descending so input order != value order
+    return spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(17)], "id long, v double"
+    )
+
+
+def test_bin_sizes_exact(vals):
+    sizes = {
+        r["bin"]: r["n"]
+        for r in quantile_bin_summary(vals, "v", "id", n_bins=4).collect()
+    }
+    # (rank-1)*4 DIV 17: ranks 1..5 -> 0, 6..9 -> 1, 10..13 -> 2, 14..17 -> 3
+    assert sizes == {0: 5, 1: 4, 2: 4, 3: 4}
+
+
+def test_bins_monotone_in_value(vals):
+    rows = quantile_bin(vals, "v", "id", n_bins=4).orderBy("v").collect()
+    bins = [r["bin"] for r in rows]
+    assert bins == sorted(bins)
+    # lowest value in bin 0, highest in the last bin
+    assert rows[0]["bin"] == 0 and rows[-1]["bin"] == 3
+
+
+def test_partitioning_invariance(vals):
+    a = {r["id"]: r["bin"] for r in quantile_bin(vals, "v", "id", n_bins=5).collect()}
+    b = {
+        r["id"]: r["bin"]
+        for r in quantile_bin(vals.repartition(7), "v", "id", n_bins=5).collect()
+    }
+    assert a == b
+
+
+def test_all_ties_split_by_id(spark):
+    # constant value: the id tie-breaker must still give exact sizes
+    df = spark.createDataFrame([(i, 1.0) for i in range(10)], "id long, v double")
+    got = {r["id"]: r["bin"] for r in quantile_bin(df, "v", "id", n_bins=2).collect()}
+    assert got == {i: (0 if i < 5 else 1) for i in range(10)}
+
+
+def test_null_values_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0), (4, None)], "id long, v double"
+    )
+    got = {r["id"]: r["bin"] for r in quantile_bin(df, "v", "id", n_bins=2).collect()}
+    assert got[2] is None and got[4] is None
+    assert got[1] == 0 and got[3] == 1
+    summary = quantile_bin_summary(df, "v", "id", n_bins=2).collect()
+    assert {r["bin"] for r in summary} == {0, 1}
+
+
+def test_validation_and_empty(spark):
+    df = spark.createDataFrame([(1, None)], "id long, v double")
+    with pytest.raises(ValueError):
+        quantile_bin(df, "v", "id", n_bins=1)
+    rows = quantile_bin(df, "v", "id", n_bins=3).collect()
+    assert len(rows) == 1 and rows[0]["bin"] is None
