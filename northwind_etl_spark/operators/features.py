@@ -69,6 +69,83 @@ def quantile_bin(
     )
 
 
+def target_encode_smoothed(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    *,
+    m: int,
+) -> DataFrame:
+    """Smoothed target encoding per category (the empirical-Bayes
+    blend, Micci-Barreca 2001):  enc_c = (S_c + m*G) / (n_c + m)
+    with G the global target mean and integer pseudo-count m.
+
+    Computed in the CROSS-MULTIPLIED form so no division nests inside
+    another:  enc_c = (S_c*N + m*S) / (N*(n_c + m)) — every factor an
+    exact decimal/integer (targets quantized once to DECIMAL(24,6),
+    the established double→decimal recipe), ONE correctly-rounded
+    double division at the end, so the oracle engine reproduces every
+    encoding bit-for-bit.  Widths are sized for ~10^13 rows and
+    |target| ≤ 10^11 (combined decimal products stay within the
+    38-digit rule both engines enforce); one hash aggregation + a
+    1-row broadcast — output is |categories| rows.  NULL categories
+    encode like any other group; NULL targets are excluded from both
+    S and n (SUM/COUNT semantics, identical in SQL).
+    """
+    if m < 1:
+        raise ValueError("m must be a positive pseudo-count")
+    tq = F.col(target_col).cast("decimal(24,6)")
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(tq).cast("decimal(24,6)").alias("__s"),
+        F.count(tq).cast("decimal(13,0)").alias("__n"),
+    )
+    glob = per_cat.agg(
+        F.sum("__s").cast("decimal(24,6)").alias("__s_all"),
+        F.sum("__n").cast("decimal(13,0)").alias("__n_all"),
+    )
+    md = F.lit(int(m)).cast("decimal(13,0)")
+    return per_cat.crossJoin(F.broadcast(glob)).select(
+        cat_col,
+        F.col("__n").cast("long").alias("n"),
+        (
+            (F.col("__s") * F.col("__n_all") + md * F.col("__s_all")).cast(
+                "double"
+            )
+            / (F.col("__n_all") * (F.col("__n") + md)).cast("double")
+        ).alias("encoding"),
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe variant for
+    training rows:  enc_i = (S_c - x_i) / (n_c - 1), NULL when the row
+    is alone in its category (nothing to borrow) or its own target is
+    NULL.  One window aggregation on the category partitioning (the
+    same exactness recipe as above: quantize once, exact decimal
+    numerator, one final double division).  Per-category state is two
+    numbers, so a hot category costs its partial aggregation, not a
+    sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cat_col)
+    tq = F.col(target_col).cast("decimal(24,6)")
+    s = F.sum(tq).over(w).cast("decimal(24,6)")
+    n = F.count(tq).over(w).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.col(cat_col),
+        F.when(
+            tq.isNotNull() & (n > 1),
+            (s - tq).cast("double") / (n - F.lit(1)).cast("double"),
+        ).alias("loo_encoding"),
+    )
+
+
 def quantile_bin_summary(
     df: DataFrame,
     col: str,

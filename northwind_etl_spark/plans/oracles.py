@@ -3021,3 +3021,41 @@ ORACLES["order_price_decile_bins"] = """
            MAX(o_totalprice) AS hi
     FROM r GROUP BY 1 ORDER BY bin
 """
+
+# Smoothed target encoding replay: identical quantization, identical
+# cross-multiplied decimal numerator/denominator, one double division.
+ORACLES["nation_balance_target_encoding"] = """
+    WITH per AS (
+      SELECT CAST(c_nationkey AS INT) AS nation,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DECIMAL(24,6)) AS s,
+             CAST(COUNT(c_acctbal) AS DECIMAL(13,0)) AS n
+      FROM customer GROUP BY 1),
+    g AS (
+      SELECT CAST(SUM(s) AS DECIMAL(24,6)) AS s_all,
+             CAST(SUM(n) AS DECIMAL(13,0)) AS n_all
+      FROM per)
+    SELECT nation, CAST(n AS BIGINT) AS n,
+           CAST(s * n_all + CAST(10 AS DECIMAL(13,0)) * s_all AS DOUBLE)
+           / CAST(n_all * (n + CAST(10 AS DECIMAL(13,0))) AS DOUBLE)
+             AS encoding
+    FROM per CROSS JOIN g
+    ORDER BY nation
+"""
+
+# LOO target encoding replay: identical window sums and the identical
+# (S - x)/(n - 1) step; singleton classes and NULL targets are NULL.
+ORACLES["priority_price_loo_encoding"] = """
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(24,6)) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6)))
+                  OVER (PARTITION BY o_orderpriority) AS DECIMAL(24,6)) AS s,
+             COUNT(CAST(o_totalprice AS DECIMAL(24,6)))
+                  OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN x IS NOT NULL AND n > 1
+                THEN CAST(s - x AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+           END AS loo_encoding
+    FROM w ORDER BY o_orderkey
+"""

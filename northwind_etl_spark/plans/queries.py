@@ -3253,6 +3253,38 @@ def order_price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def nation_balance_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (operators/features.py::
+    target_encode_smoothed): per-nation mean account balance shrunk
+    toward the global mean with pseudo-count m=10 — the
+    empirical-Bayes categorical feature.  Cross-multiplied exact
+    decimal arithmetic with one final IEEE division; the oracle
+    reproduces every encoding bit-for-bit."""
+    from ..operators.features import target_encode_smoothed
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nation"), "c_acctbal"
+    )
+    return target_encode_smoothed(cust, "nation", "c_acctbal", m=10).orderBy(
+        "nation"
+    )
+
+
+def priority_price_loo_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (operators/features.py::
+    target_encode_loo): per order, the mean o_totalprice of its
+    o_orderpriority class EXCLUDING the order itself — the
+    leakage-safe training feature.  One keyed window aggregation;
+    exact decimal numerator, one IEEE division, bit-identical in the
+    oracle."""
+    from ..operators.features import target_encode_loo
+
+    orders = _t(spark, sf_dir, "orders")
+    return target_encode_loo(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).orderBy("o_orderkey")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -3480,4 +3512,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_noisy_nation_counts": dp_noisy_nation_counts,
     "hashed_doc_features": hashed_doc_features,
     "order_price_decile_bins": order_price_decile_bins,
+    "nation_balance_target_encoding": nation_balance_target_encoding,
+    "priority_price_loo_encoding": priority_price_loo_encoding,
 }

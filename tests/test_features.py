@@ -70,3 +70,57 @@ def test_validation_and_empty(spark):
         quantile_bin(df, "v", "id", n_bins=1)
     rows = quantile_bin(df, "v", "id", n_bins=3).collect()
     assert len(rows) == 1 and rows[0]["bin"] is None
+
+
+# --- target encoding -------------------------------------------------
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rows = [
+        (1, "A", 1.0), (2, "A", 2.0), (3, "A", 3.0),
+        (4, "B", 10.0),
+        (5, "C", 5.0), (6, "C", None),
+    ]
+    return spark.createDataFrame(rows, "id long, cat string, y double")
+
+
+def test_smoothed_encoding_hand_computed(labeled):
+    from northwind_etl_spark.operators.features import target_encode_smoothed
+
+    got = {
+        r["cat"]: (r["n"], r["encoding"])
+        for r in target_encode_smoothed(labeled, "cat", "y", m=2).collect()
+    }
+    # G = 21/5; enc = (S_c*N + m*S)/(N*(n_c+m))
+    assert got["A"] == (3, 72.0 / 25.0)
+    assert got["B"] == (1, 92.0 / 15.0)
+    assert got["C"] == (1, 67.0 / 15.0)
+    with pytest.raises(ValueError):
+        target_encode_smoothed(labeled, "cat", "y", m=0)
+
+
+def test_loo_encoding_hand_computed(labeled):
+    from northwind_etl_spark.operators.features import target_encode_loo
+
+    got = {
+        r["id"]: r["loo_encoding"]
+        for r in target_encode_loo(labeled, "cat", "y", "id").collect()
+    }
+    assert got[1] == 2.5 and got[2] == 2.0 and got[3] == 1.5
+    assert got[4] is None          # singleton class
+    assert got[5] is None          # alone among non-NULL targets
+    assert got[6] is None          # own target NULL
+
+
+def test_smoothed_shrinks_toward_global(labeled):
+    """Large m must pull every encoding toward the global mean."""
+    from northwind_etl_spark.operators.features import target_encode_smoothed
+
+    g = 21.0 / 5.0
+    small = {r["cat"]: r["encoding"]
+             for r in target_encode_smoothed(labeled, "cat", "y", m=1).collect()}
+    big = {r["cat"]: r["encoding"]
+           for r in target_encode_smoothed(labeled, "cat", "y", m=1000).collect()}
+    for c in small:
+        assert abs(big[c] - g) < abs(small[c] - g)
+        assert abs(big[c] - g) < 0.01
