@@ -1,0 +1,64 @@
+"""Registry-wide physical-plan lint: EVERY registered query's executed
+plan is checked against the three distributed-execution bans —
+
+1. CartesianProduct: never (an O(n*m) pair explosion at scale).
+2. BatchEvalPython: never (row-at-a-time Python; all Python in the
+   repo must cross via Arrow -- ArrowEvalPython / MapInPandas /
+   FlatMapGroupsInPandas).
+3. BroadcastNestedLoopJoin: only for the enumerated scalar-broadcast
+   patterns below, where the build side is a 1-row aggregate (a
+   corpus total, a query vector, a threshold) or a deliberately tiny
+   cross product.  The whitelist is exact in both directions -- a new
+   BNLJ fails the lint, and a whitelisted query that stops needing
+   one fails too, so the list can never rot.
+
+The TPC-H suite additionally pins per-query shapes in test_tpch.py;
+this lint is the safety net for the other ~170 entries.
+"""
+
+from __future__ import annotations
+
+from northwind_etl_spark.plans.queries import QUERIES
+
+# Scalar-broadcast / designed-tiny BNLJ users (reviewed one by one:
+# every build side is a no-grouping aggregate or a bounded literal
+# frame -- see each query's docstring).
+BNLJ_WHITELIST = {
+    "boilerplate_cleaned_docs",      # corpus doc-count scalar
+    "table_diff_summary",            # dirty-bucket count scalar
+    "source_length_drift",           # global bin spine vs group grid
+    "bigram_surprisal_scores",       # corpus c2/V scalars
+    "heavy_hitter_terms",            # total-count threshold scalar
+    "nation_trade_pagerank",         # node-count / teleport scalar
+    "nation_trade_triangles",        # edge-threshold scalar
+    "copurchase_rules",              # basket-count scalar
+    "q22_dormant_customers",         # avg-balance scalar (designed)
+    "tfidf_scores",                  # n_docs scalar
+    "cross_join_flag_region",        # designed tiny cross product
+    "q11_important_parts",           # value-threshold scalar
+    "unigram_surprisal_scores",      # corpus-total scalar
+    "knn_bruteforce_topk",           # 1-row query-vector broadcast
+    "blocking_quality_metrics",      # truth-set total scalars
+    "tcloseness_class_distances",    # global-N scalar
+    "nation_balance_target_encoding",  # global-sum scalar
+}
+
+
+def test_registry_plan_lint(spark, sf_dir):
+    cartesian, row_python, bnlj = [], [], set()
+    for name, fn in QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_python.append(name)
+        if "BroadcastNestedLoopJoin" in plan:
+            bnlj.add(name)
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not row_python, f"row-at-a-time Python UDF in: {row_python}"
+    assert bnlj - BNLJ_WHITELIST == set(), (
+        f"unreviewed BroadcastNestedLoopJoin in: {sorted(bnlj - BNLJ_WHITELIST)}"
+    )
+    assert BNLJ_WHITELIST - bnlj == set(), (
+        f"stale whitelist entries (no BNLJ anymore): {sorted(BNLJ_WHITELIST - bnlj)}"
+    )
