@@ -121,3 +121,83 @@ def group_sample(
         .where(F.col("sample_rank") <= k)
         .drop("__h")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    *,
+    shares: dict[str, int],
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Deterministic data-mixing sample: the LARGEST subcorpus whose
+    source composition is exactly the integer ratio `shares`
+    (e.g. {'web': 4, 'code': 2, 'books': 1}) — the mixture step a
+    training-corpus build runs after quality/dedup to hit a target
+    data diet.
+
+    Exact by integer arithmetic, no floats anywhere: with w_s the
+    share and n_s the source's row count, the number of whole mixture
+    units that fit is m = min_s (n_s DIV w_s) and each source
+    contributes k_s = w_s * m rows — so k_s <= n_s always, the
+    realized ratio is EXACTLY w_a : w_b, and any larger subcorpus
+    would break the ratio (m is tight by the pigeonhole at the
+    arg-min source).  Sources not in `shares` are excluded; a weighted
+    source missing from the data forces m = 0 (an impossible mix is
+    surfaced as emptiness, never silently re-weighted).
+
+    Row selection within a source is the same pure-function-of-data
+    rule as `group_sample`: rank by (md5(id), id), take the first k_s
+    — and the ranking reuses the two-phase salted discipline (rank
+    within (source, hash-salt) capped at k_s, then rank the
+    <= salt_buckets*k_s survivors), so a billion-row source is ranked
+    by `salt_buckets` tasks, not one.  Everything else is driver-free:
+    counts, m, and quotas stay in-plan as 1-row / |sources|-row
+    broadcasts.  Returns (id, source, sample_rank); the oracle replays
+    the single-window form of the identical arithmetic.
+    """
+    from pyspark.sql import Window
+
+    if not shares:
+        raise ValueError("shares must name at least one source")
+    if any(int(w) < 1 for w in shares.values()):
+        raise ValueError("shares must be positive integers")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(shares.items())],
+        f"{source_col} string, __w long",
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    weighted = counts.join(F.broadcast(wdf), source_col)
+    # m = whole mixture units; a weighted source absent from the data
+    # contributes n_s = 0 via the right join -> m = 0.
+    m = (
+        wdf.join(counts, source_col, "left")
+        .select(
+            F.expr("coalesce(__n, CAST(0 AS LONG)) DIV __w").alias("__u")
+        )
+        .agg(F.min("__u").alias("__m"))
+    )
+    quota = weighted.crossJoin(F.broadcast(m)).select(
+        source_col, (F.col("__w") * F.col("__m")).alias("__k")
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.join(F.broadcast(quota), source_col).select(
+        source_col, F.col(id_col), F.col("__k"), h.alias("__h")
+    )
+    salted = base.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("__h")), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(source_col, "__salt").orderBy("__h", id_col)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= F.col("__k"))
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(source_col).orderBy("__h", id_col)
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= F.col("__k"))
+        .select(id_col, source_col, F.col("sample_rank").cast("int"))
+    )

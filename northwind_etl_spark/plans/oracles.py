@@ -3059,3 +3059,25 @@ ORACLES["priority_price_loo_encoding"] = """
            END AS loo_encoding
     FROM w ORDER BY o_orderkey
 """
+
+# Data-mixing replay: identical integer unit/quota arithmetic and the
+# single-window form of the identical (md5(id), id) ranking.
+ORACLES["mixture_sampled_docs"] = """
+    WITH w(source, wt) AS (VALUES ('src0', 4), ('src1', 2), ('src2', 1)),
+    c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    m AS (
+      SELECT MIN(COALESCE(n, 0) // wt) AS m
+      FROM w LEFT JOIN c USING (source)),
+    q AS (
+      SELECT w.source, wt * m.m AS k
+      FROM w JOIN c USING (source) CROSS JOIN m),
+    r AS (
+      SELECT d.doc_id, d.source, q.k,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      FROM documents d JOIN q ON q.source = d.source)
+    SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
+    FROM r WHERE rn <= k
+    ORDER BY source, sample_rank
+"""

@@ -3285,6 +3285,22 @@ def priority_price_loo_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sample (operators/sampling.py::
+    mixture_sample): the largest subcorpus of documents whose source
+    composition is EXACTLY 4:2:1 over src0/src1/src2 — integer-share
+    arithmetic (m = min n_s DIV w_s whole units, k_s = w_s*m), rows
+    picked by the pure (md5(id), id) ranking under the two-phase
+    salted window.  The oracle replays the single-window form of the
+    identical arithmetic."""
+    from ..operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "source", "doc_id", shares={"src0": 4, "src1": 2, "src2": 1}
+    ).orderBy("source", "sample_rank")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -3514,4 +3530,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_price_decile_bins": order_price_decile_bins,
     "nation_balance_target_encoding": nation_balance_target_encoding,
     "priority_price_loo_encoding": priority_price_loo_encoding,
+    "mixture_sampled_docs": mixture_sampled_docs,
 }

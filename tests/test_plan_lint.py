@@ -41,6 +41,7 @@ BNLJ_WHITELIST = {
     "blocking_quality_metrics",      # truth-set total scalars
     "tcloseness_class_distances",    # global-N scalar
     "nation_balance_target_encoding",  # global-sum scalar
+    "mixture_sampled_docs",          # 1-row mixture-unit scalar
 }
 
 
