@@ -201,3 +201,69 @@ def mixture_sample(
         .where(F.col("sample_rank") <= F.col("__k"))
         .select(id_col, source_col, F.col("sample_rank").cast("int"))
     )
+
+
+def mixture_sample_by_budget(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weight_col: str,
+    *,
+    shares: dict[str, int],
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Token-budget data mixing — `mixture_sample` with the share unit
+    changed from rows to a per-row weight (token count, byte size):
+    per-source budget k_s = w_s * m with m = min_s (W_s DIV w_s) over
+    total weights W_s, and a source contributes its (md5(id), id)-order
+    PREFIX of documents whose cumulative weight stays within k_s (the
+    greedy prefix rule of packing.py — realized weight never exceeds
+    the budget; the ratio is exact in budget and approximate only at
+    the granularity of one document, which is the honest best a
+    row-atomic sampler can do).
+
+    Weights must be nonnegative; NULL weights count as 0 (a weightless
+    row is free to include).  Same engine shape as mixture_sample: two
+    tiny in-plan broadcasts + ONE keyed window pass — the cumulative
+    sum and the rank come from the same window, and the two-phase salt
+    trick is NOT applicable to a running sum, so this variant carries
+    the documented keyed-window hot-source ceiling (a source's rows
+    sort in one task; use mixture_sample for row-unit mixes of very
+    hot sources).  Returns (id, source, weight, cum_weight).
+    """
+    from pyspark.sql import Window
+
+    if not shares:
+        raise ValueError("shares must name at least one source")
+    if any(int(w) < 1 for w in shares.values()):
+        raise ValueError("shares must be positive integers")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(shares.items())],
+        f"{source_col} string, __w long",
+    )
+    wt = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    totals = df.groupBy(source_col).agg(F.sum(wt).alias("__t"))
+    m = (
+        wdf.join(totals, source_col, "left")
+        .select(
+            F.expr("coalesce(__t, CAST(0 AS LONG)) DIV __w").alias("__u")
+        )
+        .agg(F.min("__u").alias("__m"))
+    )
+    quota = wdf.crossJoin(F.broadcast(m)).select(
+        source_col, (F.col("__w") * F.col("__m")).alias("__k")
+    )
+    base = df.join(F.broadcast(quota), source_col).select(
+        source_col,
+        F.col(id_col),
+        wt.alias("weight"),
+        F.col("__k"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    w = Window.partitionBy(source_col).orderBy("__h", id_col)
+    return (
+        base.withColumn("cum_weight", F.sum("weight").over(w))
+        .where(F.col("cum_weight") <= F.col("__k"))
+        .select(id_col, source_col, "weight", "cum_weight")
+    )

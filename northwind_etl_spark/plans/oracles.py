@@ -3081,3 +3081,29 @@ ORACLES["mixture_sampled_docs"] = """
     FROM r WHERE rn <= k
     ORDER BY source, sample_rank
 """
+
+# Token-budget mixing replay: identical integer budgets and the
+# identical (md5(id), id) running-sum prefix window.
+ORACLES["mixture_budget_docs"] = """
+    WITH w(source, wt) AS (VALUES ('src3', 3), ('src4', 1)),
+    t AS (
+      SELECT source, SUM(CAST(COALESCE(n_chars, 0) AS BIGINT)) AS tot
+      FROM documents GROUP BY 1),
+    m AS (
+      SELECT MIN(COALESCE(tot, 0) // wt) AS m
+      FROM w LEFT JOIN t USING (source)),
+    q AS (SELECT w.source, wt * m.m AS k FROM w CROSS JOIN m),
+    r AS (
+      SELECT d.doc_id, d.source,
+             CAST(COALESCE(d.n_chars, 0) AS BIGINT) AS weight, q.k,
+             SUM(CAST(COALESCE(d.n_chars, 0) AS BIGINT)) OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_weight
+      FROM documents d JOIN q ON q.source = d.source)
+    SELECT doc_id, source, weight,
+           CAST(cum_weight AS BIGINT) AS cum_weight
+    FROM r WHERE cum_weight <= k
+    ORDER BY source, cum_weight
+"""

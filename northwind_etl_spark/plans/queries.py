@@ -3301,6 +3301,21 @@ def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "sample_rank")
 
 
+def mixture_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (operators/sampling.py::
+    mixture_sample_by_budget): documents sampled so the CHARACTER
+    budget (n_chars) lands in a 3:1 ratio over src3/src4 — per-source
+    budget k_s = w_s * min(W_s DIV w_s), greedy (md5(id), id)-order
+    prefix under the running-sum cutoff.  Integer arithmetic end to
+    end; the oracle replays the identical window."""
+    from ..operators.sampling import mixture_sample_by_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample_by_budget(
+        docs, "source", "doc_id", "n_chars", shares={"src3": 3, "src4": 1}
+    ).orderBy("source", "cum_weight")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -3531,4 +3546,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_balance_target_encoding": nation_balance_target_encoding,
     "priority_price_loo_encoding": priority_price_loo_encoding,
     "mixture_sampled_docs": mixture_sampled_docs,
+    "mixture_budget_docs": mixture_budget_docs,
 }

@@ -73,3 +73,55 @@ def test_validation(corpus):
         mixture_sample(corpus, "source", "doc_id", shares={})
     with pytest.raises(ValueError):
         mixture_sample(corpus, "source", "doc_id", shares={"A": 0})
+
+
+# --- token-budget variant --------------------------------------------
+
+@pytest.fixture(scope="module")
+def weighted_corpus(spark):
+    rows = (
+        [(i, "A", 10) for i in range(10)]      # W_A = 100
+        + [(100 + i, "B", 7) for i in range(5)]  # W_B = 35
+    )
+    return spark.createDataFrame(rows, "doc_id long, source string, tok long")
+
+
+def test_budget_ratio_and_cutoff(weighted_corpus):
+    from northwind_etl_spark.operators.sampling import mixture_sample_by_budget
+
+    # shares A:2, B:1 -> m = min(100 DIV 2, 35 DIV 1) = 35 -> k_A=70, k_B=35
+    got = mixture_sample_by_budget(
+        weighted_corpus, "source", "doc_id", "tok", shares={"A": 2, "B": 1}
+    )
+    rows = got.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # greedy prefix: A keeps 7 docs (70 tokens), B all 5 (35 tokens)
+    assert sum(r["weight"] for r in by_src["A"]) == 70
+    assert sum(r["weight"] for r in by_src["B"]) == 35
+    assert len(by_src["A"]) == 7 and len(by_src["B"]) == 5
+    # cum_weight never exceeds the budget
+    assert max(r["cum_weight"] for r in by_src["A"]) <= 70
+
+
+def test_budget_null_weights_are_free(spark):
+    from northwind_etl_spark.operators.sampling import mixture_sample_by_budget
+
+    df = spark.createDataFrame(
+        [(1, "A", None), (2, "A", 4)], "doc_id long, source string, tok long"
+    )
+    rows = mixture_sample_by_budget(
+        df, "source", "doc_id", "tok", shares={"A": 1}
+    ).collect()
+    # m = 4 DIV 1 = 4; both docs fit (NULL counts as 0)
+    assert {r["doc_id"] for r in rows} == {1, 2}
+
+
+def test_budget_validation(weighted_corpus):
+    from northwind_etl_spark.operators.sampling import mixture_sample_by_budget
+
+    with pytest.raises(ValueError):
+        mixture_sample_by_budget(
+            weighted_corpus, "source", "doc_id", "tok", shares={}
+        )

@@ -42,6 +42,7 @@ BNLJ_WHITELIST = {
     "tcloseness_class_distances",    # global-N scalar
     "nation_balance_target_encoding",  # global-sum scalar
     "mixture_sampled_docs",          # 1-row mixture-unit scalar
+    "mixture_budget_docs",           # 1-row budget-unit scalar
 }
 
 
