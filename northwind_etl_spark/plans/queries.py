@@ -466,6 +466,37 @@ def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users from PERSISTED daily sketches —
+    the maintenance pattern behind every "unique users, trailing 7
+    days" dashboard at 100 TB: the daily ingest keeps one HLL sketch
+    per day (a few KB), and the trailing-window distinct count is
+    `hll_union_agg OVER (ORDER BY day ROWS 6 PRECEDING)` over the
+    |days|-row sketch table — the raw events are touched exactly once
+    ever, and the window input is bounded by days, not events (the
+    event_anomaly_flags argument).  COUNT DISTINCT cannot do this:
+    distinct counts don't merge across days; lossless HLL register
+    unions do.
+
+    Rows-only driver check (sketch estimates are engine-seeded);
+    tests/test_sliding_hll.py pins the 1-day-frame identity, the
+    monotone-containment property, exactness at planted low
+    cardinality, and the error bound vs exact trailing distincts."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "approx_users_7d"
+        ),
+    ).orderBy("day")
+
+
 def running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative window aggregate: per-nation monthly revenue with a
     running total ordered by month — the frame-based window family."""
@@ -3547,4 +3578,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_price_loo_encoding": priority_price_loo_encoding,
     "mixture_sampled_docs": mixture_sampled_docs,
     "mixture_budget_docs": mixture_budget_docs,
+    "sliding_distinct_users_hll": sliding_distinct_users_hll,
 }
