@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def fit_linear_by_group(
@@ -115,3 +116,32 @@ def closed_form_corr_ols(
         (cov_n / var_x).alias("slope"),
         ((sy - (cov_n / var_x) * sx) / nd).alias("intercept"),
     )
+
+
+def wilson_bounds(k, n, *, z: float = 1.96):
+    """Wilson score interval (Wilson 1927) for a binomial proportion
+    k/n, returned as (lo, hi) Column expressions — the confidence
+    band a product-analytics funnel or A/B readout should publish
+    instead of a bare rate.
+
+    Engine-portable by the repo's fixed-IEEE-sequence discipline (the
+    KS/corr finalizer argument): k and n arrive as exact integers, and
+    every subsequent step — /, *, +, -, sqrt — is a correctly-rounded
+    IEEE-754 double op in a FIXED expression tree, so any conforming
+    engine computes bit-identical bounds.  No erf/inverse-normal is
+    needed (z is a caller-supplied literal), which is what keeps this
+    cross-engine exact where a p-value would not be.  NULL when n = 0
+    (ANSI division guard; an empty denominator has no interval).
+    """
+    kd = k.cast("double")
+    nd = n.cast("double")
+    zl = F.lit(float(z))
+    z2 = zl * zl
+    p = kd / nd
+    denom = F.lit(1.0) + z2 / nd
+    center = p + z2 / (F.lit(2.0) * nd)
+    rad = F.sqrt(p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd))
+    guard = n.cast("long") > 0
+    lo = F.when(guard, (center - zl * rad) / denom)
+    hi = F.when(guard, (center + zl * rad) / denom)
+    return lo, hi

@@ -3107,3 +3107,46 @@ ORACLES["mixture_budget_docs"] = """
     FROM r WHERE cum_weight <= k
     ORDER BY source, cum_weight
 """
+
+# Wilson-bound replay: the identical funnel CTEs and the IDENTICAL
+# fixed IEEE expression tree (z = 1.96 literal, same op order), so
+# rate and both bounds match bit-for-bit from the integer counts.
+ORACLES["funnel_wilson_bounds"] = """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+            AND e.ts <= v.t1 + INTERVAL 12 HOUR
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            AND e.ts <= c.t2 + INTERVAL 12 HOUR
+          GROUP BY e.user_id),
+    steps(transition, k, n) AS (
+      SELECT 'click_after_view',
+             (SELECT COUNT(*) FROM c), (SELECT COUNT(*) FROM v)
+      UNION ALL
+      SELECT 'purchase_after_click',
+             (SELECT COUNT(*) FROM p), (SELECT COUNT(*) FROM c)),
+    d AS (
+      SELECT transition, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+             CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd
+      FROM steps)
+    SELECT transition, k, n,
+           kd / nd AS rate,
+           CASE WHEN n > 0 THEN
+             ((kd / nd + (1.96 * 1.96) / (2.0 * nd))
+              - 1.96 * sqrt((kd / nd) * (1.0 - kd / nd) / nd
+                            + (1.96 * 1.96) / (4.0 * nd * nd)))
+             / (1.0 + (1.96 * 1.96) / nd)
+           END AS wilson_lo,
+           CASE WHEN n > 0 THEN
+             ((kd / nd + (1.96 * 1.96) / (2.0 * nd))
+              + 1.96 * sqrt((kd / nd) * (1.0 - kd / nd) / nd
+                            + (1.96 * 1.96) / (4.0 * nd * nd)))
+             / (1.0 + (1.96 * 1.96) / nd)
+           END AS wilson_hi
+    FROM d ORDER BY transition
+"""

@@ -3347,6 +3347,59 @@ def mixture_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "cum_weight")
 
 
+def funnel_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion rates WITH Wilson 95% confidence bounds
+    (operators/modelfit.py::wilson_bounds) — the statistically honest
+    form of conversion_funnel_counts: each hop's rate k/n plus the
+    Wilson score interval, computed by the fixed-IEEE-sequence
+    discipline from the exact integer counts, so DuckDB reproduces
+    every bound bit-for-bit.  The three funnel stages are the same
+    chained per-user min aggregations; the readout is two rows built
+    from 1-row scalar broadcasts (whitelisted BNLJ pattern)."""
+    from ..operators.modelfit import wilson_bounds
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    hop = F.expr("INTERVAL 12 HOURS")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + hop))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + hop))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n"))
+    nc = c.agg(F.count(F.lit(1)).alias("k"))
+    np_ = p.agg(F.count(F.lit(1)).alias("k"))
+    r1 = nc.crossJoin(F.broadcast(nv)).select(
+        F.lit("click_after_view").alias("transition"), "k", "n"
+    )
+    r2 = np_.crossJoin(F.broadcast(nc.select(F.col("k").alias("n")))).select(
+        F.lit("purchase_after_click").alias("transition"), "k", "n"
+    )
+    both = r1.unionByName(r2)
+    lo, hi = wilson_bounds(F.col("k"), F.col("n"))
+    return both.select(
+        "transition",
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        (F.col("k").cast("double") / F.col("n").cast("double")).alias("rate"),
+        lo.alias("wilson_lo"),
+        hi.alias("wilson_hi"),
+    ).orderBy("transition")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -3579,4 +3632,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sampled_docs": mixture_sampled_docs,
     "mixture_budget_docs": mixture_budget_docs,
     "sliding_distinct_users_hll": sliding_distinct_users_hll,
+    "funnel_wilson_bounds": funnel_wilson_bounds,
 }

@@ -43,6 +43,7 @@ BNLJ_WHITELIST = {
     "nation_balance_target_encoding",  # global-sum scalar
     "mixture_sampled_docs",          # 1-row mixture-unit scalar
     "mixture_budget_docs",           # 1-row budget-unit scalar
+    "funnel_wilson_bounds",          # 1-row step-count scalars
 }
 
 
