@@ -167,3 +167,99 @@ def quantile_bin_summary(
             F.max(col).alias("hi"),
         )
     )
+
+
+def contingency_stats(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Chi-squared independence statistic and mutual information for a
+    pair of bounded-cardinality categoricals — the two classic
+    feature-selection scores ("does this feature carry label
+    signal?"), from ONE contingency aggregation.
+
+    Exactness discipline (the repo's quantized-ln / fixed-IEEE
+    recipe): the (x, y) cell counts, row/column marginals, and N are
+    exact integers; every cross-engine-fragile quantity is either an
+    exact decimal product or a SINGLE correctly-rounded double step —
+      chi2 cell:  d = n_xy*N - n_x*n_y  (exact DECIMAL(38,0) diff,
+                  cast to double exactly while |d| < 2^53),
+                  cell = (d*d) / ((N*n_x)*n_y)  (the denominator as
+                  a left-assoc chain of exact-integer doubles — three
+                  correctly-rounded IEEE multiplies, identical in any
+                  engine),
+                  then quantized to DECIMAL(26,12) BEFORE the sum so
+                  the total is reduction-order-independent.  Cells the
+                  data never exhibits (O = 0) still contribute their
+                  expectation E = n_x*n_y/N — folded in ANALYTICALLY as
+                  N - sum_observed(n_x*n_y)/N (because the E's sum to N
+                  over the full grid), so no zero-cell spine join, the
+                  same trick t-closeness uses for absent values;
+      MI cell:    ln(n_xy*N / (n_x*n_y))  (one division, one ln,
+                  quantized to DECIMAL(14,12)), weighted by the exact
+                  integer n_xy, summed in decimal, divided by N once.
+    Domain bound stated honestly: exact-double casts need
+    n_xy*N < 2^53 — fine to ~9*10^7 rows per table pair here, and at
+    larger N the same shape runs with the products kept in DECIMAL
+    and ONE widened final division (the t-closeness layout).
+
+    Scale shape: one hash aggregation over rows -> |X|*|Y| cells, then
+    windows on the CELL table (bounded by the category product, which
+    is what makes contingency analysis meaningful at all).  Returns
+    one row: (n, dof, chi2, mi_nats).
+    """
+    from pyspark.sql import Window
+
+    cells = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(x_col, y_col).agg(F.count(F.lit(1)).alias("n_xy"))
+    dec = "decimal(19,0)"
+    n_x = F.sum("n_xy").over(Window.partitionBy(x_col)).cast("long")
+    n_y = F.sum("n_xy").over(Window.partitionBy(y_col)).cast("long")
+    n_all = F.sum("n_xy").over(
+        Window.partitionBy()
+    ).cast("long")
+    m = cells.select(
+        F.col("n_xy"),
+        F.col(x_col),
+        F.col(y_col),
+        n_x.alias("__nx"),
+        n_y.alias("__ny"),
+        n_all.alias("__n"),
+    )
+    d = (
+        F.col("n_xy").cast(dec) * F.col("__n").cast(dec)
+        - F.col("__nx").cast(dec) * F.col("__ny").cast(dec)
+    ).cast("double")
+    denom = (
+        F.col("__n").cast("double")
+        * F.col("__nx").cast("double")
+        * F.col("__ny").cast("double")
+    )
+    chi_cell = ((d * d) / denom).cast("decimal(26,12)")
+    ratio = (F.col("n_xy").cast(dec) * F.col("__n").cast(dec)).cast(
+        "double"
+    ) / (F.col("__nx").cast(dec) * F.col("__ny").cast(dec)).cast("double")
+    mi_cell = F.log(ratio).cast("decimal(14,12)") * F.col("n_xy").cast(
+        "decimal(13,0)"
+    )
+    exy = (F.col("__nx").cast(dec) * F.col("__ny").cast(dec)).cast(
+        "decimal(38,0)"
+    )
+    return m.agg(
+        F.max("__n").alias("n"),
+        (
+            (F.count_distinct(F.col(x_col)) - F.lit(1))
+            * (F.count_distinct(F.col(y_col)) - F.lit(1))
+        ).cast("long").alias("dof"),
+        (
+            F.sum(chi_cell).cast("double")
+            + (
+                F.max("__n").cast("double")
+                - F.sum(exy).cast("double") / F.max("__n").cast("double")
+            )
+        ).alias("chi2"),
+        (
+            F.sum(mi_cell).cast("double")
+            / F.max("__n").cast("double")
+        ).alias("mi_nats"),
+    )

@@ -3150,3 +3150,46 @@ ORACLES["funnel_wilson_bounds"] = """
            END AS wilson_hi
     FROM d ORDER BY transition
 """
+
+# Contingency-statistics replay: identical exact-decimal differences,
+# identical double chains, identical per-cell quantization before the
+# order-independent decimal sums.
+ORACLES["segment_nation_contingency"] = """
+    WITH cells AS (
+      SELECT c_mktsegment AS x, CAST(c_nationkey AS INT) AS y,
+             COUNT(*) AS n_xy
+      FROM customer
+      WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+      GROUP BY 1, 2),
+    m AS (
+      SELECT n_xy, x, y,
+             SUM(n_xy) OVER (PARTITION BY x) AS nx,
+             SUM(n_xy) OVER (PARTITION BY y) AS ny,
+             SUM(n_xy) OVER () AS n
+      FROM cells),
+    c AS (
+      SELECT x, y, n_xy, nx, ny, n,
+             CAST(CAST(n_xy AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                  - CAST(nx AS DECIMAL(19,0)) * CAST(ny AS DECIMAL(19,0))
+                  AS DOUBLE) AS d,
+             CAST(n AS DOUBLE) * CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+               AS den,
+             CAST(CAST(n_xy AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                  AS DOUBLE)
+             / CAST(CAST(nx AS DECIMAL(19,0)) * CAST(ny AS DECIMAL(19,0))
+                    AS DOUBLE) AS ratio
+      FROM m)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST((COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS BIGINT)
+             AS dof,
+           CAST(SUM(CAST((d * d) / den AS DECIMAL(26,12))) AS DOUBLE)
+             + (CAST(MAX(n) AS DOUBLE)
+                - CAST(SUM(CAST(CAST(nx AS DECIMAL(19,0))
+                                * CAST(ny AS DECIMAL(19,0))
+                                AS DECIMAL(38,0))) AS DOUBLE)
+                  / CAST(MAX(n) AS DOUBLE)) AS chi2,
+           CAST(SUM(CAST(ln(ratio) AS DECIMAL(14,12))
+                    * CAST(n_xy AS DECIMAL(13,0))) AS DOUBLE)
+           / CAST(MAX(n) AS DOUBLE) AS mi_nats
+    FROM c
+"""

@@ -3400,6 +3400,25 @@ def funnel_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("transition")
 
 
+def segment_nation_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-selection statistics (operators/features.py::
+    contingency_stats): chi-squared independence statistic and mutual
+    information between market segment and nation over the customer
+    contingency table — "does this feature carry label signal?" as
+    one aggregation + cell-table windows.  Every fragile quantity is
+    an exact decimal product or a single correctly-rounded IEEE step,
+    cell contributions are quantized to decimals BEFORE summing (so
+    totals are reduction-order-independent), and the oracle replays
+    the identical tree bit-for-bit."""
+    from ..operators.features import contingency_stats
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("int").alias("nation"),
+    )
+    return contingency_stats(cust, "segment", "nation")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -3633,4 +3652,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_budget_docs": mixture_budget_docs,
     "sliding_distinct_users_hll": sliding_distinct_users_hll,
     "funnel_wilson_bounds": funnel_wilson_bounds,
+    "segment_nation_contingency": segment_nation_contingency,
 }

@@ -124,3 +124,40 @@ def test_smoothed_shrinks_toward_global(labeled):
     for c in small:
         assert abs(big[c] - g) < abs(small[c] - g)
         assert abs(big[c] - g) < 0.01
+
+
+# --- contingency statistics ------------------------------------------
+
+def test_contingency_independent_is_zero(spark):
+    from northwind_etl_spark.operators.features import contingency_stats
+
+    rows = [("a", "p")] * 10 + [("a", "q")] * 10 + [("b", "p")] * 10 + [("b", "q")] * 10
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = contingency_stats(df, "x", "y").first()
+    assert r["n"] == 40 and r["dof"] == 1
+    assert abs(r["chi2"]) < 1e-9
+    assert abs(r["mi_nats"]) < 1e-9
+
+
+def test_contingency_perfect_dependence(spark):
+    import math
+
+    from northwind_etl_spark.operators.features import contingency_stats
+
+    # only (a,p) and (b,q): chi2 = N (Cramer's V = 1), MI = ln 2 --
+    # and the ZERO cells (a,q)/(b,p) must contribute their E = 10 each
+    rows = [("a", "p")] * 20 + [("b", "q")] * 20
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = contingency_stats(df, "x", "y").first()
+    assert r["n"] == 40 and r["dof"] == 1
+    assert abs(r["chi2"] - 40.0) < 1e-9
+    assert abs(r["mi_nats"] - math.log(2.0)) < 1e-9
+
+
+def test_contingency_null_rows_excluded(spark):
+    from northwind_etl_spark.operators.features import contingency_stats
+
+    rows = [("a", "p"), ("a", None), (None, "p"), ("b", "q")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = contingency_stats(df, "x", "y").first()
+    assert r["n"] == 2  # only fully-observed pairs enter the table
