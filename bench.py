@@ -161,6 +161,24 @@ HEADLINE = [
     "blocking_quality_metrics",
     # weighted SSSP (early-stopped distributed Bellman-Ford)
     "nation_trade_sssp",
+    # privacy governance (k-anon rollup ladder, l-diversity,
+    # t-closeness TVD, Laplace release) + ML feature prep (hashing
+    # trick, exact deciles, target encodings, contingency stats) +
+    # data mixing + sliding HLL + Wilson funnel bounds
+    "kanonymity_risky_classes",
+    "kanonymity_level_stats",
+    "ldiversity_risky_classes",
+    "tcloseness_class_distances",
+    "dp_noisy_nation_counts",
+    "hashed_doc_features",
+    "order_price_decile_bins",
+    "nation_balance_target_encoding",
+    "priority_price_loo_encoding",
+    "mixture_sampled_docs",
+    "mixture_budget_docs",
+    "sliding_distinct_users_hll",
+    "funnel_wilson_bounds",
+    "segment_nation_contingency",
     # jaccard_prefix_join_pairs is deliberately NOT a headline: the
     # saturated synthetic vocabulary makes the TRUE output ~965k pairs
     # at sf0.1 (35.6k even at J=1.0), so the exact join is output-bound

@@ -198,3 +198,81 @@ def time_weighted_avg(
             F.sum(weighted).cast("double") / F.sum("__dur_us").cast("double"), 6
         ).alias("twa_value"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    — THE visualization-grade series reducer: per key, keep exactly
+    min(k, n) points chosen so the drawn line preserves the series'
+    visual shape (peaks, troughs, trend breaks), where naive
+    every-m-th sampling flattens extremes.  First and last points are
+    always kept; each of the k-2 interior buckets contributes the
+    point forming the LARGEST triangle with the previously selected
+    point and the NEXT bucket's centroid — a sequential geometric
+    recurrence, which is why no single SQL statement expresses it
+    (DuckDB included): the entry is rows-only by declared design, and
+    correctness is pinned by a pure-Python reference replayed
+    point-for-point plus planted-geometry fixtures
+    (tests/test_lttb.py).
+
+    Engine shape (the grouped-map precedent of modelfit.py): ONE
+    shuffle on the key, then an Arrow-batched applyInPandas whose
+    inner loop is O(k) numpy bucket reductions over the key's sorted
+    series — per-key memory is the series itself, so the operator is
+    meant for ALREADY-DOWNSAMPLED or naturally bounded per-key series
+    (the hypertable-rollup output upstream; the same boundedness
+    contract as EWMA).  Ties on triangle area resolve to the earliest
+    point; buckets are the standard even index split, so the result
+    is a pure function of the (ts, value) order — deterministic under
+    any partitioning (tie-broken by ts, then value).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 3:
+        raise ValueError("k must be >= 3 (first + last + one bucket)")
+    kt = df.schema[key_col].dataType.simpleString()
+    tt = df.schema[ts_col].dataType.simpleString()
+    vt = df.schema[value_col].dataType.simpleString()
+    schema = f"{key_col} {kt}, {ts_col} {tt}, {value_col} {vt}, sel_index int"
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        n = len(pdf)
+        if n <= k:
+            idx = np.arange(n)
+        else:
+            y = pdf[value_col].astype("float64").to_numpy()
+            x = np.arange(n, dtype="float64")
+            # bucket b (0-based, b = 0..k-3) covers indices
+            # [1 + b*(n-2)//(k-2), 1 + (b+1)*(n-2)//(k-2))
+            bounds = 1 + (np.arange(k - 1, dtype="int64") * (n - 2)) // (
+                k - 2
+            )
+            chosen = [0]
+            prev = 0
+            for b in range(k - 2):
+                lo, hi = int(bounds[b]), int(bounds[b + 1])
+                nlo, nhi = hi, (int(bounds[b + 2]) if b + 2 < k - 1 else n)
+                cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+                # 2*area vs (prev, candidate, next-centroid)
+                area = np.abs(
+                    (x[lo:hi] - x[prev]) * (cy - y[prev])
+                    - (cx - x[prev]) * (y[lo:hi] - y[prev])
+                )
+                prev = lo + int(np.argmax(area))  # argmax: earliest tie
+                chosen.append(prev)
+            chosen.append(n - 1)
+            idx = np.asarray(chosen)
+        out = pdf.iloc[idx][[key_col, ts_col, value_col]].copy()
+        out["sel_index"] = idx.astype("int32")
+        return out
+
+    return df.groupBy(key_col).applyInPandas(pick, schema=schema)

@@ -2838,7 +2838,7 @@ ORACLES["multimodal_audio_stats"] = """
 """
 
 # k-anonymity audit: the definitional GROUP BY on the QI tuple with
-# the class_size < k filter.  QI derivations (substr country code,
+# the class_size < k filter.  QI derivations (nation int cast,
 # balance-sign CASE) are byte-identical expressions in both engines;
 # COUNT(*) is BIGINT in DuckDB already, cast kept for explicitness.
 ORACLES["kanonymity_risky_classes"] = """

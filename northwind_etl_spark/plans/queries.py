@@ -3419,6 +3419,29 @@ def segment_nation_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contingency_stats(cust, "segment", "nation")
 
 
+def lttb_daily_value_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visualization-grade series downsampling (operators/timeseries
+    .py::lttb_downsample): each user's daily value series reduced to
+    k=7 points by Largest-Triangle-Three-Buckets — first/last kept,
+    each interior bucket contributing the point forming the largest
+    triangle with the previous pick and the next bucket's centroid.
+    Rows-only by declared design (a sequential geometric recurrence no
+    single SQL statement expresses); pinned by a pure-Python reference
+    replay and planted-geometry fixtures in tests/test_lttb.py."""
+    from ..operators.timeseries import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(decimal_sum("value", "daily_value"))
+    daily = daily.select(
+        "user_id", "day", F.col("daily_value").cast("double")
+    )
+    return lttb_downsample(
+        daily, "user_id", "day", "daily_value", k=7
+    ).orderBy("user_id", "day")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -3653,4 +3676,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_distinct_users_hll": sliding_distinct_users_hll,
     "funnel_wilson_bounds": funnel_wilson_bounds,
     "segment_nation_contingency": segment_nation_contingency,
+    "lttb_daily_value_downsample": lttb_daily_value_downsample,
 }
