@@ -179,6 +179,39 @@ HEADLINE = [
     "sliding_distinct_users_hll",
     "funnel_wilson_bounds",
     "segment_nation_contingency",
+    "lttb_daily_value_downsample",
+    # r07 promotions (r06 verdict item 6): the r06 families that were
+    # not yet benched — temporal joins, funnel/retention/anomaly
+    # analytics, skew mitigation, sketches, sampling, BPE, PQ, codecs,
+    # incremental/streaming maintenance, the E2E corpus build
+    "asof_next_touch",
+    "scd2_incremental_merge",
+    "conversion_funnel_counts",
+    "weekly_retention_cohorts",
+    "event_anomaly_flags",
+    "time_weighted_user_value",
+    "sliding_event_counts",
+    "salted_distinct_users",
+    "salted_join_revenue",
+    "incremental_order_stats",
+    "corpus_build_report",
+    "orders_expectations",
+    "stream_incremental_user_value",
+    "stream_click_attribution_outer",
+    "stream_user_counts",
+    "weighted_sample_docs",
+    "duplicate_cluster_sizes",
+    "bpe_merges_learned",
+    "bpe_encoded_token_counts",
+    "pq_ann_topk",
+    "multimodal_jpeg_stats",
+    "multimodal_adpcm_stats",
+    "hll_sketch_rollup_users",
+    "kmv_overlap_customers",
+    "source_length_drift",
+    # r07: the realistic-vocabulary prefix join (candidate-bound regime;
+    # PLANS.md "Prefix join: saturated vs diverse")
+    "jaccard_prefix_join_diverse",
     # jaccard_prefix_join_pairs is deliberately NOT a headline: the
     # saturated synthetic vocabulary makes the TRUE output ~965k pairs
     # at sf0.1 (35.6k even at J=1.0), so the exact join is output-bound

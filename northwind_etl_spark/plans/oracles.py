@@ -2450,6 +2450,31 @@ ORACLES["jaccard_prefix_join_pairs"] = f"""
     ORDER BY doc_a, doc_b
 """
 
+# Identical definitional join on the vocabulary-salted derivation —
+# list_transform replays texttools.salted_vocabulary_text (the salt is
+# appended BEFORE dedup/sort, exactly as the Spark side tokenizes the
+# rebuilt text); doc_id % 100 is non-negative on this corpus so both
+# engines' % agree.
+ORACLES["jaccard_prefix_join_diverse"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform({_TOKS},
+               x -> x || '_g' || CAST(doc_id % 100 AS VARCHAR)))) AS ts
+      FROM documents),
+    tn AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.ts, b.ts)) AS inter,
+             a.n + b.n - len(list_intersect(a.ts, b.ts)) AS uni
+      FROM tn a JOIN tn b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+           inter / uni AS jaccard
+    FROM p
+    WHERE inter * 10 >= 9 * uni
+    ORDER BY doc_a, doc_b
+"""
+
 # The skyline definition itself — quadratic NOT EXISTS dominance
 # (maximize date, maximize price; >= both, > at least one).  The Spark
 # side's sort-based algorithm must equal this exactly; all comparisons

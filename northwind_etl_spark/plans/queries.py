@@ -2543,6 +2543,27 @@ def jaccard_prefix_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_a", "doc_b")
 
 
+def jaccard_prefix_join_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact PPJoin, on the REALISTIC-VOCABULARY derivation
+    (functions/texttools.py::salted_vocabulary_text): tokens salted by
+    doc_id % 100 so the vocabulary is power-law-diverse across groups
+    and prefix filtering runs in its CANDIDATE-BOUND regime — the r06
+    verdict's ask for a corpus where the join's cost is the filter's,
+    not the output's.  Within a group similarity is untouched (the salt
+    is a per-group bijection), so the oracle's quadratic definitional
+    join on the identically-salted sets must hash-match exactly; the
+    measured sf0.1 contrast vs the saturated corpus is the PLANS.md
+    probe row ("prefix join: saturated vs diverse")."""
+    from ..functions.texttools import salted_vocabulary_text
+    from ..operators.setjoin import jaccard_threshold_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", salted_vocabulary_text("text", "doc_id", 100).alias("text")
+    )
+    out = jaccard_threshold_pairs(docs, "text", "doc_id", threshold=(9, 10))
+    return out.orderBy("doc_a", "doc_b")
+
+
 def order_value_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto frontier (operators/skyline.py::skyline_2d):
     orders no other order beats on BOTH recency (o_orderdate) and
@@ -2988,18 +3009,18 @@ def order_value_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- registry
 #
 # ORDER CONTRACT: the driver's correctness run records at most the first
-# 50 entries (observed in CORRECTNESS_r01/r02: exactly 50 rows).  Entries
-# are ordered so that every registry entry has a green driver row no
-# older than one round (the round-2 verdict's rotation requirement):
+# 50 entries (observed in CORRECTNESS_r01..r06: exactly 50 rows).  The
+# rotation policy (ROUND_NOTES.md "Driver-window rotation scheme") ranks
+# window candidates by staleness:
 #
-#   1-50  (a) queries whose code or oracle changed this round, (b) the
-#         rows-only/no_oracle contracts (re-evidenced every round), and
-#         (c) the 20 entries whose last driver row was round 1
-#         (star_revenue_by_brand .. map_props_exploded, promoted here);
-#   51+   entries with green CORRECTNESS_r02 rows and implementations
-#         untouched since — §2a reference surface and the relational/
-#         events core.  tests/test_oracle_parity.py re-checks every one
-#         of them locally on each pytest run.
+#   rule 1  never driver-checked = infinitely stale → always first;
+#   rule 2  oldest newest-driver-row next (r04-stale before r05-stale);
+#   rule 3  anything whose code or oracle changed this round re-enters.
+#
+# r07 window: the 47 r06 additions that had no driver row (appended
+# below the boundary mid-round) + the 3 oldest r04-stale TPC-H shapes
+# (q19/q20/q21).  Everything below the boundary is re-proven locally on
+# every pytest run via tests/test_oracle_parity.py.
 
 
 def daily_user_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3451,7 +3472,113 @@ def lttb_daily_value_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lowest-risk r04 shapes (all pytest-oracle-proven every run) defer
 # to lead the r07 window (see ROUND_NOTES.md window history).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new in r06 (never driver-checked): front --------------------
+    # --- r07 window rule 1: the 47 entries never driver-checked
+    #     (all r06 additions appended below the boundary mid-round,
+    #     per the rotation policy in ROUND_NOTES.md) ----------------
+    "multimodal_scene_changes": multimodal_scene_changes,
+    "merge_upsert_orders": merge_upsert_orders,
+    "keyword_search_docs": keyword_search_docs,
+    "jaro_winkler_part_pairs": jaro_winkler_part_pairs,
+    "heavy_hitter_terms": heavy_hitter_terms,
+    "recursive_nation_hierarchy": recursive_nation_hierarchy,
+    "lateral_topk_customers": lateral_topk_customers,
+    "url_host_stats": url_host_stats,
+    "unicode_nfc_stats": unicode_nfc_stats,
+    "nation_trade_pagerank": nation_trade_pagerank,
+    "nation_trade_triangles": nation_trade_triangles,
+    "stream_enriched_event_counts": stream_enriched_event_counts,
+    "multimodal_g711_stats": multimodal_g711_stats,
+    "exact_median_order_price": exact_median_order_price,
+    "copurchase_part_pairs": copurchase_part_pairs,
+    "event_transition_matrix": event_transition_matrix,
+    "copurchase_rules": copurchase_rules,
+    "event_path_trigrams": event_path_trigrams,
+    "multimodal_alaw_stats": multimodal_alaw_stats,
+    "source_entropy_stats": source_entropy_stats,
+    "entity_resolution_clusters": entity_resolution_clusters,
+    "incremental_join_revenue": incremental_join_revenue,
+    "exact_p90_price_by_priority": exact_p90_price_by_priority,
+    "sorted_neighborhood_part_pairs": sorted_neighborhood_part_pairs,
+    "robust_outliers_by_priority": robust_outliers_by_priority,
+    "nation_trade_bfs_hops": nation_trade_bfs_hops,
+    "order_value_skyline": order_value_skyline,
+    "jaccard_prefix_join_pairs": jaccard_prefix_join_pairs,
+    "price_quantity_corr": price_quantity_corr,
+    "pca_label_projection": pca_label_projection,
+    "blocking_quality_metrics": blocking_quality_metrics,
+    "nation_trade_sssp": nation_trade_sssp,
+    "kanonymity_risky_classes": kanonymity_risky_classes,
+    "kanonymity_level_stats": kanonymity_level_stats,
+    "ldiversity_risky_classes": ldiversity_risky_classes,
+    "tcloseness_class_distances": tcloseness_class_distances,
+    "dp_noisy_nation_counts": dp_noisy_nation_counts,
+    "hashed_doc_features": hashed_doc_features,
+    "order_price_decile_bins": order_price_decile_bins,
+    "nation_balance_target_encoding": nation_balance_target_encoding,
+    "priority_price_loo_encoding": priority_price_loo_encoding,
+    "mixture_sampled_docs": mixture_sampled_docs,
+    "mixture_budget_docs": mixture_budget_docs,
+    "sliding_distinct_users_hll": sliding_distinct_users_hll,
+    "funnel_wilson_bounds": funnel_wilson_bounds,
+    "segment_nation_contingency": segment_nation_contingency,
+    "lttb_daily_value_downsample": lttb_daily_value_downsample,
+    # --- remaining 3 slots: oldest r04-stale block (q19/q20/q21;
+    #     q22 + q6 + the rest of the r04 block lead r08) ------------
+    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
+    "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
+    "q21_late_supplier": T.q21_late_supplier,
+    # ===== driver window boundary: first 50 above ====================
+    # --- r04-stale remainder: leads the r08 window (re-proven every
+    #     pytest run via tests/test_oracle_parity.py meanwhile) ------
+    "q22_dormant_customers": T.q22_dormant_customers,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "flagship_revenue_by_nation": flagship_revenue_by_nation,
+    "asof_last_touch": asof_last_touch,
+    "session_overlap_pairs": session_overlap_pairs,
+    "scd2_user_event_history": scd2_user_event_history,
+    "order_value_rank_stats": order_value_rank_stats,
+    "revenue_trend_by_nation": revenue_trend_by_nation,
+    "q4_late_order_priority": T.q4_late_order_priority,
+    "q7_volume_shipping": T.q7_volume_shipping,
+    "q8_market_share": T.q8_market_share,
+    "q9_product_type_profit": T.q9_product_type_profit,
+    "q10_returned_items": T.q10_returned_items,
+    "q13_customer_order_counts": T.q13_customer_order_counts,
+    "q14_promo_revenue": T.q14_promo_revenue,
+    "q15_top_supplier": T.q15_top_supplier,
+    "q16_supplier_part_variety": T.q16_supplier_part_variety,
+    "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
+    "q18_large_volume_customers": T.q18_large_volume_customers,
+    "doc_repetition_stats": doc_repetition_stats,
+    "multimodal_blob_features": multimodal_blob_features,
+    "multimodal_frame_stats": multimodal_frame_stats,
+    "multimodal_image_stats": multimodal_image_stats,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
+    "tfidf_scores": tfidf_scores,
+    "star_revenue_by_brand": star_revenue_by_brand,
+    "semi_join_active_customers": semi_join_active_customers,
+    "full_outer_nation_suppliers": full_outer_nation_suppliers,
+    "pivot_flag_by_status": pivot_flag_by_status,
+    "order_latency_by_priority": order_latency_by_priority,
+    "moving_avg_order_value": moving_avg_order_value,
+    "cube_revenue": cube_revenue,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "null_safe_join_props": null_safe_join_props,
+    "bigram_freq_top20": bigram_freq_top20,
+    "event_value_histogram": event_value_histogram,
+    "dedup_exact_docs": dedup_exact_docs,
+    "distinct_flag_status": distinct_flag_status,
+    "cross_join_flag_region": cross_join_flag_region,
+    "customer_display_names": customer_display_names,
+    "acctbal_buckets": acctbal_buckets,
+    "set_ops_brands": set_ops_brands,
+    "lang_distribution": lang_distribution,
+    "map_props_exploded": map_props_exploded,
+    # --- r06-green (driver hash/rows rows in CORRECTNESS_r06) and
+    #     r05-green entries: demoted below the window ----------------
     "boilerplate_cleaned_docs": boilerplate_cleaned_docs,
     "semantic_dedup_verdicts": semantic_dedup_verdicts,
     "cms_term_counts": cms_term_counts,
@@ -3499,108 +3626,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversion_funnel_counts": conversion_funnel_counts,
     "weekly_retention_cohorts": weekly_retention_cohorts,
     "event_anomaly_flags": event_anomaly_flags,
-    # --- rule 3: implementation changed in r06 (hot-key mitigation) --
     "session_stats": session_stats,
-    # --- r05 overflow pair (newest driver row r02): lead the window --
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
-    # --- r04-green: staleness rotation (flagship backs entry() too) --
-    # ===== driver window boundary: first 50 above ====================
-    # multimodal_scene_changes is new-in-r06 but sits just below the
-    # boundary: the remaining window slots are held by the r02-stale
-    # overflow pair (json_prop_histogram / top_users_by_value), which
-    # the staleness policy ranks ahead of one more never-checked entry.
-    # It is oracle-parity-tested every pytest run and LEADS the r07
-    # window with the deferred r04 block below.
-    "multimodal_scene_changes": multimodal_scene_changes,
-    # --- new post-snapshot r06 entries: never driver-checked, so they
-    #     join multimodal_scene_changes at the head of the r07 window
-    #     (oracle-parity-tested every pytest run meanwhile) ------------
-    "merge_upsert_orders": merge_upsert_orders,
-    "keyword_search_docs": keyword_search_docs,
-    "jaro_winkler_part_pairs": jaro_winkler_part_pairs,
-    "heavy_hitter_terms": heavy_hitter_terms,
-    "recursive_nation_hierarchy": recursive_nation_hierarchy,
-    "lateral_topk_customers": lateral_topk_customers,
-    "url_host_stats": url_host_stats,
-    "unicode_nfc_stats": unicode_nfc_stats,
-    "nation_trade_pagerank": nation_trade_pagerank,
-    "nation_trade_triangles": nation_trade_triangles,
-    "stream_enriched_event_counts": stream_enriched_event_counts,
-    "multimodal_g711_stats": multimodal_g711_stats,
-    "exact_median_order_price": exact_median_order_price,
-    "copurchase_part_pairs": copurchase_part_pairs,
-    "event_transition_matrix": event_transition_matrix,
-    "copurchase_rules": copurchase_rules,
-    "event_path_trigrams": event_path_trigrams,
-    "multimodal_alaw_stats": multimodal_alaw_stats,
-    "source_entropy_stats": source_entropy_stats,
-    "entity_resolution_clusters": entity_resolution_clusters,
-    "incremental_join_revenue": incremental_join_revenue,
-    "exact_p90_price_by_priority": exact_p90_price_by_priority,
-    "flagship_revenue_by_nation": flagship_revenue_by_nation,
-    "asof_last_touch": asof_last_touch,
-    "session_overlap_pairs": session_overlap_pairs,
-    "scd2_user_event_history": scd2_user_event_history,
-    # q4 + revenue_trend + order_value_rank_stats + scd2 +
-    # session_overlap + asof_last_touch + flagship displaced to lead
-    # r07 by the seven new entries (boilerplate_cleaned_docs,
-    # semantic_dedup_verdicts, cms_term_counts, per_source_doc_sample,
-    # term_vocabulary_ids, multimodal_image_dhash_dups,
-    # multimodal_audio_fingerprint_dups); all r04-green and re-proven
-    # every pytest run (flagship additionally smoke-run every round via
-    # entry()).
-    "order_value_rank_stats": order_value_rank_stats,
-    "revenue_trend_by_nation": revenue_trend_by_nation,
-    "q4_late_order_priority": T.q4_late_order_priority,
-    "q7_volume_shipping": T.q7_volume_shipping,
-    "q8_market_share": T.q8_market_share,
-    "q9_product_type_profit": T.q9_product_type_profit,
-    "q10_returned_items": T.q10_returned_items,
-    "q13_customer_order_counts": T.q13_customer_order_counts,
-    "q14_promo_revenue": T.q14_promo_revenue,
-    "q15_top_supplier": T.q15_top_supplier,
-    "q16_supplier_part_variety": T.q16_supplier_part_variety,
-    "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
-    "q18_large_volume_customers": T.q18_large_volume_customers,
-    # --- r04-green deferred to lead r07 (lowest-risk shapes, all
-    #     re-proven every pytest run via test_oracle_parity; q19-q22 +
-    #     q6 displaced by the 5 late-r06 entries above, same rationale:
-    #     pure SQL shapes re-proven every pytest run) -----------------
-    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
-    "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
-    "q21_late_supplier": T.q21_late_supplier,
-    "q22_dormant_customers": T.q22_dormant_customers,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "doc_repetition_stats": doc_repetition_stats,
-    "multimodal_blob_features": multimodal_blob_features,
-    "multimodal_frame_stats": multimodal_frame_stats,
-    "multimodal_image_stats": multimodal_image_stats,
-    "simhash_near_dup_pairs": simhash_near_dup_pairs,
-    "minhash_near_dup_pairs": minhash_near_dup_pairs,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
-    "tfidf_scores": tfidf_scores,
-    "star_revenue_by_brand": star_revenue_by_brand,
-    "semi_join_active_customers": semi_join_active_customers,
-    "full_outer_nation_suppliers": full_outer_nation_suppliers,
-    "pivot_flag_by_status": pivot_flag_by_status,
-    "order_latency_by_priority": order_latency_by_priority,
-    "moving_avg_order_value": moving_avg_order_value,
-    "cube_revenue": cube_revenue,
-    "grouping_sets_revenue": grouping_sets_revenue,
-    "null_safe_join_props": null_safe_join_props,
-    "bigram_freq_top20": bigram_freq_top20,
-    "event_value_histogram": event_value_histogram,
-    "dedup_exact_docs": dedup_exact_docs,
-    "distinct_flag_status": distinct_flag_status,
-    "cross_join_flag_region": cross_join_flag_region,
-    "customer_display_names": customer_display_names,
-    "acctbal_buckets": acctbal_buckets,
-    "set_ops_brands": set_ops_brands,
-    "lang_distribution": lang_distribution,
-    "map_props_exploded": map_props_exploded,
-    # --- r05-green: demoted below the window ------------------------
     "daily_user_value_gapfill": daily_user_value_gapfill,
     "part_measures_unpivot": part_measures_unpivot,
     "sql_q21_late_supplier": sql_q21_late_supplier,
@@ -3650,31 +3678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_lineitem": profile_lineitem,
     "quantiles_quantity": quantiles_quantity,
     "tumbling_event_counts": tumbling_event_counts,
-    # --- final r06 additions (never driver-checked → lead r07 with the
-    #     other post-snapshot entries) --------------------------------
-    "sorted_neighborhood_part_pairs": sorted_neighborhood_part_pairs,
-    "robust_outliers_by_priority": robust_outliers_by_priority,
-    "nation_trade_bfs_hops": nation_trade_bfs_hops,
-    "order_value_skyline": order_value_skyline,
-    "jaccard_prefix_join_pairs": jaccard_prefix_join_pairs,
-    "price_quantity_corr": price_quantity_corr,
-    "pca_label_projection": pca_label_projection,
-    "blocking_quality_metrics": blocking_quality_metrics,
-    "nation_trade_sssp": nation_trade_sssp,
-    # --- governance family completion (new post-snapshot, leads r07) --
-    "kanonymity_risky_classes": kanonymity_risky_classes,
-    "kanonymity_level_stats": kanonymity_level_stats,
-    "ldiversity_risky_classes": ldiversity_risky_classes,
-    "tcloseness_class_distances": tcloseness_class_distances,
-    "dp_noisy_nation_counts": dp_noisy_nation_counts,
-    "hashed_doc_features": hashed_doc_features,
-    "order_price_decile_bins": order_price_decile_bins,
-    "nation_balance_target_encoding": nation_balance_target_encoding,
-    "priority_price_loo_encoding": priority_price_loo_encoding,
-    "mixture_sampled_docs": mixture_sampled_docs,
-    "mixture_budget_docs": mixture_budget_docs,
-    "sliding_distinct_users_hll": sliding_distinct_users_hll,
-    "funnel_wilson_bounds": funnel_wilson_bounds,
-    "segment_nation_contingency": segment_nation_contingency,
-    "lttb_daily_value_downsample": lttb_daily_value_downsample,
+    # --- new in r07 (appended below the window per the rotation policy;
+    #     oracle-parity-tested every pytest run until their driver turn) -
+    "jaccard_prefix_join_diverse": jaccard_prefix_join_diverse,
 }
