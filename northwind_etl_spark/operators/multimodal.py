@@ -108,8 +108,10 @@ def _decode_compressed(blob: bytes) -> "np.ndarray":
     """Compressed-IMAGE dispatch.  PNG is decoded for real (stdlib
     zlib — see decode_png below) and so is baseline JPEG (stdlib+numpy
     DCT/Huffman — operators/jpeg.py).  Audio never routes here
-    (decode_wav / decode_adpcm); perceptual audio (mp3/aac) is the one
-    remaining declared stub — swap in ffmpeg where this raises; the
+    (decode_wav / decode_adpcm / operators/mdct.py::decode_mdct for the
+    perceptual-transform path); standards-exact MP3/AAC bitstream
+    parsing stays out of scope in this container (the MDCT codec covers
+    the family's architecture) — swap in ffmpeg where this raises; the
     mapInPandas plumbing above is unchanged either way."""
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
@@ -118,9 +120,10 @@ def _decode_compressed(blob: bytes) -> "np.ndarray":
 
         return decode_jpeg(blob)
     raise NotImplementedError(
-        "unrecognized blob format; perceptual audio codecs are not"
-        " available in this environment (PNG: decode_png; JPEG:"
-        " operators/jpeg.py; PCM WAV: decode_wav; ADPCM: decode_adpcm)"
+        "unrecognized blob format (PNG: decode_png; JPEG:"
+        " operators/jpeg.py; PCM WAV: decode_wav; ADPCM: decode_adpcm;"
+        " MDCT transform audio: operators/mdct.py; standards-exact"
+        " MP3/AAC parsing requires ffmpeg, unavailable here)"
     )
 
 

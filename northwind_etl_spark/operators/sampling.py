@@ -78,6 +78,42 @@ def weighted_sample(
     return df.where(u < weight)
 
 
+def group_split(
+    df: DataFrame,
+    group: Column | str,
+    *,
+    train_pct: int = 80,
+    buckets: int = 100,
+) -> DataFrame:
+    """LEAKAGE-SAFE train/eval split: the md5 bucket is computed on the
+    GROUP key (a user id, a domain, a duplicate-cluster key), so every
+    row of a group lands on the same side BY CONSTRUCTION — the
+    GroupKFold discipline that keeps near-identical rows from straddling
+    train and eval and inflating benchmark scores (the standard
+    contamination channel hash_split-by-row leaves open).
+
+    Scale shape: identical to hash_split — one map-side expression, no
+    shuffle, no state; determinism and cross-engine replay come from
+    the same md5-hex-prefix contract as split_bucket_expr."""
+    g = F.col(group) if isinstance(group, str) else group
+    bucket = split_bucket_expr(g.cast("string"), buckets=buckets)
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_pct, F.lit("train")).otherwise(
+            F.lit("eval")
+        ),
+    )
+
+
+def group_kfold(df: DataFrame, group: Column | str, *, k: int = 5) -> DataFrame:
+    """GroupKFold assignment: fold i in [0, k) from the group key's md5
+    bucket, so all rows of a group share one fold.  Map-only."""
+    g = F.col(group) if isinstance(group, str) else group
+    return df.withColumn(
+        "fold", split_bucket_expr(g.cast("string"), buckets=k).cast("int")
+    )
+
+
 def group_sample(
     df: DataFrame,
     group_cols: list[str],

@@ -69,3 +69,52 @@ def doc_url_components(
         F.col(id_col), F.explode("urls").alias("url")
     )
     return exploded.select(id_col, "url", *url_parts(F.col("url"), query_key))
+
+
+# ----------------------------------------------- HTML text extraction
+# The WET-extraction step of a web-corpus pipeline (what Common-Crawl
+# preprocessing does before any quality/dedup stage): strip
+# script/style/comment blocks, then tags, then decode the five
+# predefined character entities, then collapse whitespace.  Every
+# pattern is RE2-safe (no backrefs — script and style are separate
+# patterns precisely because RE2 lacks \1) so the DuckDB oracle
+# replays the chain verbatim; everything is map-only JVM regex, no
+# Python, no shuffle.
+
+HTML_BLOCK_PATTERNS = (
+    r"(?s)<script[^>]*>.*?</script>",
+    r"(?s)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+# decode order matters: &amp; LAST, the standard rule that keeps
+# '&amp;lt;' from double-decoding into '<'
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible text of an HTML column: block strip → tag strip →
+    entity decode → whitespace collapse (tags become single spaces so
+    adjacent words never merge)."""
+    c = html
+    for pat in HTML_BLOCK_PATTERNS:
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_title(html: Column) -> Column:
+    """First <title> element's text ('' when absent)."""
+    return F.regexp_extract(html, r"<title>([^<]*)</title>", 1)
+
+
+def html_link_count(html: Column) -> Column:
+    """Number of href attributes (double-quoted form)."""
+    return F.regexp_count(html, F.lit(r'href="'))

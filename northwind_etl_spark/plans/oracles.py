@@ -3218,3 +3218,89 @@ ORACLES["segment_nation_contingency"] = """
            / CAST(MAX(n) AS DOUBLE) AS mi_nats
     FROM c
 """
+
+# Leakage-safe split: the bucket rides the GROUP key md5(text) (both
+# engines emit lowercase-hex md5), then the standard '0x'-prefix
+# 8-hex-char bucket; group grain first so max_group_size is exact.
+ORACLES["leakage_safe_split_stats"] = """
+    WITH g AS (
+      SELECT md5(text) AS gk, COUNT(*) AS n_docs,
+             CASE WHEN CAST('0x' || substring(md5(md5(text)), 1, 8)
+                        AS BIGINT) % 100 < 80
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents GROUP BY md5(text))
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(MAX(n_docs) AS BIGINT) AS max_group_size
+    FROM g GROUP BY split ORDER BY split
+"""
+
+# GroupKFold on user_id: same md5-prefix bucket mod k; user_id casts
+# to VARCHAR identically (integer column, no sign/locale surface).
+ORACLES["user_group_kfold_counts"] = """
+    SELECT CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 5 AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1 ORDER BY fold
+"""
+
+# HTML extraction: the identical wrap + strip chain (script/style/
+# comment blocks first, tags to single spaces, the five entities in
+# &amp;-last order, whitespace collapse) — DuckDB regexp_replace needs
+# the explicit 'g' flag where Spark replaces all matches by default.
+ORACLES["html_extract_stats"] = """
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>doc-' || CAST(doc_id AS VARCHAR)
+             || '</title><style>p{margin:0}</style>'
+             || '<script>var x = 1 &lt; 2;</script></head>'
+             || '<body><!-- nav boilerplate --><h1>Docs &amp; friends</h1><p>'
+             || text
+             || '</p><a href="https://example.com/d/'
+             || CAST(doc_id AS VARCHAR)
+             || '?ref=corpus">next</a><a href="/local">up</a></body></html>'
+               AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id, html,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html,
+                         '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM h)
+    SELECT doc_id,
+           regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+           CAST(len(regexp_extract_all(html, 'href="')) AS BIGINT) AS n_links,
+           clean AS clean_text,
+           CAST(length(clean) AS BIGINT) AS clean_len
+    FROM s ORDER BY doc_id
+"""
+
+# Per-host quota: host recomputed from the seed formula (the
+# url_host_stats contract), ranking replayed as the single-window
+# md5 row_number the two-phase group_sample provably equals.
+ORACLES["per_host_doc_quota"] = """
+    WITH d AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+      FROM documents),
+    r AS (
+      SELECT host, doc_id,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM d)
+    SELECT host, doc_id, CAST(rk AS INT) AS sample_rank
+    FROM r WHERE rk <= 25 ORDER BY host, sample_rank
+"""

@@ -2381,6 +2381,138 @@ def multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.adpcm_roundtrip_stats(_t(spark, sf_dir, "documents"))
 
 
+def per_host_doc_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN document quota (Common-Crawl discipline: no host may
+    dominate the corpus): URL extraction + parse_url host (operators/
+    web.py) composed with the deterministic k-per-group sampler
+    (operators/sampling.py::group_sample, the two-phase salted md5
+    ranking) — at most 25 docs per host, chosen as a pure function of
+    the data.  The oracle recomputes the host from the seed formula
+    and replays the single-window md5 ranking; equality with the
+    two-phase form is the group_sample lattice argument already pinned
+    in tests."""
+    from ..operators.sampling import group_sample
+    from ..operators.web import doc_url_components
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" via https://h"),
+            (d % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            d.cast("string"),
+        ).alias("text"),
+    )
+    hosts = doc_url_components(seeded).select("doc_id", "host")
+    kept = group_sample(hosts, ["host"], "doc_id", k=25)
+    return kept.select("host", "doc_id", "sample_rank").orderBy(
+        "host", "sample_rank"
+    )
+
+
+def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (operators/web.py::html_to_text /
+    html_title / html_link_count) — the WET step of a web-corpus
+    pipeline, exercised on a deterministic HTML wrapping of each
+    document (title, style + script blocks that must vanish BEFORE
+    entity decode, a comment, entities, two links).  The whole chain —
+    block strip, tag strip, five-entity decode in the &amp;-last
+    order, whitespace collapse — is RE2-safe JVM regex the oracle
+    replays verbatim, including the full cleaned text in the hash.
+    Map-only; at 100 TB this is one regex pass per document with zero
+    exchange."""
+    from ..operators.web import html_link_count, html_title, html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>doc-'), F.col("doc_id").cast("string"),
+        F.lit('</title><style>p{margin:0}</style>'
+              '<script>var x = 1 &lt; 2;</script></head>'
+              '<body><!-- nav boilerplate --><h1>Docs &amp; friends</h1><p>'),
+        F.col("text"),
+        F.lit('</p><a href="https://example.com/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('?ref=corpus">next</a><a href="/local">up</a></body></html>'),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    return wrapped.select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        html_link_count(F.col("html")).cast("long").alias("n_links"),
+        html_to_text(F.col("html")).alias("clean_text"),
+        F.length(html_to_text(F.col("html"))).cast("long").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+def leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/eval split (operators/sampling.py::
+    group_split): the split bucket is computed on the EXACT-DUP cluster
+    key md5(text), so identical documents can never straddle train and
+    eval — the contamination channel a per-row hash_split leaves open
+    and the reason eval scores inflate on deduplicated-late corpora.
+    Reported at group grain per split: group/doc counts and the
+    largest co-assigned cluster.  The oracle replays md5-of-md5
+    bucketing verbatim; straddling is impossible by construction (the
+    split is a pure function of the group key), and the planted-twin
+    co-assignment is pinned in tests/test_sampling_splits.py."""
+    from ..operators.sampling import group_split
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = group_split(docs.withColumn("__gk", F.md5("text")), "__gk")
+    per_group = labeled.groupBy("__gk", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        per_group.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.max("n_docs").alias("max_group_size"),
+        )
+        .orderBy("split")
+    )
+
+
+def user_group_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupKFold assignment (operators/sampling.py::group_kfold) of
+    the events stream by user: fold = md5-bucket(user_id) % 5, so all
+    of a user's events share a fold — cross-validation that never
+    trains and validates on the same user's behavior.  Per-fold event
+    and distinct-user counts; map-only assignment (no shuffle), one
+    aggregation for the readout."""
+    from ..operators.sampling import group_kfold
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        group_kfold(ev, "user_id", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("fold")
+    )
+
+
+def multimodal_mdct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-TRANSFORM audio path (operators/mdct.py): the MP3/AAC
+    family's architecture for real — 50%-overlapped sine-window MDCT
+    (Princen-Bradley TDAC, perfect reconstruction pre-quantization),
+    scalefactor-band quantization under a fixed bit-allocation curve
+    (8-bit low-band / 4-bit high-band mantissas + per-band power-of-two
+    exponents) — closing the repo's last declared codec stub.  Per doc:
+    deterministic tone → encode → decode → compressed size, ratio vs
+    16-bit PCM (2.16× pre-entropy-coding), SNR.  Rows-only (lossy float
+    transform, no SQL oracle); PR property, SNR floors, allocation
+    curve, and container errors pinned in tests/test_mdct.py."""
+    from ..operators.mdct import mdct_roundtrip_stats
+
+    return mdct_roundtrip_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def exact_p90_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact order statistics WITHOUT a per-group sort
     (operators/selection.py::group_kth_smallest): the exact p90 of
@@ -3681,4 +3813,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in r07 (appended below the window per the rotation policy;
     #     oracle-parity-tested every pytest run until their driver turn) -
     "jaccard_prefix_join_diverse": jaccard_prefix_join_diverse,
+    "multimodal_mdct_stats": multimodal_mdct_stats,
+    "leakage_safe_split_stats": leakage_safe_split_stats,
+    "user_group_kfold_counts": user_group_kfold_counts,
+    "html_extract_stats": html_extract_stats,
+    "per_host_doc_quota": per_host_doc_quota,
 }
