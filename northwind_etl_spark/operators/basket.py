@@ -148,3 +148,71 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    order_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """(item_a, item_b, item_c, n_orders) for every unordered item
+    TRIPLE co-occurring in ≥ min_support orders — the level-3 Apriori
+    step (Agrawal & Srikant 1994) on top of the pair machinery.
+
+    Scale shape: the Apriori closure does the heavy lifting BEFORE any
+    triple exists — an item in a qualifying triple must itself have
+    support ≥ min_support, so baskets are first thinned to frequent
+    items (explode + one hash-agg + shuffle-join back, no broadcast
+    assumption on |L1|), and only the thinned, re-sorted arrays expand.
+    Expansion is the two-step anchor-index/slice discipline extended to
+    rank 3: explode i, explode j > i, then slice for c — no row ever
+    holds the O(n³) triple array.  Thinning cannot change any
+    qualifying triple's count (removed items only kill triples that
+    could never qualify), so the output equals the definitional
+    three-way self-join the oracle runs.  Cost per basket is
+    C(|frequent items|, 3), bounded by the same max_basket raise as
+    pairs; the final count is one map-side-combined hash aggregation.
+    """
+    from ..cache import persist_stage
+
+    baskets = persist_stage(
+        _baskets(df, order_col, item_col, max_basket=max_basket)
+    )
+    l1 = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .where(F.col("__s") >= min_support)
+        .select("item")
+    )
+    thinned = (
+        baskets.select(F.col(order_col), F.explode("items").alias("item"))
+        .join(l1, "item")
+        .groupBy(order_col)
+        .agg(F.array_sort(F.collect_list("item")).alias("items"))
+        .withColumn("n", F.size("items"))
+        .where(F.col("n") >= 3)
+    )
+    t1 = thinned.select(
+        "items", "n",
+        F.explode(F.sequence(F.lit(1), F.col("n") - 2)).alias("i"),
+    )
+    t2 = t1.select(
+        "items", "n", "i",
+        F.explode(F.sequence(F.col("i") + 1, F.col("n") - 1)).alias("j"),
+    )
+    triples = t2.select(
+        F.element_at("items", F.col("i")).alias("item_a"),
+        F.element_at("items", F.col("j")).alias("item_b"),
+        F.explode(
+            F.slice("items", F.col("j") + 1, F.col("n") - F.col("j"))
+        ).alias("item_c"),
+    )
+    return (
+        triples.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= min_support)
+    )

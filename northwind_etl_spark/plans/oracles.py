@@ -3304,3 +3304,77 @@ ORACLES["per_host_doc_quota"] = """
     SELECT host, doc_id, CAST(rk AS INT) AS sample_rank
     FROM r WHERE rk <= 25 ORDER BY host, sample_rank
 """
+
+# Definitional three-way self-join over distinct (order, item) — the
+# form frequent_triples must equal despite its Apriori thinning.
+ORACLES["copurchase_part_triples"] = """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem)
+    SELECT a.i AS item_a, b2.i AS item_b, c.i AS item_c,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b a
+    JOIN b b2 ON a.o = b2.o AND a.i < b2.i
+    JOIN b c  ON a.o = c.o  AND b2.i < c.i
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    ORDER BY item_a, item_b, item_c
+"""
+
+# Hardest negative per anchor: the knn float recipe (sequential
+# double-fold dot, norms, one final ROUND) + the deterministic
+# (cosine DESC, vec_id ASC) argmax replayed as a window.
+ORACLES["hard_negative_mining"] = """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             embedding AS avec
+      FROM embeddings WHERE vec_id % 50 = 0),
+    s AS (
+      SELECT anchor_id, anchor_label, e.vec_id, e.label,
+             ROUND(
+               list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE)
+                         * CAST(avec[i] AS DOUBLE)))
+               / NULLIF(
+                 sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(avec,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                 0.0), 6) AS cosine
+      FROM embeddings e JOIN a ON e.label <> anchor_label),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM s)
+    SELECT anchor_id, anchor_label,
+           CAST(vec_id AS BIGINT) AS negative_id,
+           label AS negative_label, cosine
+    FROM r WHERE rn = 1 ORDER BY anchor_id
+"""
+
+# Winsorize: ranks from the identical GREATEST(1, ceil(q*n)) rule (rank
+# VALUES are tie-stable even though row_number among equals is not),
+# clip, decimal-exact sum, the one double division last.
+ORACLES["winsorized_price_stats"] = """
+    WITH t AS (SELECT o_orderpriority AS g, o_totalprice AS v
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    r AS (SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM t),
+    b AS (SELECT g,
+                 MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.05 * n) AS BIGINT))
+                          THEN v END) AS lo,
+                 MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT))
+                          THEN v END) AS hi
+          FROM r GROUP BY g)
+    SELECT g AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           CAST(SUM(CAST(LEAST(GREATEST(v, lo), hi) AS DECIMAL(38,6)))
+                AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean
+    FROM t JOIN b USING (g)
+    GROUP BY g ORDER BY g
+"""

@@ -2381,6 +2381,115 @@ def multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.adpcm_roundtrip_stats(_t(spark, sf_dir, "documents"))
 
 
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust scaling per group (the feature-prep step that
+    tames heavy tails before normalization): exact p05/p95 per order
+    priority via the sortless histogram-selection operator (operators/
+    selection.py::group_kth_smallest, one (group, bin) aggregation per
+    pass), clip to [p05, p95], then decimal-exact clipped sums with
+    clip-side counts.  The two selection passes hold O(groups·1024)
+    driver state; the clip itself is one broadcast join + map — no
+    sort anywhere.  The oracle replays the per-group row_number rank
+    definition and the identical decimal→double mean finalizer."""
+    from ..operators.selection import group_kth_smallest
+
+    orders = _t(spark, sf_dir, "orders")
+    lo = group_kth_smallest(orders, "o_totalprice", "o_orderpriority", q=0.05)
+    hi = group_kth_smallest(orders, "o_totalprice", "o_orderpriority", q=0.95)
+    # selection returns doubles; a DECIMAL(12,2) survives the double
+    # round-trip exactly (< 2^53), so re-quantizing restores the bound
+    # bit-for-bit for the decimal comparisons below
+    from decimal import Decimal
+
+    q2 = lambda x: Decimal(f"{x:.2f}")  # noqa: E731
+    hmap = {g: v for g, v, _, _ in hi}
+    spec = spark.createDataFrame(
+        [(g, q2(v), q2(hmap[g])) for g, v, _, _ in lo],
+        "o_orderpriority string, __lo decimal(12,2), __hi decimal(12,2)",
+    )
+    v = F.col("o_totalprice")
+    j = orders.join(F.broadcast(spec), "o_orderpriority")
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((v < F.col("__lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((v > F.col("__hi")).cast("long")).alias("n_clipped_high"),
+            (
+                F.sum(clipped.cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each anchor vector, the
+    HARDEST NEGATIVE — the maximum-cosine corpus vector carrying a
+    DIFFERENT label (the pair a contrastive loss learns most from;
+    Robinson et al. 2021).  Anchors are a bounded deterministic frame
+    (vec_id % 50 = 0 → ≤40 rows at sf0.1) broadcast against the corpus
+    (the knn_bruteforce scalar-broadcast pattern, whitelisted in
+    test_plan_lint); the per-anchor argmax is ONE hash aggregation of
+    max(struct(cosine, −vec_id)) — lexicographic struct max = highest
+    cosine, then lowest id — NOT a window, so a 10⁹-vector corpus
+    never sorts per anchor.  Cosines replay the proven knn float
+    recipe (sequential double fold, one final round), so the oracle
+    hash-matches.  At 100 TB the anchor frame stays bounded and the
+    scale path swaps the exact pass for the IVF bucket probe
+    (operators/ivf.py) — this entry IS the exactness baseline that
+    path is measured against."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double("embedding").alias("vec")
+    )
+    anchors = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("vec").alias("avec"),
+    )
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.struct(
+                F.round(cosine_expr("vec", "avec"), 6).alias("cosine"),
+                (-F.col("vec_id")).alias("neg_id"),
+                F.col("label").alias("neg_label"),
+            ).alias("s"),
+        )
+    )
+    best = scored.groupBy("anchor_id", "anchor_label").agg(F.max("s").alias("b"))
+    return best.select(
+        "anchor_id",
+        "anchor_label",
+        (-F.col("b.neg_id")).cast("long").alias("negative_id"),
+        F.col("b.neg_label").alias("negative_label"),
+        F.col("b.cosine").alias("cosine"),
+    ).orderBy("anchor_id")
+
+
+def copurchase_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-3 Apriori frequent itemsets (operators/basket.py::
+    frequent_triples): part triples co-purchased in ≥2 orders.  The
+    Apriori closure thins baskets to frequent items BEFORE the rank-3
+    array-local expansion (two-step anchor/slice — no row holds the
+    O(n³) array), so the plan never materializes the 157k support-1
+    candidate pairs the definitional three-way self-join the oracle
+    runs would; counts are provably unchanged by the thinning.  On the
+    uniform synthetic corpus support decays with scale (12 qualifying
+    triples at sf0.01, none at sf0.1) — the entry's cost is the
+    candidate-generation machinery, which is the part that must scale."""
+    from ..operators.basket import frequent_triples
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_triples(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).orderBy("item_a", "item_b", "item_c")
+
+
 def per_host_doc_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-DOMAIN document quota (Common-Crawl discipline: no host may
     dominate the corpus): URL extraction + parse_url host (operators/
@@ -3818,4 +3927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_group_kfold_counts": user_group_kfold_counts,
     "html_extract_stats": html_extract_stats,
     "per_host_doc_quota": per_host_doc_quota,
+    "copurchase_part_triples": copurchase_part_triples,
+    "hard_negative_mining": hard_negative_mining,
+    "winsorized_price_stats": winsorized_price_stats,
 }

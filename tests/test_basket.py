@@ -120,3 +120,49 @@ def test_source_entropy_planted(spark):
     assert got["twoterm"].entropy == round(math.log(2), 6)
     want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert abs(got["skewed"].entropy - round(want, 6)) <= 1e-6
+
+
+def test_frequent_triples_planted(spark):
+    from northwind_etl_spark.operators.basket import frequent_triples
+
+    rows = [
+        # triple (1,2,3) in orders 10, 11; item 9 infrequent (1 order)
+        (10, 1), (10, 2), (10, 3), (10, 9),
+        (11, 1), (11, 2), (11, 3),
+        (12, 1), (12, 2),          # pair only — no triple
+        (13, 4),                   # singleton
+    ]
+    df = spark.createDataFrame(rows, "o long, i long")
+    out = frequent_triples(df, "o", "i", min_support=2).collect()
+    assert [(r.item_a, r.item_b, r.item_c, r.n_orders) for r in out] == [
+        (1, 2, 3, 2)
+    ]
+
+
+def test_frequent_triples_thinning_keeps_counts(spark):
+    """Apriori thinning must not change surviving triples' counts even
+    when an infrequent item sits INSIDE an order that carries a
+    qualifying triple (regression for off-by-slice bugs)."""
+    from northwind_etl_spark.operators.basket import frequent_triples
+
+    rows = [
+        (1, 5), (1, 1), (1, 2), (1, 3),   # 5 sorts FIRST pre-thinning
+        (2, 1), (2, 2), (2, 3), (2, 7),   # 7 sorts last
+        (3, 1), (3, 2), (3, 3),
+    ]
+    df = spark.createDataFrame(rows, "o long, i long")
+    out = frequent_triples(df, "o", "i", min_support=3).collect()
+    assert [(r.item_a, r.item_b, r.item_c, r.n_orders) for r in out] == [
+        (1, 2, 3, 3)
+    ]
+
+
+def test_frequent_triples_duplicate_lines_count_once(spark):
+    from northwind_etl_spark.operators.basket import frequent_triples
+
+    rows = [(1, 1), (1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 3)]
+    df = spark.createDataFrame(rows, "o long, i long")
+    out = frequent_triples(df, "o", "i", min_support=2).collect()
+    assert [(r.item_a, r.item_b, r.item_c, r.n_orders) for r in out] == [
+        (1, 2, 3, 2)
+    ]

@@ -38,6 +38,7 @@ BNLJ_WHITELIST = {
     "q11_important_parts",           # value-threshold scalar
     "unigram_surprisal_scores",      # corpus-total scalar
     "knn_bruteforce_topk",           # 1-row query-vector broadcast
+    "hard_negative_mining",          # bounded anchor frame broadcast (<=40 rows)
     "blocking_quality_metrics",      # truth-set total scalars
     "tcloseness_class_distances",    # global-N scalar
     "nation_balance_target_encoding",  # global-sum scalar
