@@ -23,8 +23,10 @@ any codec library.  Baseline JPEG is real as well (operators/jpeg.py:
 stdlib+numpy DCT/quantization/Huffman).  Audio is real for PCM WAV
 (encode_wav/decode_wav on the stdlib `wave` module) AND for compressed
 audio via IMA ADPCM (encode_adpcm/decode_adpcm on stdlib audioop,
-4 bits/sample).  Perceptual codecs (MP3/AAC) remain out of scope
-without ffmpeg — the one remaining environment-blocked format.
+4 bits/sample).  Perceptual-TRANSFORM audio is real too — operators/
+mdct.py implements the MP3/AAC family's architecture (sine-window MDCT
++ scalefactor-band quantization); only standards-exact MP3/AAC
+bitstream parsing stays ffmpeg-gated.
 """
 
 from __future__ import annotations
@@ -1081,3 +1083,84 @@ def alaw_roundtrip_stats(
         bytes_col="alaw_bytes",
         sample_rate=sample_rate,
     )
+
+
+# ------------------------------------------------ energy VAD (numpy)
+VAD_SCHEMA = (
+    "doc_id long, n_frames int, active_frames int,"
+    " n_segments int, longest_segment int"
+)
+
+
+def vad_segments(
+    documents: DataFrame,
+    *,
+    frame: int = 80,
+    energy_threshold: int = 40_000_000_000,
+    mute_mod: int = 4,
+) -> DataFrame:
+    """Energy-based voice-activity detection — the speech-corpus
+    pre-segmentation step (frame the clip, integer energy per frame,
+    threshold, then gaps-and-islands into contiguous ACTIVE segments).
+
+    Audio follows the make_audio_table rule (samples = the document's
+    utf-8 byte pairs as int16), with PLANTED SILENCE: frame f of doc d
+    is muted iff (d + f·2654435761) % mute_mod == 0 — a deterministic
+    integer formula both engines replay, so segmentation is
+    data-dependent but exactly reproducible.  Only full frames count
+    (the tail partial frame is dropped, mirroring fixed-frame DSP).
+
+    All arithmetic is integer (s² sums fit 2^37 per frame), so the
+    DuckDB oracle recovers every sample from hex(text) — the
+    multimodal_g711_stats discipline — and replays energy, threshold,
+    and the island arithmetic bit-for-bit: a HASH-CHECKED segmentation
+    of a lossy-domain operator.  Per-clip work is one reshape + one
+    vectorized reduction in Arrow batches; no shuffle."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "n_frames", "active_frames",
+                    "n_segments", "longest_segment",
+                )
+            }
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                data = (t or "").encode("utf-8")
+                n = len(data) // 2
+                n_frames = n // frame
+                if n_frames == 0:
+                    vals = (0, 0, 0, 0)
+                else:
+                    s = (
+                        np.frombuffer(data, dtype="<i2", count=n_frames * frame)
+                        .astype(np.int64)
+                        .reshape(n_frames, frame)
+                    )
+                    f_idx = np.arange(n_frames, dtype=np.int64)
+                    muted = (int(doc_id) + f_idx * 2654435761) % mute_mod == 0
+                    energy = np.where(muted, 0, (s * s).sum(axis=1))
+                    active = energy > energy_threshold
+                    if not active.any():
+                        vals = (n_frames, 0, 0, 0)
+                    else:
+                        idx = np.flatnonzero(active)
+                        breaks = np.flatnonzero(np.diff(idx) > 1)
+                        runs = np.split(idx, breaks + 1)
+                        vals = (
+                            n_frames,
+                            int(active.sum()),
+                            len(runs),
+                            max(len(r) for r in runs),
+                        )
+                out["doc_id"].append(doc_id)
+                for k, v in zip(
+                    ("n_frames", "active_frames", "n_segments",
+                     "longest_segment"),
+                    vals,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(stats, VAD_SCHEMA)

@@ -3378,3 +3378,71 @@ ORACLES["winsorized_price_stats"] = """
     FROM t JOIN b USING (g)
     GROUP BY g ORDER BY g
 """
+
+# Energy VAD: int16 samples recovered from hex(text) (the g711
+# discipline), full frames only, integer energies with the planted
+# mute formula, islands via f - row_number over active frames.
+ORACLES["multimodal_vad_segments"] = """
+    WITH b AS (
+        SELECT doc_id, octet_length(encode(text)) AS nbytes,
+               hex(encode(text)) AS h
+        FROM documents),
+    fr AS (SELECT doc_id, (nbytes // 2) // 80 AS n_frames FROM b),
+    samples AS (
+        SELECT doc_id, (i - 1) // 80 AS f,
+               (strpos('0123456789ABCDEF', substr(h, 4*i-3, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 4*i-2, 1)) - 1) AS lo,
+               (strpos('0123456789ABCDEF', substr(h, 4*i-1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 4*i,   1)) - 1) AS hi
+        FROM b JOIN fr USING (doc_id),
+             unnest(generate_series(1, (nbytes // 2 // 80) * 80)) AS t(i)),
+    signed AS (
+        SELECT doc_id, f,
+               CASE WHEN lo + 256 * hi >= 32768
+                    THEN lo + 256 * hi - 65536
+                    ELSE lo + 256 * hi END AS s
+        FROM samples),
+    energy AS (
+        SELECT doc_id, f,
+               CASE WHEN (doc_id + f * 2654435761) % 4 = 0 THEN 0
+                    ELSE SUM(s * s) END AS e
+        FROM signed GROUP BY doc_id, f),
+    act AS (
+        SELECT doc_id, f,
+               f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                 AS island
+        FROM energy WHERE e > 40000000000),
+    runs AS (
+        SELECT doc_id, island, COUNT(*) AS run_len
+        FROM act GROUP BY doc_id, island),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(run_len) AS INT) AS active_frames,
+               CAST(COUNT(*) AS INT) AS n_segments,
+               CAST(MAX(run_len) AS INT) AS longest_segment
+        FROM runs GROUP BY doc_id)
+    SELECT fr.doc_id, CAST(fr.n_frames AS INT) AS n_frames,
+           COALESCE(active_frames, 0) AS active_frames,
+           COALESCE(n_segments, 0) AS n_segments,
+           COALESCE(longest_segment, 0) AS longest_segment
+    FROM fr LEFT JOIN agg ON fr.doc_id = agg.doc_id
+    ORDER BY fr.doc_id
+"""
+
+# Chained streaming cascade: 6h windows whose end <= max(ts) - 2h (the
+# availableNow final watermark), aggregated over raw events — every
+# inner hourly window of an emitted outer window has already closed,
+# so the cascade equals this batch rollup (cutoff measured: 473 rows
+# at sf0.001 under <=; the decimal sum keeps values order-independent).
+ORACLES["stream_two_level_counts"] = """
+    WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS v FROM events)
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS sum_value
+    FROM events, wm
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL 6 HOUR, MIN(ts)) + INTERVAL 6 HOUR
+           <= MAX(v)
+    ORDER BY 1, 2
+"""

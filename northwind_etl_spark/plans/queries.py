@@ -1490,6 +1490,29 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(windowed_counts_stream(stream), "stream_tumbling")
 
 
+def stream_two_level_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming (streaming/events_stream.py::
+    two_level_window_stream): hourly window aggregation re-windowed to
+    6-hour rollups inside one streaming query, drained append-mode
+    (chained aggs cannot run complete) — the metrics-cascade pattern
+    where the outer window's state is bounded by inner-window rows.
+    The oracle replays the measured append cutoff: 6-hour windows
+    whose end ≤ max(ts) − 2 h (the availableNow final watermark), with
+    counts/sums over ALL raw events of those windows — every inner
+    hour of an emitted outer window has itself closed, which is why
+    the streamed cascade equals the batch rollup exactly."""
+    from ..streaming.events_stream import (
+        read_events_stream,
+        two_level_window_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return _drain_stream(
+        two_level_window_stream(stream), "stream_two_level",
+        output_mode="append",
+    )
+
+
 def stream_enriched_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment, driver-checked: the event stream
     joined per micro-batch against a broadcast funnel-stage dimension
@@ -2379,6 +2402,20 @@ def multimodal_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio + SNR.  Rows-only (lossy nibble predictor, no SQL oracle);
     SNR floors and framing/error contracts pinned in tests."""
     return M.adpcm_roundtrip_stats(_t(spark, sf_dir, "documents"))
+
+
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy VAD (operators/multimodal.py::vad_segments): frame the
+    clip (80 samples), integer energy per frame, threshold, then
+    gaps-and-islands into contiguous active segments — with planted
+    silence from a deterministic (doc_id + f·2654435761) % 4 mute.
+    All-integer arithmetic, so this lossy-domain segmentation is
+    HASH-CHECKED: the oracle recovers every int16 sample from
+    hex(text) (the g711 discipline) and replays framing, energy,
+    threshold, and the island row_number arithmetic exactly."""
+    from ..operators.multimodal import vad_segments
+
+    return vad_segments(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3930,4 +3967,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_part_triples": copurchase_part_triples,
     "hard_negative_mining": hard_negative_mining,
     "winsorized_price_stats": winsorized_price_stats,
+    "multimodal_vad_segments": multimodal_vad_segments,
+    "stream_two_level_counts": stream_two_level_counts,
 }

@@ -335,3 +335,39 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def two_level_window_stream(
+    events: DataFrame, *, inner: str = "1 hour", outer: str = "6 hours"
+) -> DataFrame:
+    """CHAINED stateful aggregation (Spark 3.4+ multiple-stateful-
+    operator support): hourly tumbling counts/decimal-sums re-windowed
+    into 6-hour rollups in ONE streaming query — the pre-aggregation
+    cascade a metrics pipeline runs so the wide window never touches
+    raw events (state for the outer level is bounded by inner-window
+    rows, not event rows).
+
+    Append-mode semantics (measured, pinned by the oracle): on an
+    availableNow drain the final watermark is max(ts) − 2 h, and the
+    sink holds exactly the OUTER windows whose END ≤ that watermark —
+    every inner window of such an outer window has already closed, so
+    their counts equal the batch rollup over raw events (verified by
+    the hash-matched `stream_two_level_counts` entry)."""
+    lvl1 = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", inner).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("__n1"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("__sv"),
+        )
+    )
+    return (
+        lvl1.groupBy(F.window(F.col("w"), outer).alias("w6"), "event_type")
+        .agg(F.sum("__n1").alias("n_events"), F.sum("__sv").alias("__sv6"))
+        .select(
+            F.col("w6.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("__sv6", 2).cast("double").alias("sum_value"),
+        )
+    )

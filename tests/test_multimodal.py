@@ -315,3 +315,22 @@ def test_audio_fingerprint_verification_rejects_false_merges(spark, sf_dir):
     assert true_pairs == 50  # every planted twin verified
     assert false_pairs > 0  # the corpus DOES produce false merges — the
     # verification step is load-bearing, not decorative
+
+
+def test_vad_segments_edges(spark):
+    """Planted VAD fixtures: short docs (zero full frames) emit a zero
+    row; a known 3-frame doc segments per the mute formula."""
+    from northwind_etl_spark.operators.multimodal import vad_segments
+
+    # 'a'*480 -> 240 samples -> 3 full frames, all same loud sample
+    rows = [(0, "x"), (1, ""), (2, "a" * 480)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in vad_segments(df).collect()}
+    assert (out[0].n_frames, out[0].n_segments) == (0, 0)
+    assert (out[1].n_frames, out[1].n_segments) == (0, 0)
+    r2 = out[2]
+    assert r2.n_frames == 3
+    # mute iff (2 + f*2654435761) % 4 == 0: f=2 muted (2+2*...=even..)
+    muted = [(2 + f * 2654435761) % 4 == 0 for f in range(3)]
+    assert r2.active_frames == 3 - sum(muted)
+    assert r2.longest_segment >= 1

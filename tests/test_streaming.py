@@ -265,3 +265,70 @@ def test_incremental_state_stream_multi_batch_equals_direct(spark):
     )
     key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
     assert key(final) == key(direct)
+
+
+def test_two_level_window_stream_multi_batch_equals_batch(spark, sf_dir):
+    """Chained stateful aggregation under REAL batch splitting: events
+    written as three time-ordered files, streamed one file per
+    trigger, hourly->6h cascade drained append-mode.  The final sink
+    must equal the batch rollup of every 6h window whose end <= final
+    watermark (max ts - 2h), independent of the split."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.sources.parquet import read_events
+    from northwind_etl_spark.streaming.events_stream import (
+        run_available_now,
+        two_level_window_stream,
+    )
+
+    # watermarks require TIMESTAMP (not NTZ): run the whole fixture in
+    # ltz (the session tz is fixed, so window boundaries are identical)
+    ev = read_events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="two_level_src_")
+    parts = ev.orderBy("ts").withColumn(
+        "__b", F.ntile(3).over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy("ts")
+        )
+    )
+    for b in (1, 2, 3):
+        parts.where(F.col("__b") == b).drop("__b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_available_now(
+        two_level_window_stream(stream), "two_level_mb", output_mode="append"
+    )
+
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("v")
+    ).first()["v"]
+    want = (
+        ev.groupBy(
+            F.window("ts", "6 hours").alias("w6"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .where(F.col("w6.end") <= F.lit(wm))
+        .select(
+            F.col("w6.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
