@@ -212,6 +212,19 @@ HEADLINE = [
     # r07: the realistic-vocabulary prefix join (candidate-bound regime;
     # PLANS.md "Prefix join: saturated vs diverse")
     "jaccard_prefix_join_diverse",
+    # r07 additions: MDCT perceptual codec, energy VAD, HTML extraction,
+    # leakage-safe splits, per-host quota, Apriori triples, hard-negative
+    # mining, winsorized scaling, chained streaming cascade
+    "multimodal_mdct_stats",
+    "multimodal_vad_segments",
+    "html_extract_stats",
+    "leakage_safe_split_stats",
+    "user_group_kfold_counts",
+    "per_host_doc_quota",
+    "copurchase_part_triples",
+    "hard_negative_mining",
+    "winsorized_price_stats",
+    "stream_two_level_counts",
     # jaccard_prefix_join_pairs is deliberately NOT a headline: the
     # saturated synthetic vocabulary makes the TRUE output ~965k pairs
     # at sf0.1 (35.6k even at J=1.0), so the exact join is output-bound

@@ -3446,3 +3446,42 @@ ORACLES["stream_two_level_counts"] = """
            <= MAX(v)
     ORDER BY 1, 2
 """
+
+# JSONL quarantine audit computed directly from the parquet: the fault
+# injection is the pure predicate event_id % 97 = 0, and to_json's
+# shortest-round-trip double repr makes re-parsed values bit-identical
+# to the originals, so the good-row decimal sum matches exactly.
+ORACLES["events_jsonl_corrupt_stats"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(ROUND(SUM(CASE WHEN event_id % 97 <> 0
+                               THEN CAST(value AS DECIMAL(38,6)) END), 2)
+                AS DOUBLE) AS sum_value_good
+    FROM events
+"""
+
+# Linear scorer: the hashed-features CTE + the identical in-plan
+# integer weight formula; margins are exact BIGINTs.
+ORACLES["linear_quality_margin"] = f"""
+    WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    h AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(term), 1, 8) AS BIGINT)
+                  % 64 AS BIGINT) AS bucket,
+             CASE WHEN CAST('0x' || substring(md5(term), 9, 1) AS BIGINT)
+                       % 2 = 0
+                  THEN CAST(tf AS BIGINT) ELSE -CAST(tf AS BIGINT)
+             END AS s
+      FROM tc),
+    f AS (SELECT doc_id, bucket, SUM(s) AS weight FROM h GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(weight * ((bucket * 2654435761) % 1001 - 500))
+                AS BIGINT) AS margin,
+           CAST(SUM(weight * ((bucket * 2654435761) % 1001 - 500))
+                AS BIGINT) > 0 AS keep
+    FROM f GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1490,6 +1490,63 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(windowed_counts_stream(stream), "stream_tumbling")
 
 
+def events_jsonl_corrupt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion with corrupt-record QUARANTINE (sources/
+    files.py::read_json, PERMISSIVE + columnNameOfCorruptRecord — the
+    contract a landing-zone reader must honor: bad lines become rows,
+    not job failures).  Events are serialized to JSONL with a
+    deterministic fault injection (every event_id % 97 == 0 line is
+    truncated mid-object), read back under the declared schema, and
+    audited: row/corrupt/good counts + the decimal-exact value sum of
+    the GOOD rows.  Hash-checkable end to end because to_json emits
+    the shortest round-tripping double repr, so the re-parsed doubles
+    are bit-identical and the oracle can compute the same audit
+    directly from the parquet (corruption is a pure event_id
+    predicate).  The JSONL hop is a fixed per-sf temp dir, overwritten
+    per run (the _events_stream_dir discipline)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.files import read_json
+    from ..sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    line = F.when(
+        F.col("event_id") % 97 == 0,
+        F.concat(
+            F.lit('{"event_id":'),
+            F.col("event_id").cast("string"),
+            F.lit(',"user_id":'),
+        ),
+    ).otherwise(F.to_json(F.struct("event_id", "user_id", "event_type", "value")))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"nes_jsonl_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(out)
+    parsed = read_json(
+        spark,
+        out,
+        "event_id long, user_id long, event_type string, value double,"
+        " _corrupt string",
+        corrupt_col="_corrupt",
+    )
+    good = F.col("_corrupt").isNull()
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.sum(good.cast("long")).alias("n_good"),
+        F.round(
+            F.sum(F.when(good, F.col("value")).cast("decimal(38,6)")), 2
+        )
+        .cast("double")
+        .alias("sum_value_good"),
+    )
+
+
 def stream_two_level_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful streaming (streaming/events_stream.py::
     two_level_window_stream): hourly window aggregation re-windowed to
@@ -3566,6 +3623,34 @@ def hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features(docs, n_buckets=64).orderBy("doc_id", "bucket")
 
 
+def linear_quality_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier SCORING at corpus scale — the
+    fastText-style shape (Joulin et al. 2016) a trained quality model
+    runs with over a 100 TB corpus: hashed-trick features (the shared
+    hashed_features stage) dotted with a per-bucket weight vector,
+    one margin per document.  The weights here are a deterministic
+    integer stand-in (w_b = (b·2654435761) % 1001 − 500 — training is
+    out of scope; the SCORING plan is the point): they live as an
+    in-plan expression on the bucket id, so there is no weight
+    broadcast, no join — the dot product is ONE hash aggregation over
+    the sparse long-form features, and the margin stays in exact
+    BIGINT arithmetic the oracle replays bit-for-bit.  Swapping real
+    trained weights in = a 1001-row broadcast join, nothing else
+    changes."""
+    from ..operators.text import hashed_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_features(docs, n_buckets=64)
+    w = (F.col("bucket").cast("long") * F.lit(2654435761)) % 1001 - 500
+    return (
+        feats.select("doc_id", (F.col("weight") * w).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.sum("__c").cast("long").alias("margin"))
+        .withColumn("keep", F.col("margin") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def order_price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency discretization (operators/features.py::
     quantile_bin_summary): o_totalprice split into 10 exact deciles
@@ -3969,4 +4054,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_price_stats": winsorized_price_stats,
     "multimodal_vad_segments": multimodal_vad_segments,
     "stream_two_level_counts": stream_two_level_counts,
+    "events_jsonl_corrupt_stats": events_jsonl_corrupt_stats,
+    "linear_quality_margin": linear_quality_margin,
 }

@@ -166,3 +166,37 @@ def test_read_evolved_type_drift_degrades_to_null(spark, tmp_path):
     )
     # try_cast: numeric string converts, garbage becomes NULL (no ANSI throw)
     assert got == [12, None]
+
+
+def test_jsonl_corrupt_quarantine_modes(spark, tmp_path):
+    """The landing-zone contract: PERMISSIVE quarantines bad lines into
+    the corrupt column (good fields parse, bad rows carry raw text);
+    FAILFAST raises on the same input."""
+    import pytest
+
+    from northwind_etl_spark.sources.files import read_json
+
+    p = str(tmp_path / "in")
+    lines = [
+        '{"a": 1, "b": "x"}',
+        '{"a": 2, "b":',          # truncated
+        '{"a": 3, "b": "z"}',
+        "not json at all",
+    ]
+    spark.createDataFrame([(l,) for l in lines], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(p)
+
+    out = read_json(
+        spark, p, "a long, b string, _c string", corrupt_col="_c"
+    )
+    rows = out.collect()
+    assert len(rows) == 4
+    bad = [r for r in rows if r._c is not None]
+    assert len(bad) == 2
+    assert {r.a for r in rows if r._c is None} == {1, 3}
+
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_json(spark, p, "a long, b string", mode="FAILFAST").collect()

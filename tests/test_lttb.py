@@ -99,3 +99,34 @@ def test_validation(spark):
     df = spark.createDataFrame([("a", 1.0, 1.0)], "key string, t double, v double")
     with pytest.raises(ValueError):
         lttb_downsample(df, "key", "t", "v", k=2)
+
+
+def test_lttb_groups_straddling_arrow_batches(spark):
+    """The run-walking rewrite must stitch a key whose rows span Arrow
+    batch boundaries: force tiny batches and check against the
+    single-partition answer."""
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.operators.timeseries import lttb_downsample
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = (
+            spark.range(0, 900)
+            .select(
+                (F.col("id") % 3).alias("k"),
+                (F.col("id") / 3).cast("long").alias("t"),
+                (F.col("id") * 37 % 101).cast("double").alias("v"),
+            )
+        )
+        got = lttb_downsample(df, "k", "t", "v", k=9)
+        want = lttb_downsample(df.coalesce(1), "k", "t", "v", k=9)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        assert got.count() == 27  # 3 keys x k=9
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
