@@ -35,3 +35,44 @@ def norm_expr(a: Column | str) -> Column:
 
 def cosine_expr(a: Column | str, b: Column | str) -> Column:
     return dot_expr(a, b) / F.nullif(norm_expr(a) * norm_expr(b), F.lit(0.0))
+
+
+def int8_quant_exprs(vec: Column | str) -> dict[str, Column]:
+    """Symmetric per-vector int8 quantization (the vector-store
+    compression layout: one float scale + dim int8 codes, 4×
+    smaller than float32) as EXACT cross-engine expressions:
+
+    - scale = max |x| (double max — exact);
+    - code  = floor(x/scale·127 + 0.5)  (round-half-up; every step a
+      single correctly-rounded IEEE op, so DuckDB replays it
+      bit-for-bit — the knn float-recipe discipline);
+    - reconstruction error x − code·scale/127, squared and folded
+      sequentially in array order (both engines fold lists left to
+      right, proven by the knn oracle).
+
+    Returns {scale, sum_code, mse} column expressions; zero vectors
+    quantize to all-zero codes with mse 0.
+    """
+    xd = to_double_expr(vec)
+    scale = F.array_max(F.transform(xd, F.abs))
+    code = lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast(  # noqa: E731
+        "double"
+    )
+    err2 = F.transform(xd, lambda x: F.pow(x - code(x) * scale / 127, 2))
+    nonzero = scale > 0
+    return {
+        "scale": scale,
+        "sum_code": F.when(
+            nonzero,
+            F.aggregate(
+                F.transform(xd, lambda x: code(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+        "mse": F.when(
+            nonzero,
+            F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(xd).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    }

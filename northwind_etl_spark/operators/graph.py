@@ -343,3 +343,68 @@ def sssp_weighted(
         if improved:
             return prev  # new == prev at the fixed point
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    iterations: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (Raghavan et al. 2007) — the
+    fourth iterative-graph shape here (mode-of-neighbors fixed
+    iteration, next to pointer-jumping, PageRank's fixed point, and
+    frontier BFS): every node starts labeled with its own id; each
+    round it adopts the most frequent label among its IN-neighbors
+    (pass both directions for undirected semantics), ties broken to
+    the SMALLEST label, isolated nodes keep theirs.
+
+    Determinism contract: the synchronous schedule + min-label
+    tie-break make round k a pure function of round k-1 — no RNG, no
+    visit order — so a fixed iteration count is bit-replayable in SQL
+    (the oracle unrolls the identical rounds; the entity_resolution /
+    SSSP evidence pattern).  Classic LPA iterates to convergence with
+    random asynchronous order; the fixed-round synchronous variant
+    trades that for cross-engine exactness and a bounded plan.
+
+    Per round: one join on the label relation + one (node, label)
+    count, then the argmax as max-count filter + MIN(label) — two
+    hash aggregations, label-type-generic (node ids here are strings)
+    and NO per-node window sort — then a left join back for isolated
+    nodes; localCheckpoint every `checkpoint_every` rounds (the
+    duplicate_clusters lineage discipline).  At 100 TB each round is
+    keyed shuffles of the label/count relations (O(|V|) and
+    O(|V|·labels-seen) rows) against the edge relation; skew follows
+    in-degree skew, which the count aggregation absorbs map-side.
+    """
+    from ..cache import persist_stage
+
+    s, d = F.col(src_col), F.col(dst_col)
+    e = edges.select(s.alias("__s"), d.alias("__d"))
+    labels = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select("__d"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(iterations):
+        counts = persist_stage(
+            e.join(labels.withColumnRenamed("node", "__s"), "__s")
+            .groupBy(F.col("__d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        mx = counts.groupBy("node").agg(F.max("__c").alias("__mc"))
+        pick = (
+            counts.join(mx, "node")
+            .where(F.col("__c") == F.col("__mc"))
+            .groupBy("node")
+            .agg(F.min("label").alias("__new"))
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node", F.coalesce("__new", "label").alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint()
+    return labels

@@ -3485,3 +3485,76 @@ ORACLES["linear_quality_margin"] = f"""
                 AS BIGINT) > 0 AS keep
     FROM f GROUP BY doc_id ORDER BY doc_id
 """
+
+# Per-source top terms: the single-window definition the two-phase
+# salted ranking must equal bit-for-bit (total order: n desc, term).
+ORACLES["top_terms_per_source"] = f"""
+    WITH terms AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+    c AS (SELECT source, term, COUNT(*) AS n FROM terms GROUP BY 1, 2),
+    r AS (SELECT source, term, CAST(n AS BIGINT) AS n,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY n DESC, term) AS rank
+          FROM c)
+    SELECT source, term, n, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10 ORDER BY source, rank
+"""
+
+# Synchronous LPA unrolled: 4 identical rounds as CTEs (count labels
+# over in-neighbors, argmax with min-label tie-break via row_number,
+# COALESCE for isolated nodes) over the same undirected above-mean
+# edge set as the triangles oracle.
+_LPA_ROUNDS = 4
+_LPA_ROUND_SQL = """,
+    c{i} AS (SELECT e.b AS node, l.label, COUNT(*) AS c
+             FROM de e JOIN l{j} l ON e.a = l.node GROUP BY 1, 2),
+    p{i} AS (SELECT node, label FROM (
+               SELECT node, label,
+                      row_number() OVER (
+                        PARTITION BY node ORDER BY c DESC, label) AS rn
+               FROM c{i}) t WHERE rn = 1),
+    l{i} AS (SELECT l.node, COALESCE(p.label, l.label) AS label
+             FROM l{j} l LEFT JOIN p{i} p ON l.node = p.node)"""
+ORACLES["nation_trade_communities"] = (
+    f"""
+    WITH {_TRADE_PAIRS},
+    upair AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     SUM(cnt) AS ucnt
+              FROM pair GROUP BY 1, 2),
+    utot AS (SELECT COUNT(*) AS np, SUM(ucnt) AS tc FROM upair),
+    ue AS (SELECT a, b FROM upair, utot WHERE ucnt * np > tc),
+    de AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue),
+    l0 AS (SELECT node, node AS label FROM (
+             SELECT a AS node FROM de GROUP BY 1) n)"""
+    + "".join(
+        _LPA_ROUND_SQL.format(i=i, j=i - 1) for i in range(1, _LPA_ROUNDS + 1)
+    )
+    + f"""
+    SELECT node, label FROM l{_LPA_ROUNDS} ORDER BY node
+"""
+)
+
+# int8 quantization: identical IEEE step order (abs-max scale,
+# floor(x/s*127 + 0.5), err = x - q*s/127, sequential squared-error
+# fold, one final division by dim).
+ORACLES["embedding_int8_quant_stats"] = """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+             len(embedding) AS dim
+      FROM embeddings)
+    SELECT vec_id, scale,
+           CASE WHEN scale > 0 THEN
+             CAST(list_sum(list_transform(xd,
+                  x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)))
+                  AS BIGINT)
+           ELSE 0 END AS sum_code,
+           CASE WHEN scale > 0 THEN
+             list_sum(list_transform(xd,
+                  x -> pow(x - floor(x / scale * 127 + 0.5)
+                               * scale / 127, 2)))
+             / CAST(dim AS DOUBLE)
+           ELSE 0.0 END AS mse
+    FROM q ORDER BY vec_id
+"""

@@ -1358,6 +1358,31 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_oriented(edges).orderBy("n1", "n2", "n3")
 
 
+def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators/graph.py::
+    label_propagation) over the undirected above-mean trade graph
+    (both directions fed, 4 fixed rounds, min-label tie-break) — the
+    deterministic LPA variant whose every round is a pure function of
+    the last, so the oracle unrolls the IDENTICAL 4 rounds as CTEs and
+    must hash-match: the fourth iterative-graph algorithm with exact
+    cross-engine evidence (after PageRank, BFS, SSSP)."""
+    from ..operators.graph import label_propagation
+
+    pairs = _nation_trade_pairs(spark, sf_dir)
+    upairs = (
+        pairs.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "cnt",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("ucnt"))
+    )
+    ue = _above_mean(upairs, "ucnt").select("a", "b")
+    both = ue.union(ue.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return label_propagation(both, "a", "b", iterations=4).orderBy("node")
+
+
 def nation_trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source shortest hop distances (operators/graph.py::
     bfs_hops) over the directed above-mean nation trade graph, rooted
@@ -3623,6 +3648,50 @@ def hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features(docs, n_buckets=64).orderBy("doc_id", "bucket")
 
 
+def embedding_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector compression for ANN serving (functions/vectors.py::
+    int8_quant_exprs): symmetric per-vector int8 quantization — one
+    double scale + 64 codes per vector, the 4×-smaller layout a
+    vector store ships to disk — with the integer code sum and the
+    reconstruction MSE per vector.  Every arithmetic step is a single
+    correctly-rounded IEEE op in a fixed order (the knn float
+    recipe), so this float-heavy operator is HASH-CHECKED: the oracle
+    replays scale, rounding, and the sequential error fold exactly.
+    Map-only, no shuffle."""
+    from ..functions.vectors import int8_quant_exprs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = int8_quant_exprs("embedding")
+    return emb.select(
+        "vec_id",
+        ex["scale"].alias("scale"),
+        ex["sum_code"].alias("sum_code"),
+        ex["mse"].alias("mse"),
+    ).orderBy("vec_id")
+
+
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (operators/sort.py::group_topk): each source's
+    10 most frequent terms (count desc, term asc tie-break) via the
+    two-phase salted ranking — no group's whole term population ever
+    ranks in one window task, the hot-group discipline shared with
+    group_sample/KMV.  Rides the shared tokenization; the oracle runs
+    the single-window row_number definition the two-phase form
+    provably equals."""
+    from ..functions.texttools import tokens_expr
+    from ..operators.sort import group_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return group_topk(
+        counts, ["source"], [F.col("n").desc(), F.col("term")], 10
+    ).orderBy("source", "rank")
+
+
 def linear_quality_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-classifier SCORING at corpus scale — the
     fastText-style shape (Joulin et al. 2016) a trained quality model
@@ -4056,4 +4125,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_two_level_counts": stream_two_level_counts,
     "events_jsonl_corrupt_stats": events_jsonl_corrupt_stats,
     "linear_quality_margin": linear_quality_margin,
+    "top_terms_per_source": top_terms_per_source,
+    "nation_trade_communities": nation_trade_communities,
+    "embedding_int8_quant_stats": embedding_int8_quant_stats,
 }

@@ -192,3 +192,42 @@ def test_sssp_equals_bfs_on_unit_weights(spark):
     sp = {r.node: r.cost for r in sssp_weighted(edges, "s").collect()}
     hp = {r.node: r.hops for r in bfs_hops(edges, "s").collect()}
     assert sp == hp
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques with a single bridge edge: LPA must converge each
+    clique to its minimum member label and keep the cliques apart."""
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.operators.graph import label_propagation
+
+    def clique(members):
+        return [(a, b) for a in members for b in members if a != b]
+
+    edges = clique(["a1", "a2", "a3", "a4"]) + clique(
+        ["b1", "b2", "b3", "b4"]
+    ) + [("a1", "b1"), ("b1", "a1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r.label for r in label_propagation(df, iterations=4).collect()}
+    assert {out[n] for n in ("a2", "a3", "a4")} == {"a1"}
+    assert {out[n] for n in ("b2", "b3", "b4")} == {"b1"}
+    assert out["a1"] != out["b2"]
+
+
+def test_label_propagation_isolated_and_determinism(spark):
+    from northwind_etl_spark.operators.graph import label_propagation
+
+    # triangle (odd cycle: converges under the synchronous schedule —
+    # a 2-cycle would oscillate, the documented synchronous-LPA
+    # property) + a self-looped isolated node
+    tri = [("x", "y"), ("y", "x"), ("y", "z"), ("z", "y"),
+           ("x", "z"), ("z", "x"), ("w", "w")]
+    df = spark.createDataFrame(tri, "src string, dst string")
+    a = sorted(map(tuple, label_propagation(df, iterations=3).collect()))
+    b = sorted(
+        map(tuple, label_propagation(df.repartition(7), iterations=3).collect())
+    )
+    assert a == b
+    d = dict(a)
+    assert d["x"] == d["y"] == d["z"] == "x"  # triangle collapses to min
+    assert d["w"] == "w"

@@ -344,3 +344,59 @@ def test_funnel_ordering_and_window_semantics(spark, monkeypatch, tmp_path):
         for r in conversion_funnel_counts(spark, "ignored").collect()
     }
     assert got == {1: 4, 2: 2, 3: 1}
+
+
+def test_group_topk_equals_single_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.operators.sort import group_topk
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 131 % 97).alias("v"),
+        F.col("id").alias("tie"),
+    )
+    got = group_topk(df, ["g"], [F.col("v").desc(), F.col("tie")], 5)
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("tie"))
+    want = df.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 5
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_group_topk_small_groups_complete(spark):
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.operators.sort import group_topk
+
+    df = spark.createDataFrame(
+        [(1, 10, 0), (1, 20, 1), (2, 5, 2)], "g long, v long, tie long"
+    )
+    out = group_topk(df, ["g"], [F.col("v").desc(), F.col("tie")], 5)
+    assert out.count() == 3  # k larger than any group: nothing dropped
+
+
+def test_int8_quant_error_bound(spark):
+    """Quantization error must respect the half-step bound
+    (|err| <= scale/254 per element + fp slack) and zero vectors
+    quantize cleanly."""
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.functions.vectors import int8_quant_exprs
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    ex = int8_quant_exprs("embedding")
+    rows = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id", ex["scale"].alias("s"), ex["mse"].alias("m")
+        ).collect()
+    }
+    assert rows[2].s == 0.0 and rows[2].m == 0.0
+    half_step = rows[1].s / 254
+    assert rows[1].m <= half_step * half_step * 1.0000001

@@ -31,6 +31,7 @@ BNLJ_WHITELIST = {
     "heavy_hitter_terms",            # total-count threshold scalar
     "nation_trade_pagerank",         # node-count / teleport scalar
     "nation_trade_triangles",        # edge-threshold scalar
+    "nation_trade_communities",      # same above-mean edge-threshold scalar
     "copurchase_rules",              # basket-count scalar
     "q22_dormant_customers",         # avg-balance scalar (designed)
     "tfidf_scores",                  # n_docs scalar
