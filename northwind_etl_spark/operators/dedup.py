@@ -717,3 +717,94 @@ def duplicated_ngram_coverage(
         F.sum("cov").alias("covered_tokens"),
         F.round(F.sum("cov") / F.first("n_tokens"), 6).alias("coverage_frac"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Lee et al.'s substring dedup COMPLETED: not just the coverage
+    signal (duplicated_ngram_coverage above) but the REMOVAL — every
+    token position covered by a cross-document duplicated n-gram span
+    is dropped and the survivors are reassembled in order (whitespace
+    normalized to single spaces, the tokenization contract).
+
+    Shape: the same md5-digest gram aggregation as the coverage
+    signal, then covered positions exploded per hit ([start, start+n)
+    — bounded by n·dup_positions rows), ONE distinct, one LEFT ANTI
+    against the (doc, pos, token) stream, and a per-doc
+    sort-and-join rebuild (array_sort on (pos, token) structs — per-doc
+    state bounded by doc length).  All JVM-side; the oracle replays
+    every step including the rebuilt text's md5.
+
+    Returns (doc_id, n_tokens, kept_tokens, cleaned_md5) for EVERY
+    document — docs losing everything keep md5('') and docs with no
+    duplicated span keep the md5 of their normalized token stream.
+    """
+    from ..functions.texttools import tokens_expr
+
+    toks = persist_stage(
+        df.select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks"))
+    )
+    k = F.size("__toks") - F.lit(n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = persist_stage(
+        toks.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    idx,
+                    lambda i: F.md5(
+                        F.array_join(F.slice("__toks", i + 1, n), " ")
+                    ),
+                )
+            ).alias("start", "gram_h"),
+        )
+    )
+    dup = (
+        grams.groupBy("gram_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("gram_h")
+    )
+    covered = (
+        grams.join(dup, "gram_h")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    stream = toks.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "tok")
+    )
+    kept = (
+        stream.join(covered, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").alias("__kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("__text"),
+        )
+    )
+    # anchor on the full doc spine: fully-covered docs lose every row
+    # in the anti join and must still emit (0 kept, md5(''))
+    spine = toks.select(F.col(id_col), F.size("__toks").alias("n_tokens"))
+    return spine.join(kept, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("__kept", F.lit(0)).cast("long").alias("kept_tokens"),
+        F.md5(F.coalesce("__text", F.lit(""))).alias("cleaned_md5"),
+    )

@@ -3558,3 +3558,40 @@ ORACLES["embedding_int8_quant_stats"] = """
            ELSE 0.0 END AS mse
     FROM q ORDER BY vec_id
 """
+
+# Span removal: the coverage oracle's gram CTEs + exploded covered
+# positions, anti-filtered token stream, ordered string_agg rebuild
+# md5'd — empty survivors COALESCE to md5('').
+ORACLES["dedup_span_removed_docs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, len(toks) AS n_tokens,
+                   u.i - 1 AS pos, toks[u.i] AS tok
+            FROM t, unnest(generate_series(1, greatest(len(toks), 1)))
+                 AS u(i)
+            WHERE u.i <= len(toks)),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(len(toks) - 4, 0)),
+                     i -> md5(array_to_string(
+                            list_slice(toks, i, i + 4), ' ')))) AS gram_h,
+                 unnest(generate_series(0, greatest(len(toks) - 4, 0) - 1))
+                   AS start
+          FROM t),
+    dup AS (SELECT gram_h FROM g GROUP BY gram_h
+            HAVING COUNT(DISTINCT doc_id) > 1),
+    cov AS (SELECT DISTINCT doc_id, start + v.o AS pos
+            FROM g JOIN dup USING (gram_h),
+                 unnest(generate_series(0, 4)) AS v(o)),
+    kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+             FROM tok LEFT JOIN cov
+               ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+             WHERE cov.pos IS NULL)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INT) AS n_tokens,
+           CAST(COUNT(kept.tok) AS BIGINT) AS kept_tokens,
+           md5(COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.pos), ''))
+             AS cleaned_md5
+    FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+    GROUP BY t.doc_id, len(t.toks)
+    ORDER BY t.doc_id
+"""

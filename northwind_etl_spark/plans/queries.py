@@ -3648,6 +3648,20 @@ def hashed_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features(docs, n_buckets=64).orderBy("doc_id", "bucket")
 
 
+def dedup_span_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REMOVAL (operators/dedup.py::
+    remove_duplicated_spans — the Lee et al. pass completed): every
+    token position covered by a cross-document duplicated 5-gram is
+    dropped, survivors reassembled in order; per doc the kept-token
+    count and the md5 of the rebuilt text (the redact.py md5-pinned-
+    payload discipline, so the oracle checks the actual string
+    surgery, not just counts)."""
+    from ..operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs).orderBy("doc_id")
+
+
 def embedding_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector compression for ANN serving (functions/vectors.py::
     int8_quant_exprs): symmetric per-vector int8 quantization — one
@@ -4128,4 +4142,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_terms_per_source": top_terms_per_source,
     "nation_trade_communities": nation_trade_communities,
     "embedding_int8_quant_stats": embedding_int8_quant_stats,
+    "dedup_span_removed_docs": dedup_span_removed_docs,
 }

@@ -85,3 +85,33 @@ def test_stratified_sample_bounds(spark, sf_dir):
     # seeded → reproducible
     again = stratified_sample(docs, "lang", frac).count()
     assert again == sampled.count()
+
+
+def test_remove_duplicated_spans_planted(spark):
+    """Planted shared 5-gram: the covered window vanishes from both
+    docs, the unique remainder survives in order, and a fully-shared
+    doc collapses to md5('')."""
+    import hashlib
+
+    from northwind_etl_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "one two three four five"
+    rows = [
+        (1, f"alpha {shared} beta"),
+        (2, f"{shared} gamma delta"),
+        (3, shared),                      # fully covered -> empty
+        (4, "totally unique text here"),  # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[1].kept_tokens, out[1].cleaned_md5) == (2, md5("alpha beta"))
+    assert (out[2].kept_tokens, out[2].cleaned_md5) == (
+        2,
+        md5("gamma delta"),
+    )
+    assert (out[3].kept_tokens, out[3].cleaned_md5) == (0, md5(""))
+    assert (out[4].kept_tokens, out[4].cleaned_md5) == (
+        4,
+        md5("totally unique text here"),
+    )
