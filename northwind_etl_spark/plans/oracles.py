@@ -3500,9 +3500,10 @@ ORACLES["top_terms_per_source"] = f"""
 """
 
 # Synchronous LPA unrolled: 4 identical rounds as CTEs (count labels
-# over in-neighbors, argmax with min-label tie-break via row_number,
-# COALESCE for isolated nodes) over the same undirected above-mean
-# edge set as the triangles oracle.
+# over in-neighbors, argmax with MAX-label tie-break via row_number —
+# the struct-max rule the Spark loop uses, COALESCE for isolated
+# nodes) over the same undirected above-mean edge set as the
+# triangles oracle.
 _LPA_ROUNDS = 4
 _LPA_ROUND_SQL = """,
     c{i} AS (SELECT e.b AS node, l.label, COUNT(*) AS c
@@ -3510,7 +3511,7 @@ _LPA_ROUND_SQL = """,
     p{i} AS (SELECT node, label FROM (
                SELECT node, label,
                       row_number() OVER (
-                        PARTITION BY node ORDER BY c DESC, label) AS rn
+                        PARTITION BY node ORDER BY c DESC, label DESC) AS rn
                FROM c{i}) t WHERE rn = 1),
     l{i} AS (SELECT l.node, COALESCE(p.label, l.label) AS label
              FROM l{j} l LEFT JOIN p{i} p ON l.node = p.node)"""
