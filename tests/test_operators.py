@@ -346,8 +346,11 @@ def test_funnel_ordering_and_window_semantics(spark, monkeypatch, tmp_path):
     assert got == {1: 4, 2: 2, 3: 1}
 
 
-def test_group_topk_equals_single_window(spark):
-    from pyspark.sql import Window
+def test_group_topk_plans_partial_window_group_limit(spark):
+    """The operator's whole scale contract: the engine must insert a
+    PARTIAL WindowGroupLimit below the exchange (map-side per-group
+    top-k pruning).  If an engine change or a rank-expression edit
+    defeats the rewrite, this fails loudly."""
     from pyspark.sql import functions as F
 
     from northwind_etl_spark.operators.sort import group_topk
@@ -358,12 +361,9 @@ def test_group_topk_equals_single_window(spark):
         F.col("id").alias("tie"),
     )
     got = group_topk(df, ["g"], [F.col("v").desc(), F.col("tie")], 5)
-    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("tie"))
-    want = df.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= 5
-    )
-    assert got.exceptAll(want).count() == 0
-    assert want.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert got.count() == 35
 
 
 def test_group_topk_small_groups_complete(spark):
