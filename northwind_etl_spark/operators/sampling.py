@@ -120,7 +120,7 @@ def group_sample(
     id_col: str,
     *,
     k: int = 20,
-    salt_buckets: int = 8,
+    salt_buckets: int = 8,  # kept for call compatibility; unused
 ) -> DataFrame:
     """Deterministic k-per-group sample — exactly min(k, |group|) rows
     per group, selected by ranking md5(id) (id tie-break), so the
@@ -128,34 +128,29 @@ def group_sample(
     any partitioning, any rerun.  The balanced-subset selector (k docs
     per source/language) a corpus build runs after quality filtering.
 
-    Hot-group-proof by the same two-phase argument as
-    operators/kmv.py::kmv_state: phase 1 ranks within (group,
-    hash-salt) classes — a group with 10⁹ rows is ranked by
-    `salt_buckets` independent tasks, each keeping ≤ k — and phase 2
-    ranks the ≤ salt_buckets·k survivors per group.  top-k of the
-    per-slice top-k's over a partition of the value space IS the
-    global top-k (the same lattice argument as KMV's bottom-k), so the
-    result equals the single-window form bit-for-bit (pinned in
-    tests/test_cms.py::test_group_sample_*; the DuckDB oracle runs the
-    single-window form).
+    Implemented as the PLAIN row_number window: Spark ≥3.5 plans a
+    `row_number() <= k` filter with WindowGroupLimit(Partial) below
+    the exchange — every map task keeps only its local k per group
+    before anything shuffles, so a 10⁹-row group never sorts whole in
+    one task.  This replaces the r06 two-phase salted window (phase 1
+    per (group, hash-salt) slice, phase 2 over survivors), which was
+    measured 2.3× SLOWER on a 24 M-row hot group (14.3 s vs 6.2 s —
+    the manual mitigation re-derives exactly what WindowGroupLimit
+    already did; PLANS.md "group_topk probe").  Results are identical
+    by the same lattice argument both directions — the oracle has
+    always been this single-window definition, and
+    tests/test_cms.py pins equality and partitioning invariance;
+    tests/test_operators.py plan-asserts the Partial WindowGroupLimit
+    on the shared group_topk path.
     """
     from pyspark.sql import Window
 
     h = F.md5(F.col(id_col).cast("string"))
-    salted = df.select(*group_cols, F.col(id_col), h.alias("__h")).withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col("__h")), F.lit(salt_buckets))
-    )
-    w1 = Window.partitionBy(*group_cols, "__salt").orderBy("__h", id_col)
-    survivors = (
-        salted.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= k)
-        .drop("__r1", "__salt")
-    )
-    w2 = Window.partitionBy(*group_cols).orderBy("__h", id_col)
+    w = Window.partitionBy(*group_cols).orderBy(h, id_col)
     return (
-        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        df.select(*group_cols, id_col)
+        .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
-        .drop("__h")
     )
 
 
