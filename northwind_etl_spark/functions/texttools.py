@@ -82,6 +82,22 @@ def shingles_expr(text: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens_expr(text), n)
 
 
+def char_ngrams_expr(text: Column | str, n: int = 3) -> Column:
+    """Character n-grams WITH multiplicity of lower(text) — the
+    language-ID feature unit (spaces kept: whitespace context around
+    function words is signal).  transform over a position sequence +
+    substr, no UDF; replayed in SQL as
+    list_transform(range(1, length(lower(text)) - (n-2)),
+                   i -> substring(lower(text), i, n))."""
+    t = F.lower(_col(text))
+    k = F.length(t) - F.lit(n - 1)
+    # sequence(1, 0) yields DESCENDING [1, 0], not empty — guard
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+
+
 def bigrams_from_tokens(toks: Column) -> Column:
     """Word bigrams WITH multiplicity from a token array (frequency
     counting wants repeats — contrast shingles_expr, which is the

@@ -174,13 +174,18 @@ def frequent_triples(
     could never qualify), so the output equals the definitional
     three-way self-join the oracle runs.  Cost per basket is
     C(|frequent items|, 3), bounded by the same max_basket raise as
-    pairs; the final count is one map-side-combined hash aggregation.
+    pairs — made a PLAN dependency (not a caching side effect) by
+    exploding `slice(items, 1, n)` in the thinning path: the slice is
+    ≡ items (n = size(items) when no raise fires) but forces the
+    guarded `n` to evaluate for every basket even if persist_stage is
+    removed and Catalyst prunes _baskets' other columns.
     """
     from ..cache import persist_stage
 
     baskets = persist_stage(
         _baskets(df, order_col, item_col, max_basket=max_basket)
     )
+    guarded_items = F.slice("items", F.lit(1), F.col("n"))
     l1 = (
         baskets.select(F.explode("items").alias("item"))
         .groupBy("item")
@@ -189,7 +194,7 @@ def frequent_triples(
         .select("item")
     )
     thinned = (
-        baskets.select(F.col(order_col), F.explode("items").alias("item"))
+        baskets.select(F.col(order_col), F.explode(guarded_items).alias("item"))
         .join(l1, "item")
         .groupBy(order_col)
         .agg(F.array_sort(F.collect_list("item")).alias("items"))

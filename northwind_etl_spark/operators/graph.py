@@ -385,8 +385,15 @@ def label_propagation(
     O(|V|·labels-seen) rows) against the edge relation; skew follows
     in-degree skew, which the count aggregation absorbs map-side.
     """
+    from ..cache import persist_stage
+
     s, d = F.col(src_col), F.col(dst_col)
-    e = edges.select(s.alias("__s"), d.alias("__d"))
+    # The edge relation is loop-invariant and joined EVERY round —
+    # persist it once (the pagerank/triangles/BFS/SSSP discipline;
+    # forgetting this line re-derived a 5-table upstream join per
+    # round and made nation_trade_communities the slowest query in
+    # the sf0.1 bench, 23 s vs its siblings' single digits).
+    e = persist_stage(edges.select(s.alias("__s"), d.alias("__d")))
     labels = (
         e.select(F.col("__s").alias("node"))
         .union(e.select("__d"))

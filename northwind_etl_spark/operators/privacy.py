@@ -236,20 +236,28 @@ def dp_noisy_counts(
 
     The noise is generated by a KEYED, REPLAYABLE pseudo-random map,
     not an RNG: u = (md5(group-key ‖ salt) first-32-bits + 0.5) / 2^32
-    (never exactly 0 or 1, so the inverse CDF below cannot hit ln(0)),
-    then the Laplace inverse CDF  -scale * sign(u-1/2) * ln(1-2|u-1/2|).
-    Every step is engine-portable: md5 and the power-of-two division
-    are exact, the IEEE +,-,*,abs steps are correctly rounded, ln is
-    quantized to DECIMAL(14,12) immediately (the repo's proven
-    12-decimal cross-engine recipe, narrowed so the decimal multiply
-    chain stays under DuckDB's strict 38-digit product-width rule —
-    |ln| < 23 here because u is at least 2^-33 from the endpoints;
-    a last-ulp libm difference is absorbed by the quantization), and
-    `scale` is a DECIMAL STRING so the final
-    noise = -sign * ln_q * scale and noisy = n + noise stay exact
-    decimal arithmetic.  Pass a terminating decimal for `scale` (e.g.
-    '2.0', '0.5') and the output DECIMAL(38,12) is exact in both
-    engines, bit-for-bit.
+    (never exactly 0, 1, or 1/2), then the Laplace inverse CDF
+    -scale * sign(u-1/2) * ln(1-2|u-1/2|) with the ln taken from a
+    STATIC 1024-cell midpoint lookup table
+    (functions/lnlut.py::LAPLACE_LN_LUT) — a QUANTIZED Laplace
+    mechanism with ZERO runtime transcendentals.  Every remaining step
+    is engine-exact, not merely close: md5 and the power-of-two
+    division are exact, t = 1-2|u-1/2| is an exact multiple of 2^-32
+    by IEEE construction, the grid index floor(t*1024) is an exact
+    integer (t*1024 <= 2^42 < 2^53), and the looked-up DECIMAL(14,12)
+    literal is the SAME source-frozen string in the Spark plan and the
+    DuckDB oracle.  The first libm-based version of this map was the
+    repo's only driver-round hash FAIL (r07): JVM Math.log vs DuckDB's
+    C libm differ by an ulp, and one ulp near a DECIMAL(14,12)
+    rounding boundary flips the quantized value on a different box.
+    `scale` is a DECIMAL STRING so noise = -sign * ln_q * scale and
+    noisy = n + noise stay exact decimal arithmetic.  Pass a
+    terminating decimal for `scale` (e.g. '2.0', '0.5') and the
+    output DECIMAL(38,12) is exact in both engines, bit-for-bit.
+    Noise granularity: |noise| <= scale*|ln(1/2048)| ~ 7.62*scale and
+    ~2048 distinct values — ample for a count release; the
+    quantization perturbs each noise draw by at most scale/2048·|d ln|
+    relative to the continuous mechanism.
 
     Privacy caveat, stated honestly: hash-keyed noise gives the
     Laplace mechanism's *arithmetic* with perfect replayability (what
@@ -270,10 +278,19 @@ def dp_noisy_counts(
         ],
         F.lit(salt),
     )
+    from decimal import Decimal
+
+    from ..functions.lnlut import LAPLACE_LN_GRID, LAPLACE_LN_LUT
+
     h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
     u = (h + F.lit(0.5)) / F.lit(4294967296.0)
     c = u - F.lit(0.5)
-    ln_q = F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c)).cast("decimal(14,12)")
+    t = F.lit(1.0) - F.lit(2.0) * F.abs(c)  # exact multiple of 2^-32
+    g = F.floor(t * F.lit(float(LAPLACE_LN_GRID))).cast("int")
+    lut = F.array(
+        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
+    )
+    ln_q = F.element_at(lut, g + F.lit(1))
     sign = (
         F.when(c >= 0, F.lit(1)).otherwise(F.lit(-1)).cast("decimal(2,0)")
     )

@@ -139,18 +139,22 @@ def group_sample(
     already did; PLANS.md "group_topk probe").  Results are identical
     by the same lattice argument both directions — the oracle has
     always been this single-window definition, and
-    tests/test_cms.py pins equality and partitioning invariance;
-    tests/test_operators.py plan-asserts the Partial WindowGroupLimit
-    on the shared group_topk path.
+    tests/test_cms.py pins equality and partitioning invariance.
+    Implemented BY delegating to sort.py::group_topk (md5-expression
+    ordering), so tests/test_operators.py's Partial-WindowGroupLimit
+    plan assertion on group_topk covers this path too —
+    tests/test_cms.py additionally plan-asserts the sampler's own
+    built plan (expression ordering must not defeat the rewrite).
     """
-    from pyspark.sql import Window
+    from .sort import group_topk
 
     h = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(*group_cols).orderBy(h, id_col)
-    return (
-        df.select(*group_cols, id_col)
-        .withColumn("sample_rank", F.row_number().over(w))
-        .where(F.col("sample_rank") <= k)
+    return group_topk(
+        df.select(*group_cols, id_col),
+        group_cols,
+        [h, F.col(id_col)],
+        k,
+        rank_col="sample_rank",
     )
 
 

@@ -100,14 +100,21 @@ HTML_ENTITIES = (
 def html_to_text(html: Column) -> Column:
     """Visible text of an HTML column: block strip → tag strip →
     entity decode → whitespace collapse (tags become single spaces so
-    adjacent words never merge)."""
+    adjacent words never merge).
+
+    The collapse uses the EXPLICIT class [ \\t\\n\\f\\r\\x0B] instead
+    of \\s: Java's \\s includes vertical tab (\\x0B) while RE2's does
+    not, so the shorthand would silently hash-mismatch the DuckDB
+    oracle on any document containing \\x0B.  The explicit class is
+    bit-identical to Java \\s (so Spark results are unchanged) and
+    engine-portable."""
     c = html
     for pat in HTML_BLOCK_PATTERNS:
         c = F.regexp_replace(c, pat, " ")
     c = F.regexp_replace(c, r"<[^>]+>", " ")
     for ent, ch in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.trim(F.regexp_replace(c, r"[ \t\n\f\r\x0B]+", " "))
 
 
 def html_title(html: Column) -> Column:

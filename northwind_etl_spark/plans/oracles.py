@@ -593,24 +593,8 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY lang
     """,
-    "lang_id_pred": f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        s AS (SELECT doc_id,
-              len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
-              len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
-              len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
-              len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS s_es,
-              len(list_filter(toks, x -> x IN ('de5','shi4','le5','he2','zai4'))) AS s_zh
-              FROM t)
-        SELECT doc_id,
-               CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
-                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
-                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
-                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
-                    WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
-                    ELSE 'zh' END AS lang_pred
-        FROM s
-    """,
+    # lang_id_pred is registered below (needs the frozen langid weight
+    # lists embedded as SQL literals — see _langid_oracle_sql)
     "token_counts": f"""
         SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
     """,
@@ -2991,7 +2975,80 @@ ORACLES["tcloseness_class_distances"] = """
 # and (8,6) scale — every noisy count matches bit-for-bit.  Widths
 # are chosen so each decimal product stays within DuckDB's strict
 # 38-digit combined-width rule.
-ORACLES["dp_noisy_nation_counts"] = """
+# Trained language-ID: replay the whole scorer — char trigrams of
+# lower(text) (spaces kept, multiplicity kept), signed md5 hashing
+# into 256 buckets, per-language dot products against the SAME
+# source-frozen integer weight lists the Spark plan embeds
+# (functions/langid_weights.py), argmax with first-in-(de,en,es,fr,zh)
+# tie-break, 'und' for docs with no trigram.  Margins are exact
+# BIGINT both sides.
+def _langid_oracle_sql() -> str:
+    from ..functions.langid_weights import LANGID_LANGS, LANGID_WEIGHTS
+
+    lists = {
+        lang: "[" + ", ".join(str(int(w)) for w in LANGID_WEIGHTS[lang]) + "]"
+        for lang in LANGID_LANGS
+    }
+    margin_cols = ",\n            ".join(
+        f"CAST(SUM(w * ({lists[lang]})[bucket + 1]) AS BIGINT) AS s_{lang}"
+        for lang in LANGID_LANGS
+    )
+    all_s = ", ".join(f"s_{lang}" for lang in LANGID_LANGS)
+    case_arms = "\n                ".join(
+        f"WHEN s_{lang} = greatest({all_s}) THEN '{lang}'"
+        for lang in LANGID_LANGS
+    )
+    coalesced = ", ".join(
+        f"COALESCE(s_{lang}, 0) AS s_{lang}" for lang in LANGID_LANGS
+    )
+    return f"""
+        WITH g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, length(lower(text)) - 1),
+                        i -> substring(lower(text), i, 3))) AS gram
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 CAST(CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT)
+                      % 256 AS INT) AS bucket,
+                 CASE WHEN CAST('0x' || substring(md5(gram), 9, 1) AS BIGINT)
+                           % 2 = 0 THEN 1 ELSE -1 END AS s
+          FROM g),
+        c AS (SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS w
+              FROM f GROUP BY 1, 2),
+        m AS (SELECT doc_id,
+            {margin_cols}
+          FROM c GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN m.doc_id IS NULL THEN 'und'
+                {case_arms}
+                END AS lang_pred,
+               {coalesced}
+        FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+ORACLES["lang_id_pred"] = _langid_oracle_sql()
+
+# DP noisy counts: the ln comes from the SAME source-frozen
+# DECIMAL(14,12) literal table the Spark plan embeds
+# (functions/lnlut.py) — zero runtime transcendentals in the hash
+# path on either engine (the r07 libm-ulp lesson).  The grid index
+# floor(t*1024) is exact IEEE integer arithmetic both sides.
+def _laplace_lut_sql() -> str:
+    from ..functions.lnlut import LAPLACE_LN_LUT
+
+    return (
+        "["
+        + ", ".join(
+            f"CAST('{v}' AS DECIMAL(14,12))" for v in LAPLACE_LN_LUT
+        )
+        + "]"
+    )
+
+
+ORACLES["dp_noisy_nation_counts"] = f"""
     WITH cnt AS (
       SELECT CAST(c_nationkey AS INT) AS nation, COUNT(*) AS n
       FROM customer GROUP BY 1),
@@ -3000,17 +3057,21 @@ ORACLES["dp_noisy_nation_counts"] = """
              (CAST(CAST('0x' || substring(md5(
                     CAST(nation AS VARCHAR) || chr(31) || 'release-r06'
                 ), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
-      FROM cnt)
+      FROM cnt),
+    gq AS (
+      SELECT nation, n, u,
+             CAST(floor((1.0 - 2.0 * abs(u - 0.5)) * 1024.0) AS INT) AS g
+      FROM nz)
     SELECT nation,
            CAST(CAST(n AS DECIMAL(19,0))
                 + (CAST(0 AS DECIMAL(2,0))
                    - CASE WHEN u - 0.5 >= 0
                           THEN CAST(1 AS DECIMAL(2,0))
                           ELSE CAST(-1 AS DECIMAL(2,0)) END)
-                  * CAST(ln(1.0 - 2.0 * abs(u - 0.5)) AS DECIMAL(14,12))
+                  * ({_laplace_lut_sql()}[g + 1])
                   * CAST('2.0' AS DECIMAL(8,6))
                 AS DECIMAL(38,12)) AS noisy_count
-    FROM nz ORDER BY nation
+    FROM gq ORDER BY nation
 """
 
 # Hashing-trick replay: same tokenization macro, same md5 digest split
@@ -3277,7 +3338,7 @@ ORACLES["html_extract_stats"] = """
                    '<[^>]+>', ' ', 'g'),
                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                  '&#39;', ''''), '&amp;', '&'),
-               '\\s+', ' ', 'g')) AS clean
+               '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')) AS clean
       FROM h)
     SELECT doc_id,
            regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
@@ -3288,8 +3349,9 @@ ORACLES["html_extract_stats"] = """
 """
 
 # Per-host quota: host recomputed from the seed formula (the
-# url_host_stats contract), ranking replayed as the single-window
-# md5 row_number the two-phase group_sample provably equals.
+# url_host_stats contract), ranking replayed as the identical
+# single-window md5 row_number group_sample runs (WindowGroupLimit
+# supplies the pre-shuffle limit engine-side).
 ORACLES["per_host_doc_quota"] = """
     WITH d AS (
       SELECT doc_id,

@@ -1361,7 +1361,7 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (operators/graph.py::
     label_propagation) over the undirected above-mean trade graph
-    (both directions fed, 4 fixed rounds, min-label tie-break) — the
+    (both directions fed, 4 fixed rounds, MAX-label tie-break) — the
     deterministic LPA variant whose every round is a pure function of
     the last, so the oracle unrolls the IDENTICAL 4 rounds as CTEs and
     must hash-match: the fourth iterative-graph algorithm with exact
@@ -2190,7 +2190,19 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.lang_id(_t(spark, sf_dir, "documents"))
+    """Trained language-ID (operators/text.py::lang_id_scored):
+    signed md5-hashed char-trigram counts dotted with the frozen
+    integer weight matrix (functions/langid_weights.py, multinomial
+    logistic trained offline on public function-word vocabulary —
+    the fixture's own lang column is random, so training on it is
+    meaningless; see scripts/train_langid.py).  One explode + two
+    hash aggregations, join-free in-plan weights; margins are exact
+    BIGINT, so the oracle replays prediction AND all five margins
+    bit-for-bit.  Upgraded r08 from the marker-list heuristic
+    (verdict item 7)."""
+    return X.lang_id_scored(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2613,12 +2625,12 @@ def per_host_doc_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-DOMAIN document quota (Common-Crawl discipline: no host may
     dominate the corpus): URL extraction + parse_url host (operators/
     web.py) composed with the deterministic k-per-group sampler
-    (operators/sampling.py::group_sample, the two-phase salted md5
-    ranking) — at most 25 docs per host, chosen as a pure function of
-    the data.  The oracle recomputes the host from the seed formula
-    and replays the single-window md5 ranking; equality with the
-    two-phase form is the group_sample lattice argument already pinned
-    in tests."""
+    (operators/sampling.py::group_sample, the plain md5-ordered window
+    — Spark's WindowGroupLimit pushes the rank<=k cut into a Partial
+    pre-shuffle limit, the engine-side hot-group mitigation) — at most
+    25 docs per host, chosen as a pure function of the data.  The
+    oracle recomputes the host from the seed formula and replays the
+    identical single-window md5 row_number."""
     from ..operators.sampling import group_sample
     from ..operators.web import doc_url_components
 
@@ -3620,12 +3632,14 @@ def tcloseness_class_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private noisy customer counts per nation
     (operators/privacy.py::dp_noisy_counts) — the release step after
-    the k-anonymity/l-diversity/t-closeness audits: Laplace noise at
-    scale 2.0 (epsilon 0.5 for a sensitivity-1 count) from the keyed
-    replayable md5 noise map.  Every arithmetic step is engine-exact
-    (power-of-two division, quantized ln, decimal multiply/add), so
-    the DuckDB oracle reproduces each noisy count bit-for-bit — the
-    strongest possible check that the mechanism's math is right."""
+    the k-anonymity/l-diversity/t-closeness audits: quantized Laplace
+    noise at scale 2.0 (epsilon 0.5 for a sensitivity-1 count) from
+    the keyed replayable md5 noise map.  Every arithmetic step is
+    engine-exact (power-of-two division, exact grid index, a
+    source-frozen DECIMAL ln lookup table — functions/lnlut.py, no
+    runtime libm anywhere — decimal multiply/add), so the DuckDB
+    oracle reproduces each noisy count bit-for-bit — the strongest
+    possible check that the mechanism's math is right."""
     from ..operators.privacy import dp_noisy_counts
 
     cust = _t(spark, sf_dir, "customer")
@@ -3687,11 +3701,12 @@ def embedding_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k (operators/sort.py::group_topk): each source's
     10 most frequent terms (count desc, term asc tie-break) via the
-    two-phase salted ranking — no group's whole term population ever
-    ranks in one window task, the hot-group discipline shared with
-    group_sample/KMV.  Rides the shared tokenization; the oracle runs
-    the single-window row_number definition the two-phase form
-    provably equals."""
+    plain single-window row_number — Spark's WindowGroupLimit rewrite
+    inserts a Partial pre-shuffle limit per map task, so no group's
+    whole term population ever ranks in one window task (the
+    engine-side hot-group mitigation, plan-asserted in
+    tests/test_operators.py).  Rides the shared tokenization; the
+    oracle runs the identical single-window row_number definition."""
     from ..functions.texttools import tokens_expr
     from ..operators.sort import group_topk
 
@@ -3918,64 +3933,17 @@ def lttb_daily_value_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lowest-risk r04 shapes (all pytest-oracle-proven every run) defer
 # to lead the r07 window (see ROUND_NOTES.md window history).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r07 window rule 1: the 47 entries never driver-checked
-    #     (all r06 additions appended below the boundary mid-round,
-    #     per the rotation policy in ROUND_NOTES.md) ----------------
-    "multimodal_scene_changes": multimodal_scene_changes,
-    "merge_upsert_orders": merge_upsert_orders,
-    "keyword_search_docs": keyword_search_docs,
-    "jaro_winkler_part_pairs": jaro_winkler_part_pairs,
-    "heavy_hitter_terms": heavy_hitter_terms,
-    "recursive_nation_hierarchy": recursive_nation_hierarchy,
-    "lateral_topk_customers": lateral_topk_customers,
-    "url_host_stats": url_host_stats,
-    "unicode_nfc_stats": unicode_nfc_stats,
-    "nation_trade_pagerank": nation_trade_pagerank,
-    "nation_trade_triangles": nation_trade_triangles,
-    "stream_enriched_event_counts": stream_enriched_event_counts,
-    "multimodal_g711_stats": multimodal_g711_stats,
-    "exact_median_order_price": exact_median_order_price,
-    "copurchase_part_pairs": copurchase_part_pairs,
-    "event_transition_matrix": event_transition_matrix,
-    "copurchase_rules": copurchase_rules,
-    "event_path_trigrams": event_path_trigrams,
-    "multimodal_alaw_stats": multimodal_alaw_stats,
-    "source_entropy_stats": source_entropy_stats,
-    "entity_resolution_clusters": entity_resolution_clusters,
-    "incremental_join_revenue": incremental_join_revenue,
-    "exact_p90_price_by_priority": exact_p90_price_by_priority,
-    "sorted_neighborhood_part_pairs": sorted_neighborhood_part_pairs,
-    "robust_outliers_by_priority": robust_outliers_by_priority,
-    "nation_trade_bfs_hops": nation_trade_bfs_hops,
-    "order_value_skyline": order_value_skyline,
-    "jaccard_prefix_join_pairs": jaccard_prefix_join_pairs,
-    "price_quantity_corr": price_quantity_corr,
-    "pca_label_projection": pca_label_projection,
-    "blocking_quality_metrics": blocking_quality_metrics,
-    "nation_trade_sssp": nation_trade_sssp,
-    "kanonymity_risky_classes": kanonymity_risky_classes,
-    "kanonymity_level_stats": kanonymity_level_stats,
-    "ldiversity_risky_classes": ldiversity_risky_classes,
-    "tcloseness_class_distances": tcloseness_class_distances,
+    # --- r08 window rule 3: verdict-touched entries first ---------
+    #     dp_noisy_nation_counts: r07 hash FAIL, noise map rebuilt
+    #     libm-free (functions/lnlut.py); nation_trade_communities:
+    #     LPA loop-invariant edges now persisted; lang_id_pred:
+    #     upgraded from marker heuristic to hashed-ngram linear scorer
     "dp_noisy_nation_counts": dp_noisy_nation_counts,
-    "hashed_doc_features": hashed_doc_features,
-    "order_price_decile_bins": order_price_decile_bins,
-    "nation_balance_target_encoding": nation_balance_target_encoding,
-    "priority_price_loo_encoding": priority_price_loo_encoding,
-    "mixture_sampled_docs": mixture_sampled_docs,
-    "mixture_budget_docs": mixture_budget_docs,
-    "sliding_distinct_users_hll": sliding_distinct_users_hll,
-    "funnel_wilson_bounds": funnel_wilson_bounds,
-    "segment_nation_contingency": segment_nation_contingency,
-    "lttb_daily_value_downsample": lttb_daily_value_downsample,
-    # --- remaining 3 slots: oldest r04-stale block (q19/q20/q21;
-    #     q22 + q6 + the rest of the r04 block lead r08) ------------
-    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
-    "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
-    "q21_late_supplier": T.q21_late_supplier,
-    # ===== driver window boundary: first 50 above ====================
-    # --- r04-stale remainder: leads the r08 window (re-proven every
-    #     pytest run via tests/test_oracle_parity.py meanwhile) ------
+    "nation_trade_communities": nation_trade_communities,
+    "lang_id_pred": lang_id_pred,
+    # --- r08 window rule 2: the whole 47-entry r04-stale block
+    #     (bounded-staleness promise from the r06/r07 verdicts --
+    #     ROUND_NOTES.md "Rotation guidance for r08") ---------------
     "q22_dormant_customers": T.q22_dormant_customers,
     "q6_forecast_revenue": q6_forecast_revenue,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
@@ -4023,8 +3991,75 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_brands": set_ops_brands,
     "lang_distribution": lang_distribution,
     "map_props_exploded": map_props_exploded,
-    # --- r06-green (driver hash/rows rows in CORRECTNESS_r06) and
-    #     r05-green entries: demoted below the window ----------------
+    # ===== driver window boundary: first 50 above ====================
+    # --- r09 leads: the 16 remaining r07-new entries (never
+    #     driver-checked; carry committed sf0.01 preflight evidence) -
+    "jaccard_prefix_join_diverse": jaccard_prefix_join_diverse,
+    "multimodal_mdct_stats": multimodal_mdct_stats,
+    "leakage_safe_split_stats": leakage_safe_split_stats,
+    "user_group_kfold_counts": user_group_kfold_counts,
+    "html_extract_stats": html_extract_stats,
+    "per_host_doc_quota": per_host_doc_quota,
+    "copurchase_part_triples": copurchase_part_triples,
+    "hard_negative_mining": hard_negative_mining,
+    "winsorized_price_stats": winsorized_price_stats,
+    "multimodal_vad_segments": multimodal_vad_segments,
+    "stream_two_level_counts": stream_two_level_counts,
+    "events_jsonl_corrupt_stats": events_jsonl_corrupt_stats,
+    "linear_quality_margin": linear_quality_margin,
+    "top_terms_per_source": top_terms_per_source,
+    "embedding_int8_quant_stats": embedding_int8_quant_stats,
+    "dedup_span_removed_docs": dedup_span_removed_docs,
+    # --- then r05-stale (oldest remaining evidence, r09/r10) --------
+    "daily_user_value_gapfill": daily_user_value_gapfill,
+    "part_measures_unpivot": part_measures_unpivot,
+    "sql_q21_late_supplier": sql_q21_late_supplier,
+    "label_centroid_cosine": label_centroid_cosine,
+    "q2_min_cost_supplier": T.q2_min_cost_supplier,
+    "q11_important_parts": T.q11_important_parts,
+    "stream_tumbling_event_counts": stream_tumbling_event_counts,
+    "stream_dedup_events": stream_dedup_events,
+    "stream_click_attribution": stream_click_attribution,
+    "multimodal_png_stats": multimodal_png_stats,
+    "multimodal_audio_stats": multimodal_audio_stats,
+    "approx_distinct_users": approx_distinct_users,
+    "dedup_hash_docs": dedup_hash_docs,
+    "train_eval_split": train_eval_split,
+    "stratified_sample_docs": stratified_sample_docs,
+    "contamination_check": contamination_check,
+    "text_quality_stats": text_quality_stats,
+    "token_counts": token_counts,
+    "token_count_bpe_docs": token_count_bpe_docs,
+    "term_freq_top20": term_freq_top20,
+    "unigram_surprisal_scores": unigram_surprisal_scores,
+    "doc_fingerprints": doc_fingerprints,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ivf_ann_topk": ivf_ann_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "approx_quantiles_quantity": approx_quantiles_quantity,
+    "embedding_norms": embedding_norms,
+    "knn_bruteforce_topk": knn_bruteforce_topk,
+    "sql_flagship_revenue": sql_flagship_revenue,
+    "star_dim_category": star_dim_category,
+    "star_dim_part": star_dim_part,
+    "star_fact_order_metrics": star_fact_order_metrics,
+    "fact_rowcount": fact_rowcount,
+    "topk_extendedprice": topk_extendedprice,
+    "nullkey_audit": nullkey_audit,
+    "null_key_invariant": null_key_invariant,
+    "extended_price_3factor": extended_price_3factor,
+    "null_coercing_cast": null_coercing_cast,
+    "counts_all_tables": counts_all_tables,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "window_topn_per_group": window_topn_per_group,
+    "running_monthly_revenue": running_monthly_revenue,
+    "rollup_revenue": rollup_revenue,
+    "profile_lineitem": profile_lineitem,
+    "quantiles_quantity": quantiles_quantity,
+    "tumbling_event_counts": tumbling_event_counts,
+    # --- r06-checked ------------------------------------------------
     "boilerplate_cleaned_docs": boilerplate_cleaned_docs,
     "semantic_dedup_verdicts": semantic_dedup_verdicts,
     "cms_term_counts": cms_term_counts,
@@ -4075,72 +4110,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": session_stats,
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
-    "daily_user_value_gapfill": daily_user_value_gapfill,
-    "part_measures_unpivot": part_measures_unpivot,
-    "sql_q21_late_supplier": sql_q21_late_supplier,
-    "label_centroid_cosine": label_centroid_cosine,
-    "q2_min_cost_supplier": T.q2_min_cost_supplier,
-    "q11_important_parts": T.q11_important_parts,
-    "stream_tumbling_event_counts": stream_tumbling_event_counts,
-    "stream_dedup_events": stream_dedup_events,
-    "stream_click_attribution": stream_click_attribution,
-    "multimodal_png_stats": multimodal_png_stats,
-    "multimodal_audio_stats": multimodal_audio_stats,
-    "approx_distinct_users": approx_distinct_users,
-    "dedup_hash_docs": dedup_hash_docs,
-    "train_eval_split": train_eval_split,
-    "stratified_sample_docs": stratified_sample_docs,
-    "contamination_check": contamination_check,
-    "text_quality_stats": text_quality_stats,
-    "lang_id_pred": lang_id_pred,
-    "token_counts": token_counts,
-    "token_count_bpe_docs": token_count_bpe_docs,
-    "term_freq_top20": term_freq_top20,
-    "unigram_surprisal_scores": unigram_surprisal_scores,
-    "doc_fingerprints": doc_fingerprints,
-    "ann_lsh_topk": ann_lsh_topk,
-    "ivf_ann_topk": ivf_ann_topk,
-    "embedding_near_dup_pairs": embedding_near_dup_pairs,
-    "approx_quantiles_quantity": approx_quantiles_quantity,
-    "embedding_norms": embedding_norms,
-    "knn_bruteforce_topk": knn_bruteforce_topk,
-    "sql_flagship_revenue": sql_flagship_revenue,
-    "star_dim_category": star_dim_category,
-    "star_dim_part": star_dim_part,
-    "star_fact_order_metrics": star_fact_order_metrics,
-    "fact_rowcount": fact_rowcount,
-    "topk_extendedprice": topk_extendedprice,
-    "nullkey_audit": nullkey_audit,
-    "null_key_invariant": null_key_invariant,
-    "extended_price_3factor": extended_price_3factor,
-    "null_coercing_cast": null_coercing_cast,
-    "counts_all_tables": counts_all_tables,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "window_topn_per_group": window_topn_per_group,
-    "running_monthly_revenue": running_monthly_revenue,
-    "rollup_revenue": rollup_revenue,
-    "profile_lineitem": profile_lineitem,
-    "quantiles_quantity": quantiles_quantity,
-    "tumbling_event_counts": tumbling_event_counts,
-    # --- new in r07 (appended below the window per the rotation policy;
-    #     oracle-parity-tested every pytest run until their driver turn) -
-    "jaccard_prefix_join_diverse": jaccard_prefix_join_diverse,
-    "multimodal_mdct_stats": multimodal_mdct_stats,
-    "leakage_safe_split_stats": leakage_safe_split_stats,
-    "user_group_kfold_counts": user_group_kfold_counts,
-    "html_extract_stats": html_extract_stats,
-    "per_host_doc_quota": per_host_doc_quota,
-    "copurchase_part_triples": copurchase_part_triples,
-    "hard_negative_mining": hard_negative_mining,
-    "winsorized_price_stats": winsorized_price_stats,
-    "multimodal_vad_segments": multimodal_vad_segments,
-    "stream_two_level_counts": stream_two_level_counts,
-    "events_jsonl_corrupt_stats": events_jsonl_corrupt_stats,
-    "linear_quality_margin": linear_quality_margin,
-    "top_terms_per_source": top_terms_per_source,
-    "nation_trade_communities": nation_trade_communities,
-    "embedding_int8_quant_stats": embedding_int8_quant_stats,
-    "dedup_span_removed_docs": dedup_span_removed_docs,
+    # --- r07-checked (freshest evidence, rotate last) ---------------
+    "multimodal_scene_changes": multimodal_scene_changes,
+    "merge_upsert_orders": merge_upsert_orders,
+    "keyword_search_docs": keyword_search_docs,
+    "jaro_winkler_part_pairs": jaro_winkler_part_pairs,
+    "heavy_hitter_terms": heavy_hitter_terms,
+    "recursive_nation_hierarchy": recursive_nation_hierarchy,
+    "lateral_topk_customers": lateral_topk_customers,
+    "url_host_stats": url_host_stats,
+    "unicode_nfc_stats": unicode_nfc_stats,
+    "nation_trade_pagerank": nation_trade_pagerank,
+    "nation_trade_triangles": nation_trade_triangles,
+    "stream_enriched_event_counts": stream_enriched_event_counts,
+    "multimodal_g711_stats": multimodal_g711_stats,
+    "exact_median_order_price": exact_median_order_price,
+    "copurchase_part_pairs": copurchase_part_pairs,
+    "event_transition_matrix": event_transition_matrix,
+    "copurchase_rules": copurchase_rules,
+    "event_path_trigrams": event_path_trigrams,
+    "multimodal_alaw_stats": multimodal_alaw_stats,
+    "source_entropy_stats": source_entropy_stats,
+    "entity_resolution_clusters": entity_resolution_clusters,
+    "incremental_join_revenue": incremental_join_revenue,
+    "exact_p90_price_by_priority": exact_p90_price_by_priority,
+    "sorted_neighborhood_part_pairs": sorted_neighborhood_part_pairs,
+    "robust_outliers_by_priority": robust_outliers_by_priority,
+    "nation_trade_bfs_hops": nation_trade_bfs_hops,
+    "order_value_skyline": order_value_skyline,
+    "jaccard_prefix_join_pairs": jaccard_prefix_join_pairs,
+    "price_quantity_corr": price_quantity_corr,
+    "pca_label_projection": pca_label_projection,
+    "blocking_quality_metrics": blocking_quality_metrics,
+    "nation_trade_sssp": nation_trade_sssp,
+    "kanonymity_risky_classes": kanonymity_risky_classes,
+    "kanonymity_level_stats": kanonymity_level_stats,
+    "ldiversity_risky_classes": ldiversity_risky_classes,
+    "tcloseness_class_distances": tcloseness_class_distances,
+    "hashed_doc_features": hashed_doc_features,
+    "order_price_decile_bins": order_price_decile_bins,
+    "nation_balance_target_encoding": nation_balance_target_encoding,
+    "priority_price_loo_encoding": priority_price_loo_encoding,
+    "mixture_sampled_docs": mixture_sampled_docs,
+    "mixture_budget_docs": mixture_budget_docs,
+    "sliding_distinct_users_hll": sliding_distinct_users_hll,
+    "funnel_wilson_bounds": funnel_wilson_bounds,
+    "segment_nation_contingency": segment_nation_contingency,
+    "lttb_daily_value_downsample": lttb_daily_value_downsample,
+    "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
+    "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
+    "q21_late_supplier": T.q21_late_supplier,
 }

@@ -133,3 +133,16 @@ def test_group_sample_counts_and_partitioning_invariance(spark, sf_dir):
     assert got == {s: min(20, n) for s, n in sizes.items()}
     rep = group_sample(docs.repartition(16), ["source"], "doc_id", k=20)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rep.collect()))
+
+
+def test_group_sample_plans_partial_window_group_limit(spark, sf_dir):
+    """group_sample's own built plan must carry the Partial
+    WindowGroupLimit — its window orders by an md5 EXPRESSION (not a
+    plain column), and the rewrite could regress on expression
+    ordering without group_topk's plain-column assertion noticing."""
+    from northwind_etl_spark.operators.sampling import group_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = group_sample(docs, ["source"], "doc_id", k=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan

@@ -155,3 +155,50 @@ def test_single_event_user_gets_one_session(spark):
     rows = sessionize(ev).collect()
     assert len(rows) == 1
     assert rows[0].session_id == 1 and rows[0].n_events == 1
+
+
+def test_lang_id_scored_real_signal_and_edge_cases(spark):
+    """The trained scorer (frozen weights, langid_weights.py) must
+    classify real-signal function-word text correctly, emit exact
+    BIGINT margins, and degrade to 'und' when no trigram exists."""
+    from northwind_etl_spark.operators.text import lang_id_scored
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are in that house with them"),
+            (2, "der hund und die katze sind nicht mit ihm auf dem dach"),
+            (3, "le chien et la maison sont dans les rues avec elle"),
+            (4, "el perro y los gatos en una casa para este"),
+            (5, "wo3 shi4 zai4 zhe4 ge4 de5 he2 bu4 le5 you3"),
+            (6, "ab"),  # too short for a trigram
+            (7, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in lang_id_scored(docs).collect()}
+    assert rows[1].lang_pred == "en"
+    assert rows[2].lang_pred == "de"
+    assert rows[3].lang_pred == "fr"
+    assert rows[4].lang_pred == "es"
+    assert rows[5].lang_pred == "zh"
+    assert rows[6].lang_pred == "und" and rows[6].s_en == 0
+    assert rows[7].lang_pred == "und"
+    # margins are integers and the argmax margin is strictly dominant
+    # for the real-signal docs
+    r2 = rows[2]
+    assert isinstance(r2.s_de, int)
+    assert r2.s_de > max(r2.s_en, r2.s_es, r2.s_fr, r2.s_zh)
+
+
+def test_lang_id_scored_weights_are_frozen_source(spark):
+    """Weight module invariants the oracle depends on: 5 languages x
+    256 integer buckets, stable language order."""
+    from northwind_etl_spark.functions.langid_weights import (
+        LANGID_LANGS,
+        LANGID_WEIGHTS,
+    )
+
+    assert LANGID_LANGS == ("de", "en", "es", "fr", "zh")
+    for lang in LANGID_LANGS:
+        w = LANGID_WEIGHTS[lang]
+        assert len(w) == 256 and all(isinstance(x, int) for x in w)

@@ -226,8 +226,10 @@ def test_dp_noise_bounded_and_laplace_shaped(grouped):
 
     rows = dp_noisy_counts(grouped, ["g"], scale="2.0", salt="s").collect()
     noises = [float(r["noisy_count"]) - 3.0 for r in rows]
-    # hard bound: |noise| <= scale * 32*ln(2) (u is >= 2^-33 from 0/1)
-    assert max(abs(x) for x in noises) <= 2.0 * 32 * 0.6931471805599453
+    # hard bound: |noise| <= scale * |ln(1/2048)| (the LUT's first cell
+    # is the grid midpoint ln((0+0.5)/1024) = ln(1/2048))
+    assert max(abs(x) for x in noises) <= 2.0 * 7.624619
+
     # Laplace(scale=2): E[X]=0, E|X|=2 -- loose empirical bands at n=200
     assert abs(sum(noises) / len(noises)) < 0.75
     assert 1.0 < sum(abs(x) for x in noises) / len(noises) < 3.5
