@@ -31,6 +31,19 @@ def main() -> None:
     import __spark_entry__ as E
     from oracle_harness import compare, duck_connection
 
+    # pre-pass: loop-invariant-input lint (r07 LPA lesson — an
+    # unpersisted loop input is a silent 6x scale regression)
+    from iterative_lint import lint_iterative_operators
+
+    lint_failures = lint_iterative_operators(spark)
+    for f in lint_failures:
+        print(f"LINT {f}", flush=True)
+    print(
+        f"iterative-operator lint: "
+        f"{'OK' if not lint_failures else 'FAILED'}",
+        flush=True,
+    )
+
     qs, osql = E.queries(), E.oracle_sql()
     con = duck_connection(sf_dir)
     window = list(qs)[:n]
@@ -54,7 +67,7 @@ def main() -> None:
         if not ok:
             bad.append(name)
     print(f"\n{len(window) - len(bad)}/{len(window)} green; failures: {bad}")
-    sys.exit(1 if bad else 0)
+    sys.exit(1 if (bad or lint_failures) else 0)
 
 
 if __name__ == "__main__":
