@@ -139,14 +139,6 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int,
     return out
 
 
-def _decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    return {
-        (length, code): sym
-        for sym, (code, length) in _canonical_codes(bits, values).items()
-    }
-
-
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     q = min(max(int(quality), 1), 100)
     scale = 5000 // q if q < 50 else 200 - 2 * q
@@ -157,54 +149,43 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
-class _BitWriter:
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
+def _pack_pairs_stuffed(vals: list[int], lens: list[int]) -> bytes:
+    """One vectorized bit-pack for the whole entropy stream (r08,
+    replacing the per-symbol _BitWriter byte loop): the per-(value,
+    length) pairs expand through a ragged index (repeat + cumsum),
+    packbits once, then 0xFF byte stuffing as a single np.insert.
+    Pads the tail to a byte boundary with 1-bits per the standard."""
+    v = np.asarray(vals, dtype=np.int64)
+    ln = np.asarray(lens, dtype=np.int64)
+    total = int(ln.sum())
+    pad = (-total) % 8
+    if pad:
+        v = np.append(v, (1 << pad) - 1)
+        ln = np.append(ln, pad)
+        total += pad
+    offs = np.zeros(len(v), dtype=np.int64)
+    np.cumsum(ln[:-1], out=offs[1:])
+    j = np.repeat(np.arange(len(v)), ln)
+    i = np.arange(total, dtype=np.int64) - np.repeat(offs, ln)
+    bits = ((v[j] >> (ln[j] - 1 - i)) & 1).astype(np.uint8)
+    raw = np.packbits(bits)
+    ff = np.nonzero(raw == 0xFF)[0]
+    if len(ff):
+        raw = np.insert(raw, ff + 1, 0)
+    return raw.tobytes()
 
-    def write(self, value: int, length: int) -> None:
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            self.nbits -= 8
-            byte = (self.acc >> self.nbits) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:
-                self.buf.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)
-        return bytes(self.buf)
-
-
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy stream")
-        self.acc = (self.acc << 8) | self.data[self.pos]
-        self.pos += 1
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+def _lut_tables(bits: list[int], values: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """(symbol, length) 16-bit-lookahead LUT for one Huffman table —
+    a symbol read becomes ONE indexed load instead of a per-bit tree
+    walk (JPEG code lengths are <= 16 by the standard)."""
+    lut_sym = np.zeros(1 << 16, dtype=np.int32)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
+    for sym, (code, length) in _canonical_codes(bits, values).items():
+        lo = code << (16 - length)
+        lut_sym[lo : lo + (1 << (16 - length))] = sym
+        lut_len[lo : lo + (1 << (16 - length))] = length
+    return lut_sym, lut_len
 
 
 def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
@@ -272,7 +253,10 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 75) -> bytes:
         q = qt[min(ci, 1)]
         coeffs.append(np.round(dct / q).astype(np.int32))
 
-    bw = _BitWriter()
+    # the block walk only COLLECTS (value, length) pairs; all bit
+    # packing and byte stuffing happens in one vectorized pass below
+    vals: list[int] = []
+    lens: list[int] = []
     prev_dc = [0] * ncomp
     for by in range(nby):
         for bx in range(nbx):
@@ -285,9 +269,11 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 75) -> bytes:
                 prev_dc[ci] = int(zz[0])
                 s = _size_cat(diff)
                 code, length = enc_dc[ti][s]
-                bw.write(code, length)
+                vals.append(code)
+                lens.append(length)
                 if s:
-                    bw.write(_amplitude_bits(diff, s), s)
+                    vals.append(_amplitude_bits(diff, s))
+                    lens.append(s)
                 # AC
                 run = 0
                 for k in range(1, 64):
@@ -297,17 +283,21 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 75) -> bytes:
                         continue
                     while run > 15:
                         code, length = enc_ac[ti][0xF0]  # ZRL
-                        bw.write(code, length)
+                        vals.append(code)
+                        lens.append(length)
                         run -= 16
                     s = _size_cat(v)
                     code, length = enc_ac[ti][(run << 4) | s]
-                    bw.write(code, length)
-                    bw.write(_amplitude_bits(v, s), s)
+                    vals.append(code)
+                    lens.append(length)
+                    vals.append(_amplitude_bits(v, s))
+                    lens.append(s)
                     run = 0
                 if run:
                     code, length = enc_ac[ti][0x00]  # EOB
-                    bw.write(code, length)
-    entropy = bw.flush()
+                    vals.append(code)
+                    lens.append(length)
+    entropy = _pack_pairs_stuffed(vals, lens)
 
     out = bytearray(b"\xff\xd8")  # SOI
     for tid, q in enumerate(qt):
@@ -346,7 +336,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     h = w = ncomp = 0
     comp_q: list[int] = []
     comp_t: list[tuple[int, int]] = []
@@ -383,7 +373,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
                 values = list(seg[p + 17 : p + 17 + n])
-                huff[(tc, th)] = _decode_table(bits, values)
+                huff[(tc, th)] = _lut_tables(bits, values)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             h, w = struct.unpack_from(">HH", seg, 1)
@@ -433,17 +423,37 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     else:
         raise ValueError("missing EOI")
 
-    br = _BitReader(bytes(data))
+    # r08 reader: every 16-bit lookahead window is precomputed once
+    # (vectorized sliding-window dot), so a symbol read is ONE LUT load
+    # + ONE position bump and an n-bit amplitude read is a shift — no
+    # per-bit Python.  Memory is 8 B per stream BIT (64x the stream),
+    # fine for the thumbnail-scale fixtures this codec serves; a
+    # megapixel decoder would chunk the window array.
+    from numpy.lib.stride_tricks import sliding_window_view
 
-    def read_symbol(table: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | br.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in scan")
+    bits_arr = np.unpackbits(np.frombuffer(bytes(data), dtype=np.uint8))
+    n_bits = len(bits_arr)
+    look = sliding_window_view(
+        np.concatenate([bits_arr, np.zeros(16, dtype=np.uint8)]), 16
+    ) @ (1 << np.arange(15, -1, -1)).astype(np.int64)
+    pos = 0
+
+    def read_symbol(table: tuple[np.ndarray, np.ndarray]) -> int:
+        nonlocal pos
+        v = int(look[pos])
+        length = int(table[1][v])
+        if length == 0 or pos + length > n_bits:
+            raise ValueError("invalid Huffman code in scan")
+        pos += length
+        return int(table[0][v])
+
+    def read_bits(n: int) -> int:
+        nonlocal pos
+        if pos + n > n_bits:
+            raise ValueError("truncated JPEG entropy stream")
+        v = int(look[pos]) >> (16 - n)
+        pos += n
+        return v
 
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     nby, nbx = ph // 8, pw // 8
@@ -458,7 +468,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 and mcu_count % restart_interval == 0
             ):
                 # byte-align and reset predictors at a restart boundary
-                br.nbits = 0
+                pos = (pos + 7) & ~7
                 prev_dc = [0] * ncomp
             mcu_count += 1
             for ci in range(ncomp):
@@ -468,7 +478,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     raise ValueError("missing Huffman table for scan")
                 zz = np.zeros(64, dtype=np.int32)
                 s = read_symbol(dc_t)
-                diff = _extend(br.read_bits(s), s) if s else 0
+                diff = _extend(read_bits(s), s) if s else 0
                 prev_dc[ci] += diff
                 zz[0] = prev_dc[ci]
                 k = 1
@@ -483,7 +493,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     k += run
                     if k > 63:
                         raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.read_bits(size), size)
+                    zz[k] = _extend(read_bits(size), size)
                     k += 1
                 block = np.zeros((8, 8))
                 block[_ZZ_ROWS, _ZZ_COLS] = zz

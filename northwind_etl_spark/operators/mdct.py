@@ -20,10 +20,19 @@ numpy only:
   nibbles in the high half.  The fixed curve stands in for the
   psychoacoustic masking model (high bands get fewer bits, where both
   signal energy and hearing sensitivity are lower for the tonal
-  fixtures this corpus carries): that model and the entropy coder are
-  the two NAMED omissions — blob sizes here are pre-entropy-coding, a
-  real encoder's Huffman stage would shrink them further without
-  touching anything in this module;
+  fixtures this corpus carries): that model is the one NAMED omission
+  left;
+- an ENTROPY CODER (r08, closing the second named omission): the
+  packed frame payload is canonical-Huffman coded at the byte level —
+  optimal code lengths from the symbol histogram, length-limited to 16
+  bits by the JPEG Annex K.3 BITS fold, and the code table serialized
+  JPEG-style (16 length counts + values) so the container is
+  self-describing.  The canonical code constructor is REUSED from
+  jpeg.py::_canonical_codes.  Encoding is numpy-vectorized (ragged
+  bit expansion + packbits); decoding walks a 2^16 lookahead LUT, one
+  O(1) step per symbol (the walk itself is inherently sequential).
+  The stage is LOSSLESS: reconstructed samples are bit-identical to
+  the pre-entropy path (pinned in tests/test_mdct.py);
 - decode: dequantize (mantissa * 2^exponent, exact in doubles), IMDCT
   with the same window, overlap-add.
 
@@ -45,13 +54,26 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
-from functools import lru_cache
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-MDCT_MAGIC = b"MDC1"
+# Imported at MODULE level on purpose: everything a Spark python
+# worker executes must reach the worker inside the pickled closure
+# (cloudpickle ships module-global references by value), because the
+# driver harness runs from an arbitrary cwd where workers cannot
+# `import northwind_etl_spark`.  A runtime `from .jpeg import ...`
+# inside a worker-path function raises ModuleNotFoundError there.
+from .jpeg import _canonical_codes
+from ..functions.mdct_tables import (
+    MDCT_EXP_TABLE,
+    MDCT_HI_TABLE,
+    MDCT_LOW_TABLE,
+)
+
+MDCT_MAGIC = b"MDC2"  # entropy-coded container (r08)
+MDCT_MAGIC_V1 = b"MDC1"  # r07 uncoded container, still decodable
 N_SUB = 128          # subbands (half-window); window length is 2*N_SUB
 BANDS = 16           # scalefactor bands of N_SUB // BANDS coefficients
 _BAND_W = N_SUB // BANDS
@@ -60,19 +82,30 @@ _EXP_BIAS = 64       # stored exponent = e + bias, e in [-64, 191]
 _FRAME_BYTES = BANDS + _LOW_BANDS * _BAND_W + (BANDS - _LOW_BANDS) * _BAND_W // 2
 
 
-@lru_cache(maxsize=1)
+# Window and basis are MODULE-LEVEL ARRAYS, not lru_cache-wrapped
+# builders: _lru_cache_wrapper is not a FunctionType, so cloudpickle
+# pickles it BY REFERENCE even under register_pickle_by_value — and a
+# worker that cannot import this package (the driver harness runs from
+# an arbitrary cwd) then dies with ModuleNotFoundError.  Plain ndarray
+# globals ship by value inside the UDF pickle (~258 KB once per task).
+_N_RANGE = np.arange(2 * N_SUB, dtype=np.float64)
+_WINDOW = np.sin(np.pi / (2 * N_SUB) * (_N_RANGE + 0.5))
+# (2N, N) MDCT cosine basis; forward is frames @ basis, inverse is
+# coeffs @ basis.T scaled by 2/N
+_BASIS = np.cos(
+    np.pi
+    / N_SUB
+    * (_N_RANGE[:, None] + 0.5 + N_SUB / 2.0)
+    * (np.arange(N_SUB, dtype=np.float64)[None, :] + 0.5)
+)
+
+
 def _window() -> "np.ndarray":
-    n = np.arange(2 * N_SUB, dtype=np.float64)
-    return np.sin(np.pi / (2 * N_SUB) * (n + 0.5))
+    return _WINDOW
 
 
-@lru_cache(maxsize=1)
 def _basis() -> "np.ndarray":
-    """(2N, N) MDCT cosine basis; forward is frames @ basis, inverse is
-    coeffs @ basis.T scaled by 2/N."""
-    n = np.arange(2 * N_SUB, dtype=np.float64)[:, None]
-    k = np.arange(N_SUB, dtype=np.float64)[None, :]
-    return np.cos(np.pi / N_SUB * (n + 0.5 + N_SUB / 2.0) * (k + 0.5))
+    return _BASIS
 
 
 def _frame(x: "np.ndarray") -> "np.ndarray":
@@ -146,28 +179,257 @@ def _unpack_frames(payload: bytes, n_frames: int) -> "np.ndarray":
     return mant.astype(np.float64) * step
 
 
+# ------------------------------------------------- entropy stage (r08)
+# Byte-level canonical Huffman over the packed frame payload.  The
+# canonical-code constructor is jpeg.py's (same (bits, values) table
+# form as a JPEG DHT segment); the optimal lengths come from a plain
+# Huffman build, length-limited to 16 by the Annex K.3 BITS fold.
+
+
+def _huffman_bits_values(freq: "np.ndarray") -> tuple[list[int], list[int]]:
+    """(bits, values) for the byte alphabet: bits[l-1] = number of
+    codes of length l (l = 1..16), values = symbols in canonical
+    assignment order (shortest first, symbol-ascending within a
+    length).  Deterministic; Kraft-valid by construction (asserted in
+    tests)."""
+    import heapq
+
+    syms = [int(s) for s in np.nonzero(freq)[0]]
+    if not syms:
+        return [0] * 16, []
+    if len(syms) == 1:
+        return [1] + [0] * 15, syms
+    length = dict.fromkeys(syms, 0)
+    heap: list[tuple[int, int, list[int]]] = [
+        (int(freq[s]), s, [s]) for s in syms
+    ]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        f1, t1, g1 = heapq.heappop(heap)
+        f2, t2, g2 = heapq.heappop(heap)
+        for s in g1:
+            length[s] += 1
+        for s in g2:
+            length[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(t1, t2), g1 + g2))
+    bits = [0] * max(16, max(length.values()))
+    for s in syms:
+        bits[length[s] - 1] += 1
+    # JPEG Annex K.3: fold codes longer than 16 back under the limit
+    i = len(bits) - 1
+    while i >= 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    values = sorted(syms, key=lambda s: (length[s], s))
+    return bits[:16], values
+
+
+def _code_arrays(
+    bits: list[int], values: list[int]
+) -> tuple["np.ndarray", "np.ndarray"]:
+    code_arr = np.zeros(256, dtype=np.int64)
+    len_arr = np.zeros(256, dtype=np.int64)
+    for s, (c, ln) in _canonical_codes(bits, values).items():
+        code_arr[s] = c
+        len_arr[s] = ln
+    return code_arr, len_arr
+
+
+def _pack_codes(
+    data: "np.ndarray", code_arr: "np.ndarray", len_arr: "np.ndarray"
+) -> bytes:
+    """Vectorized canonical-Huffman bit packing: per-byte (code,
+    length) lookups, one ragged bit expansion, one packbits."""
+    lens = len_arr[data]
+    codes = code_arr[data]
+    total = int(lens.sum())
+    offs = np.zeros(len(data), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    j = np.repeat(np.arange(len(data)), lens)
+    i = np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+    bitvals = ((codes[j] >> (lens[j] - 1 - i)) & 1).astype(np.uint8)
+    padded = np.zeros(-(-total // 8) * 8, dtype=np.uint8)
+    padded[:total] = bitvals
+    return np.packbits(padded).tobytes()
+
+
+def _huffman_encode_bytes(payload: bytes) -> tuple[bytes, list[int], list[int]]:
+    """Per-blob-table coding: (bitstream, bits, values)."""
+    data = np.frombuffer(payload, dtype=np.uint8)
+    bits, values = _huffman_bits_values(np.bincount(data, minlength=256))
+    code_arr, len_arr = _code_arrays(bits, values)
+    return _pack_codes(data, code_arr, len_arr), bits, values
+
+
+def _static_tables() -> tuple[tuple, tuple, tuple]:
+    return MDCT_EXP_TABLE, MDCT_LOW_TABLE, MDCT_HI_TABLE
+
+
+def _sections(frames: "np.ndarray") -> tuple["np.ndarray", ...]:
+    lo_end = BANDS + _LOW_BANDS * _BAND_W
+    return (
+        frames[:, :BANDS].ravel(),
+        frames[:, BANDS:lo_end].ravel(),
+        frames[:, lo_end:].ravel(),
+    )
+
+
+def _static_encode(payload: bytes) -> bytes:
+    """Default-table coding (mode 2): the three payload sections (band
+    exponents / 8-bit mantissas / packed nibbles) each coded with its
+    frozen table — zero per-blob table overhead, the Annex-K
+    default-table move that makes short clips compress."""
+    frames = np.frombuffer(payload, np.uint8).reshape(-1, _FRAME_BYTES)
+    out = b""
+    for data, table in zip(_sections(frames), _static_tables()):
+        stream = _pack_codes(data, *_code_arrays(list(table[0]), list(table[1])))
+        out += struct.pack("<I", len(stream)) + stream
+    return out
+
+
+def _static_decode(body: bytes, n_frames: int) -> bytes:
+    lo_end = BANDS + _LOW_BANDS * _BAND_W
+    widths = (BANDS, _LOW_BANDS * _BAND_W, _FRAME_BYTES - lo_end)
+    cols = []
+    off = 0
+    for width, table in zip(widths, _static_tables()):
+        if len(body) < off + 4:
+            raise ValueError("truncated MDCT section header")
+        (stream_len,) = struct.unpack_from("<I", body, off)
+        off += 4
+        stream = body[off : off + stream_len]
+        if len(stream) < stream_len:
+            raise ValueError("truncated MDCT entropy stream")
+        off += stream_len
+        raw = _huffman_decode_bytes(
+            stream, list(table[0]), list(table[1]), n_frames * width
+        )
+        cols.append(np.frombuffer(raw, np.uint8).reshape(n_frames, width))
+    return np.concatenate(cols, axis=1).tobytes()
+
+
+def _huffman_decode_bytes(
+    stream: bytes, bits: list[int], values: list[int], n_out: int
+) -> bytes:
+    """Inverse of _huffman_encode_bytes: a 2^16 lookahead LUT gives
+    (symbol, length) in O(1) per output byte; the position walk is the
+    only sequential part."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if n_out == 0:
+        return b""
+    lut_sym = np.zeros(1 << 16, dtype=np.uint8)
+    lut_len = np.zeros(1 << 16, dtype=np.uint8)
+    for s, (c, ln) in _canonical_codes(bits, values).items():
+        lo = c << (16 - ln)
+        lut_sym[lo : lo + (1 << (16 - ln))] = s
+        lut_len[lo : lo + (1 << (16 - ln))] = ln
+    b = np.concatenate(
+        [np.unpackbits(np.frombuffer(stream, dtype=np.uint8)),
+         np.zeros(16, dtype=np.uint8)]
+    )
+    look = sliding_window_view(b, 16) @ (1 << np.arange(15, -1, -1)).astype(
+        np.int64
+    )
+    n_bits = 8 * len(stream)
+    out = np.empty(n_out, dtype=np.uint8)
+    pos = 0
+    for k in range(n_out):
+        v = int(look[pos])
+        ln = int(lut_len[v])
+        if ln == 0 or pos + ln > n_bits:
+            raise ValueError("corrupt MDCT entropy stream")
+        out[k] = lut_sym[v]
+        pos += ln
+    return out.tobytes()
+
+
 def encode_mdct(samples: "np.ndarray", *, sample_rate: int = 8000) -> bytes:
-    """int16 mono -> framed MDCT blob: magic + rate + n_samples +
-    n_frames + fixed-size frame payloads."""
+    """int16 mono -> framed MDCT blob: MDC2 magic + rate + n_samples +
+    n_frames + serialized Huffman table (16 length counts + values) +
+    entropy-coded frame payload."""
     s = np.ascontiguousarray(samples, dtype="<i2").astype(np.float64)
     coeffs = mdct(s)
     exps, mant = _quantize(coeffs)
-    head = MDCT_MAGIC + struct.pack("<III", sample_rate, len(s), coeffs.shape[0])
-    return head + _pack_frames(exps, mant)
+    payload = _pack_frames(exps, mant)
+    stream, bits, values = _huffman_encode_bytes(payload)
+    head = MDCT_MAGIC + struct.pack(
+        "<III", sample_rate, len(s), coeffs.shape[0]
+    )
+    coded = (
+        struct.pack("<H", len(values))
+        + bytes(bits)
+        + bytes(values)
+        + struct.pack("<I", len(stream))
+        + stream
+    )
+    static = _static_encode(payload)
+    # mode byte picks the smallest of three encodings: 2 = frozen
+    # default tables (wins on typical clips: zero table overhead),
+    # 1 = per-blob table (wins when the distribution is atypical and
+    # the blob is long enough to amortize ~260 table bytes), 0 = raw
+    # (DEFLATE's stored-block rule: a near-uniform histogram can make
+    # any coding exceed the payload, so MDC2 never exceeds MDC1 + 1).
+    best = min(
+        (len(static), 2, static),
+        (len(coded), 1, coded),
+        (len(payload), 0, payload),
+    )
+    return head + bytes([best[1]]) + best[2]
 
 
 def decode_mdct(blob: bytes) -> tuple["np.ndarray", int]:
     """Framed MDCT blob -> (int16 samples, sample_rate); ValueError on
-    bad magic / truncation (the decode_wav/png/jpeg contract)."""
-    if blob[:4] != MDCT_MAGIC:
-        raise ValueError("not an MDC1 blob (bad magic)")
+    bad magic / truncation (the decode_wav/png/jpeg contract).  Reads
+    the entropy-coded MDC2 container and the r07 uncoded MDC1 form."""
+    if blob[:4] not in (MDCT_MAGIC, MDCT_MAGIC_V1):
+        raise ValueError("not an MDC1/MDC2 blob (bad magic)")
     if len(blob) < 16:
         raise ValueError("truncated MDCT header")
     rate, n_samples, n_frames = struct.unpack_from("<III", blob, 4)
-    payload = blob[16:]
-    if len(payload) < n_frames * _FRAME_BYTES:
-        raise ValueError("truncated MDCT payload")
-    coeffs = _unpack_frames(payload[: n_frames * _FRAME_BYTES], n_frames)
+    n_payload = n_frames * _FRAME_BYTES
+    if blob[:4] == MDCT_MAGIC_V1:
+        payload = blob[16:]
+        if len(payload) < n_payload:
+            raise ValueError("truncated MDCT payload")
+        payload = payload[:n_payload]
+    else:
+        if len(blob) < 17:
+            raise ValueError("truncated MDCT mode byte")
+        mode = blob[16]
+        if mode == 0:
+            payload = blob[17:]
+            if len(payload) < n_payload:
+                raise ValueError("truncated MDCT payload")
+            payload = payload[:n_payload]
+        elif mode == 1:
+            if len(blob) < 19:
+                raise ValueError("truncated MDCT table header")
+            (n_values,) = struct.unpack_from("<H", blob, 17)
+            off = 19
+            if len(blob) < off + 16 + n_values + 4:
+                raise ValueError("truncated MDCT Huffman table")
+            bits = list(blob[off : off + 16])
+            values = list(blob[off + 16 : off + 16 + n_values])
+            off += 16 + n_values
+            (stream_len,) = struct.unpack_from("<I", blob, off)
+            off += 4
+            stream = blob[off : off + stream_len]
+            if len(stream) < stream_len:
+                raise ValueError("truncated MDCT entropy stream")
+            payload = _huffman_decode_bytes(stream, bits, values, n_payload)
+        elif mode == 2:
+            payload = _static_decode(blob[17:], n_frames)
+        else:
+            raise ValueError(f"unknown MDCT payload mode {mode}")
+    coeffs = _unpack_frames(payload, n_frames)
     y = imdct(coeffs, n_samples)
     return np.clip(np.rint(y), -32768, 32767).astype("<i2"), rate
 

@@ -231,6 +231,16 @@ def decode_png(blob: bytes) -> "np.ndarray":
     raw = _z.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster length mismatch")
+    rawa = np.frombuffer(raw, dtype=np.uint8)
+    # fast path (r08): a raster whose every scanline uses filter 0
+    # (None) — all of THIS repo's encoder output — needs no defilter
+    # at all: one reshape + column drop, no per-row loop (measured 6x
+    # on fixture-size blobs, see PLANS.md "UDF codecs")
+    if not rawa[:: stride + 1].any():
+        out = rawa.reshape(h, stride + 1)[:, 1:]
+        return (
+            out.reshape(h, w, 3) if color_type == 2 else out.reshape(h, w)
+        )
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -248,8 +258,14 @@ def decode_png(blob: bytes) -> "np.ndarray":
                 np.cumsum(data.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF
             ).reshape(-1).astype(np.int32)
         elif ftype in (3, 4):  # Average / Paeth: inherently sequential
-            # in x (floor-div / nonlinear min break the cumsum trick) —
-            # the residual per-byte path a C codec would replace
+            # in x.  Sub vectorizes because mod-256 addition is
+            # associative (a prefix SUM); Average's floor((left+up)/2)
+            # and Paeth's argmin both make recon[x] a NON-AFFINE
+            # function of recon[x-bpp], so the scan has no
+            # parallel-prefix form — these two stay per-byte (the
+            # residual path a C codec would replace; this repo's own
+            # encoder emits only filter 0, which takes the reshape
+            # fast path above)
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 left = cur[x - bpp] if x >= bpp else 0

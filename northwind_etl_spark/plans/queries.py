@@ -2743,11 +2743,15 @@ def multimodal_mdct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Princen-Bradley TDAC, perfect reconstruction pre-quantization),
     scalefactor-band quantization under a fixed bit-allocation curve
     (8-bit low-band / 4-bit high-band mantissas + per-band power-of-two
-    exponents) — closing the repo's last declared codec stub.  Per doc:
+    exponents), then a LOSSLESS canonical-Huffman entropy stage (r08:
+    frozen default section tables with per-blob-table and stored-block
+    fallbacks — jpeg.py's canonical constructor reused; ~12% smaller
+    containers on the tone fixture, bit-identical samples).  Per doc:
     deterministic tone → encode → decode → compressed size, ratio vs
-    16-bit PCM (2.16× pre-entropy-coding), SNR.  Rows-only (lossy float
-    transform, no SQL oracle); PR property, SNR floors, allocation
-    curve, and container errors pinned in tests/test_mdct.py."""
+    16-bit PCM (~2.4× with entropy coding), SNR.  Rows-only (lossy
+    float transform, no SQL oracle); PR property, SNR floors,
+    allocation curve, entropy-stage losslessness, and container errors
+    pinned in tests/test_mdct.py."""
     from ..operators.mdct import mdct_roundtrip_stats
 
     return mdct_roundtrip_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")

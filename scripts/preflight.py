@@ -23,6 +23,17 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
+    # Run from a NEUTRAL cwd before the JVM starts: python workers put
+    # their cwd on sys.path, so preflighting from the repo root lets
+    # workers `import northwind_etl_spark` even though the driver
+    # harness runs from elsewhere — that masked a worker-side
+    # ModuleNotFoundError for a whole round (r07 mdct: an
+    # lru_cache-wrapped global pickles by reference).  From /tmp-like
+    # cwd, preflight fails exactly where the driver would.
+    import tempfile
+
+    os.chdir(tempfile.mkdtemp(prefix="preflight-"))
+
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.master("local[8]").getOrCreate()

@@ -61,8 +61,10 @@ def test_silence_and_sizes():
     dec, _ = decode_mdct(blob)
     assert np.abs(dec).max() == 0
     n_frames = int.from_bytes(blob[12:16], "little")
-    assert len(blob) == 16 + n_frames * _FRAME_BYTES
-    # compression vs 16-bit PCM is structural: 112 bytes per 128 samples
+    # the entropy stage crushes silence well below the fixed-rate form
+    assert len(blob) < (17 + n_frames * _FRAME_BYTES) // 3
+    # pre-entropy compression vs 16-bit PCM is structural: 112 bytes
+    # per 128 samples; Huffman only improves on it
     assert 2 * N_SUB / _FRAME_BYTES > 2.0
     assert N_SUB % BANDS == 0
 
@@ -71,9 +73,104 @@ def test_container_errors():
     with pytest.raises(ValueError, match="bad magic"):
         decode_mdct(b"XXXX" + b"\0" * 32)
     with pytest.raises(ValueError, match="truncated MDCT header"):
-        decode_mdct(b"MDC1" + b"\0" * 4)
-    with pytest.raises(ValueError, match="truncated MDCT payload"):
+        decode_mdct(b"MDC2" + b"\0" * 4)
+    with pytest.raises(ValueError, match="truncated MDCT"):
         decode_mdct(encode_mdct(np.zeros(500, "<i2"))[:-5])
+    tone = (
+        12000 * np.sin(2 * np.pi * 150 * np.arange(3000) / 8000.0)
+    ).astype("<i2")
+    blob = encode_mdct(tone)
+    with pytest.raises(ValueError, match="truncated MDCT"):
+        decode_mdct(blob[:-7])
+    with pytest.raises(ValueError, match="unknown MDCT payload mode"):
+        decode_mdct(blob[:16] + b"\x07" + blob[17:])
+
+
+def _mdc1_blob(s: np.ndarray, rate: int = 8000) -> bytes:
+    """The r07 uncoded container, rebuilt for compatibility tests."""
+    import struct
+
+    from northwind_etl_spark.operators.mdct import (
+        MDCT_MAGIC_V1,
+        _pack_frames,
+        _quantize,
+    )
+
+    coeffs = mdct(s.astype(np.float64))
+    exps, mant = _quantize(coeffs)
+    head = MDCT_MAGIC_V1 + struct.pack("<III", rate, len(s), coeffs.shape[0])
+    return head + _pack_frames(exps, mant)
+
+
+def test_entropy_stage_is_lossless_and_smaller():
+    """MDC2's Huffman stage must be a pure container change: decoded
+    samples BIT-IDENTICAL to the uncoded MDC1 path, containers smaller
+    on the codec's operating range (frozen default tables), and never
+    more than one mode byte larger even on adversarial noise."""
+    rng = np.random.default_rng(11)
+    tot1 = tot2 = 0
+    for i in range(12):
+        n = 256 + 700 * i
+        freq = 50.0 + (i * 37) % 200
+        t = np.arange(n) / 8000.0
+        s = (12000 * np.sin(2 * np.pi * freq * t)).astype("<i2")
+        b1, b2 = _mdc1_blob(s), encode_mdct(s)
+        d1, r1 = decode_mdct(b1)
+        d2, r2 = decode_mdct(b2)
+        assert r1 == r2 and (d1 == d2).all()
+        tot1 += len(b1)
+        tot2 += len(b2)
+    assert tot2 < 0.93 * tot1  # measured: ~12% smaller on tones
+    noise = rng.integers(-30000, 30000, 4000).astype("<i2")
+    bn1, bn2 = _mdc1_blob(noise), encode_mdct(noise)
+    assert len(bn2) <= len(bn1) + 1  # stored-block fallback
+    assert (decode_mdct(bn1)[0] == decode_mdct(bn2)[0]).all()
+
+
+def test_mdc1_blobs_still_decode():
+    t = np.arange(2000) / 8000.0
+    s = (9000 * np.sin(2 * np.pi * 120 * t)).astype("<i2")
+    d1, r1 = decode_mdct(_mdc1_blob(s))
+    d2, r2 = decode_mdct(encode_mdct(s))
+    assert r1 == r2 == 8000 and (d1 == d2).all()
+
+
+def test_huffman_coder_roundtrip_properties():
+    """The byte-level canonical coder itself: roundtrip on skewed,
+    uniform, single-symbol and empty inputs; Kraft validity and the
+    16-bit length limit on a pathological (Fibonacci-weighted)
+    histogram that unlimited Huffman would assign >16-bit codes."""
+    import numpy as _np
+
+    from northwind_etl_spark.operators.mdct import (
+        _huffman_bits_values,
+        _huffman_decode_bytes,
+        _huffman_encode_bytes,
+    )
+
+    rng = _np.random.default_rng(5)
+    cases = [
+        rng.choice(256, 5000, p=_np.r_[0.9, _np.full(255, 0.1 / 255)]).astype(_np.uint8),
+        rng.integers(0, 256, 3000).astype(_np.uint8),
+        _np.full(100, 42, _np.uint8),
+        _np.array([7], _np.uint8),
+    ]
+    for data in cases:
+        payload = data.tobytes()
+        stream, bits, values = _huffman_encode_bytes(payload)
+        assert _huffman_decode_bytes(stream, bits, values, len(payload)) == payload
+        assert sum(bits) == len(values)
+        assert sum(n * 2 ** -(i + 1) for i, n in enumerate(bits)) <= 1
+    # Fibonacci frequencies force unlimited Huffman past 16 bits; the
+    # Annex K.3 fold must keep every length <= 16 and Kraft-valid
+    fib = [1, 1]
+    while len(fib) < 40:
+        fib.append(fib[-1] + fib[-2])
+    freq = _np.zeros(256, _np.int64)
+    freq[: len(fib)] = fib[::-1]
+    bits, values = _huffman_bits_values(freq)
+    assert len(bits) == 16 and sum(bits) == len(fib)
+    assert sum(n * 2 ** -(i + 1) for i, n in enumerate(bits)) <= 1
 
 
 def test_stats_entry_deterministic(spark, sf_dir):
@@ -89,3 +186,49 @@ def test_stats_entry_deterministic(spark, sf_dir):
         assert row.compression_ratio > 1.4
         assert row.mdct_bytes > 0
     assert max(r.compression_ratio for r in a) > 2.0
+
+
+def test_udf_closure_survives_worker_without_repo_on_path(tmp_path):
+    """The r08 regression that motivated the module-array refactor: the
+    whole encode/decode path must unpickle and RUN in a process that
+    cannot import northwind_etl_spark (the driver harness's workers run
+    from an arbitrary cwd; register_pickle_by_value ships FunctionType
+    globals by value, but an lru_cache wrapper or a runtime package
+    import sneaks a by-reference edge back in and kills the worker)."""
+    import subprocess
+    import sys as _sys
+
+    import pyspark.cloudpickle as cp
+
+    def outer():
+        from northwind_etl_spark.operators.mdct import (
+            decode_mdct,
+            encode_mdct,
+        )
+
+        def run():
+            import numpy as _np
+
+            t = _np.arange(2000) / 8000.0
+            s = (12000 * _np.sin(2 * _np.pi * 150 * t)).astype("<i2")
+            d, rate = decode_mdct(encode_mdct(s))
+            return f"rate={rate} n={len(d)}"
+
+        return run
+
+    pkl = tmp_path / "udf.bin"
+    pkl.write_bytes(cp.dumps(outer()))
+    r = subprocess.run(
+        [
+            _sys.executable,
+            "-c",
+            "import sys, pyspark.cloudpickle as cp;"
+            "sys.path = [p for p in sys.path if 'repo' not in p];"
+            f"f = cp.loads(open({str(pkl)!r}, 'rb').read()); print(f())",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "rate=8000 n=2000" in r.stdout
