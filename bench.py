@@ -236,6 +236,17 @@ HEADLINE = [
     # at sf0.1 (35.6k even at J=1.0), so the exact join is output-bound
     # at ~45 s — measured and documented in operators/setjoin.py; it is
     # in SLOW_LANE below so a regression is still MEASURED.
+    # r08 additions: retrieval, fused ranking, normalized/line dedup,
+    # kappa, sparse RP, conformal calibration, skew profile, k-core
+    "bm25_keyword_topk",
+    "rrf_fused_topk",
+    "dedup_normalized_docs",
+    "global_line_dedup_docs",
+    "langid_agreement_kappa",
+    "embedding_rp_projection",
+    "margin_conformal_threshold",
+    "order_key_skew_profile",
+    "nation_trade_kcore",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

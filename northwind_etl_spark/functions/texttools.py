@@ -82,6 +82,21 @@ def shingles_expr(text: Column | str, n: int = 3) -> Column:
     return shingles_from_tokens(tokens_expr(text), n)
 
 
+def normalize_text_expr(text: Column | str) -> Column:
+    """Aggressive dedup normalization (the RefinedWeb / CCNet key
+    recipe): lowercase → digits to 0 → strip everything outside
+    [a-z0 ] (punctuation, accents-as-bytes stay out of the key) →
+    collapse runs of whitespace with the EXPLICIT class (Java \\s vs
+    RE2 \\s diverge on \\x0B — the html_to_text lesson) → trim.  Two
+    documents differing only in case, punctuation, digits, or spacing
+    normalize to the same key.  Map-only, RE2-safe, oracle-replayable
+    verbatim."""
+    c = F.lower(_col(text))
+    c = F.regexp_replace(c, r"[0-9]", "0")
+    c = F.regexp_replace(c, r"[^a-z0 \t\n\f\r\x0B]", " ")
+    return F.trim(F.regexp_replace(c, r"[ \t\n\f\r\x0B]+", " "))
+
+
 def char_ngrams_expr(text: Column | str, n: int = 3) -> Column:
     """Character n-grams WITH multiplicity of lower(text) — the
     language-ID feature unit (spaces kept: whitespace context around

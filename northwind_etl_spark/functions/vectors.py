@@ -76,3 +76,48 @@ def int8_quant_exprs(vec: Column | str) -> dict[str, Column]:
             / F.size(xd).cast("double"),
         ).otherwise(F.lit(0.0)),
     }
+
+
+def rp_signs(in_dim: int, out_dim: int, *, seed: str = "rp-r08") -> list[list[int]]:
+    """Deterministic Achlioptas sparse-projection sign matrix
+    (Achlioptas 2003): s[j][i] ∈ {+1, 0, -1} with database-friendly
+    probabilities {1/6, 2/3, 1/6}, derived from md5(seed|j|i) — a pure
+    function of the seed, so Spark plan and SQL oracle embed the SAME
+    literal matrix and no RNG exists anywhere.  hashlib, not Spark:
+    the matrix is (out_dim × in_dim) driver-side literals, never data.
+    """
+    import hashlib
+
+    signs: list[list[int]] = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            b = hashlib.md5(f"{seed}|{j}|{i}".encode()).digest()[0] % 6
+            row.append(1 if b == 0 else (-1 if b == 1 else 0))
+        signs.append(row)
+    return signs
+
+
+def sparse_rp_exprs(
+    vec: Column | str, signs: list[list[int]]
+) -> list[Column]:
+    """One output column per projected dimension:
+    y_j = Σ_i s[j][i]·x_i, folded SEQUENTIALLY in array order — every
+    step one correctly-rounded IEEE add/multiply on exact sign
+    literals, so the DuckDB oracle (list_sum over the same zipped
+    products) reproduces each coordinate bit-for-bit (the int8-quant /
+    knn fold discipline).  Johnson-Lindenstrauss-style dimensionality
+    reduction at 3× the sparsity of dense Gaussian RP: two thirds of
+    the terms are exact zeros the optimizer folds away.
+    """
+    xd = to_double_expr(vec)
+    out = []
+    for j, row in enumerate(signs):
+        sarr = F.array(*[F.lit(float(s)) for s in row])
+        prods = F.zip_with(xd, sarr, lambda x, s: x * s)
+        out.append(
+            F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x).alias(
+                f"y{j:02d}"
+            )
+        )
+    return out

@@ -263,3 +263,62 @@ def contingency_stats(
             / F.max("__n").cast("double")
         ).alias("mi_nats"),
     )
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical raters (Cohen 1960): kappa = (p_o - p_e)/(1 - p_e)
+    with p_o the observed agreement rate and p_e the agreement
+    expected from the raters' marginals.  The inter-annotator /
+    model-vs-gold QA statistic a labeling pipeline monitors.
+
+    Exactness: the contingency cells, marginals, diagonal sum and N
+    are exact integers; p_o = agree/N and
+    p_e = (Σ_c n_a(c)·n_b(c)) / N² are each ONE correctly-rounded
+    division of exact-integer doubles (Σ n_a·n_b and N² stay < 2^53
+    to ~9·10^7 rows — the contingency_stats domain bound), and kappa
+    is the fixed chain (p_o - p_e)/(1 - p_e).  Bit-replayable on any
+    IEEE engine.  Rows with a NULL on either side are excluded (no
+    rating, no agreement claim).
+
+    Scale shape: ONE hash aggregation to cells, then two bounded
+    category-level reductions.  Returns one row:
+    (n, agree, p_o, p_e, kappa).
+    """
+    cells = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    from ..cache import persist_stage
+
+    cells = persist_stage(cells)
+    totals = cells.agg(
+        F.sum("n_ab").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("n_ab")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = cells.groupBy("__a").agg(F.sum("n_ab").cast("long").alias("na"))
+    mb = cells.groupBy("__b").agg(F.sum("n_ab").cast("long").alias("nb"))
+    # categories one rater never uses contribute 0 to p_e; an empty
+    # inner join must therefore yield 0, not NULL
+    pe_num = (
+        ma.join(mb, ma["__a"] == mb["__b"])
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("long")
+            .alias("pe_num")
+        )
+    )
+    joined = totals.join(F.broadcast(pe_num))
+    n_d = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n_d
+    pe = F.col("pe_num").cast("double") / (n_d * n_d)
+    return joined.select(
+        "n",
+        "agree",
+        po.alias("p_o"),
+        pe.alias("p_e"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

@@ -276,3 +276,4 @@ def jaro_winkler_match_pairs(
         .select("id_a", "id_b", jw_udf("__na", "__nb").alias("jw"))
         .where(F.col("jw") >= threshold)
     )
+

@@ -415,3 +415,59 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    k: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983; Batagelj-Zaveršnik's distributed
+    formulation) over an UNDIRECTED edge list (pass both directions,
+    the label_propagation convention): repeatedly delete every node
+    with degree < k, `rounds` fixed synchronous iterations.
+
+    Fixed-round determinism contract (the LPA/pagerank evidence
+    pattern): each round is a pure function of the last — degree
+    count, threshold filter, edge restriction — so the oracle unrolls
+    the IDENTICAL rounds as CTEs and must hash-match.  The true k-core
+    is this iteration's fixed point; tests assert round r and r+1
+    agree on the fixtures, so the fixed count is the exact k-core
+    there, and a caller can raise `rounds` ad libitum (peeling is
+    monotone — rounds only remove).
+
+    Returns (node, deg): the surviving nodes with their degree inside
+    the surviving subgraph.  Loop discipline: the base edge relation
+    is persisted ONCE (the iterative-lint rule); the shrinking edge
+    set is localCheckpointed per round (it seeds the next join, the
+    BFS lineage rule).  At 100 TB each round is one count shuffle +
+    two semi-joins on the (shrinking) edge relation; skew follows
+    degree skew, absorbed map-side by the count aggregation.
+    """
+    from ..cache import persist_stage
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = persist_stage(
+        edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        )
+    )
+    for _ in range(rounds):
+        deg = cur.groupBy(F.col("__s").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "__s"), "__s", "leftsemi")
+            .join(keep.withColumnRenamed("node", "__d"), "__d", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy(F.col("__s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .where(F.col("deg") >= k)
+    )

@@ -164,3 +164,74 @@ def remove_boilerplate_lines(
             delim,
         ).alias("cleaned_text"),
     )
+
+
+def global_line_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """CORPUS-GLOBAL exact line dedup (the Lee et al. 2022 /
+    RefinedWeb paragraph-dedup step, at line granularity): every
+    repeated line keeps exactly its FIRST occurrence — minimum
+    (doc, position) over the whole corpus per normalized line key —
+    and every other copy is struck, complementing
+    remove_boilerplate_lines' frequency threshold (that removes ALL
+    copies of hot lines; this keeps one canonical copy of EVERY line).
+
+    Output: one row per document — (id_col, n_lines int,
+    kept_lines long, cleaned_md5 string) with cleaned_md5 the digest
+    of the surviving lines joined by `delim` in original order (''
+    hashes when nothing survives) — the dedup_span_removed_docs
+    reporting convention, which keeps the oracle hash over the FULL
+    rebuilt text without shipping it.
+
+    Scale shape: lines explode once; the first-occurrence choice is
+    ONE groupBy(line_key).min(struct(doc, pos)) — md5 keys shuffle,
+    never line text — then a broadcast-size join back and one
+    per-doc rebuild aggregation.  Deterministic: min over a total
+    (doc, pos) order.
+    """
+    lines = split_lines(df, text_col=text_col, id_col=id_col, delim=delim)
+    keyed = lines.select(
+        F.col(id_col),
+        "pos",
+        "line",
+        F.md5(F.lower(F.trim("line"))).alias("line_key"),
+    )
+    from ..cache import persist_stage
+
+    keyed = persist_stage(keyed)
+    first = keyed.groupBy("line_key").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first")
+    )
+    kept = keyed.join(first, "line_key").where(
+        (F.col(id_col) == F.col("__first")[id_col])
+        & (F.col("pos") == F.col("__first.pos"))
+    )
+    per_doc_total = keyed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                delim,
+            )
+        ).alias("cleaned_md5"),
+    )
+    empty_md5 = F.md5(F.lit(""))
+    return per_doc_total.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("kept_lines", F.lit(0).cast("long")).alias("kept_lines"),
+        F.coalesce("cleaned_md5", empty_md5).alias("cleaned_md5"),
+    )

@@ -2982,7 +2982,10 @@ ORACLES["tcloseness_class_distances"] = """
 # (functions/langid_weights.py), argmax with first-in-(de,en,es,fr,zh)
 # tie-break, 'und' for docs with no trigram.  Margins are exact
 # BIGINT both sides.
-def _langid_oracle_sql() -> str:
+def _langid_scorer_ctes() -> tuple[str, str]:
+    """(WITH-body CTE chain ending in `m` margins, argmax CASE arms) —
+    shared by the lang_id_pred oracle and every downstream consumer of
+    the scorer's predictions (langid_agreement_kappa)."""
     from ..functions.langid_weights import LANGID_LANGS, LANGID_WEIGHTS
 
     lists = {
@@ -2998,11 +3001,7 @@ def _langid_oracle_sql() -> str:
         f"WHEN s_{lang} = greatest({all_s}) THEN '{lang}'"
         for lang in LANGID_LANGS
     )
-    coalesced = ", ".join(
-        f"COALESCE(s_{lang}, 0) AS s_{lang}" for lang in LANGID_LANGS
-    )
-    return f"""
-        WITH g AS (
+    ctes = f"""g AS (
           SELECT doc_id,
                  unnest(list_transform(range(1, length(lower(text)) - 1),
                         i -> substring(lower(text), i, 3))) AS gram
@@ -3018,7 +3017,19 @@ def _langid_oracle_sql() -> str:
               FROM f GROUP BY 1, 2),
         m AS (SELECT doc_id,
             {margin_cols}
-          FROM c GROUP BY doc_id)
+          FROM c GROUP BY doc_id)"""
+    return ctes, case_arms
+
+
+def _langid_oracle_sql() -> str:
+    from ..functions.langid_weights import LANGID_LANGS
+
+    ctes, case_arms = _langid_scorer_ctes()
+    coalesced = ", ".join(
+        f"COALESCE(s_{lang}, 0) AS s_{lang}" for lang in LANGID_LANGS
+    )
+    return f"""
+        WITH {ctes}
         SELECT d.doc_id,
                CASE WHEN m.doc_id IS NULL THEN 'und'
                 {case_arms}
@@ -3658,3 +3669,326 @@ ORACLES["dedup_span_removed_docs"] = f"""
     GROUP BY t.doc_id, len(t.toks)
     ORDER BY t.doc_id
 """
+
+
+# ======================================================= r08 additions
+
+# BM25-shaped retrieval: the IDENTICAL expression tree Spark builds —
+# every intermediate one correctly-rounded IEEE op on exact integers
+# (k1=1.25, b=0.75, k1+1=2.25, 1-b=0.25 all binary-exact), per-term
+# weights summed left to right in query-term order.
+def _bm25_oracle_sql(terms: list[str], k: int) -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS INT) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in terms
+    )
+    w = {
+        t: (
+            f"(((CAST(tf_{t} AS DOUBLE) * 2.25)"
+            f" / (CAST(tf_{t} AS DOUBLE) + 1.25 * (0.25 + 0.75 *"
+            f" (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE)"
+            f" / CAST(n AS DOUBLE))))))"
+            f" * ((CAST(n AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{t} AS DOUBLE) + 0.5)))"
+        )
+        for t in terms
+    }
+    score = w[terms[0]]
+    for t in terms[1:]:
+        score = f"({score} + {w[t]})"
+    any_match = " OR ".join(f"tf_{t} > 0" for t in terms)
+    tf_list = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+               {tf_cols}
+             FROM t),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS BIGINT) AS sumdl,
+               {df_cols}
+           FROM base)
+    SELECT doc_id, {tf_list}, dl, {score} AS score
+    FROM base, st
+    WHERE {any_match}
+    ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+ORACLES["bm25_keyword_topk"] = _bm25_oracle_sql(["merge", "vector", "dup"], 20)
+
+# RRF fusion: both bounded rankings replayed (keyword conjunctive
+# top-100, knn-recipe cosine top-100), ranks as INT row_numbers over
+# total orders, reciprocal contributions as single c.r. divisions.
+ORACLES["rrf_fused_topk"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    kws AS (SELECT doc_id,
+              CAST(len(list_filter(toks, x -> x = 'merge')) AS INT) AS tfm,
+              CAST(len(list_filter(toks, x -> x = 'vector')) AS INT) AS tfv
+            FROM t),
+    kw AS (SELECT doc_id, tfm + tfv AS score FROM kws
+           WHERE tfm > 0 AND tfv > 0
+           ORDER BY score DESC, doc_id LIMIT 100),
+    la AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rank_a
+           FROM kw),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sc AS (SELECT vec_id AS doc_id,
+             list_sum(list_transform(generate_series(1, len(embedding)),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+             / NULLIF(
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0)
+               AS cos
+           FROM embeddings, q),
+    tb AS (SELECT doc_id, cos FROM sc ORDER BY cos DESC, doc_id LIMIT 100),
+    lb AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+               AS rank_b
+           FROM tb),
+    fused AS (SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+                rank_a, rank_b,
+                (CASE WHEN rank_a IS NOT NULL
+                      THEN 1.0 / (60.0 + CAST(rank_a AS DOUBLE))
+                      ELSE 0.0 END)
+                + (CASE WHEN rank_b IS NOT NULL
+                        THEN 1.0 / (60.0 + CAST(rank_b AS DOUBLE))
+                        ELSE 0.0 END) AS rrf_score
+              FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id)
+    SELECT doc_id, rank_a, rank_b, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+# Normalized dedup: the exact regexp chain (lowercase, digits->0,
+# strip non-[a-z0 ], explicit-class whitespace collapse) over the
+# seeded twin corpus.
+ORACLES["dedup_normalized_docs"] = """
+    WITH seeded AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) || ' !!!' FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' build 42' FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, text || ' build 77' FROM documents),
+    keyed AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                 lower(text),
+                 '[0-9]', '0', 'g'),
+                 '[^a-z0 \\t\\n\\f\\r\\x0B]', ' ', 'g'),
+                 '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'))) AS norm_key
+      FROM seeded)
+    SELECT norm_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc
+    FROM keyed GROUP BY 1 HAVING COUNT(*) >= 2
+    ORDER BY norm_key
+"""
+
+# Global line dedup: the boilerplate fixture's seeded lines, first
+# occurrence = row_number 1 over (doc, pos) per md5 line key, rebuilt
+# text digested per doc.
+ORACLES["global_line_dedup_docs"] = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    seeded AS (
+      SELECT doc_id,
+             ['HEADER nav menu home']
+             || list_transform(
+                  range(0, greatest(1, (len(t)+9)//10)),
+                  i -> array_to_string(
+                       t[CAST(i*10+1 AS INT) : CAST(i*10+10 AS INT)], ' '))
+             || ['FOOTER copyright all rights reserved']
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN ['PROMO subscribe to the newsletter']
+                      ELSE [] END) AS ls
+      FROM tk),
+    lines0 AS (SELECT doc_id, ls,
+                 CAST(unnest(range(1, len(ls)+1)) AS INT) AS pos
+               FROM seeded),
+    lines AS (SELECT doc_id, pos, ls[pos] AS line
+              FROM lines0 WHERE trim(ls[pos]) <> ''),
+    keyed AS (SELECT doc_id, pos, line,
+                md5(lower(trim(line))) AS line_key
+              FROM lines),
+    kept AS (SELECT doc_id, pos, line FROM (
+               SELECT k.*, row_number() OVER (
+                        PARTITION BY line_key ORDER BY doc_id, pos) AS rn
+               FROM keyed k) WHERE rn = 1),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines
+            FROM keyed GROUP BY 1),
+    reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_lines,
+              md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
+            FROM kept GROUP BY 1)
+    SELECT t.doc_id, t.n_lines,
+           COALESCE(reb.kept_lines, 0) AS kept_lines,
+           COALESCE(reb.cleaned_md5, md5('')) AS cleaned_md5
+    FROM tot t LEFT JOIN reb USING (doc_id)
+    ORDER BY t.doc_id
+"""
+
+
+# Cohen's kappa between lang labels and the scorer's predictions: the
+# whole scorer replayed via the shared CTE fragment, then exact
+# contingency arithmetic with three c.r. double steps.
+def _kappa_oracle_sql() -> str:
+    ctes, case_arms = _langid_scorer_ctes()
+    return f"""
+    WITH {ctes},
+    pred AS (SELECT d.doc_id, d.lang,
+               CASE WHEN m.doc_id IS NULL THEN 'und'
+                {case_arms}
+                END AS lang_pred
+             FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id),
+    cell AS (SELECT lang AS a, lang_pred AS b, COUNT(*) AS n_ab
+             FROM pred GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN a = b THEN n_ab ELSE 0 END) AS BIGINT)
+                AS agree
+            FROM cell),
+    ma AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS na FROM cell GROUP BY 1),
+    mb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS nb FROM cell GROUP BY 1),
+    pe AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS pe_num
+           FROM ma JOIN mb ON ma.a = mb.b)
+    SELECT n, agree,
+           CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+           CAST(pe_num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_e,
+           ((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))
+            - (CAST(pe_num AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+           / (1.0 - (CAST(pe_num AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS kappa
+    FROM tot, pe
+"""
+
+
+ORACLES["langid_agreement_kappa"] = _kappa_oracle_sql()
+
+
+# Sparse RP: the SAME source-frozen sign matrix (functions/vectors.py::
+# rp_signs — deterministic hashlib, no RNG), one list_sum fold per
+# output dim (list_sum ≡ Spark's sequential aggregate fold, proven by
+# the int8/knn oracles).
+def _rp_oracle_sql() -> str:
+    from ..functions.vectors import rp_signs
+
+    signs = rp_signs(64, 8)
+    cols = []
+    for j, row in enumerate(signs):
+        arr = "[" + ", ".join(f"{float(s):.1f}" for s in row) + "]"
+        cols.append(
+            f"list_sum(list_transform(generate_series(1, 64),\n"
+            f"    i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+            f" AS y{j:02d}"
+        )
+    col_sql = ",\n           ".join(cols)
+    return f"""
+    SELECT vec_id,
+           {col_sql}
+    FROM embeddings ORDER BY vec_id
+"""
+
+
+ORACLES["embedding_rp_projection"] = _rp_oracle_sql()
+
+# Split-conformal threshold: margins replayed (the linear_quality_
+# margin recipe), md5-half calibration split, k-th smallest via
+# row_number (the kth_smallest definition), exact coverage counts.
+ORACLES["margin_conformal_threshold"] = f"""
+    WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    h AS (SELECT doc_id,
+            CAST(CAST('0x' || substring(md5(term), 1, 8) AS BIGINT)
+                 % 64 AS BIGINT) AS bucket,
+            CASE WHEN CAST('0x' || substring(md5(term), 9, 1) AS BIGINT)
+                      % 2 = 0
+                 THEN CAST(tf AS BIGINT) ELSE -CAST(tf AS BIGINT)
+            END AS s
+          FROM tc),
+    f AS (SELECT doc_id, bucket, SUM(s) AS weight FROM h GROUP BY 1, 2),
+    m AS (SELECT doc_id,
+            CAST(SUM(weight * ((bucket * 2654435761) % 1001 - 500))
+                 AS BIGINT) AS margin,
+            CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 2 = 0 AS cal
+          FROM f GROUP BY doc_id),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM m WHERE cal),
+    kk AS (SELECT LEAST((9 * (n_cal + 1) + 9) // 10, n_cal) AS k, n_cal
+           FROM nc),
+    th AS (SELECT margin AS threshold FROM (
+             SELECT margin,
+                    row_number() OVER (ORDER BY margin) AS rn
+             FROM m WHERE cal) r JOIN kk ON r.rn = kk.k),
+    ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN margin >= threshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS covered
+           FROM m, th WHERE NOT cal)
+    SELECT kk.n_cal, kk.k, th.threshold, ev.n_eval, ev.covered,
+           CAST(ev.covered AS DOUBLE) / CAST(ev.n_eval AS DOUBLE)
+             AS coverage
+    FROM kk, th, ev
+"""
+
+# Key-skew profile: exact rank identity for the Gini over counts
+# sorted by (count, key); HUGEINT exact integer arithmetic cast to
+# double (≡ Spark's DECIMAL(38,0) route — both correctly-rounded
+# casts of the same integer).
+ORACLES["order_key_skew_profile"] = """
+    WITH c AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM orders GROUP BY 1),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS i FROM c),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(MAX(cnt) AS BIGINT) AS max_count,
+                 SUM(CAST(i AS HUGEINT) * CAST(cnt AS HUGEINT)) AS ix
+          FROM r),
+    t10 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10
+            FROM r, a WHERE i > n_keys - 10)
+    SELECT n_keys, n_rows, max_count,
+           CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+           CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share,
+           CAST(2 * ix - (CAST(n_keys AS HUGEINT) + 1)
+                         * CAST(n_rows AS HUGEINT) AS DOUBLE)
+             / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS gini
+    FROM a, t10
+"""
+
+
+# k-core peel: the communities oracle's edge derivation + 4 unrolled
+# delete-degree-<2 rounds.
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    peel = []
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        peel.append(
+            f"""d{r} AS (SELECT s, COUNT(*) AS deg FROM {prev} GROUP BY 1),
+    kp{r} AS (SELECT s AS node FROM d{r} WHERE deg >= {k}),
+    e{r} AS (SELECT e.s, e.d FROM {prev} e
+             JOIN kp{r} x ON e.s = x.node
+             JOIN kp{r} y ON e.d = y.node)"""
+        )
+    peel_sql = ",\n    ".join(peel)
+    return f"""
+    WITH {_TRADE_PAIRS},
+    upair AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     SUM(cnt) AS ucnt
+              FROM pair GROUP BY 1, 2),
+    utot AS (SELECT COUNT(*) AS np, SUM(ucnt) AS tc FROM upair),
+    ue AS (SELECT a, b FROM upair, utot WHERE ucnt * np > tc),
+    de AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue),
+    e0 AS (SELECT a AS s, b AS d FROM de),
+    {peel_sql}
+    SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e{rounds} GROUP BY 1 HAVING COUNT(*) >= {k}
+    ORDER BY node
+"""
+
+
+ORACLES["nation_trade_kcore"] = _kcore_oracle_sql(2, 4)

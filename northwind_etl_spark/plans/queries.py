@@ -3928,6 +3928,255 @@ def lttb_daily_value_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "day")
 
 
+
+# ===================================================== r08 additions
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped ranked retrieval (operators/retrieval.py::bm25_topk)
+    for the merge/vector/dup query: Okapi tf saturation + document
+    length normalization (k1=1.25, b=0.75 — binary-exact constants)
+    with the RAW Robertson odds ratio as idf (the ln is the one
+    non-correctly-rounded step; this repo's only cross-engine hash
+    failure ever was a libm ulp, so the hash-checked entry keeps the
+    score a pure chain of correctly-rounded IEEE ops — the corr/OLS
+    recipe).  Map-only per-doc TFs + ONE corpus-stats broadcast +
+    TakeOrderedAndProject; disjunctive match.  The oracle evaluates
+    the IDENTICAL expression tree."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, ["merge", "vector", "dup"], k=20)
+    return out.select(
+        "doc_id",
+        *[F.col(f"tf_{t}").cast("int").alias(f"tf_{t}")
+          for t in ("merge", "vector", "dup")],
+        F.col("dl").cast("int").alias("dl"),
+        "score",
+    )
+
+
+def rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (operators/retrieval.py::rrf_fuse):
+    reciprocal-rank fusion (Cormack et al. 2009) of a keyword ranking
+    (summed tf of merge/vector over documents, top-100) and a dense
+    ranking (cosine to the vec_id-0 anchor over embeddings, top-100 —
+    the knn float recipe), k0=60.  Ranks are exact integers from
+    total orders; each reciprocal is one correctly-rounded division —
+    hash-exact.  Both input lists are BOUNDED before the fuse joins
+    touch them (the 100 TB contract: fusion is a k-row problem
+    wherever it runs)."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_expr
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.search import keyword_search_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = keyword_search_scan(docs, ["merge", "vector"], k=100)
+    # windows over ALREADY-BOUNDED k-row lists — no global-sort hazard
+    wa = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    list_a = kw.select("doc_id", "score").withColumn(
+        "rank", F.row_number().over(wa)
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    anchor = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    scored = emb.join(F.broadcast(anchor)).select(
+        F.col("vec_id").alias("doc_id"),
+        cosine_expr("embedding", "__q").alias("cos"),
+    )
+    top_b = scored.orderBy(F.desc("cos"), F.col("doc_id")).limit(100)
+    wb = Window.orderBy(F.desc("cos"), F.col("doc_id"))
+    list_b = top_b.withColumn("rank", F.row_number().over(wb))
+    fused = rrf_fuse(list_a, list_b, id_col="doc_id")
+    return fused.orderBy(F.desc("rrf_score"), F.col("doc_id")).limit(20)
+
+
+def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup (functions/texttools.py::
+    normalize_text_expr — the RefinedWeb/CCNet key recipe: lowercase,
+    digits→0, punctuation out, explicit-class whitespace collapse)
+    over a corpus seeded with three deterministic twin families per
+    doc: a case+punctuation twin (upper + '!!!'), and a digit-noise
+    pair differing only in numbers — each collapses under the
+    normalized key where raw exact dedup sees distinct texts.
+    Output: every cluster of size ≥ 2 as (norm_key, n_docs, min_doc).
+    One md5-keyed hash aggregation; the oracle replays the regexp
+    chain verbatim."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    case_twin = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+    )
+    digit_a = docs.select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" build 42")).alias("text"),
+    )
+    digit_b = docs.select(
+        (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" build 77")).alias("text"),
+    )
+    seeded = docs.unionByName(case_twin).unionByName(digit_a).unionByName(
+        digit_b
+    )
+    from ..functions.texttools import normalize_text_expr
+
+    keyed = seeded.select(
+        F.md5(normalize_text_expr(F.col("text"))).alias("norm_key"),
+        "doc_id",
+    )
+    return (
+        keyed.groupBy("norm_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("norm_key")
+    )
+
+
+def global_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-GLOBAL line dedup (operators/lines.py::global_line_dedup
+    — the Lee et al./RefinedWeb keep-first-occurrence rule, the
+    complement of boilerplate REMOVAL) over the shared line-seeded
+    fixture: HEADER/FOOTER/PROMO lines repeat across docs, so exactly
+    one doc (the smallest (doc, pos)) keeps each.  Per doc:
+    (n_lines, kept_lines, cleaned_md5 of the rebuilt text).  md5 keys
+    shuffle, never line text; first-occurrence is ONE min(struct)
+    aggregation."""
+    from ..operators.lines import global_line_dedup
+
+    seeded = _line_seeded_docs(_t(spark, sf_dir, "documents"))
+    return global_line_dedup(seeded).orderBy("doc_id")
+
+
+def langid_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/features.py::cohen_kappa) between the
+    corpus's lang labels and the trained scorer's predictions
+    (lang_id_scored) — the inter-annotator / model-vs-gold agreement
+    statistic a labeling pipeline monitors.  The fixture's labels are
+    random, so the TRUE kappa is ~0: chance-corrected agreement is
+    exactly the statistic that exposes a label set with no signal,
+    which is the point of publishing it.  Contingency is exact
+    integers; p_o, p_e, kappa are three correctly-rounded IEEE steps
+    the oracle replays bit-for-bit (it re-runs the whole scorer)."""
+    from ..operators.features import cohen_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = X.lang_id_scored(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return cohen_kappa(joined, "lang", "lang_pred")
+
+
+def embedding_rp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection (functions/vectors.py::sparse_rp_exprs,
+    Achlioptas 2003): 64-dim embeddings down to 8 dims through the
+    source-frozen {+1,0,-1} sign matrix (md5-derived, 2/3 zeros — the
+    database-friendly JL transform).  Every coordinate is a
+    sequential correctly-rounded fold over exact sign literals (the
+    int8-quant/knn discipline), so all 8 projected doubles hash-match
+    the oracle.  Map-only, zero shuffle but the output orderBy."""
+    from ..functions.vectors import rp_signs, sparse_rp_exprs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    signs = rp_signs(64, 8)
+    return emb.select(
+        "vec_id", *sparse_rp_exprs(F.col("embedding"), signs)
+    ).orderBy("vec_id")
+
+
+def margin_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration (Vovk; Angelopoulos-Bates survey
+    shape) on the quality-classifier margins: hold out a deterministic
+    md5-half of documents as the calibration set, take the
+    k = ceil((n_cal+1)·(1−α))-th SMALLEST calibration margin (α=0.1)
+    as the keep-threshold via the sortless exact-selection operator
+    (operators/selection.py::kth_smallest — 1024-bin histogram binary
+    search, no global sort), then report exact coverage counts on the
+    other half.  Integers + two correctly-rounded divisions; the
+    oracle replays margin recompute, ORDER BY/OFFSET selection, and
+    the counts."""
+    from ..operators.sampling import split_bucket_expr
+    from ..operators.selection import kth_smallest
+    from ..operators.text import hashed_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_features(docs, n_buckets=64)
+    w = (F.col("bucket").cast("long") * F.lit(2654435761)) % 1001 - 500
+    margins = (
+        feats.select("doc_id", (F.col("weight") * w).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.sum("__c").cast("long").alias("margin"))
+        .withColumn(
+            "__cal", split_bucket_expr(F.col("doc_id"), buckets=2) == 0
+        )
+    )
+    from ..cache import persist_stage
+
+    margins = persist_stage(margins)
+    cal = margins.where(F.col("__cal"))
+    n_cal = cal.count()
+    k = (9 * (n_cal + 1) + 9) // 10  # ceil(0.9 * (n_cal + 1))
+    k = min(k, n_cal)
+    thr_v, _, _ = kth_smallest(cal, "margin", k)
+    thr = int(thr_v)
+    ev = margins.where(~F.col("__cal")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum((F.col("margin") >= thr).cast("long")).alias("covered"),
+    )
+    return ev.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(thr).cast("long").alias("threshold"),
+        "n_eval",
+        "covered",
+        (F.col("covered").cast("double") / F.col("n_eval").cast("double"))
+        .alias("coverage"),
+    )
+
+
+def order_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostics (operators/skew.py::key_skew_profile)
+    for the orders→customer key: exact per-key counts, hottest-key
+    share, top-10 coverage, and the Gini coefficient of the key
+    distribution — the measurement this repo's own scale rules
+    (salting, AQE skew joins) presume someone ran first.  Gini from
+    the exact rank identity over the distributed global ranking
+    (operators/ranking.py — no single-task sort); one correctly-
+    rounded division per reported ratio."""
+    from ..operators.skew import key_skew_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return key_skew_profile(orders, "o_custkey")
+
+
+def nation_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators/graph.py::k_core, Seidman 1983) over
+    the undirected above-mean trade graph — the fifth iterative-graph
+    algorithm with exact cross-engine evidence: 4 fixed synchronous
+    delete-degree-<k rounds (k=2), which the oracle unrolls as
+    identical CTEs.  Fixed point on this fixture is pinned in
+    tests/test_graph.py (round 4 == round 5).  Base edges persisted
+    once (the iterative-lint rule), shrinking edge set
+    localCheckpointed per round (the BFS lineage rule)."""
+    from ..operators.graph import k_core
+
+    pairs = _nation_trade_pairs(spark, sf_dir)
+    upairs = (
+        pairs.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "cnt",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("ucnt"))
+    )
+    ue = _above_mean(upairs, "ucnt").select("a", "b")
+    both = ue.union(ue.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return k_core(both, "a", "b", k=2, rounds=4).orderBy("node")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -4164,4 +4413,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
     "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
     "q21_late_supplier": T.q21_late_supplier,
+    # --- r08 additions (appended at the bottom per the rotation
+    #     policy; they carry committed sf0.001+sf0.01 vanilla-session
+    #     checks and pytest coverage until their driver window) ------
+    "bm25_keyword_topk": bm25_keyword_topk,
+    "rrf_fused_topk": rrf_fused_topk,
+    "dedup_normalized_docs": dedup_normalized_docs,
+    "global_line_dedup_docs": global_line_dedup_docs,
+    "langid_agreement_kappa": langid_agreement_kappa,
+    "embedding_rp_projection": embedding_rp_projection,
+    "margin_conformal_threshold": margin_conformal_threshold,
+    "order_key_skew_profile": order_key_skew_profile,
+    "nation_trade_kcore": nation_trade_kcore,
 }

@@ -161,3 +161,52 @@ def test_contingency_null_rows_excluded(spark):
     df = spark.createDataFrame(rows, "x string, y string")
     r = contingency_stats(df, "x", "y").first()
     assert r["n"] == 2  # only fully-observed pairs enter the table
+
+
+def test_cohen_kappa_perfect_and_independent(spark):
+    from northwind_etl_spark.operators.features import cohen_kappa
+
+    same = spark.createDataFrame(
+        [("x", "x")] * 6 + [("y", "y")] * 4, "a STRING, b STRING"
+    )
+    r = cohen_kappa(same, "a", "b").collect()[0]
+    assert r.n == 10 and r.agree == 10 and r.kappa == 1.0
+    # marginal-independent raters: agreement == chance, kappa == 0
+    indep = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")],
+        "a STRING, b STRING",
+    )
+    r = cohen_kappa(indep, "a", "b").collect()[0]
+    assert abs(r.kappa) < 1e-15 and r.p_o == r.p_e
+
+
+def test_cohen_kappa_hand_computed_2x2(spark):
+    """Classic 2x2: agree 45+15=60 of 100, p_e = .5*.6 + .5*.4 = .46 →
+    kappa = (0.6-0.46)/0.54."""
+    from northwind_etl_spark.operators.features import cohen_kappa
+
+    rows = (
+        [("yes", "yes")] * 45
+        + [("yes", "no")] * 5
+        + [("no", "yes")] * 25
+        + [("no", "no")] * 15
+        + [("yes", "no")] * 0
+        + [("no", "no")] * 10
+    )
+    df = spark.createDataFrame(rows, "a STRING, b STRING")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r.n == 100
+    po = r.agree / 100
+    assert abs(r.p_o - po) < 1e-15
+    assert abs(r.kappa - (r.p_o - r.p_e) / (1 - r.p_e)) < 1e-15
+
+
+def test_cohen_kappa_nulls_excluded(spark):
+    from northwind_etl_spark.operators.features import cohen_kappa
+
+    df = spark.createDataFrame(
+        [("x", "x"), (None, "x"), ("x", None), ("y", "y")],
+        "a STRING, b STRING",
+    )
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r.n == 2 and r.agree == 2

@@ -236,3 +236,46 @@ def test_label_propagation_isolated_and_determinism(spark):
     d = dict(a)
     assert d["x"] == d["y"] == d["z"] == "z"  # triangle collapses to max
     assert d["w"] == "w"
+
+
+def test_k_core_triangle_survives_pendant_chain_peels(spark):
+    """Triangle (a,b,c) + pendant chain c-d-e: the 2-core is exactly
+    the triangle; one round kills e, the next kills d."""
+    from northwind_etl_spark.operators.graph import k_core
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src STRING, dst STRING"
+    )
+    got = {r.node: r.deg for r in k_core(edges, k=2, rounds=4).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_fixed_point_and_k1(spark):
+    from northwind_etl_spark.operators.graph import k_core
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src STRING, dst STRING"
+    )
+    r4 = sorted(map(tuple, k_core(edges, k=2, rounds=4).collect()))
+    r5 = sorted(map(tuple, k_core(edges, k=2, rounds=5).collect()))
+    assert r4 == r5  # fixed point reached
+    # k=1 keeps every non-isolated node
+    r1 = {r.node for r in k_core(edges, k=1, rounds=2).collect()}
+    assert r1 == {"a", "b", "c", "d", "e"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_core(edges, k=0)
+
+
+def test_k_core_empty_after_peel(spark):
+    """A bare chain has no 2-core — peeling must empty it, not loop."""
+    from northwind_etl_spark.operators.graph import k_core
+
+    und = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src STRING, dst STRING"
+    )
+    assert k_core(edges, k=2, rounds=4).count() == 0

@@ -137,3 +137,46 @@ def test_removal_is_broadcast_join_single_agg(spark):
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_global_line_dedup_keeps_first_occurrence_only(spark):
+    from northwind_etl_spark.operators.lines import global_line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared header\nunique one\nshared footer"),
+            (2, "shared header\nunique two\nshared footer"),
+            (3, "shared header\nshared footer"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in global_line_dedup(df).collect()}
+    # doc 1 is first everywhere: keeps all 3 lines
+    assert out[1].n_lines == 3 and out[1].kept_lines == 3
+    # doc 2 keeps only its unique line
+    assert out[2].n_lines == 3 and out[2].kept_lines == 1
+    # doc 3 is all duplicates: empty rebuild hashes md5('')
+    import hashlib
+
+    assert out[3].kept_lines == 0
+    assert out[3].cleaned_md5 == hashlib.md5(b"").hexdigest()
+    # doc 2's rebuilt text is exactly its unique line
+    assert out[2].cleaned_md5 == hashlib.md5(b"unique two").hexdigest()
+
+
+def test_global_line_dedup_case_insensitive_key_order_preserved(spark):
+    import hashlib
+
+    from northwind_etl_spark.operators.lines import global_line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Alpha\nbeta"), (2, "ALPHA\ngamma\nBETA")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in global_line_dedup(df).collect()}
+    # doc 2's ALPHA/BETA normalize to doc 1's keys -> struck; gamma
+    # survives in original position
+    assert out[2].kept_lines == 1
+    assert out[2].cleaned_md5 == hashlib.md5(b"gamma").hexdigest()
+    assert out[1].kept_lines == 2
+    assert out[1].cleaned_md5 == hashlib.md5(b"Alpha\nbeta").hexdigest()

@@ -59,3 +59,29 @@ def test_nfc_idempotent(spark, docs):
 def test_map_only_plan(docs):
     plan = nfc_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_normalize_text_expr_collapses_twin_families(spark):
+    """The dedup key recipe: case, punctuation, digits and whitespace
+    runs all normalize away; distinct words stay distinct."""
+    from pyspark.sql import functions as F
+
+    from northwind_etl_spark.functions.texttools import normalize_text_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "HELLO\tWORLD!!!"),
+            (4, "hello there"),
+            (5, "build 42 done"),
+            (6, "build 77 done"),
+            (7, "build nothing done"),
+        ],
+        "id LONG, text STRING",
+    )
+    out = {r.id: r.k for r in df.select("id", normalize_text_expr(F.col("text")).alias("k")).collect()}
+    assert out[1] == out[2] == out[3] == "hello world"
+    assert out[4] != out[1]
+    assert out[5] == out[6] == "build 00 done"
+    assert out[7] != out[5]
