@@ -46,6 +46,11 @@ BNLJ_WHITELIST = {
     "mixture_sampled_docs",          # 1-row mixture-unit scalar
     "mixture_budget_docs",           # 1-row budget-unit scalar
     "funnel_wilson_bounds",          # 1-row step-count scalars
+    # r08 additions — all 1-row / bounded broadcasts, reviewed:
+    "bm25_keyword_topk",             # 1-row corpus-stats (N, Σdl, dfs)
+    "rrf_fused_topk",                # 1-row anchor vector (knn pattern)
+    "langid_agreement_kappa",        # 1-row totals ⨯ 1-row pe_num
+    "order_key_skew_profile",        # 1-row aggregate ⨯ 1-row top10
 }
 
 
