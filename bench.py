@@ -247,6 +247,12 @@ HEADLINE = [
     "margin_conformal_threshold",
     "order_key_skew_profile",
     "nation_trade_kcore",
+    # r08 batch 2: weighted selection, seasonal profile, half-sample
+    # CI, golden-record survivorship
+    "quantity_weighted_median_price",
+    "weekday_revenue_seasonality",
+    "revenue_half_sample_ci",
+    "golden_customer_records",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

@@ -383,3 +383,113 @@ def group_median_mad(
     return sorted(
         (gk, med_by_g[gk], v, n_by_g[gk]) for gk, v, _, n in mad
     )
+
+
+def weighted_kth_smallest(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    k: int | None = None,
+    *,
+    max_passes: int = 12,
+) -> tuple[float, int, int]:
+    """Exact WEIGHTED order statistic: the smallest value v with
+    Σ_{x ≤ v} w(x) ≥ k, for NON-NEGATIVE INTEGER weights (exactness
+    contract: cumulative weights are exact longs — fractional weights
+    would reintroduce summation-order float drift).  Default k is the
+    weighted lower median, k = (W + 1) DIV 2.  Returns (value, k, W).
+
+    Same histogram binary search as kth_smallest — ONE weighted
+    histogram aggregation per pass, driver holds 1024 longs, the
+    narrowing range filter pushes into parquet row-group stats — with
+    F.sum(weight) in place of F.count.  Zero-weight rows carry no
+    mass and are dropped up front; negative weights raise (they make
+    'cumulative weight' non-monotone and the order statistic
+    ill-defined); NULL values or weights are excluded.
+    """
+    v, w = F.col("v"), F.col("w")
+    base = (
+        df.select(
+            F.col(col).alias("v"), F.col(weight_col).cast("long").alias("w")
+        )
+        .where(v.isNotNull() & w.isNotNull() & (w != 0))
+    )
+    first = base.agg(
+        F.sum(w).alias("tw"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+        F.sum(F.when(w < 0, 1).otherwise(0)).alias("neg"),
+        F.sum(
+            F.when(
+                F.isnan(v) | (v == float("inf")) | (v == float("-inf")), 1
+            ).otherwise(0)
+        ).alias("bad"),
+    ).first()
+    if first.tw is None:
+        raise ValueError("weighted_kth_smallest on an empty/zero-weight relation")
+    if first.neg:
+        raise ValueError(
+            f"weighted_kth_smallest: {first.neg} negative weight(s) in"
+            f" {weight_col!r} — cumulative weight must be monotone"
+        )
+    if first.bad:
+        raise ValueError(
+            f"weighted_kth_smallest: {first.bad} non-finite value(s) in"
+            f" {col!r}; filter NaN/inf first"
+        )
+    total_w = int(first.tw)
+    if k is None:
+        k = (total_w + 1) // 2
+    if not 1 <= k <= total_w:
+        raise ValueError(f"k={k} outside 1..{total_w}")
+
+    lo, hi = float(first.lo), float(first.hi)
+    remaining_k = k
+    cur = base
+    for _ in range(max_passes):
+        if lo == hi:
+            return lo, k, total_w
+        width = (hi - lo) / _BINS
+        if width == 0 or not math.isfinite(width):
+            break
+        b = F.least(
+            F.lit(_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        stats = {
+            r.b: (int(r["wsum"]), float(r.lo), float(r.hi))
+            for r in cur.groupBy(b.alias("b"))
+            .agg(
+                F.sum(w).alias("wsum"),
+                F.min(v).alias("lo"),
+                F.max(v).alias("hi"),
+            )
+            .collect()
+        }
+        cum = 0
+        chosen = _BINS - 1
+        for i in range(_BINS):
+            c = stats.get(i, (0,))[0]
+            if cum + c >= remaining_k:
+                chosen = i
+                remaining_k -= cum
+                break
+            cum += c
+        cur = cur.where(b == F.lit(chosen))
+        new_lo, new_hi = stats[chosen][1], stats[chosen][2]
+        if (new_lo, new_hi) == (lo, hi):
+            break
+        lo, hi = new_lo, new_hi
+    vals = sorted(
+        cur.groupBy("v").agg(F.sum(w).alias("wsum")).collect(),
+        key=lambda r: r.v,
+    )
+    cum = 0
+    for r in vals:
+        cum += int(r["wsum"])
+        if cum >= remaining_k:
+            return float(r.v), k, total_w
+    raise AssertionError("weighted selection invariant violated")  # pragma: no cover

@@ -3992,3 +3992,128 @@ def _kcore_oracle_sql(k: int, rounds: int) -> str:
 
 
 ORACLES["nation_trade_kcore"] = _kcore_oracle_sql(2, 4)
+
+# Weighted median: the unambiguous cumulative-weight definition — the
+# running SUM(weight) window's RANGE frame includes ties, matching
+# "smallest v with total weight of values <= v reaching k".
+ORACLES["quantity_weighted_median_price"] = """
+    WITH w AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND CAST(l_quantity AS BIGINT) != 0),
+    tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w),
+    kk AS (SELECT (tw + 1) // 2 AS k, tw FROM tot),
+    c AS (SELECT v, SUM(wt) OVER (ORDER BY v) AS cum FROM w)
+    SELECT v AS wmedian_price, kk.k, kk.tw AS total_weight
+    FROM c, kk WHERE cum >= kk.k
+    ORDER BY v LIMIT 1
+"""
+
+# Weekday seasonality: exact decimal revenue + squared sums, then the
+# corr/OLS finalizer (one double cast per exact sum, c.r. steps,
+# greatest(var, 0) guard) and a 7-row window total for the share.
+ORACLES["weekday_revenue_seasonality"] = """
+    WITH per AS (
+      SELECT dayofweek(o_orderdate) AS weekday,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+      FROM orders GROUP BY 1),
+    t AS (SELECT *, SUM(revenue) OVER () AS total FROM per)
+    SELECT weekday, n_orders,
+           CAST(revenue AS DECIMAL(38,6)) AS revenue,
+           CAST(revenue AS DOUBLE) / CAST(n_orders AS DOUBLE) AS mean_price,
+           sqrt(greatest(
+             CAST(s2 AS DOUBLE) / CAST(n_orders AS DOUBLE)
+             - (CAST(revenue AS DOUBLE) / CAST(n_orders AS DOUBLE))
+               * (CAST(revenue AS DOUBLE) / CAST(n_orders AS DOUBLE)),
+             0.0)) AS std_price,
+           CAST(revenue AS DOUBLE) / CAST(total AS DOUBLE) AS revenue_share
+    FROM t ORDER BY weekday
+"""
+
+# Half-sample CI: md5-parity membership per (orderkey, replica),
+# exact decimal replica sums, one c.r. division per mean, row_number
+# percentile picks over the 64-row frame.
+ORACLES["revenue_half_sample_ci"] = """
+    WITH b AS (SELECT unnest(generate_series(0, 63)) AS b),
+    kept AS (
+      SELECT b.b, o_totalprice
+      FROM orders, b
+      WHERE CAST('0x' || substring(md5(
+              CAST(o_orderkey AS VARCHAR) || '|' || CAST(b.b AS VARCHAR)
+            ), 1, 8) AS BIGINT) % 2 = 0),
+    means AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_b
+      FROM kept GROUP BY b),
+    r AS (SELECT mean_b,
+            row_number() OVER (ORDER BY mean_b, b) AS rn FROM means),
+    picks AS (SELECT MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+                     MAX(CASE WHEN rn = 63 THEN mean_b END) AS ci_hi
+              FROM r),
+    f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS mean_full
+          FROM orders)
+    SELECT CAST(64 AS INT) AS replicas, n, mean_full, ci_lo, ci_hi
+    FROM f, picks
+"""
+
+# Golden records: the fuzzy blocking + levenshtein pairs (the
+# fuzzy_name_match_pairs oracle) closed by a recursive CTE (the
+# entity_resolution pattern), singleton spine via COALESCE, then
+# arg_max survivorship with the SAME null-gating CASE as max_by.
+ORACLES["golden_customer_records"] = """
+    WITH RECURSIVE
+    base AS (
+      SELECT c_custkey AS id, lower(trim(c_name)) AS name FROM customer),
+    g AS (
+      SELECT id, unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(length(name) - 2, 1)),
+                 i -> substr(name, i, 3)))) AS gram
+      FROM base),
+    live AS (SELECT gram FROM g GROUP BY gram
+             HAVING COUNT(*) BETWEEN 2 AND 100),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM g a JOIN live USING (gram) JOIN g b USING (gram)
+      WHERE a.id < b.id),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN base na ON na.id = id_a
+      JOIN base nb ON nb.id = id_b
+      WHERE levenshtein(na.name, nb.name) <= 1),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+    cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    seeded AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 != 0 THEN c_acctbal END AS c_acctbal,
+             c_mktsegment,
+             COALESCE(cc.cluster, c_custkey) AS cluster
+      FROM customer LEFT JOIN cc ON cc.id = c_custkey)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(c_custkey) AS golden_key,
+           arg_max(c_name,
+                   CASE WHEN c_name IS NOT NULL THEN c_custkey END)
+             AS golden_c_name,
+           arg_max(c_acctbal,
+                   CASE WHEN c_acctbal IS NOT NULL THEN c_custkey END)
+             AS golden_c_acctbal,
+           arg_max(c_mktsegment,
+                   CASE WHEN c_mktsegment IS NOT NULL THEN c_custkey END)
+             AS golden_c_mktsegment
+    FROM seeded
+    GROUP BY cluster
+    ORDER BY cluster
+"""

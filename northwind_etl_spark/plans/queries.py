@@ -4177,6 +4177,134 @@ def nation_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(both, "a", "b", k=2, rounds=4).orderBy("node")
 
 
+
+def quantity_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (operators/selection.py::
+    weighted_kth_smallest): the lineitem price below which half the
+    SHIPPED QUANTITY sits — the inventory-weighted robust center a
+    pricing dashboard wants, where the row-median answers a different
+    question.  Same sortless histogram binary search as the exact
+    median (driver holds 1024 longs per pass; range filters push into
+    row-group stats), with weight sums in place of row counts.  The
+    oracle is the unambiguous definition: cumulative weight window,
+    first value whose running weight reaches (W+1) DIV 2."""
+    from ..operators.selection import weighted_kth_smallest
+
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    v, k, tw = weighted_kth_smallest(df, "price", "qty")
+    return spark.createDataFrame(
+        [(float(v), int(k), int(tw))],
+        "wmedian_price double, k long, total_weight long",
+    )
+
+
+def weekday_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal profile of order revenue — the seasonal-means
+    half of an STL-style decomposition (the deterministic part; the
+    trend/residual splits ride the existing EWMA/z-score entries):
+    per weekday (0=Sunday), order count, exact decimal revenue, and
+    mean/std/share via the exact-moment float recipe — decimal sums
+    cast to double ONCE, then only correctly-rounded ops (the
+    corr/OLS discipline), std guarded by greatest(var, 0) against the
+    one-ulp negative-variance artifact BOTH engines would hit
+    identically but sqrt() handles differently.  The week share uses
+    a 7-row bounded window, not a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    dec = "decimal(18,2)"
+    per = o.groupBy(
+        (F.dayofweek("o_orderdate") - F.lit(1)).alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue"),
+        F.sum(
+            F.col("o_totalprice").cast(dec) * F.col("o_totalprice").cast(dec)
+        ).alias("__s2"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("revenue").over(w)
+    n_d = F.col("n_orders").cast("double")
+    mean = F.col("revenue").cast("double") / n_d
+    var = F.col("__s2").cast("double") / n_d - mean * mean
+    return per.select(
+        "weekday",
+        "n_orders",
+        "revenue",
+        mean.alias("mean_price"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_price"),
+        (F.col("revenue").cast("double") / total.cast("double")).alias(
+            "revenue_share"
+        ),
+    ).orderBy("weekday")
+
+
+def revenue_half_sample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free confidence interval for mean order revenue by
+    deterministic half-sample replication (operators/resample.py —
+    McCarthy 1969's random groups, md5-keyed): 64 md5-parity
+    half-samples whose replicate-mean variance EQUALS the full mean's
+    sampling variance (σ²/m·(1−m/N) = σ²/N at m=N/2, the
+    finite-population identity), so the 2.5/97.5 percentile picks of
+    the 64 means are the CI with no rescaling.  Exact decimal sums,
+    one correctly-rounded division per mean, row_number picks over
+    the bounded 64-row frame — hash-exact end to end."""
+    from ..operators.resample import half_sample_ci
+
+    o = _t(spark, sf_dir, "orders")
+    return half_sample_ci(o, "o_totalprice", "o_orderkey", replicas=64)
+
+
+def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/survivorship.py) on top of
+    the full entity-resolution chain: fuzzy_match_pairs (edit distance
+    ≤ 1, q-gram blocked) over customer names → pointer-jumping
+    connected components (operators/dedup.py::duplicate_clusters) →
+    per-cluster FRESHEST-NON-NULL-WINS merge (precedence = custkey;
+    acctbal deterministically NULLed for custkey % 7 = 0 so the
+    null-skipping rule is exercised, not vacuous).  One survivorship
+    hash aggregation; singletons pass through as their own cluster.
+    The oracle replays blocking, distance, a recursive-CTE closure
+    (the entity_resolution evidence pattern), and arg_max with the
+    same null-gating CASE."""
+    from ..operators.dedup import duplicate_clusters
+    from ..operators.fuzzy import fuzzy_match_pairs
+    from ..operators.survivorship import golden_records
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = fuzzy_match_pairs(cust, "c_name", "c_custkey", max_distance=1)
+    # max_iters=20: the synthesized customer-name graph chains ~1.5k
+    # linked names into few components whose min-label propagation
+    # needs 11-16 passes at sf0.01 (the default 10 under-merged by 2
+    # clusters — caught by the oracle count check); 20 leaves margin
+    # and the non-convergence warning stays armed
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"), max_iters=20)
+    seeded = cust.select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 != 0, F.col("c_acctbal")).alias(
+            "c_acctbal"
+        ),
+        "c_mktsegment",
+    )
+    spine = seeded.join(
+        clusters.withColumnRenamed("id", "c_custkey"), "c_custkey", "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+        F.coalesce("cluster", F.col("c_custkey")).alias("cluster"),
+    )
+    return golden_records(
+        spine, "cluster", "c_custkey", ["c_name", "c_acctbal", "c_mktsegment"]
+    ).orderBy("cluster")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -4425,4 +4553,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "margin_conformal_threshold": margin_conformal_threshold,
     "order_key_skew_profile": order_key_skew_profile,
     "nation_trade_kcore": nation_trade_kcore,
+    "quantity_weighted_median_price": quantity_weighted_median_price,
+    "weekday_revenue_seasonality": weekday_revenue_seasonality,
+    "revenue_half_sample_ci": revenue_half_sample_ci,
+    "golden_customer_records": golden_customer_records,
 }

@@ -51,6 +51,7 @@ BNLJ_WHITELIST = {
     "rrf_fused_topk",                # 1-row anchor vector (knn pattern)
     "langid_agreement_kappa",        # 1-row totals ⨯ 1-row pe_num
     "order_key_skew_profile",        # 1-row aggregate ⨯ 1-row top10
+    "revenue_half_sample_ci",        # 1-row full-mean ⨯ 1-row CI picks
 }
 
 
