@@ -115,7 +115,69 @@ def main() -> None:
         _hh_section(spark, sf_dir, factor)
     if _want("pagerank", "triangles"):
         _graph_section(spark, sf_dir, factor)
+    if _want("r08"):
+        _r08_section(spark, sf_dir, factor)
     spark.stop()
+
+
+def _r08_section(spark, sf_dir, factor):
+    """Round-8 operators: retrieval scan, weighted selection, skew
+    profile, global line dedup, half-sample CI.  Replicas carry
+    disjoint tokens (retrieval TFs scale with corpus size, df with N);
+    orders/lineitem replicate with shifted keys."""
+    from northwind_etl_spark.operators.lines import global_line_dedup
+    from northwind_etl_spark.operators.resample import half_sample_ci
+    from northwind_etl_spark.operators.retrieval import bm25_topk
+    from northwind_etl_spark.operators.selection import weighted_kth_smallest
+    from northwind_etl_spark.operators.skew import key_skew_profile
+    from northwind_etl_spark.plans.queries import _line_seeded_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dbase, obase = docs.count(), orders.count()
+    for times in (1, factor):
+        # keep the query terms alive in every replica: suffixing makes
+        # replica tokens disjoint, so probe on the UNsuffixed corpus
+        # unioned times-fold with shifted ids (TF/df scale linearly)
+        corp = replicate(docs, times, "doc_id", dbase * 10)
+        timed(
+            f"r08_bm25_topk x{times}",
+            lambda c=corp: bm25_topk(c, ["merge", "vector", "dup"], k=20)
+            .count(),
+        )
+        lw = replicate(li, times, "l_orderkey", 6_000_000)
+        timed(
+            f"r08_weighted_median x{times}",
+            lambda l=lw: weighted_kth_smallest(
+                l.select(
+                    F.col("l_extendedprice").cast("double").alias("v"),
+                    F.col("l_quantity").cast("long").alias("w"),
+                ),
+                "v",
+                "w",
+            )[0],
+        )
+        ow = replicate(orders, times, "o_orderkey", 6_000_000)
+        timed(
+            f"r08_skew_profile x{times}",
+            lambda o=ow: key_skew_profile(o, "o_custkey").count(),
+        )
+        seeded = _line_seeded_docs(
+            replicate(docs, times, "doc_id", dbase * 10, _doc_variant)
+        )
+        timed(
+            f"r08_global_line_dedup x{times}",
+            lambda sd=seeded: global_line_dedup(sd)
+            .agg(F.sum("kept_lines"))
+            .count(),
+        )
+        timed(
+            f"r08_half_sample_ci x{times}",
+            lambda o=ow: half_sample_ci(
+                o, "o_totalprice", "o_orderkey", replicas=64
+            ).count(),
+        )
 
 
 def _hh_section(spark, sf_dir, factor):
