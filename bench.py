@@ -253,6 +253,11 @@ HEADLINE = [
     "weekday_revenue_seasonality",
     "revenue_half_sample_ci",
     "golden_customer_records",
+    # r08 batch 3 (orders_fd_audit, orders_customer_join_estimate,
+    # hourly_value_ohlc) landed AFTER the committed r08 bench run and
+    # is deliberately NOT headline yet — promote in r09 with a fresh
+    # full run (the r06->r07 promotion pattern); they carry committed
+    # sf0.001+sf0.01 oracle checks + pytest meanwhile.
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

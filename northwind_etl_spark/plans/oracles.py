@@ -4117,3 +4117,101 @@ ORACLES["golden_customer_records"] = """
     GROUP BY cluster
     ORDER BY cluster
 """
+
+# FD audit: the same null-sentinel keys (chr(31) separator, chr(0)
+# null stand-in — the dp key recipe) so both engines count the same
+# distinct sets; violations = n_pairs - n_lhs.
+ORACLES["orders_fd_audit"] = """
+    WITH o AS (SELECT *, year(o_orderdate) AS o_orderyear FROM orders),
+    c1 AS (SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+             CAST(COUNT(DISTINCT concat_ws(chr(31),
+               COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)))) AS BIGINT)
+               AS n_lhs,
+             CAST(COUNT(DISTINCT concat_ws(chr(31),
+               COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
+               COALESCE(CAST(o_custkey AS VARCHAR), chr(0)))) AS BIGINT)
+               AS n_pairs
+           FROM o),
+    c2 AS (SELECT 'o_orderdate', 'o_orderyear',
+             CAST(COUNT(DISTINCT concat_ws(chr(31),
+               COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)))) AS BIGINT),
+             CAST(COUNT(DISTINCT concat_ws(chr(31),
+               COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)),
+               COALESCE(CAST(o_orderyear AS VARCHAR), chr(0)))) AS BIGINT)
+           FROM o),
+    c3 AS (SELECT 'o_custkey', 'o_orderpriority',
+             CAST(COUNT(DISTINCT concat_ws(chr(31),
+               COALESCE(CAST(o_custkey AS VARCHAR), chr(0)))) AS BIGINT),
+             CAST(COUNT(DISTINCT concat_ws(chr(31),
+               COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
+               COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0))))
+               AS BIGINT)
+           FROM o),
+    c4 AS (SELECT 'o_orderpriority', 'o_orderstatus',
+             CAST(COUNT(DISTINCT concat_ws(chr(31),
+               COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0))))
+               AS BIGINT),
+             CAST(COUNT(DISTINCT concat_ws(chr(31),
+               COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)),
+               COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0))))
+               AS BIGINT)
+           FROM o),
+    u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+          UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)
+    SELECT lhs, rhs, n_lhs, n_pairs,
+           n_pairs - n_lhs AS violations,
+           n_pairs = n_lhs AS holds
+    FROM u ORDER BY lhs, rhs
+"""
+
+# Join-size estimate: same md5 hash buckets, same per-bucket Selinger
+# containment formula in integer arithmetic, actual from the real
+# join.
+ORACLES["orders_customer_join_estimate"] = """
+    WITH lb AS (
+      SELECT CAST(CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                 1, 8) AS BIGINT) % 64 AS INT) AS b,
+             o_custkey
+      FROM orders WHERE o_custkey IS NOT NULL),
+    rb AS (
+      SELECT CAST(CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),
+                 1, 8) AS BIGINT) % 64 AS INT) AS b,
+             c_custkey
+      FROM customer WHERE c_custkey IS NOT NULL),
+    ls AS (SELECT b, COUNT(*) AS n1, COUNT(DISTINCT o_custkey) AS d1
+           FROM lb GROUP BY 1),
+    rs AS (SELECT b, COUNT(*) AS n2, COUNT(DISTINCT c_custkey) AS d2
+           FROM rb GROUP BY 1),
+    est AS (SELECT CAST(SUM((n1 * n2) // greatest(d1, d2, 1)) AS BIGINT)
+              AS est_rows
+            FROM ls JOIN rs USING (b)),
+    act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_custkey IS NOT NULL),
+    sz AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_left,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_right)
+    SELECT CAST(64 AS INT) AS buckets, est_rows, actual_rows,
+           n_left, n_right
+    FROM est, act, sz
+"""
+
+# OHLC bars: DuckDB's arg_min/arg_max reject struct ordering keys, so
+# the oracle replays the same (ts, event_id) total order with two
+# row_number windows (first/last per hour) — an INDEPENDENT plan shape
+# for the same definition, which is the stronger check anyway.
+ORACLES["hourly_value_ohlc"] = """
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS ws, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events)
+    SELECT ws AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           MAX(value) AS high,
+           MIN(value) AS low
+    FROM r GROUP BY ws ORDER BY ws
+"""

@@ -4310,6 +4310,71 @@ def golden_customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
+
+def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/profiling.py::fd_audit —
+    the TANE/Metanome verification primitive): four candidates over
+    orders, mixing true keys (orderkey → custkey), true dependencies
+    through a derivation (orderdate → its own year), and expected
+    FAILURES with quantified violation counts (custkey → orderpriority;
+    orderpriority → orderstatus).  NULL-sentinel keys make the
+    distinct counts engine-identical; one fused aggregation per
+    candidate."""
+    from ..operators.profiling import fd_audit
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderyear", F.year("o_orderdate")
+    )
+    return fd_audit(
+        o,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_orderdate", "o_orderyear"),
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+    ).orderBy("lhs", "rhs")
+
+
+def orders_customer_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram join-cardinality estimation (operators/profiling.py::
+    join_size_estimate — the Selinger per-bucket containment formula
+    over 64 aligned md5 hash buckets) for orders ⋈ customer on
+    custkey, reported NEXT TO the actual join count: the
+    estimate-vs-actual calibration a cost-based planner runs on.
+    Exact integer arithmetic end to end (n1·n2 DIV max(d1,d2,1) per
+    bucket); both the statistics pass and the actual join are one
+    shuffle each."""
+    from ..operators.profiling import join_size_estimate
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return join_size_estimate(o, "o_custkey", c, "c_custkey", buckets=64)
+
+
+def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time bars (the candlestick aggregation every market/metrics
+    store ships) over the event stream: per hour, open = value of the
+    FIRST event (ts, then event_id tie-break — a total order), close =
+    the last's, high/low = max/min, n_events — four order-aware
+    aggregates fused into ONE hash aggregation via min_by/max_by on
+    the (ts, event_id) struct; no window function, no self-join.
+    DuckDB replays with arg_min/arg_max over the same struct order."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min_by("value", key).alias("open"),
+            F.max_by("value", key).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+        .orderBy("window_start")
+    )
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -4562,4 +4627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekday_revenue_seasonality": weekday_revenue_seasonality,
     "revenue_half_sample_ci": revenue_half_sample_ci,
     "golden_customer_records": golden_customer_records,
+    "orders_fd_audit": orders_fd_audit,
+    "orders_customer_join_estimate": orders_customer_join_estimate,
+    "hourly_value_ohlc": hourly_value_ohlc,
 }

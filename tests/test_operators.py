@@ -400,3 +400,44 @@ def test_int8_quant_error_bound(spark):
     assert rows[2].s == 0.0 and rows[2].m == 0.0
     half_step = rows[1].s / 254
     assert rows[1].m <= half_step * half_step * 1.0000001
+
+
+def test_hourly_ohlc_semantics(spark):
+    """OHLC bars: open/close follow the (ts, event_id) total order
+    including same-timestamp ties; high/low plain extrema."""
+    import datetime as dt
+
+    from northwind_etl_spark.plans import queries as Q
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 5.0),
+        (3, base, 9.0),           # same ts as event 1: id breaks the tie
+        (2, base.replace(minute=30), 1.0),
+        (4, base.replace(minute=59), 7.0),
+        (5, base.replace(hour=11), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP_NTZ, value DOUBLE"
+    )
+    import pyspark.sql.functions as F
+
+    out = {
+        r.window_start: r
+        for r in df.groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+            F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
+        .collect()
+    }
+    h10 = out[base]
+    assert h10.n_events == 4
+    assert h10.open == 5.0   # event 1 wins the tie at 10:00:00
+    assert h10.close == 7.0  # 10:59
+    assert h10.high == 9.0 and h10.low == 1.0
+    h11 = out[base.replace(hour=11)]
+    assert h11.open == h11.close == 2.0 and h11.n_events == 1

@@ -52,6 +52,7 @@ BNLJ_WHITELIST = {
     "langid_agreement_kappa",        # 1-row totals ⨯ 1-row pe_num
     "order_key_skew_profile",        # 1-row aggregate ⨯ 1-row top10
     "revenue_half_sample_ci",        # 1-row full-mean ⨯ 1-row CI picks
+    "orders_customer_join_estimate",  # three 1-row stat frames joined
 }
 
 
