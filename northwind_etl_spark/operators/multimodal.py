@@ -106,6 +106,14 @@ def encode_ppm(arr: "np.ndarray") -> bytes:
     return b"%s\n%d %d\n255\n" % (magic, w, h) + a.tobytes()
 
 
+# Module-level import alias, NOT a runtime `from .jpeg import ...`
+# inside the dispatch: this function runs INSIDE python workers that
+# cannot import the package (the mdct r08 lesson) — a runtime relative
+# import there raises ModuleNotFoundError on the first JPEG blob.  A
+# module-global function reference ships by value with the closure.
+from .jpeg import decode_jpeg as _decode_jpeg_blob  # noqa: E402
+
+
 def _decode_compressed(blob: bytes) -> "np.ndarray":
     """Compressed-IMAGE dispatch.  PNG is decoded for real (stdlib
     zlib — see decode_png below) and so is baseline JPEG (stdlib+numpy
@@ -118,9 +126,7 @@ def _decode_compressed(blob: bytes) -> "np.ndarray":
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
     if blob[:3] == b"\xff\xd8\xff":
-        from .jpeg import decode_jpeg
-
-        return decode_jpeg(blob)
+        return _decode_jpeg_blob(blob)
     raise NotImplementedError(
         "unrecognized blob format (PNG: decode_png; JPEG:"
         " operators/jpeg.py; PCM WAV: decode_wav; ADPCM: decode_adpcm;"

@@ -104,3 +104,51 @@ def test_resize_images_nearest_neighbor(spark):
     small = M.decode_image(bytes(out.image))
     assert out.width == 2 and out.height == 2
     assert np.array_equal(small, arr[::2, ::2])
+
+
+def test_blob_dispatch_survives_worker_without_repo_on_path(tmp_path):
+    """decode_image's compressed dispatch (PNG + JPEG branches) must
+    run in a process that cannot import the package — the runtime
+    `from .jpeg import ...` that used to sit inside the JPEG branch
+    was exactly the mdct-class worker killer, just on a branch no
+    registry fixture happened to exercise."""
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+    import pyspark.cloudpickle as cp
+
+    def outer():
+        from northwind_etl_spark.operators.jpeg import encode_jpeg
+        from northwind_etl_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+        )
+
+        def run():
+            import numpy as _np
+
+            y, x = _np.mgrid[0:16, 0:16]
+            img = _np.stack([x, y, x], -1).astype(_np.uint8) * 8
+            png = decode_image(encode_png(img))
+            jpg = decode_image(encode_jpeg(img, quality=90))
+            return f"png={png.shape} jpgerr={int(_np.abs(jpg.astype(int) - img.astype(int)).mean())}"
+
+        return run
+
+    pkl = tmp_path / "dispatch.bin"
+    pkl.write_bytes(cp.dumps(outer()))
+    r = subprocess.run(
+        [
+            _sys.executable,
+            "-c",
+            "import sys, pyspark.cloudpickle as cp;"
+            "sys.path = [p for p in sys.path if 'repo' not in p];"
+            f"f = cp.loads(open({str(pkl)!r}, 'rb').read()); print(f())",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "png=(16, 16, 3)" in r.stdout
