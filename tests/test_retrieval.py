@@ -104,3 +104,22 @@ def test_rrf_rank_monotone_within_one_list(spark):
     rows = rrf_fuse(a, b).collect()
     scores = [r.rrf_score for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_plan_shape_scan_bound(spark, sf_dir):
+    """The PLANS.md claim, pinned: TakeOrderedAndProject top-k, the
+    corpus stats attached by a 1-row broadcast (BNLJ), and NO wide
+    exchange other than the stats reduction — the ad-hoc query never
+    shuffles the corpus on a key."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        bm25_topk(docs, ["merge", "vector"], k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the only exchanges: the 1-row stats SinglePartition reduction +
+    # its broadcast — no hash-partitioned corpus shuffle
+    assert "hashpartitioning" not in plan.lower()
