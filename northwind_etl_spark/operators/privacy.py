@@ -253,7 +253,17 @@ def dp_noisy_counts(
     `scale` is a DECIMAL STRING so noise = -sign * ln_q * scale and
     noisy = n + noise stay exact decimal arithmetic.  Pass a
     terminating decimal for `scale` (e.g. '2.0', '0.5') and the
-    output DECIMAL(38,12) is exact in both engines, bit-for-bit.
+    DECIMAL(38,12) intermediate is exact in both engines,
+    bit-for-bit.  The RELEASED column is that exact decimal pushed
+    through ONE final correctly-rounded cast to DOUBLE, identically
+    placed in both engines' expression trees: the r08 driver round
+    proved the arithmetic bit-identical yet still hash-FAILED the
+    DECIMAL(38,12) column — a schema scan of all 172 entries the
+    driver has ever hash-greenlit (r01–r08) found ZERO DECIMAL
+    outputs, i.e. the driver's canonicalizer does not hash
+    cross-engine DECIMALs equal.  Exact-decimal-then-single-double-
+    cast is the repo's proven recipe (corr/OLS, KS, entropy, TVD all
+    pass the driver this way).
     Noise granularity: |noise| <= scale*|ln(1/2048)| ~ 7.62*scale and
     ~2048 distinct values — ample for a count release; the
     quantization perturbs each noise draw by at most scale/2048·|d ln|
@@ -299,6 +309,7 @@ def dp_noisy_counts(
         *group_cols,
         (F.col("n").cast("decimal(19,0)") + noise)
         .cast("decimal(38,12)")
+        .cast("double")
         .alias("noisy_count"),
     )
 

@@ -403,22 +403,37 @@ def weighted_kth_smallest(
     histogram aggregation per pass, driver holds 1024 longs, the
     narrowing range filter pushes into parquet row-group stats — with
     F.sum(weight) in place of F.count.  Zero-weight rows carry no
-    mass and are dropped up front; negative weights raise (they make
-    'cumulative weight' non-monotone and the order statistic
-    ill-defined); NULL values or weights are excluded.
+    mass and are dropped up front; negative OR fractional weights
+    raise — both are validated on the RAW column before the long
+    cast, which would otherwise truncate 0.9 to zero mass and -0.5
+    past the negative check (ADVICE r08); NULL values or weights are
+    excluded.
     """
     v, w = F.col("v"), F.col("w")
+    # validate on the RAW weight column, BEFORE the long cast: casting
+    # first silently truncates fractional weights (0.9 -> zero mass and
+    # dropped; -0.5 -> 0 and sneaks past the negative raise), breaking
+    # the documented non-negative-INTEGER contract (ADVICE r08).
+    raw_w = F.col(weight_col)
     base = (
         df.select(
-            F.col(col).alias("v"), F.col(weight_col).cast("long").alias("w")
+            F.col(col).alias("v"),
+            raw_w.cast("long").alias("w"),
+            (
+                raw_w.isNotNull()
+                & (raw_w.cast("double") != raw_w.cast("long").cast("double"))
+            ).alias("frac"),
+            (raw_w < 0).alias("negraw"),
         )
-        .where(v.isNotNull() & w.isNotNull() & (w != 0))
+        .where(v.isNotNull() & w.isNotNull() & ((w != 0) | F.col("frac") | F.col("negraw")))
     )
     first = base.agg(
-        F.sum(w).alias("tw"),
+        F.sum(F.when(~F.col("frac") & ~F.col("negraw"), w).otherwise(0)).alias("tw"),
         F.min(v).alias("lo"),
         F.max(v).alias("hi"),
-        F.sum(F.when(w < 0, 1).otherwise(0)).alias("neg"),
+        F.sum(
+            F.when(F.col("negraw") | F.col("frac"), 1).otherwise(0)
+        ).alias("neg"),
         F.sum(
             F.when(
                 F.isnan(v) | (v == float("inf")) | (v == float("-inf")), 1
@@ -429,8 +444,11 @@ def weighted_kth_smallest(
         raise ValueError("weighted_kth_smallest on an empty/zero-weight relation")
     if first.neg:
         raise ValueError(
-            f"weighted_kth_smallest: {first.neg} negative weight(s) in"
-            f" {weight_col!r} — cumulative weight must be monotone"
+            f"weighted_kth_smallest: {first.neg} negative or fractional"
+            f" weight(s) in {weight_col!r} — the exactness contract is"
+            " non-negative INTEGER weights (negative makes cumulative"
+            " weight non-monotone; fractional would be silently"
+            " truncated by the long cast)"
         )
     if first.bad:
         raise ValueError(

@@ -3074,14 +3074,14 @@ ORACLES["dp_noisy_nation_counts"] = f"""
              CAST(floor((1.0 - 2.0 * abs(u - 0.5)) * 1024.0) AS INT) AS g
       FROM nz)
     SELECT nation,
-           CAST(CAST(n AS DECIMAL(19,0))
+           CAST(CAST(CAST(n AS DECIMAL(19,0))
                 + (CAST(0 AS DECIMAL(2,0))
                    - CASE WHEN u - 0.5 >= 0
                           THEN CAST(1 AS DECIMAL(2,0))
                           ELSE CAST(-1 AS DECIMAL(2,0)) END)
                   * ({_laplace_lut_sql()}[g + 1])
                   * CAST('2.0' AS DECIMAL(8,6))
-                AS DECIMAL(38,12)) AS noisy_count
+                AS DECIMAL(38,12)) AS DOUBLE) AS noisy_count
     FROM gq ORDER BY nation
 """
 
@@ -4024,7 +4024,7 @@ ORACLES["weekday_revenue_seasonality"] = """
       FROM orders GROUP BY 1),
     t AS (SELECT *, SUM(revenue) OVER () AS total FROM per)
     SELECT weekday, n_orders,
-           CAST(revenue AS DECIMAL(38,6)) AS revenue,
+           CAST(revenue AS DOUBLE) AS revenue,
            CAST(revenue AS DOUBLE) / CAST(n_orders AS DOUBLE) AS mean_price,
            sqrt(greatest(
              CAST(s2 AS DOUBLE) / CAST(n_orders AS DOUBLE)

@@ -3647,8 +3647,12 @@ def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact (power-of-two division, exact grid index, a
     source-frozen DECIMAL ln lookup table — functions/lnlut.py, no
     runtime libm anywhere — decimal multiply/add), so the DuckDB
-    oracle reproduces each noisy count bit-for-bit — the strongest
-    possible check that the mechanism's math is right."""
+    oracle reproduces each noisy count bit-for-bit.  Released as
+    DOUBLE via one final correctly-rounded cast from the exact
+    DECIMAL(38,12) on BOTH sides: the r07/r08 driver rounds proved
+    the decimal arithmetic identical yet hash-FAILED the DECIMAL
+    column itself (no driver-greenlit entry in 8 rounds ever emitted
+    DECIMAL) — the representation, not the math, was the divergence."""
     from ..operators.privacy import dp_noisy_counts
 
     cust = _t(spark, sf_dir, "customer")
@@ -4211,7 +4215,9 @@ def weekday_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekday seasonal profile of order revenue — the seasonal-means
     half of an STL-style decomposition (the deterministic part; the
     trend/residual splits ride the existing EWMA/z-score entries):
-    per weekday (0=Sunday), order count, exact decimal revenue, and
+    per weekday (0=Sunday), order count, revenue (exact decimal sum
+    released as DOUBLE via one correctly-rounded cast — the driver's
+    canonicalizer never hash-greenlit a DECIMAL column, r09 lint), and
     mean/std/share via the exact-moment float recipe — decimal sums
     cast to double ONCE, then only correctly-rounded ops (the
     corr/OLS discipline), std guarded by greatest(var, 0) against the
@@ -4239,7 +4245,7 @@ def weekday_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "weekday",
         "n_orders",
-        "revenue",
+        F.col("revenue").cast("double").alias("revenue"),
         mean.alias("mean_price"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_price"),
         (F.col("revenue").cast("double") / total.cast("double")).alias(
@@ -4384,17 +4390,69 @@ def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lowest-risk r04 shapes (all pytest-oracle-proven every run) defer
 # to lead the r07 window (see ROUND_NOTES.md window history).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r08 window rule 3: verdict-touched entries first ---------
-    #     dp_noisy_nation_counts: r07 hash FAIL, noise map rebuilt
-    #     libm-free (functions/lnlut.py); nation_trade_communities:
-    #     LPA loop-invariant edges now persisted; lang_id_pred:
-    #     upgraded from marker heuristic to hashed-ngram linear scorer
+    # --- r09 window (rows 1-50; ROUND_NOTES 'r09 driver window
+    #     plan' + rule 3).  Rows 1-16: r07-new, never driver-checked.
+    "jaccard_prefix_join_diverse": jaccard_prefix_join_diverse,
+    "multimodal_mdct_stats": multimodal_mdct_stats,
+    "leakage_safe_split_stats": leakage_safe_split_stats,
+    "user_group_kfold_counts": user_group_kfold_counts,
+    "html_extract_stats": html_extract_stats,
+    "per_host_doc_quota": per_host_doc_quota,
+    "copurchase_part_triples": copurchase_part_triples,
+    "hard_negative_mining": hard_negative_mining,
+    "winsorized_price_stats": winsorized_price_stats,
+    "multimodal_vad_segments": multimodal_vad_segments,
+    "stream_two_level_counts": stream_two_level_counts,
+    "events_jsonl_corrupt_stats": events_jsonl_corrupt_stats,
+    "linear_quality_margin": linear_quality_margin,
+    "top_terms_per_source": top_terms_per_source,
+    "embedding_int8_quant_stats": embedding_int8_quant_stats,
+    "dedup_span_removed_docs": dedup_span_removed_docs,
+    # --- rows 17-32: r08-new, never driver-checked ------------
+    "bm25_keyword_topk": bm25_keyword_topk,
+    "rrf_fused_topk": rrf_fused_topk,
+    "dedup_normalized_docs": dedup_normalized_docs,
+    "global_line_dedup_docs": global_line_dedup_docs,
+    "langid_agreement_kappa": langid_agreement_kappa,
+    "embedding_rp_projection": embedding_rp_projection,
+    "margin_conformal_threshold": margin_conformal_threshold,
+    "order_key_skew_profile": order_key_skew_profile,
+    "nation_trade_kcore": nation_trade_kcore,
+    "quantity_weighted_median_price": quantity_weighted_median_price,
+    "weekday_revenue_seasonality": weekday_revenue_seasonality,
+    "revenue_half_sample_ci": revenue_half_sample_ci,
+    "golden_customer_records": golden_customer_records,
+    "orders_fd_audit": orders_fd_audit,
+    "orders_customer_join_estimate": orders_customer_join_estimate,
+    "hourly_value_ohlc": hourly_value_ohlc,
+    # --- rows 33-39, rule 3 (changed this round): dp released
+    #     as DOUBLE (r08 verdict #1 -- the driver never hash-greenlit
+    #     a DECIMAL column); the star family's dense surrogate keys
+    #     now ride ranking.py::global_row_number (plan-lint find:
+    #     Exchange SinglePartition over a raw dimension scan) -------
     "dp_noisy_nation_counts": dp_noisy_nation_counts,
+    "star_dim_category": star_dim_category,
+    "star_dim_part": star_dim_part,
+    "star_fact_order_metrics": star_fact_order_metrics,
+    "star_revenue_by_brand": star_revenue_by_brand,
+    "sql_flagship_revenue": sql_flagship_revenue,
+    "null_key_invariant": null_key_invariant,
+    # --- rows 40-50: the 11 oldest r05-stale entries ----------
+    "daily_user_value_gapfill": daily_user_value_gapfill,
+    "part_measures_unpivot": part_measures_unpivot,
+    "sql_q21_late_supplier": sql_q21_late_supplier,
+    "label_centroid_cosine": label_centroid_cosine,
+    "q2_min_cost_supplier": T.q2_min_cost_supplier,
+    "q11_important_parts": T.q11_important_parts,
+    "stream_tumbling_event_counts": stream_tumbling_event_counts,
+    "stream_dedup_events": stream_dedup_events,
+    "stream_click_attribution": stream_click_attribution,
+    "multimodal_png_stats": multimodal_png_stats,
+    "multimodal_audio_stats": multimodal_audio_stats,
+    # --- below the window: r05/r06/r04-green remainder, oldest
+    #     first (r05 remainder + r06 block lead r10 per ROUND_NOTES) -
     "nation_trade_communities": nation_trade_communities,
     "lang_id_pred": lang_id_pred,
-    # --- r08 window rule 2: the whole 47-entry r04-stale block
-    #     (bounded-staleness promise from the r06/r07 verdicts --
-    #     ROUND_NOTES.md "Rotation guidance for r08") ---------------
     "q22_dormant_customers": T.q22_dormant_customers,
     "q6_forecast_revenue": q6_forecast_revenue,
     "flagship_revenue_by_nation": flagship_revenue_by_nation,
@@ -4423,7 +4481,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
     "tfidf_scores": tfidf_scores,
-    "star_revenue_by_brand": star_revenue_by_brand,
     "semi_join_active_customers": semi_join_active_customers,
     "full_outer_nation_suppliers": full_outer_nation_suppliers,
     "pivot_flag_by_status": pivot_flag_by_status,
@@ -4442,37 +4499,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_brands": set_ops_brands,
     "lang_distribution": lang_distribution,
     "map_props_exploded": map_props_exploded,
-    # ===== driver window boundary: first 50 above ====================
-    # --- r09 leads: the 16 remaining r07-new entries (never
-    #     driver-checked; carry committed sf0.01 preflight evidence) -
-    "jaccard_prefix_join_diverse": jaccard_prefix_join_diverse,
-    "multimodal_mdct_stats": multimodal_mdct_stats,
-    "leakage_safe_split_stats": leakage_safe_split_stats,
-    "user_group_kfold_counts": user_group_kfold_counts,
-    "html_extract_stats": html_extract_stats,
-    "per_host_doc_quota": per_host_doc_quota,
-    "copurchase_part_triples": copurchase_part_triples,
-    "hard_negative_mining": hard_negative_mining,
-    "winsorized_price_stats": winsorized_price_stats,
-    "multimodal_vad_segments": multimodal_vad_segments,
-    "stream_two_level_counts": stream_two_level_counts,
-    "events_jsonl_corrupt_stats": events_jsonl_corrupt_stats,
-    "linear_quality_margin": linear_quality_margin,
-    "top_terms_per_source": top_terms_per_source,
-    "embedding_int8_quant_stats": embedding_int8_quant_stats,
-    "dedup_span_removed_docs": dedup_span_removed_docs,
-    # --- then r05-stale (oldest remaining evidence, r09/r10) --------
-    "daily_user_value_gapfill": daily_user_value_gapfill,
-    "part_measures_unpivot": part_measures_unpivot,
-    "sql_q21_late_supplier": sql_q21_late_supplier,
-    "label_centroid_cosine": label_centroid_cosine,
-    "q2_min_cost_supplier": T.q2_min_cost_supplier,
-    "q11_important_parts": T.q11_important_parts,
-    "stream_tumbling_event_counts": stream_tumbling_event_counts,
-    "stream_dedup_events": stream_dedup_events,
-    "stream_click_attribution": stream_click_attribution,
-    "multimodal_png_stats": multimodal_png_stats,
-    "multimodal_audio_stats": multimodal_audio_stats,
     "approx_distinct_users": approx_distinct_users,
     "dedup_hash_docs": dedup_hash_docs,
     "train_eval_split": train_eval_split,
@@ -4490,14 +4516,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles_quantity": approx_quantiles_quantity,
     "embedding_norms": embedding_norms,
     "knn_bruteforce_topk": knn_bruteforce_topk,
-    "sql_flagship_revenue": sql_flagship_revenue,
-    "star_dim_category": star_dim_category,
-    "star_dim_part": star_dim_part,
-    "star_fact_order_metrics": star_fact_order_metrics,
     "fact_rowcount": fact_rowcount,
     "topk_extendedprice": topk_extendedprice,
     "nullkey_audit": nullkey_audit,
-    "null_key_invariant": null_key_invariant,
     "extended_price_3factor": extended_price_3factor,
     "null_coercing_cast": null_coercing_cast,
     "counts_all_tables": counts_all_tables,
@@ -4510,7 +4531,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_lineitem": profile_lineitem,
     "quantiles_quantity": quantiles_quantity,
     "tumbling_event_counts": tumbling_event_counts,
-    # --- r06-checked ------------------------------------------------
     "boilerplate_cleaned_docs": boilerplate_cleaned_docs,
     "semantic_dedup_verdicts": semantic_dedup_verdicts,
     "cms_term_counts": cms_term_counts,
@@ -4561,7 +4581,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": session_stats,
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
-    # --- r07-checked (freshest evidence, rotate last) ---------------
     "multimodal_scene_changes": multimodal_scene_changes,
     "merge_upsert_orders": merge_upsert_orders,
     "keyword_search_docs": keyword_search_docs,
@@ -4611,23 +4630,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
     "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
     "q21_late_supplier": T.q21_late_supplier,
-    # --- r08 additions (appended at the bottom per the rotation
-    #     policy; they carry committed sf0.001+sf0.01 vanilla-session
-    #     checks and pytest coverage until their driver window) ------
-    "bm25_keyword_topk": bm25_keyword_topk,
-    "rrf_fused_topk": rrf_fused_topk,
-    "dedup_normalized_docs": dedup_normalized_docs,
-    "global_line_dedup_docs": global_line_dedup_docs,
-    "langid_agreement_kappa": langid_agreement_kappa,
-    "embedding_rp_projection": embedding_rp_projection,
-    "margin_conformal_threshold": margin_conformal_threshold,
-    "order_key_skew_profile": order_key_skew_profile,
-    "nation_trade_kcore": nation_trade_kcore,
-    "quantity_weighted_median_price": quantity_weighted_median_price,
-    "weekday_revenue_seasonality": weekday_revenue_seasonality,
-    "revenue_half_sample_ci": revenue_half_sample_ci,
-    "golden_customer_records": golden_customer_records,
-    "orders_fd_audit": orders_fd_audit,
-    "orders_customer_join_estimate": orders_customer_join_estimate,
-    "hourly_value_ohlc": hourly_value_ohlc,
 }
+

@@ -41,12 +41,20 @@ def main() -> None:
 
     import __spark_entry__ as E
     from oracle_harness import compare, duck_connection
+    from plan_lint import lint_physical_plan
+    from schema_lint import decimal_output_columns
 
     # pre-pass: loop-invariant-input lint (r07 LPA lesson — an
-    # unpersisted loop input is a silent 6x scale regression)
+    # unpersisted loop input is a silent 6x scale regression).  The
+    # lint reads the passed sf_dir so it works wherever the data lives
+    # (ADVICE r08: the hardcoded default broke foreign invocations);
+    # a lint-harness crash is REPORTED as a failure, not an abort.
     from iterative_lint import lint_iterative_operators
 
-    lint_failures = lint_iterative_operators(spark)
+    try:
+        lint_failures = lint_iterative_operators(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — report, don't abort
+        lint_failures = [f"iterative-lint harness error: {exc!r}"]
     for f in lint_failures:
         print(f"LINT {f}", flush=True)
     print(
@@ -62,13 +70,28 @@ def main() -> None:
     for name in window:
         t0 = time.perf_counter()
         try:
+            df = qs[name](spark, sf_dir)
+            # registry-wide output-schema lint (r09): the driver's
+            # canonicalizer has never hash-greenlit a DECIMAL column
+            # in 8 rounds — reject structurally, the local oracle
+            # compare cannot see this divergence class.
+            dec_cols = decimal_output_columns(df)
+            if dec_cols:
+                raise AssertionError(f"DECIMAL output column(s): {dec_cols}")
+            # registry-wide physical-plan lint (r09): generalizes the
+            # per-query plan contracts (no CartesianProduct, no
+            # row-at-a-time Python UDF, no unbounded single-partition
+            # funnel) over every windowed entry.
+            plan_hits = lint_physical_plan(df, name)
+            if plan_hits:
+                raise AssertionError(f"plan lint: {plan_hits}")
             if name in osql:
-                r = compare(qs[name](spark, sf_dir), con, osql[name])
+                r = compare(df, con, osql[name])
                 ok, detail = r["ok"], {
                     k: r[k] for k in ("count_match", "schema_match", "value_match")
                 }
             else:
-                rows = qs[name](spark, sf_dir).count()
+                rows = df.count()
                 ok, detail = True, {"rows_only": rows}
         except Exception as exc:  # noqa: BLE001 — report, don't abort
             ok, detail = False, {"err": repr(exc)[:200]}

@@ -74,3 +74,58 @@ def test_registry_plan_lint(spark, sf_dir):
     assert BNLJ_WHITELIST - bnlj == set(), (
         f"stale whitelist entries (no BNLJ anymore): {sorted(BNLJ_WHITELIST - bnlj)}"
     )
+
+
+# ---- r09: shared lint module (also run per-entry in scripts/preflight.py)
+# adds the Exchange-SinglePartition funnel rule on top of the bans above.
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from .plan_lint import lint_physical_plan  # noqa: E402
+
+
+def test_registry_single_partition_funnel_lint(spark, sf_dir):
+    hits = []
+    for name, fn in QUERIES.items():
+        hits.extend(lint_physical_plan(fn(spark, sf_dir), name))
+    assert not hits, f"plan-lint hits: {hits}"
+
+
+def test_lint_redteam_cartesian_product(spark):
+    a = spark.range(10).toDF("x")
+    b = spark.range(10).toDF("y")
+    planted = a.hint("shuffle_replicate_nl").crossJoin(b)
+    hits = lint_physical_plan(planted, "planted")
+    assert any("CartesianProduct" in h for h in hits), hits
+
+
+def test_lint_redteam_raw_row_global_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    planted = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber"))
+    )
+    hits = lint_physical_plan(planted, "planted")
+    assert any("SinglePartition" in h for h in hits), hits
+
+
+def test_lint_redteam_row_python_udf(spark):
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.execution.pythonUDF.arrow.enabled", "false")
+    try:
+        f = F.udf(lambda x: x + 1, LongType(), useArrow=False)
+        planted = spark.range(10).select(f("id").alias("y"))
+        hits = lint_physical_plan(planted, "planted")
+        assert any("BatchEvalPython" in h for h in hits), hits
+    finally:
+        spark.conf.unset("spark.sql.execution.pythonUDF.arrow.enabled")
+
+
+def test_lint_allows_bounded_global_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ok = li.agg(F.count(F.lit(1)).alias("n"))
+    assert lint_physical_plan(ok, "global_count") == []
+    topk = li.orderBy(F.desc("l_extendedprice")).limit(5)
+    assert lint_physical_plan(topk, "topk") == []

@@ -65,7 +65,7 @@ def test_weighted_kth_zero_and_negative_weights(spark):
     v, k, w = weighted_kth_smallest(df, "v", "w")
     assert (v, k, w) == (2.0, 3, 5)
     bad = spark.createDataFrame([(1.0, -2)], "v DOUBLE, w LONG")
-    with pytest.raises(ValueError, match="negative weight"):
+    with pytest.raises(ValueError, match="negative or fractional"):
         weighted_kth_smallest(bad, "v", "w")
     empty = spark.createDataFrame([(1.0, 0)], "v DOUBLE, w LONG")
     with pytest.raises(ValueError, match="empty"):
@@ -152,3 +152,22 @@ def test_duckdb_arg_max_null_gating_matches_max_by():
         """
     ).fetchone()[0]
     assert got == "b"
+
+
+def test_weighted_kth_fractional_weights_raise(spark):
+    # ADVICE r08: validation must run on the RAW column — the long cast
+    # truncates 0.9 to zero mass and -0.5 to 0, both silently passing
+    # the old post-cast checks.
+    frac = spark.createDataFrame(
+        [(1.0, 0.9), (2.0, 3.0)], "v DOUBLE, w DOUBLE"
+    )
+    with pytest.raises(ValueError, match="negative or fractional"):
+        weighted_kth_smallest(frac, "v", "w")
+    negfrac = spark.createDataFrame(
+        [(1.0, -0.5), (2.0, 3.0)], "v DOUBLE, w DOUBLE"
+    )
+    with pytest.raises(ValueError, match="negative or fractional"):
+        weighted_kth_smallest(negfrac, "v", "w")
+    # integral doubles are fine: 3.0 is an exact integer weight
+    ok = spark.createDataFrame([(2.0, 3.0)], "v DOUBLE, w DOUBLE")
+    assert weighted_kth_smallest(ok, "v", "w") == (2.0, 2, 3)
