@@ -253,11 +253,12 @@ HEADLINE = [
     "weekday_revenue_seasonality",
     "revenue_half_sample_ci",
     "golden_customer_records",
-    # r08 batch 3 (orders_fd_audit, orders_customer_join_estimate,
-    # hourly_value_ohlc) landed AFTER the committed r08 bench run and
-    # is deliberately NOT headline yet — promote in r09 with a fresh
-    # full run (the r06->r07 promotion pattern); they carry committed
-    # sf0.001+sf0.01 oracle checks + pytest meanwhile.
+    # r08 batch 3, promoted to headline in r09 (the r06->r07 pattern):
+    # FD audit, histogram join-size estimate, OHLC bars — recorded at
+    # 1.35/1.16/0.58 s in ROUND_NOTES pending this promotion.
+    "orders_fd_audit",
+    "orders_customer_join_estimate",
+    "hourly_value_ohlc",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for
@@ -384,8 +385,12 @@ def main() -> None:
 
     # slow lane: single rep (these are minutes-scale or stateful
     # streaming drains; one measurement catches a 6x regression, which
-    # is what this lane exists for)
+    # is what this lane exists for).  Lane failures record under their
+    # OWN key (ADVICE r08): the lane is advisory, and folding its
+    # breakage into "errors" made the committed record conflate a
+    # headline regression with an advisory-lane one.
     slow: dict[str, float] = {}
+    slow_errors: dict[str, str] = {}
     for name in SLOW_LANE:
         t0 = time.perf_counter()
         try:
@@ -395,8 +400,11 @@ def main() -> None:
             slow[name] = round(time.perf_counter() - t0, 3)
             print(f"# slow-lane {name}: {slow[name]:.3f}s", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001 - lane is advisory
-            errors[name] = str(ex).splitlines()[0][:200]
-            print(f"# slow-lane {name} FAILED: {errors[name]}", file=sys.stderr)
+            slow_errors[name] = str(ex).splitlines()[0][:200]
+            print(
+                f"# slow-lane {name} FAILED: {slow_errors[name]}",
+                file=sys.stderr,
+            )
 
     duck = _duck_timings(sf_dir, reps)
     ratios = {
@@ -418,6 +426,8 @@ def main() -> None:
     }
     if errors:
         record["errors"] = errors
+    if slow_errors:
+        record["slow_lane_errors"] = slow_errors
 
     # Full record (anchors, ratios, errors) goes to a file; stdout gets
     # a COMPACT line — r05's full line outgrew the driver's tail

@@ -279,7 +279,11 @@ def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     to ~9·10^7 rows — the contingency_stats domain bound), and kappa
     is the fixed chain (p_o - p_e)/(1 - p_e).  Bit-replayable on any
     IEEE engine.  Rows with a NULL on either side are excluded (no
-    rating, no agreement claim).
+    rating, no agreement claim).  Degenerate marginals: p_e == 1.0
+    (both raters use one shared category) forces p_o == 1.0, and
+    kappa is pinned to 0.0 — forced agreement carries no
+    chance-corrected information (ADVICE r08; mirrored in the
+    oracle).
 
     Scale shape: ONE hash aggregation to cells, then two bounded
     category-level reductions.  Returns one row:
@@ -315,10 +319,18 @@ def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     n_d = F.col("n").cast("double")
     po = F.col("agree").cast("double") / n_d
     pe = F.col("pe_num").cast("double") / (n_d * n_d)
+    # Degenerate marginals (ADVICE r08): p_e == 1.0 forces agreement —
+    # it happens exactly when both raters use ONE shared category, so
+    # p_o == 1.0 too and (p_o - p_e)/(1 - p_e) is 0/0.  The observed
+    # agreement then carries zero information beyond chance; kappa's
+    # chance-corrected share is pinned to 0.0 (documented convention,
+    # mirrored in the oracle SQL) instead of NULL/NaN.
     return joined.select(
         "n",
         "agree",
         po.alias("p_o"),
         pe.alias("p_e"),
-        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+        F.when(pe < F.lit(1.0), (po - pe) / (F.lit(1.0) - pe))
+        .otherwise(F.lit(0.0))
+        .alias("kappa"),
     )

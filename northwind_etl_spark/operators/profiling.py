@@ -7,10 +7,12 @@ derives FROM the data before trusting the schema.
   al. 1999 reduced to the verification step): a candidate dependency
   lhs → rhs HOLDS iff every lhs group takes exactly one rhs value,
   i.e. count(distinct lhs) == count(distinct (lhs, rhs)) with NULL
-  treated as a VALUE — via an explicit null-sentinel key (the dp
-  noise-map key recipe), because bare SQL COUNT(DISTINCT a, b) drops
-  any-NULL rows in Spark but keeps them inside DuckDB's row-struct
-  form; the sentinel makes both engines count the same thing.  One
+  treated as a VALUE — via concatenated per-component md5 digests
+  (injective up to hash collision; a raw separator/sentinel scheme
+  collided when values contained the separator bytes — ADVICE r08),
+  because bare SQL COUNT(DISTINCT a, b) drops any-NULL rows in Spark
+  but keeps them inside DuckDB's row-struct form; the digest key makes
+  both engines count the same thing.  One
   fused aggregation per candidate — the
   violation count (n_pairs − n_lhs) quantifies HOW broken a failed
   dependency is, which matters more than the boolean at cleaning
@@ -46,12 +48,23 @@ def fd_audit(
         raise ValueError("candidates must name at least one (lhs, rhs) pair")
 
     def _key(*cols: str) -> F.Column:
-        return F.concat_ws(
-            "\x1f",
+        # Per-component md5 digests, THEN concat (ADVICE r08): a raw
+        # separator/sentinel scheme collides when values themselves
+        # contain the separator or sentinel bytes ('a\x1fb' + NULL vs
+        # 'a' + 'b\x1f\x00'), understating violations.  Fixed-width
+        # digests make the concatenation injective (up to md5
+        # collision); the 'v'/'n' prefix keeps NULL distinct from the
+        # literal string 'n'.
+        return F.concat(
             *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                F.md5(
+                    F.coalesce(
+                        F.concat(F.lit("v"), F.col(c).cast("string")),
+                        F.lit("n"),
+                    )
+                )
                 for c in cols
-            ],
+            ]
         )
 
     outs = []

@@ -3860,11 +3860,14 @@ def _kappa_oracle_sql() -> str:
            CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
            CAST(pe_num AS DOUBLE)
              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_e,
-           ((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))
-            - (CAST(pe_num AS DOUBLE)
-               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-           / (1.0 - (CAST(pe_num AS DOUBLE)
-                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS kappa
+           CASE WHEN (CAST(pe_num AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) < 1.0
+                THEN ((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))
+                      - (CAST(pe_num AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                     / (1.0 - (CAST(pe_num AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                ELSE 0.0 END AS kappa
     FROM tot, pe
 """
 
@@ -4124,37 +4127,24 @@ ORACLES["golden_customer_records"] = """
 ORACLES["orders_fd_audit"] = """
     WITH o AS (SELECT *, year(o_orderdate) AS o_orderyear FROM orders),
     c1 AS (SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
-             CAST(COUNT(DISTINCT concat_ws(chr(31),
-               COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)))) AS BIGINT)
-               AS n_lhs,
-             CAST(COUNT(DISTINCT concat_ws(chr(31),
-               COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
-               COALESCE(CAST(o_custkey AS VARCHAR), chr(0)))) AS BIGINT)
-               AS n_pairs
+             CAST(COUNT(DISTINCT md5(COALESCE('v' || CAST(o_orderkey AS VARCHAR), 'n'))) AS BIGINT) AS n_lhs,
+             CAST(COUNT(DISTINCT (md5(COALESCE('v' || CAST(o_orderkey AS VARCHAR), 'n'))
+               || md5(COALESCE('v' || CAST(o_custkey AS VARCHAR), 'n')))) AS BIGINT) AS n_pairs
            FROM o),
     c2 AS (SELECT 'o_orderdate', 'o_orderyear',
-             CAST(COUNT(DISTINCT concat_ws(chr(31),
-               COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)))) AS BIGINT),
-             CAST(COUNT(DISTINCT concat_ws(chr(31),
-               COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)),
-               COALESCE(CAST(o_orderyear AS VARCHAR), chr(0)))) AS BIGINT)
+             CAST(COUNT(DISTINCT md5(COALESCE('v' || CAST(o_orderdate AS VARCHAR), 'n'))) AS BIGINT),
+             CAST(COUNT(DISTINCT (md5(COALESCE('v' || CAST(o_orderdate AS VARCHAR), 'n'))
+               || md5(COALESCE('v' || CAST(o_orderyear AS VARCHAR), 'n')))) AS BIGINT)
            FROM o),
     c3 AS (SELECT 'o_custkey', 'o_orderpriority',
-             CAST(COUNT(DISTINCT concat_ws(chr(31),
-               COALESCE(CAST(o_custkey AS VARCHAR), chr(0)))) AS BIGINT),
-             CAST(COUNT(DISTINCT concat_ws(chr(31),
-               COALESCE(CAST(o_custkey AS VARCHAR), chr(0)),
-               COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0))))
-               AS BIGINT)
+             CAST(COUNT(DISTINCT md5(COALESCE('v' || CAST(o_custkey AS VARCHAR), 'n'))) AS BIGINT),
+             CAST(COUNT(DISTINCT (md5(COALESCE('v' || CAST(o_custkey AS VARCHAR), 'n'))
+               || md5(COALESCE('v' || CAST(o_orderpriority AS VARCHAR), 'n')))) AS BIGINT)
            FROM o),
     c4 AS (SELECT 'o_orderpriority', 'o_orderstatus',
-             CAST(COUNT(DISTINCT concat_ws(chr(31),
-               COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0))))
-               AS BIGINT),
-             CAST(COUNT(DISTINCT concat_ws(chr(31),
-               COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0)),
-               COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0))))
-               AS BIGINT)
+             CAST(COUNT(DISTINCT md5(COALESCE('v' || CAST(o_orderpriority AS VARCHAR), 'n'))) AS BIGINT),
+             CAST(COUNT(DISTINCT (md5(COALESCE('v' || CAST(o_orderpriority AS VARCHAR), 'n'))
+               || md5(COALESCE('v' || CAST(o_orderstatus AS VARCHAR), 'n')))) AS BIGINT)
            FROM o),
     u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
           UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4)

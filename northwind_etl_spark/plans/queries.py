@@ -4323,9 +4323,10 @@ def orders_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, mixing true keys (orderkey → custkey), true dependencies
     through a derivation (orderdate → its own year), and expected
     FAILURES with quantified violation counts (custkey → orderpriority;
-    orderpriority → orderstatus).  NULL-sentinel keys make the
-    distinct counts engine-identical; one fused aggregation per
-    candidate."""
+    orderpriority → orderstatus).  Composite keys are per-component
+    md5 digests concatenated (injective — raw separator bytes inside
+    values can't collide distinct pairs, ADVICE r08), identical in the
+    oracle; one fused aggregation per candidate."""
     from ..operators.profiling import fd_audit
 
     o = _t(spark, sf_dir, "orders").withColumn(

@@ -210,3 +210,18 @@ def test_cohen_kappa_nulls_excluded(spark):
     )
     r = cohen_kappa(df, "a", "b").collect()[0]
     assert r.n == 2 and r.agree == 2
+
+
+def test_cohen_kappa_degenerate_single_category(spark):
+    # ADVICE r08: p_e == 1.0 (both raters always emit the one shared
+    # category) used to return NULL from the unguarded division; the
+    # documented degenerate value is kappa = 0.0.
+    from northwind_etl_spark.operators.features import cohen_kappa
+
+    df = spark.createDataFrame(
+        [("x", "x")] * 5, "a STRING, b STRING"
+    )
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["agree"]) == (5, 5)
+    assert r["p_o"] == 1.0 and r["p_e"] == 1.0
+    assert r["kappa"] == 0.0

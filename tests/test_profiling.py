@@ -75,3 +75,39 @@ def test_join_size_estimate_skew_overestimates_gracefully(spark):
     right = spark.range(500).select((F.col("id") % 20 + 5).alias("k"))
     r = join_size_estimate(left, "k", right, "k", buckets=8).collect()[0]
     assert r.est_rows >= r.actual_rows > 0
+
+
+def test_fd_audit_separator_bytes_do_not_collide(spark):
+    # ADVICE r08: under the old raw concat_ws(chr(31)) key, the pair
+    # ('a\x1fb', NULL) and ('a', 'b\x1f\x00') built the same composite
+    # string, so two distinct (lhs, rhs) pairs counted as one and the
+    # violation went missing.  Per-component digests keep them apart.
+    from northwind_etl_spark.operators.profiling import fd_audit
+
+    df = spark.createDataFrame(
+        [("a\x1fb", None), ("a", "b\x1f\x00"), ("a", "c")],
+        "lhs_col STRING, rhs_col STRING",
+    )
+    r = {
+        (row["lhs"], row["rhs"]): row
+        for row in fd_audit(df, [("lhs_col", "rhs_col")]).collect()
+    }[("lhs_col", "rhs_col")]
+    # 2 distinct lhs values, 3 distinct (lhs, rhs) pairs -> 1 violation
+    assert (r["n_lhs"], r["n_pairs"], r["violations"], r["holds"]) == (
+        2,
+        3,
+        1,
+        False,
+    )
+
+
+def test_fd_audit_null_vs_literal_n(spark):
+    # NULL must stay distinct from the literal string 'n' (and from
+    # 'v'): the digest prefixes 'v'/'n' guarantee it.
+    from northwind_etl_spark.operators.profiling import fd_audit
+
+    df = spark.createDataFrame(
+        [("k", None), ("k", "n")], "lhs_col STRING, rhs_col STRING"
+    )
+    row = fd_audit(df, [("lhs_col", "rhs_col")]).collect()[0]
+    assert (row["n_lhs"], row["n_pairs"]) == (1, 2)
