@@ -302,3 +302,149 @@ def mixture_sample_by_budget(
         .where(F.col("cum_weight") <= F.col("__k"))
         .select(id_col, source_col, "weight", "cum_weight")
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    *,
+    salt: str = "wres",
+) -> DataFrame:
+    """Deterministic weighted reservoir sample (Efraimidis–Spirakis
+    2006, A-Res): each row draws u_i from a keyed md5 map and the k
+    rows with the largest u_i^(1/w_i) are the sample — inclusion
+    probability proportional to weight, one pass, mergeable (the top-k
+    of per-partition top-k's IS the global top-k, the group_topk
+    argument).
+
+    Exactness: maximizing u^(1/w) ≡ maximizing ln(u)/w, so the sort
+    key is ln(u_q)/w with the ln taken from the SAME frozen 1024-cell
+    DECIMAL grid as the DP noise map (functions/lnlut.py — zero
+    runtime libm): u = (h + 0.5)/2^32 from the md5 map, grid index
+    (1024·h + 512) DIV 2^32 in exact integer arithmetic, and the key
+    is ONE correctly-rounded double division of the exact decimal ln
+    by the integer weight — bit-identical on any IEEE engine, so the
+    oracle replays the full sample, keys included.  Quantizing u onto
+    1024 cells perturbs inclusion odds by at most one cell width
+    (the dp_noisy_counts argument); ties across equal grid cells
+    break by (key DESC, id ASC), a total order.
+
+    Weights must be POSITIVE integers (the weighted_kth_smallest
+    contract): zero-weight rows can never be sampled and are dropped;
+    negative or fractional weights raise upstream of the plan.
+
+    100 TB shape: map-only key computation + TakeOrderedAndProject —
+    no shuffle at all beyond the top-k's bounded exchange.
+    """
+    from decimal import Decimal
+
+    from ..functions.lnlut import LAPLACE_LN_LUT
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col)
+    ident = F.col(key_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", ident.cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    g = ((h * F.lit(1024) + F.lit(512)) - (h * F.lit(1024) + F.lit(512))
+         % F.lit(4294967296)) / F.lit(4294967296)
+    lut = F.array(
+        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
+    )
+    key = F.element_at(lut, g.cast("int") + F.lit(1)).cast("double") / w.cast(
+        "double"
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .select(
+            ident.alias("sample_id"),
+            w.cast("long").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("sample_id"))
+        .limit(k)
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    n: int,
+    *,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: n_h ∝ N_h·S_h
+    (stratum size × stratum std — Neyman 1934), the allocation that
+    minimizes the variance of the stratified mean at fixed total n.
+    Returns (stratum, n_rows, std, alloc_share, n_alloc) with
+    Σ n_alloc == n by largest-remainder rounding (ties to stratum
+    name — a total order).
+
+    Exactness: per-stratum sums are exact decimals (the value column
+    is quantized to `value_decimals` first — one correctly-rounded
+    double→decimal cast, the l-diversity binning move); mean/var/std
+    follow the corr/OLS recipe (exact sums cast to double ONCE, then
+    only correctly-rounded IEEE ops, greatest(var, 0) against the
+    one-ulp artifact).  N_h·S_h is re-quantized to DECIMAL(28,6) — one
+    c.r. rounding — so the ACROSS-STRATA total is an order-independent
+    decimal sum, then shares and remainders are fixed double chains.
+    Every window runs over the |strata|-row aggregate (bounded; the
+    plan lint's aggregate-child rule).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import Window
+
+    dec = f"decimal(24,{value_decimals})"
+    v = F.col(value_col).cast(dec)
+    per = df.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(stratum_col).alias("stratum")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(v).alias("__s1"),
+        F.sum(v * v).alias("__s2"),
+    )
+    n_d = F.col("n_rows").cast("double")
+    mean = F.col("__s1").cast("double") / n_d
+    var = F.col("__s2").cast("double") / n_d - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    per = per.withColumn(
+        "__nhsh", (n_d * std).cast("decimal(28,6)")
+    ).withColumn("std", std)
+    w_all = Window.partitionBy()
+    total = F.sum("__nhsh").over(w_all)
+    share = F.col("__nhsh").cast("double") / total.cast("double")
+    per = per.withColumn("alloc_share", share)
+    base = F.floor(F.lit(float(n)) * F.col("alloc_share")).cast("long")
+    rem = F.lit(float(n)) * F.col("alloc_share") - base.cast("double")
+    per = (
+        per.withColumn("__base", base)
+        .withColumn("__rem", rem)
+        .withColumn("__left", F.lit(n) - F.sum("__base").over(w_all))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                w_all.orderBy(F.desc("__rem"), F.asc("stratum"))
+            ),
+        )
+    )
+    return per.select(
+        "stratum",
+        "n_rows",
+        "std",
+        "alloc_share",
+        (
+            F.col("__base")
+            + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    ).orderBy("stratum")

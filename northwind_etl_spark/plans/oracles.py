@@ -4205,3 +4205,167 @@ ORACLES["hourly_value_ohlc"] = """
            MIN(value) AS low
     FROM r GROUP BY ws ORDER BY ws
 """
+
+
+# --- r09 additions ----------------------------------------------------
+
+# Quantized DSIR replay: same md5 bucket map, same dense 256-bucket
+# spine, same exact integer grid index ((c+1)*1024 // (N+256)), the
+# SAME frozen DECIMAL(14,12) ln LUT literals, the same decimal
+# tf*(lnp_t - lnp_r) sum, one final cast to DOUBLE.
+def _dsir_oracle_sql() -> str:
+    lut = _laplace_lut_sql()
+    model = """
+    {name}_cnt AS (
+      SELECT s.bucket, COALESCE(x.c, 0) AS c
+      FROM spine s LEFT JOIN (
+        SELECT bucket, CAST(SUM(tf) AS BIGINT) AS c
+        FROM {src} GROUP BY 1) x USING (bucket)),
+    {name}_tot AS (SELECT CAST(SUM(c) + 256 AS BIGINT) AS t
+                   FROM {name}_cnt),
+    {name}_model AS (
+      SELECT bucket,
+             {lut}[least(1023, ((c + 1) * 1024) // t) + 1] AS lnp_{name}
+      FROM {name}_cnt, {name}_tot)"""
+    return f"""
+    WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tc AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    db AS (SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(term), 1, 8) AS BIGINT)
+                  % 256 AS INT) AS bucket,
+             CAST(SUM(tf) AS BIGINT) AS tf
+           FROM tc GROUP BY 1, 2),
+    eterms AS (SELECT doc_id, unnest({_TOKS}) AS term
+               FROM documents WHERE lang = 'en'),
+    etc AS (SELECT doc_id, term, COUNT(*) AS tf FROM eterms GROUP BY 1, 2),
+    edb AS (SELECT doc_id,
+              CAST(CAST('0x' || substring(md5(term), 1, 8) AS BIGINT)
+                   % 256 AS INT) AS bucket,
+              CAST(SUM(tf) AS BIGINT) AS tf
+            FROM etc GROUP BY 1, 2),
+    spine AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+    {model.format(name='t', src='edb', lut=lut)},
+    {model.format(name='r', src='db', lut=lut)}
+    SELECT db.doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(CAST(tf AS DECIMAL(20,0)) * (lnp_t - lnp_r))
+                AS DECIMAL(38,12)) AS DOUBLE) AS log_weight
+    FROM db
+    JOIN t_model USING (bucket)
+    JOIN r_model USING (bucket)
+    GROUP BY 1 ORDER BY doc_id
+"""
+
+
+ORACLES["dsir_en_importance_weights"] = _dsir_oracle_sql()
+
+# Greedy max-coverage replay: the same 5 rounds unrolled as CTEs —
+# argmax (count desc, doc_id asc) over tokens not yet covered, covered
+# set grown per round.  Exact integers throughout.
+ORACLES["greedy_coverage_docs"] = f"""
+    WITH dt AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term
+                FROM documents),
+    s1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g
+           FROM dt GROUP BY 1 ORDER BY g DESC, doc_id LIMIT 1),
+    c1 AS (SELECT DISTINCT term FROM dt
+           WHERE doc_id = (SELECT doc_id FROM s1)),
+    s2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g
+           FROM dt WHERE term NOT IN (SELECT term FROM c1)
+           GROUP BY 1 ORDER BY g DESC, doc_id LIMIT 1),
+    c2 AS (SELECT term FROM c1 UNION
+           SELECT term FROM dt WHERE doc_id = (SELECT doc_id FROM s2)),
+    s3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g
+           FROM dt WHERE term NOT IN (SELECT term FROM c2)
+           GROUP BY 1 ORDER BY g DESC, doc_id LIMIT 1),
+    c3 AS (SELECT term FROM c2 UNION
+           SELECT term FROM dt WHERE doc_id = (SELECT doc_id FROM s3)),
+    s4 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g
+           FROM dt WHERE term NOT IN (SELECT term FROM c3)
+           GROUP BY 1 ORDER BY g DESC, doc_id LIMIT 1),
+    c4 AS (SELECT term FROM c3 UNION
+           SELECT term FROM dt WHERE doc_id = (SELECT doc_id FROM s4)),
+    s5 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g
+           FROM dt WHERE term NOT IN (SELECT term FROM c4)
+           GROUP BY 1 ORDER BY g DESC, doc_id LIMIT 1),
+    c5 AS (SELECT term FROM c4 UNION
+           SELECT term FROM dt WHERE doc_id = (SELECT doc_id FROM s5))
+    SELECT * FROM (
+      SELECT 1 AS round, doc_id, g AS gain,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS covered_total
+      FROM s1
+      UNION ALL
+      SELECT 2, doc_id, g,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) FROM s2
+      UNION ALL
+      SELECT 3, doc_id, g,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c3) FROM s3
+      UNION ALL
+      SELECT 4, doc_id, g,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c4) FROM s4
+      UNION ALL
+      SELECT 5, doc_id, g,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c5) FROM s5
+    ) ORDER BY round
+"""
+
+
+# ES weighted reservoir replay: same md5 u-map, same exact integer
+# grid index, same frozen ln LUT, ONE c.r. double division per key,
+# same (key DESC, id ASC) top-40.
+ORACLES["weighted_reservoir_docs"] = f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(length({_TOKS}) AS BIGINT) AS weight
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, weight,
+             CAST({_laplace_lut_sql()}[
+                    CAST((1024 * CAST('0x' || substring(md5(
+                        CAST(doc_id AS VARCHAR) || ':wres'), 1, 8)
+                      AS BIGINT) + 512) // 4294967296 AS INT) + 1]
+                  AS DOUBLE) / CAST(weight AS DOUBLE) AS sample_key
+      FROM w WHERE weight > 0)
+    SELECT doc_id AS sample_id, weight, sample_key
+    FROM keyed ORDER BY sample_key DESC, sample_id LIMIT 40
+"""
+
+# Neyman allocation replay: exact decimal moments, the corr/OLS double
+# chain, DECIMAL(28,6) re-quantization before the across-strata total,
+# identical largest-remainder rounding.
+ORACLES["segment_sample_allocation"] = """
+    WITH per AS (
+      SELECT c_mktsegment AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(CAST(c_acctbal AS DECIMAL(24,2))) AS s1,
+             SUM(CAST(c_acctbal AS DECIMAL(24,2))
+                 * CAST(c_acctbal AS DECIMAL(24,2))) AS s2
+      FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+    m AS (
+      SELECT stratum, n_rows,
+             sqrt(greatest(
+               CAST(s2 AS DOUBLE) / CAST(n_rows AS DOUBLE)
+               - (CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) / CAST(n_rows AS DOUBLE)),
+               0.0)) AS std
+      FROM per),
+    q AS (SELECT *,
+            CAST(CAST(n_rows AS DOUBLE) * std AS DECIMAL(28,6)) AS nhsh
+          FROM m),
+    sh AS (SELECT *,
+             CAST(nhsh AS DOUBLE) / CAST(SUM(nhsh) OVER () AS DOUBLE)
+               AS alloc_share
+           FROM q),
+    b AS (SELECT *,
+            CAST(floor(1000.0 * alloc_share) AS BIGINT) AS base,
+            1000.0 * alloc_share
+              - CAST(floor(1000.0 * alloc_share) AS DOUBLE) AS rem
+          FROM sh),
+    r AS (SELECT *,
+            1000 - SUM(base) OVER () AS leftover,
+            row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+          FROM b)
+    SELECT stratum, n_rows, std, alloc_share,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS n_alloc
+    FROM r ORDER BY stratum
+"""

@@ -4382,6 +4382,74 @@ def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_en_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized DSIR importance weights (operators/curation.py::
+    dsir_importance_weights — Xie et al. 2023's hashed-ngram core):
+    every document scored by how en-like its hashed token distribution
+    is, log w = Σ_b tf_b·(ln p_en(b) − ln p_corpus(b)) with add-one
+    bucket models, B=256.  Both ln's come from the SAME frozen
+    1024-cell DECIMAL grid the DP noise map uses (zero runtime libm in
+    the hash path); the grid index is exact integer division, the
+    per-doc sum is an order-independent decimal sum, and the released
+    score is ONE final correctly-rounded cast to DOUBLE — the oracle
+    reproduces every weight bit-for-bit."""
+    from ..operators.curation import dsir_importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, docs.where(F.col("lang") == "en")
+    ).orderBy("doc_id")
+
+
+def greedy_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage selection of 5 documents (operators/
+    curation.py::greedy_coverage_select — the (1−1/e) submodular
+    greedy, the facility-location shape of training-data selection):
+    each round picks the doc covering the most not-yet-covered
+    distinct tokens, ties to the smallest doc_id.  k bounded rounds of
+    one anti-join + one hash agg + a 1-row argmax; the oracle unrolls
+    the identical 5 rounds as CTEs (the PageRank/k-core pattern), so
+    the selection order, every marginal gain, and the cumulative
+    coverage are exact cross-engine evidence."""
+    from ..operators.curation import greedy_coverage_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return greedy_coverage_select(docs, 5).orderBy("round")
+
+
+def weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample (operators/sampling.py::
+    weighted_reservoir — Efraimidis–Spirakis A-Res): 40 documents with
+    inclusion odds proportional to token count, via the largest
+    u^(1/w) keys ≡ largest ln(u_q)/w with ln from the frozen DECIMAL
+    grid (functions/lnlut.py) and ONE correctly-rounded double
+    division per row — the oracle replays the full sample, keys
+    included, bit-for-bit.  Plan: map-only keys into
+    TakeOrderedAndProject (no shuffle)."""
+    from ..functions.texttools import token_count_expr
+    from ..operators.sampling import weighted_reservoir
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count_expr(F.col("text")).cast("long")
+    )
+    return weighted_reservoir(docs, "n_tokens", "doc_id", 40)
+
+
+def segment_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation (operators/sampling.py::
+    neyman_allocation): split a 1000-row sample budget across customer
+    market segments ∝ N_h·S_h of account balance — the allocation that
+    minimizes stratified-mean variance (Neyman 1934).  Exact decimal
+    moments → the corr/OLS double recipe → one re-quantization so the
+    across-strata total is an order-independent decimal sum →
+    largest-remainder rounding with a total-order tie-break; Σ n_alloc
+    == 1000 exactly and every column hash-matches the oracle."""
+    from ..operators.sampling import neyman_allocation
+
+    cust = _t(spark, sf_dir, "customer")
+    return neyman_allocation(cust, "c_mktsegment", "c_acctbal", 1000)
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -4631,5 +4699,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
     "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
     "q21_late_supplier": T.q21_late_supplier,
+    # --- r09 additions (appended at the bottom per the rotation
+    #     policy; hash-checked at sf0.001+sf0.01 in a vanilla /tmp
+    #     session before commit; they lead the r10 window) -----------
+    "dsir_en_importance_weights": dsir_en_importance_weights,
+    "greedy_coverage_docs": greedy_coverage_docs,
+    "weighted_reservoir_docs": weighted_reservoir_docs,
+    "segment_sample_allocation": segment_sample_allocation,
 }
 

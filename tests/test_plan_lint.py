@@ -53,6 +53,8 @@ BNLJ_WHITELIST = {
     "order_key_skew_profile",        # 1-row aggregate ⨯ 1-row top10
     "revenue_half_sample_ci",        # 1-row full-mean ⨯ 1-row CI picks
     "orders_customer_join_estimate",  # three 1-row stat frames joined
+    # r09 additions:
+    "dsir_en_importance_weights",    # two 1-row model-total scalars
 }
 
 
