@@ -145,3 +145,97 @@ def wilson_bounds(k, n, *, z: float = 1.96):
     lo = F.when(guard, (center - zl * rad) / denom)
     hi = F.when(guard, (center + zl * rad) / denom)
     return lo, hi
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Isotonic (monotone) calibration of a scorer against a binary
+    outcome — the PAV step of turning a margin into a probability
+    (Zadrozny & Elkan 2002): equal-frequency-bin the scores, then fit
+    the best non-decreasing rate sequence to the per-bin positive
+    rates by pool-adjacent-violators.
+
+    Returns one row per bin: (bin, n, pos, lo_score, hi_score, rate,
+    iso_rate).
+
+    Exactness & the two-algorithm oracle: binning is the
+    deterministic (score, id) total-order rank (features.quantile_bin
+    — NO single-partition window); per-bin (pos, n) are exact
+    integers; PAVA pools with EXACT cross-multiplied comparisons
+    (pos_a·n_b vs pos_b·n_a — no float enters a pooling decision) and
+    each emitted value is ONE correctly-rounded division of exact
+    integers.  The oracle computes the SAME fit by the minimax
+    characterization iso[i] = max_{k<=i} min_{j>=i} mean(pos, n over
+    bins k..j) — an INDEPENDENT O(bins³) algorithm (brute-forceable
+    because bins are bounded), equal to PAVA as rationals, and equal
+    as doubles because correctly-rounded division of the same
+    rational yields the same double regardless of which (k, j)
+    produced it.
+
+    Scale: one range exchange for the binning, one hash agg to bins;
+    driver state = `n_bins` rows (the selection-operator bound).
+    PAVA itself is a fold over those bounded rows.
+
+    Contract: `score_col` must be INTEGER-typed (exact margins — the
+    linear_quality_margin / lang_id_scored shape) and `label_col`
+    0/1; NULL score or label rows are excluded.
+    """
+    from .features import quantile_bin
+
+    if not 2 <= n_bins <= 4096:
+        raise ValueError("n_bins must be in [2, 4096]")
+    scored = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    binned = quantile_bin(scored, score_col, id_col, n_bins=n_bins)
+    per = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("long")).cast("long").alias("pos"),
+            F.min(score_col).alias("lo_score"),
+            F.max(score_col).alias("hi_score"),
+        )
+        .orderBy("bin")
+    )
+    rows = per.collect()  # bounded: n_bins rows
+    # PAVA over (pos, n) integer pools; comparisons cross-multiplied so
+    # pooling decisions never touch floats
+    blocks: list[list[int]] = []  # [pos, n, span]
+    for r in rows:
+        blocks.append([int(r["pos"]), int(r["n"]), 1])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p, c, s = blocks.pop()
+            blocks[-1][0] += p
+            blocks[-1][1] += c
+            blocks[-1][2] += s
+    iso: list[float] = []
+    for p, c, s in blocks:
+        iso.extend([p / c] * s)
+    spark = df.sparkSession
+    out = [
+        (
+            int(r["bin"]),
+            int(r["n"]),
+            int(r["pos"]),
+            r["lo_score"],
+            r["hi_score"],
+            int(r["pos"]) / int(r["n"]),
+            iso[i],
+        )
+        for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        out,
+        "bin INT, n BIGINT, pos BIGINT, lo_score BIGINT, hi_score BIGINT,"
+        " rate DOUBLE, iso_rate DOUBLE",
+    )

@@ -4369,3 +4369,66 @@ ORACLES["segment_sample_allocation"] = """
                 AS BIGINT) AS n_alloc
     FROM r ORDER BY stratum
 """
+
+
+# Isotonic calibration by the MINIMAX characterization — an
+# independent algorithm from the Spark side's PAVA (equal as
+# rationals; equal as doubles because c.r. division of the same
+# rational gives the same double).  Margins replayed via the shared
+# langid scorer CTEs.
+def _isotonic_oracle_sql() -> str:
+    ctes, _ = _langid_scorer_ctes()
+    return f"""
+    WITH {ctes},
+    sc AS (SELECT d.doc_id, COALESCE(m.s_en, 0) AS score,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents d LEFT JOIN m USING (doc_id)),
+    r AS (SELECT *, row_number() OVER (ORDER BY score, doc_id) AS rn,
+            COUNT(*) OVER () AS total
+          FROM sc),
+    binned AS (SELECT CAST(((rn - 1) * 16) // total AS INT) AS bin,
+                 score, y FROM r),
+    per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(y) AS BIGINT) AS pos,
+              MIN(score) AS lo_score, MAX(score) AS hi_score
+            FROM binned GROUP BY 1),
+    seg AS (SELECT a.bin AS k, b.bin AS j FROM per a JOIN per b
+            ON a.bin <= b.bin),
+    mu AS (SELECT seg.k, seg.j,
+             CAST(SUM(c.pos) AS DOUBLE) / CAST(SUM(c.n) AS DOUBLE) AS mu
+           FROM seg JOIN per c ON c.bin BETWEEN seg.k AND seg.j
+           GROUP BY 1, 2),
+    mm AS (SELECT mu.k, p.bin AS i, MIN(mu.mu) AS lo
+           FROM mu JOIN per p ON mu.j >= p.bin AND mu.k <= p.bin
+           GROUP BY 1, 2),
+    iso AS (SELECT i AS bin, MAX(lo) AS iso_rate FROM mm GROUP BY 1)
+    SELECT per.bin, n, pos, lo_score, hi_score,
+           CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           iso_rate
+    FROM per JOIN iso USING (bin) ORDER BY per.bin
+"""
+
+
+ORACLES["langid_margin_calibration"] = _isotonic_oracle_sql()
+
+
+# Bidelta IVM: the oracle computes the NEW view's aggregate DIRECTLY
+# from the post-change snapshots — maintenance ≡ recompute, the
+# independent-derivation check (the Spark side never materializes the
+# new view; it merges old state with four signed delta joins).
+ORACLES["incremental_join_revenue_bidelta"] = """
+    WITH a_new AS (
+      SELECT * FROM orders
+      WHERE o_orderkey % 101 = 0
+         OR (o_orderkey % 101 <> 0 AND o_orderkey % 89 <> 0)),
+    b_new AS (
+      SELECT * FROM customer
+      WHERE c_custkey % 97 = 0
+         OR (c_custkey % 97 <> 0 AND c_custkey % 83 <> 0))
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS revenue
+    FROM a_new JOIN b_new ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY c_nationkey
+"""

@@ -4450,6 +4450,93 @@ def segment_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_allocation(cust, "c_mktsegment", "c_acctbal", 1000)
 
 
+def langid_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration curve for the trained language-ID scorer
+    (operators/modelfit.py::isotonic_calibration — Zadrozny & Elkan's
+    PAV step): the en-margin binned into 16 equal-frequency bins
+    against the observed lang=='en' rate, with the best non-decreasing
+    fit pooled by PAVA (exact cross-multiplied pooling decisions, one
+    correctly-rounded division per emitted value).  The oracle fits
+    the SAME curve by the minimax characterization max_k min_j
+    mean(k..j) — an INDEPENDENT algorithm, brute-forced over the
+    bounded bins (the entity-resolution two-algorithm pattern)."""
+    from ..operators.modelfit import isotonic_calibration
+    from ..operators.text import lang_id_scored
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lang_id_scored(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id",
+        F.col("s_en").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return isotonic_calibration(scored, "score", "y", "doc_id").orderBy("bin")
+
+
+def incremental_join_revenue_bidelta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOIN-view maintenance with INSERTS AND DELETES (operators/
+    incremental.py::join_view_bidelta — the signed/counting IVM that
+    completes the insert-only `incremental_join_revenue`): orders and
+    customer each split into history + keyed insert-delta + keyed
+    delete-delta (o_orderkey %101 / %89, c_custkey %97 / %83); the
+    MAINTAINED per-nation view aggregate is old-state + SUM(sign) /
+    SUM(sign·price) over the four delta-sized joins (the old-view
+    aggregate stands in for the stored state, the
+    incremental_order_stats convention).  The oracle computes the NEW
+    view's aggregate directly from the post-change snapshots — an
+    independent derivation, so maintenance ≡ recompute is proven, not
+    replayed.  Nations whose signed deltas cancel to zero still
+    reconcile because the maintained state carries every nation."""
+    from ..operators.incremental import join_view_bidelta
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    o_ins, o_del = F.col("o_orderkey") % 101 == 0, (
+        F.col("o_orderkey") % 101 != 0
+    ) & (F.col("o_orderkey") % 89 == 0)
+    c_ins, c_del = F.col("o_custkey") % 97 == 0, (
+        F.col("o_custkey") % 97 != 0
+    ) & (F.col("o_custkey") % 83 == 0)
+    a_old, b_old = o.where(~o_ins), c.where(~c_ins)
+    dv = join_view_bidelta(
+        a_old,
+        o.where(o_ins),
+        o.where(o_del),
+        b_old,
+        c.where(c_ins),
+        c.where(c_del),
+        on="o_custkey",
+        b_pk=["o_custkey"],
+    )
+    state = a_old.join(b_old, "o_custkey").select(
+        "c_nationkey", "o_totalprice", F.lit(1).alias("__sign")
+    )
+    sgn = F.col("__sign").cast("long")
+    signed_rev = sgn.cast("decimal(20,0)") * F.col("o_totalprice").cast(
+        "decimal(18,2)"
+    )
+    return (
+        state.unionByName(
+            dv.select("c_nationkey", "o_totalprice", "__sign")
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(sgn).cast("long").alias("n_rows"),
+            F.round(F.sum(signed_rev), 2).cast("double").alias("revenue"),
+        )
+        # a group whose rows were ALL deleted maintains to n=0 and
+        # vanishes in the direct recompute — drop it the same way a
+        # GROUP BY would (IVM exactness guarantees revenue is 0 there)
+        .where(F.col("n_rows") > 0)
+        .orderBy("c_nationkey")
+    )
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -4706,5 +4793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "greedy_coverage_docs": greedy_coverage_docs,
     "weighted_reservoir_docs": weighted_reservoir_docs,
     "segment_sample_allocation": segment_sample_allocation,
+    "langid_margin_calibration": langid_margin_calibration,
+    "incremental_join_revenue_bidelta": incremental_join_revenue_bidelta,
 }
 

@@ -41,3 +41,60 @@ def test_closed_form_corr_ols_nulls_and_perfect_line(spark):
     # the contract, not symbolic identity
     assert r.n == 3 and abs(r.corr - 1.0) < 1e-15
     assert r.slope == 2.0 and r.intercept == 0.0
+
+
+# ------------------------------------------- isotonic calibration (PAVA)
+
+
+def test_isotonic_hand_computed(spark):
+    from northwind_etl_spark.operators.modelfit import isotonic_calibration
+
+    # 4 bins of 2 rows each; rates 1.0, 0.0, 0.5, 1.0 -> PAVA pools the
+    # first three bins ((2+0+1) pos over 6 rows = 0.5), last stays 1.0
+    data = [
+        (1, 10, 1), (2, 11, 1),
+        (3, 20, 0), (4, 21, 0),
+        (5, 30, 1), (6, 31, 0),
+        (7, 40, 1), (8, 41, 1),
+    ]
+    df = spark.createDataFrame(data, "id LONG, score LONG, y INT")
+    out = isotonic_calibration(df, "score", "y", "id", n_bins=4).collect()
+    got = [(r["bin"], r["n"], r["pos"], r["rate"], r["iso_rate"]) for r in out]
+    half = 3 / 6
+    assert got == [
+        (0, 2, 2, 1.0, half),
+        (1, 2, 0, 0.0, half),
+        (2, 2, 1, 0.5, half),
+        (3, 2, 2, 1.0, 1.0),
+    ]
+
+
+def test_isotonic_output_nondecreasing_and_mass_preserving(spark, sf_dir):
+    from northwind_etl_spark.operators.modelfit import isotonic_calibration
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id"),
+        F.length("text").cast("long").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    rows = isotonic_calibration(docs, "score", "y", "doc_id", n_bins=8).collect()
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)
+    # PAVA preserves the weighted mean: sum(iso*n) == sum(pos) exactly
+    # as rationals; allow one ulp of float slack per term
+    lhs = sum(r["iso_rate"] * r["n"] for r in rows)
+    rhs = sum(r["pos"] for r in rows)
+    assert abs(lhs - rhs) < 1e-9
+    with __import__("pytest").raises(ValueError, match="n_bins"):
+        isotonic_calibration(docs, "score", "y", "doc_id", n_bins=1)
+
+
+def test_isotonic_already_monotone_is_identity(spark):
+    from northwind_etl_spark.operators.modelfit import isotonic_calibration
+
+    data = [(i, i, 1 if i >= 6 else 0) for i in range(1, 13)]
+    df = spark.createDataFrame(data, "id LONG, score LONG, y INT")
+    out = isotonic_calibration(df, "score", "y", "id", n_bins=4).collect()
+    for r in out:
+        assert r["iso_rate"] == r["rate"]
