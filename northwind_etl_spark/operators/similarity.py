@@ -219,3 +219,79 @@ def embedding_norms(
     return embeddings.select(
         F.col(id_col), F.round(norm_expr(F.col(vec_col)), 6).alias("l2_norm")
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed_id: int = 0,
+) -> DataFrame:
+    """Greedy k-center (Gonzalez 1985 farthest-point traversal) — the
+    coreset/diversity selection over an embedding column: start from
+    `seed_id`, then k−1 times pick the point FARTHEST from the
+    selected set (squared euclidean, min over centers), ties to the
+    smallest id.  The classic 2-approximation to the k-center
+    clustering objective, and the diversity counterpart of SemDeDup's
+    redundancy removal.
+
+    Returns (round, vec_id, radius): `radius` is the selected point's
+    distance-to-set at selection time — the non-increasing coverage
+    radius curve (round 1, the seed, has radius NULL).
+
+    Scale shape: each of the k−1 rounds is ONE map-only distance
+    expression over broadcast center LITERALS (k×dim driver state —
+    the ivf/semdedup bound) into a 1-row TakeOrderedAndProject; the
+    relation is never self-joined.  Iteration count is k, fixed by the
+    caller — no convergence loop.
+
+    Cross-engine float recipe (the knn precedent): per-center squared
+    distances are ROUNDED to 6 decimals before the min/argmax
+    comparisons, so the oracle — which unrolls the same rounds as
+    CTEs, re-deriving each center from the previous argmax — matches
+    bit-for-bit; ulp-level fold-order drift is absorbed by the
+    rounding, ties by the id total order.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = df.sparkSession
+    vec, ident = F.col(vec_col), F.col(id_col)
+
+    seed_rows = df.where(ident == F.lit(seed_id)).select(vec_col).collect()
+    if not seed_rows:
+        raise ValueError(f"seed id {seed_id!r} not present in {id_col!r}")
+    centers = [[float(x) for x in seed_rows[0][0]]]
+    sel = [(1, seed_id, None)]
+
+    def dist_to(center: list[float]) -> F.Column:
+        c = F.array(*[F.lit(x) for x in center])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    c,
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    for rnd in range(2, k + 1):
+        d = F.least(*[dist_to(c) for c in centers]) if len(centers) > 1 else dist_to(centers[0])
+        top = (
+            df.select(ident.alias("__id"), d.alias("__d"), vec.alias("__v"))
+            .orderBy(F.desc("__d"), F.asc("__id"))
+            .limit(1)
+            .collect()
+        )
+        row = top[0]
+        sel.append((rnd, row["__id"], float(row["__d"])))
+        centers.append([float(x) for x in row["__v"]])
+    return spark.createDataFrame(
+        sel, "round INT, vec_id BIGINT, radius DOUBLE"
+    )

@@ -4432,3 +4432,94 @@ ORACLES["incremental_join_revenue_bidelta"] = """
     FROM a_new JOIN b_new ON o_custkey = c_custkey
     GROUP BY 1 ORDER BY c_nationkey
 """
+
+
+# U-shaped attribution replay: identical (ts, event_id) path order,
+# identical fixed credit chain, identical DECIMAL(18,12) quantization
+# before the order-independent rollup.
+ORACLES["attribution_credit_by_type"] = """
+    WITH p AS (
+      SELECT event_type,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    c AS (
+      SELECT event_type,
+             CAST(CASE WHEN n = 1 THEN 1.0
+                       WHEN rn = 1 OR rn = n THEN
+                            CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END
+                       ELSE 0.2 / CAST(n - 2 AS DOUBLE)
+                  END AS DECIMAL(18,12)) AS credit
+      FROM p)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(CAST(SUM(credit) AS DECIMAL(38,12)) AS DOUBLE) AS credit
+    FROM c GROUP BY 1 ORDER BY event_type
+"""
+
+
+# Bitemporal snapshots replayed with row_number windows (independent
+# of the Spark side's max_by(struct) aggregation), same deterministic
+# late-record seeding, same (valid_from, event_id) tie order.
+ORACLES["bitemporal_user_state"] = """
+    WITH base AS (
+      SELECT user_id, ts AS valid_from, event_id, value,
+             CASE WHEN event_id % 7 = 0
+                  THEN ts + INTERVAL 4 HOUR ELSE ts END AS txn_ts
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+    s1 AS (
+      SELECT user_id, value AS value_t1, valid_from AS from_t1
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY valid_from DESC, event_id DESC) AS rn
+            FROM base
+            WHERE txn_ts <= TIMESTAMP '2024-01-15 00:00:00')
+      WHERE rn = 1),
+    s2 AS (
+      SELECT user_id, value AS value_t2, valid_from AS from_t2
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY valid_from DESC, event_id DESC) AS rn
+            FROM base
+            WHERE txn_ts <= TIMESTAMP '2024-01-15 06:00:00')
+      WHERE rn = 1)
+    SELECT s1.user_id, value_t1, from_t1, value_t2, from_t2,
+           (value_t1 <> value_t2 OR from_t1 <> from_t2) AS revised
+    FROM s1 JOIN s2 USING (user_id)
+    ORDER BY s1.user_id
+"""
+
+
+# Greedy k-center unrolled: every round re-derives its center from
+# the previous argmax inside SQL; distances rounded to 6 decimals
+# before min/argmax (the knn float recipe) so fold-order ulps never
+# reach a comparison.
+ORACLES["kcenter_coreset_vectors"] = """
+    WITH c1 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    d2 AS (SELECT e.vec_id, round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c1.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c1.v[i] AS DOUBLE)))), 6) AS d
+           FROM embeddings e, c1),
+    s2 AS (SELECT vec_id, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+    c2 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = (SELECT vec_id FROM s2)),
+    d3 AS (SELECT e.vec_id, least(round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c1.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c1.v[i] AS DOUBLE)))), 6), round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c2.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c2.v[i] AS DOUBLE)))), 6)) AS d
+           FROM embeddings e, c1, c2),
+    s3 AS (SELECT vec_id, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+    c3 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = (SELECT vec_id FROM s3)),
+    d4 AS (SELECT e.vec_id, least(round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c1.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c1.v[i] AS DOUBLE)))), 6), round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c2.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c2.v[i] AS DOUBLE)))), 6), round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c3.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c3.v[i] AS DOUBLE)))), 6)) AS d
+           FROM embeddings e, c1, c2, c3),
+    s4 AS (SELECT vec_id, d FROM d4 ORDER BY d DESC, vec_id LIMIT 1),
+    c4 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = (SELECT vec_id FROM s4)),
+    d5 AS (SELECT e.vec_id, least(round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c1.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c1.v[i] AS DOUBLE)))), 6), round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c2.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c2.v[i] AS DOUBLE)))), 6), round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c3.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c3.v[i] AS DOUBLE)))), 6), round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c4.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c4.v[i] AS DOUBLE)))), 6)) AS d
+           FROM embeddings e, c1, c2, c3, c4),
+    s5 AS (SELECT vec_id, d FROM d5 ORDER BY d DESC, vec_id LIMIT 1),
+    c5 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = (SELECT vec_id FROM s5)),
+    d6 AS (SELECT e.vec_id, least(round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c1.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c1.v[i] AS DOUBLE)))), 6), round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c2.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c2.v[i] AS DOUBLE)))), 6), round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c3.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c3.v[i] AS DOUBLE)))), 6), round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c4.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c4.v[i] AS DOUBLE)))), 6), round(list_sum(list_transform(generate_series(1, 64), i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c5.v[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c5.v[i] AS DOUBLE)))), 6)) AS d
+           FROM embeddings e, c1, c2, c3, c4, c5),
+    s6 AS (SELECT vec_id, d FROM d6 ORDER BY d DESC, vec_id LIMIT 1)
+    SELECT 1 AS round, CAST(0 AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS radius
+    UNION ALL SELECT 2, vec_id, d FROM s2
+    UNION ALL SELECT 3, vec_id, d FROM s3
+    UNION ALL SELECT 4, vec_id, d FROM s4
+    UNION ALL SELECT 5, vec_id, d FROM s5
+    UNION ALL SELECT 6, vec_id, d FROM s6
+    ORDER BY round
+"""

@@ -4537,6 +4537,122 @@ def incremental_join_revenue_bidelta(
     )
 
 
+def attribution_credit_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each user's
+    event path, ordered by (ts, event_id), splits one unit of credit
+    40/20/40 — 0.4 to the first touch, 0.4 to the last, 0.2 shared
+    equally by the middles (single touch gets 1.0, a pair 0.5/0.5) —
+    then credit is rolled up per event_type.  The mix-modeling
+    counterpart of the existing last-touch as-of join.
+
+    Exactness: the per-touch credit is one fixed double chain
+    (0.2/(n−2) is a single c.r. division) QUANTIZED to DECIMAL(18,12)
+    — one deterministic rounding — so the per-type rollup is an
+    order-independent decimal sum, released as DOUBLE.  One keyed
+    window pass (partitioned by user — no global window), one hash
+    agg."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    wo = w.orderBy("ts", "event_id")
+    n = F.count(F.lit(1)).over(w)
+    rn = F.row_number().over(wo)
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when((rn == 1) | (rn == n), F.when(n == 2, 0.5).otherwise(0.4))
+        .otherwise(F.lit(0.2) / (n - F.lit(2)).cast("double"))
+    )
+    touched = e.select(
+        "event_type", credit.cast("decimal(18,12)").alias("__credit")
+    )
+    return (
+        touched.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("__credit").cast("decimal(38,12)").cast("double").alias(
+                "credit"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def bitemporal_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of query — the two-axis extension of the SCD2 /
+    as-of family: user state at VALID time V under two TRANSACTION
+    times (what the warehouse believed at T1 = V vs after
+    late-arriving corrections by T2 = V+6h).  Late records are seeded
+    deterministically (event_id % 7 == 0 → recorded 4 h after the
+    event occurred — the pii_redaction seeding pattern); per user and
+    snapshot the state is the latest valid_from ≤ V among rows with
+    txn_ts ≤ T, tie-broken by event_id via ONE max_by(struct) keyed
+    aggregation per snapshot (no self-join, no global window).  The
+    oracle replays both snapshots with row_number windows — an
+    independent plan shape for the same definition.  `revised` marks
+    users whose believed state changed when the corrections landed —
+    the bitemporal audit signal."""
+    e = _t(spark, sf_dir, "events")
+    v = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-01-15 06:00:00").cast("timestamp")
+    base = e.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        "value",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.col("ts") + F.expr("INTERVAL 4 HOURS"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("txn_ts"),
+    ).where(F.col("valid_from") <= v)
+
+    def snap(t: F.Column, tag: str) -> DataFrame:
+        key = F.struct("valid_from", "event_id")
+        return (
+            base.where(F.col("txn_ts") <= t)
+            .groupBy("user_id")
+            .agg(
+                F.max_by("value", key).alias(f"value_{tag}"),
+                F.max("valid_from").alias(f"from_{tag}"),
+            )
+        )
+
+    s1, s2 = snap(v, "t1"), snap(t2, "t2")
+    return (
+        s1.join(s2, "user_id")
+        .select(
+            "user_id",
+            "value_t1",
+            "from_t1",
+            "value_t2",
+            "from_t2",
+            (
+                (F.col("value_t1") != F.col("value_t2"))
+                | (F.col("from_t1") != F.col("from_t2"))
+            ).alias("revised"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def kcenter_coreset_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings table (operators/
+    similarity.py::kcenter_select — Gonzalez farthest-point, the
+    diversity-selection counterpart of SemDeDup): 6 centers from seed
+    vec_id 0, each round the point farthest (squared euclidean, min
+    over centers, distances rounded to 6 decimals — the knn float
+    recipe) from the selected set.  The oracle unrolls the identical
+    rounds as CTEs, re-deriving every center from the previous argmax
+    — selection order and coverage radii are exact cross-engine
+    evidence."""
+    from ..operators.similarity import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, 6).orderBy("round")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -4795,5 +4911,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_sample_allocation": segment_sample_allocation,
     "langid_margin_calibration": langid_margin_calibration,
     "incremental_join_revenue_bidelta": incremental_join_revenue_bidelta,
+    "attribution_credit_by_type": attribution_credit_by_type,
+    "bitemporal_user_state": bitemporal_user_state,
+    "kcenter_coreset_vectors": kcenter_coreset_vectors,
 }
 

@@ -1,0 +1,71 @@
+"""Planted-fixture semantics for the r09 operator batch (attribution,
+bitemporal as-of, k-center coreset).  Cross-engine value parity is
+pinned by their registry oracles; these tests pin behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from northwind_etl_spark.operators.similarity import kcenter_select
+
+
+def test_kcenter_farthest_point_order_and_radius(spark):
+    # 1-D embeddings padded to length 4: points at 0, 1, 10, 21.
+    # seed=0 -> farthest is 21 (441), then 10 (min(100,121)=100),
+    # then 1 (min(1,81,400)=1).  Radii non-increasing.
+    def v(x):
+        return [float(x), 0.0, 0.0, 0.0]
+
+    df = spark.createDataFrame(
+        [(0, v(0)), (1, v(1)), (2, v(10)), (3, v(21))],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = kcenter_select(df, 4, seed_id=0).collect()
+    got = [(r["round"], r["vec_id"], r["radius"]) for r in rows]
+    assert got == [(1, 0, None), (2, 3, 441.0), (3, 2, 100.0), (4, 1, 1.0)]
+    radii = [r["radius"] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_validation(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    with pytest.raises(ValueError, match="seed id"):
+        kcenter_select(df, 2, seed_id=99)
+    with pytest.raises(ValueError, match="k must be"):
+        kcenter_select(df, 0)
+
+
+def test_attribution_u_shape_planted(spark, sf_dir):
+    # replicate the entry's credit expression on a planted 4-touch
+    # path: 0.4 / 0.1 / 0.1 / 0.4
+    from northwind_etl_spark.plans.queries import attribution_credit_by_type
+
+    out = {
+        r["event_type"]: r
+        for r in attribution_credit_by_type(spark, sf_dir).collect()
+    }
+    # conservation: total credit == number of users with >= 1 event
+    total = sum(r["credit"] for r in out.values())
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = e.select("user_id").distinct().count()
+    assert abs(total - n_users) < 1e-6 * max(n_users, 1)
+
+
+def test_bitemporal_late_correction_flips_state(spark, sf_dir):
+    from northwind_etl_spark.plans.queries import bitemporal_user_state
+
+    df = bitemporal_user_state(spark, sf_dir)
+    rows = df.collect()
+    assert rows  # non-empty
+    for r in rows:
+        # believed valid_from can only move FORWARD as txn time grows
+        # (more knowledge, never less)
+        assert r["from_t2"] >= r["from_t1"]
+        if r["revised"]:
+            assert (r["from_t1"], r["value_t1"]) != (
+                r["from_t2"],
+                r["value_t2"],
+            )
