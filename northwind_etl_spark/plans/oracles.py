@@ -4523,3 +4523,111 @@ ORACLES["kcenter_coreset_vectors"] = """
     UNION ALL SELECT 6, vec_id, d FROM s6
     ORDER BY round
 """
+
+
+# CUSUM replay: identical daily micro-scaled BIGINT series, identical
+# scaled fold via list_reduce with a struct accumulator (the EWMA
+# list_reduce pattern on exact integers), one c.r. double division for
+# the released final value.
+ORACLES["event_value_cusum_alarms"] = """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000
+                  AS DECIMAL(38,0)) AS BIGINT) AS xq
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             list_transform(
+               list_sort(list(struct_pack(b := bucket, x := xq))),
+               r -> r.x) AS xs
+      FROM daily GROUP BY 1),
+    g AS (
+      SELECT event_type,
+             CAST(len(xs) AS BIGINT) AS n,
+             CAST(list_sum(xs) AS BIGINT) AS total,
+             xs
+      FROM s),
+    -- packed-BIGINT accumulator (S*2048 + alarms): DuckDB 1.0's
+    -- list_reduce mis-evaluates the second field of a STRUCT
+    -- accumulator when the lambda references correlated columns (the
+    -- s branch folds right, the a branch sees stale values — found
+    -- building this oracle), so both engines fold the identical
+    -- packed-integer recursion instead.
+    f AS (
+      SELECT event_type, n,
+             list_reduce(
+               [CAST(0 AS BIGINT)] || xs,
+               (acc, x) -> greatest(CAST(0 AS BIGINT),
+                             (acc - acc % 2048) // 2048 + n * x - total)
+                           * 2048 + acc % 2048
+                           + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                    (acc - acc % 2048) // 2048
+                                    + n * x - total)
+                                  > n * CAST(1000000000 AS BIGINT)
+                             THEN 1 ELSE 0 END) AS st
+      FROM g)
+    SELECT event_type, n AS n_buckets,
+           CAST(st % 2048 AS BIGINT) AS n_alarms,
+           CAST((st - st % 2048) // 2048 AS DOUBLE)
+             / CAST(n * 1000000 AS DOUBLE) AS cusum_final
+    FROM f ORDER BY event_type
+"""
+
+
+# OOV replay: same tokenization, same (count DESC, term ASC) top-1000
+# vocabulary cut, same membership test and one c.r. division.
+ORACLES["oov_rate_by_source"] = f"""
+    WITH toks AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
+        ORDER BY c DESC, term LIMIT 1000)),
+    flagged AS (
+      SELECT source,
+             CASE WHEN term IN (SELECT term FROM vocab)
+                  THEN 0 ELSE 1 END AS oov
+      FROM toks)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM flagged GROUP BY 1 ORDER BY source
+"""
+
+
+# Z-order locality replay: identical exact integer binning, identical
+# 4-bit Morton interleave via shift/mask arithmetic, identical span
+# aggregation; one c.r. division per released average.
+ORACLES["zorder_locality_report"] = """
+    WITH base AS (
+      SELECT CAST(o_custkey AS BIGINT) AS ck,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+      FROM orders),
+    st AS (SELECT MIN(ck) AS ck_min, MAX(ck) - MIN(ck) + 1 AS ck_rng,
+                  MIN(pc) AS pc_min, MAX(pc) - MIN(pc) + 1 AS pc_rng
+           FROM base),
+    binned AS (
+      SELECT ((ck - ck_min) * 16) // ck_rng AS bx,
+             ((pc - pc_min) * 16) // pc_rng AS by
+      FROM base, st),
+    coded AS (SELECT bx, by, (((bx >> 0) & 1) << 0) + (((by >> 0) & 1) << 1) + (((bx >> 1) & 1) << 2) + (((by >> 1) & 1) << 3) + (((bx >> 2) & 1) << 4) + (((by >> 2) & 1) << 5) + (((bx >> 3) & 1) << 6) + (((by >> 3) & 1) << 7) AS z FROM binned),
+    zper AS (SELECT z // 16 AS b,
+               MAX(bx) - MIN(bx) + 1 AS sx, MAX(by) - MIN(by) + 1 AS sy
+             FROM coded GROUP BY 1),
+    lper AS (SELECT bx AS b,
+               MAX(bx) - MIN(bx) + 1 AS sx, MAX(by) - MIN(by) + 1 AS sy
+             FROM coded GROUP BY 1),
+    zrep AS (SELECT 'zorder' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(sx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_span_x,
+               CAST(SUM(sy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_span_y,
+               CAST(SUM(sx * sy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_box
+             FROM zper),
+    lrep AS (SELECT 'lexicographic' AS scheme,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(sx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_span_x,
+               CAST(SUM(sy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_span_y,
+               CAST(SUM(sx * sy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_box
+             FROM lper)
+    SELECT * FROM lrep UNION ALL SELECT * FROM zrep
+    ORDER BY scheme
+"""

@@ -4653,6 +4653,131 @@ def kcenter_coreset_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(emb, 6).orderBy("round")
 
 
+def event_value_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor per event type (operators/
+    timeseries.py::cusum_alarms_by_key — Page 1954): daily value
+    series vs its own mean, threshold h=1000 value units; alarm-day
+    counts 7–28 of 30 per type at sf0.01, so the detector is
+    non-vacuous.  The recursion runs in the scaled BIGINT domain
+    (every term ×n so the mean never divides — the decision sequence
+    is provably the original one), and the oracle replays the fold
+    with DuckDB list_reduce over the same ordered list — the EWMA
+    cross-engine pattern upgraded from doubles to exact integers."""
+    from ..operators.timeseries import cusum_alarms_by_key
+
+    e = _t(spark, sf_dir, "events")
+    return cusum_alarms_by_key(
+        e, "event_type", "ts", "value", slack="0", threshold="1000"
+    ).orderBy("event_type")
+
+
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-1000
+    vocabulary — the tokenizer-coverage monitor a data pipeline runs
+    before committing to a vocab (a source with high OOV under the
+    corpus vocabulary will fragment into subwords).  Vocabulary =
+    top-1000 terms under the (count DESC, term ASC) total order — a
+    TakeOrderedAndProject, broadcast back as the membership probe (the
+    vocabulary side is small BY CONSTRUCTION — the boilerplate-removal
+    argument); per-source counts are one hash agg; rate is ONE
+    correctly-rounded division of exact counts."""
+    from ..functions.texttools import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(1000)
+        .select("term")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "term", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+def zorder_locality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible evidence for the Z-order layout family
+    (sources/zorder.py::morton_code): orders binned 16×16 on
+    (custkey, price-cents) by exact integer value binning, then
+    bucketed two ways — Morton-interleaved (zorder) vs lexicographic
+    (sort by custkey) — and each scheme's per-bucket min/max BOX
+    measured on both dimensions.  The point of the layout: Z-order's
+    average box is tight on BOTH dims (so parquet min/max stats prune
+    filters on either), lexicographic is tight on one and full-span
+    on the other.  All bin/Morton arithmetic is exact integer math
+    replayed by the oracle (shift/mask ≡ DuckDB `<<`/`&`); the four
+    averages are one c.r. division each."""
+    from ..cache import persist_stage
+    from ..sources.zorder import morton_code
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(20,0)"
+    ).cast("long")
+    base = o.select(
+        F.col("o_custkey").cast("long").alias("ck"), cents.alias("pc")
+    )
+    stats = base.agg(
+        F.min("ck").alias("ck_min"),
+        (F.max("ck") - F.min("ck") + 1).alias("ck_rng"),
+        F.min("pc").alias("pc_min"),
+        (F.max("pc") - F.min("pc") + 1).alias("pc_rng"),
+    )
+
+    def bin16(v: F.Column, lo: F.Column, rng: F.Column) -> F.Column:
+        a = (v - lo) * F.lit(16)
+        return ((a - a % rng) / rng).cast("long")
+
+    binned = persist_stage(
+        base.join(F.broadcast(stats))
+        .select(
+            bin16(F.col("ck"), F.col("ck_min"), F.col("ck_rng")).alias("bx"),
+            bin16(F.col("pc"), F.col("pc_min"), F.col("pc_rng")).alias("by"),
+        )
+        .withColumn("z", morton_code(F.col("bx"), F.col("by"), bits=4))
+    )
+
+    def report(bucket: F.Column, scheme: str) -> DataFrame:
+        per = binned.groupBy(bucket.alias("b")).agg(
+            (F.max("bx") - F.min("bx") + 1).alias("sx"),
+            (F.max("by") - F.min("by") + 1).alias("sy"),
+        )
+        return per.agg(
+            F.lit(scheme).alias("scheme"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            (F.sum("sx").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("avg_span_x"),
+            (F.sum("sy").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("avg_span_y"),
+            (
+                F.sum(F.col("sx") * F.col("sy")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_box"),
+        )
+
+    zed = report((F.col("z") - F.col("z") % 16) / 16, "zorder")
+    lex = report(F.col("bx"), "lexicographic")
+    return zed.unionByName(lex).orderBy("scheme")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -4914,5 +5039,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_credit_by_type": attribution_credit_by_type,
     "bitemporal_user_state": bitemporal_user_state,
     "kcenter_coreset_vectors": kcenter_coreset_vectors,
+    "event_value_cusum_alarms": event_value_cusum_alarms,
+    "oov_rate_by_source": oov_rate_by_source,
+    "zorder_locality_report": zorder_locality_report,
 }
 

@@ -55,6 +55,7 @@ BNLJ_WHITELIST = {
     "orders_customer_join_estimate",  # three 1-row stat frames joined
     # r09 additions:
     "dsir_en_importance_weights",    # two 1-row model-total scalars
+    "zorder_locality_report",        # 1-row min/max binning stats
 }
 
 

@@ -69,3 +69,49 @@ def test_bitemporal_late_correction_flips_state(spark, sf_dir):
                 r["from_t2"],
                 r["value_t2"],
             )
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    from northwind_etl_spark.operators.timeseries import cusum_alarms_by_key
+    import datetime as dt
+
+    # 20 flat days at 100 then 10 days at 200: upward shift must alarm
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(days=i), 100.0 if i < 20 else 200.0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, v DOUBLE")
+    out = cusum_alarms_by_key(
+        df, "k", "ts", "v", slack="0", threshold="100"
+    ).collect()[0]
+    assert out["n_buckets"] == 30
+    assert out["n_alarms"] > 0
+    assert out["cusum_final"] > 0
+    # flat series never alarms
+    flat = spark.createDataFrame(
+        [("k", base + dt.timedelta(days=i), 100.0) for i in range(30)],
+        "k STRING, ts TIMESTAMP, v DOUBLE",
+    )
+    f = cusum_alarms_by_key(flat, "k", "ts", "v", threshold="1").collect()[0]
+    assert (f["n_alarms"], f["cusum_final"]) == (0, 0.0)
+
+
+def test_cusum_validation(spark):
+    import pytest
+    from northwind_etl_spark.operators.timeseries import cusum_alarms_by_key
+
+    df = spark.createDataFrame([("k", None, 1.0)], "k STRING, ts TIMESTAMP, v DOUBLE")
+    with pytest.raises(ValueError, match="non-negative"):
+        cusum_alarms_by_key(df, "k", "ts", "v", slack="-1")
+
+
+def test_zorder_locality_beats_lex_on_y(spark, sf_dir):
+    from northwind_etl_spark.plans.queries import zorder_locality_report
+
+    rows = {r["scheme"]: r for r in zorder_locality_report(spark, sf_dir).collect()}
+    z, lex = rows["zorder"], rows["lexicographic"]
+    # the layout's whole point: z-order bounds BOTH dims' spans;
+    # lexicographic is perfect on x and full-span on y
+    assert z["avg_span_y"] < lex["avg_span_y"]
+    assert z["avg_span_x"] <= 4.0 and z["avg_span_y"] <= 4.0
