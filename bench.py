@@ -259,6 +259,22 @@ HEADLINE = [
     "orders_fd_audit",
     "orders_customer_join_estimate",
     "hourly_value_ohlc",
+    # r09 additions: curation/selection (DSIR, greedy coverage, ES
+    # reservoir, Neyman, k-center), isotonic calibration, signed IVM,
+    # attribution, bitemporal, CUSUM, OOV, z-order locality — all
+    # probed <= 5.8 s warm at sf0.1 (ROUND_NOTES r09).
+    "dsir_en_importance_weights",
+    "greedy_coverage_docs",
+    "weighted_reservoir_docs",
+    "segment_sample_allocation",
+    "langid_margin_calibration",
+    "incremental_join_revenue_bidelta",
+    "attribution_credit_by_type",
+    "bitemporal_user_state",
+    "kcenter_coreset_vectors",
+    "event_value_cusum_alarms",
+    "oov_rate_by_source",
+    "zorder_locality_report",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for
