@@ -117,6 +117,8 @@ def main() -> None:
         _graph_section(spark, sf_dir, factor)
     if _want("r08"):
         _r08_section(spark, sf_dir, factor)
+    if _want("r09"):
+        _r09_section(spark, sf_dir, factor)
     spark.stop()
 
 
@@ -906,6 +908,105 @@ def _li_section(spark, sf_dir, factor):
         )
 
     timed("q21_shape_exists_collapse", q21_shape)
+
+
+def _r09_section(spark, sf_dir, factor):
+    """Round-9 operators: DSIR weighting, greedy coverage, k-center,
+    signed bidelta IVM, attribution, CUSUM.  Docs replicate with
+    DIVERSE tokens for coverage (vocab scales with corpus — the greedy
+    frontier stays proportional) and with SHARED tokens for DSIR (the
+    bucket models are corpus-level; both regimes are linear);
+    embeddings replicate as rotations; events replicate with shifted
+    ids (CUSUM's series length is time-bounded, so it must be FLAT in
+    event volume)."""
+    from northwind_etl_spark.operators.curation import (
+        dsir_importance_weights,
+        greedy_coverage_select,
+    )
+    from northwind_etl_spark.operators.incremental import join_view_bidelta
+    from northwind_etl_spark.operators.similarity import kcenter_select
+    from northwind_etl_spark.operators.timeseries import cusum_alarms_by_key
+    from northwind_etl_spark.plans.queries import attribution_credit_by_type
+    from northwind_etl_spark.sources.parquet import read_events
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    events = read_events(spark, sf_dir)
+    dbase, ebase = docs.count(), emb.count()
+    for times in (1, factor):
+        corp = replicate(docs, times, "doc_id", dbase * 10)
+        timed(
+            f"r09_dsir x{times}",
+            lambda c=corp: dsir_importance_weights(
+                c, c.where(F.col("lang") == "en")
+            ).count(),
+        )
+        dcorp = replicate(docs, times, "doc_id", dbase * 10, _doc_variant)
+        timed(
+            f"r09_greedy_coverage x{times}",
+            lambda c=dcorp: greedy_coverage_select(c, 5).count(),
+        )
+        ew = replicate(emb, times, "vec_id", ebase * 10, _vec_variant)
+        timed(
+            f"r09_kcenter x{times}",
+            lambda e=ew: kcenter_select(e, 6).count(),
+        )
+        evw = replicate(events, times, "event_id", 50_000_000)
+        timed(
+            f"r09_cusum x{times}",
+            lambda e=evw: cusum_alarms_by_key(
+                e, "event_type", "ts", "value", threshold="1000"
+            ).count(),
+        )
+        timed(
+            f"r09_attribution x{times}",
+            lambda e=evw: e.sparkSession.createDataFrame(
+                [], "x int"
+            ).count()
+            if False
+            else __r09_attr(e),
+        )
+        ow = replicate(orders, times, "o_orderkey", 6_000_000)
+        cw = replicate(cust, times, "c_custkey", 6_000_000).withColumnRenamed(
+            "c_custkey", "o_custkey"
+        )
+        o_ins = F.col("o_orderkey") % 101 == 0
+        c_ins = F.col("o_custkey") % 97 == 0
+        timed(
+            f"r09_bidelta_ivm x{times}",
+            lambda o=ow, c=cw: join_view_bidelta(
+                o.where(~o_ins),
+                o.where(o_ins),
+                o.where((~o_ins) & (F.col("o_orderkey") % 89 == 0)),
+                c.where(~c_ins),
+                c.where(c_ins),
+                c.where((~c_ins) & (F.col("o_custkey") % 83 == 0)),
+                on="o_custkey",
+                b_pk=["o_custkey"],
+            ).count(),
+        )
+
+
+def __r09_attr(e):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    wo = w.orderBy("ts", "event_id")
+    n, rn = F.count(F.lit(1)).over(w), F.row_number().over(wo)
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when((rn == 1) | (rn == n), F.when(n == 2, 0.5).otherwise(0.4))
+        .otherwise(F.lit(0.2) / (n - F.lit(2)).cast("double"))
+    )
+    return (
+        e.select("event_type", credit.cast("decimal(18,12)").alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c"))
+        .count()
+    )
+
 
 
 if __name__ == "__main__":
