@@ -275,6 +275,13 @@ HEADLINE = [
     "event_value_cusum_alarms",
     "oov_rate_by_source",
     "zorder_locality_report",
+    # r09 batch 2: community quality + graph stats, quantile norm,
+    # confusion matrix (modularity 6.5 s warm — the 4 LPA rounds, the
+    # golden_customer_records cost class; rest <= 2.2 s)
+    "trade_community_modularity",
+    "trade_degree_assortativity",
+    "doc_length_quantile_norm",
+    "langid_confusion_matrix",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

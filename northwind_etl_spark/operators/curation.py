@@ -69,21 +69,36 @@ def _grid_index(count_col: F.Column, total_col: F.Column) -> F.Column:
 
 def dsir_importance_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     *,
+    target_filter: F.Column | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
 ) -> DataFrame:
     """Per-document quantized DSIR log importance weight of `df`
-    (the raw corpus) toward `target` (the distribution to match).
-    Returns (id_col, n_tokens, log_weight DOUBLE); higher = more
-    target-like."""
+    (the raw corpus) toward the target distribution.  Returns
+    (id_col, n_tokens, log_weight DOUBLE); higher = more target-like.
+
+    Pass the target ONE of two ways:
+    - `target_filter` (a boolean Column over `df`'s rows) when the
+      target is a subset of the raw corpus — the common DSIR setup
+      ("match the high-quality slice").  The corpus is then tokenized
+      and bucket-aggregated ONCE: the target model aggregates the SAME
+      persisted (doc, bucket, tf) stage under the filter.  At sf0.1
+      the wall time is flat (the shared token stage dominates either
+      way), but at 100 TB this is the difference between one corpus
+      scan and two.
+    - `target` (a separate DataFrame) when the target corpus is
+      genuinely different data; it gets its own tokenization pass.
+    """
     from ..cache import persist_stage
     from .text import _doc_term_counts
 
     if n_buckets < 2 or n_buckets > 4096:
         raise ValueError("n_buckets must be in [2, 4096]")
+    if (target is None) == (target_filter is None):
+        raise ValueError("pass exactly one of target / target_filter")
 
     def bucketed(frame: DataFrame) -> DataFrame:
         tc = _doc_term_counts(frame, text_col, id_col)
@@ -96,7 +111,17 @@ def dsir_importance_weights(
             F.sum("tf").cast("long").alias("tf")
         )
 
-    raw_db = persist_stage(bucketed(df))
+    if target_filter is not None:
+        # one tokenization feeds BOTH models: tag each doc with its
+        # target membership and carry the tag through the bucket agg
+        flags = df.select(
+            F.col(id_col), target_filter.alias("__tgt")
+        )
+        raw_db = persist_stage(
+            bucketed(df).join(flags, id_col)
+        )
+    else:
+        raw_db = persist_stage(bucketed(df))
 
     def model(frame_db: DataFrame, name: str) -> DataFrame:
         """(bucket, lnp) — add-one-smoothed bucket model, ln from the
@@ -130,7 +155,11 @@ def dsir_importance_weights(
             )
         )
 
-    target_db = bucketed(target)
+    target_db = (
+        raw_db.where(F.col("__tgt"))
+        if target_filter is not None
+        else bucketed(target)
+    )
     models = model(target_db, "t").join(model(raw_db, "r"), "bucket")
     scored = raw_db.join(F.broadcast(models), "bucket").groupBy(id_col).agg(
         F.sum("tf").cast("long").alias("n_tokens"),

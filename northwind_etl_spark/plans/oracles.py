@@ -4631,3 +4631,123 @@ ORACLES["zorder_locality_report"] = """
     SELECT * FROM lrep UNION ALL SELECT * FROM zrep
     ORDER BY scheme
 """
+
+
+# Modularity: the SAME unrolled LPA rounds as nation_trade_communities,
+# then per-community integer modularity arithmetic with one c.r.
+# division per contribution.
+_LPA_GRAPH_CTES = f"""
+    WITH {_TRADE_PAIRS},
+    upair AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     SUM(cnt) AS ucnt
+              FROM pair GROUP BY 1, 2),
+    utot AS (SELECT COUNT(*) AS np, SUM(ucnt) AS tc FROM upair),
+    ue AS (SELECT a, b FROM upair, utot WHERE ucnt * np > tc),
+    de AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue),
+    l0 AS (SELECT node, node AS label FROM (
+             SELECT a AS node FROM de GROUP BY 1) n)"""
+
+ORACLES["trade_community_modularity"] = (
+    _LPA_GRAPH_CTES
+    + "".join(
+        _LPA_ROUND_SQL.format(i=i, j=i - 1) for i in range(1, _LPA_ROUNDS + 1)
+    )
+    + f""",
+    lab AS (SELECT node, label FROM l{_LPA_ROUNDS}),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM de GROUP BY 1),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ue),
+    perc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg) AS BIGINT) AS degree_sum
+             FROM deg JOIN lab USING (node) GROUP BY 1),
+    ein AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_in
+            FROM ue JOIN lab la ON ue.a = la.node
+                    JOIN lab lb ON ue.b = lb.node
+            WHERE la.label = lb.label GROUP BY 1)
+    SELECT p.label, n_nodes,
+           CAST(COALESCE(e_in, 0) AS BIGINT) AS internal_edges,
+           degree_sum,
+           CAST(4 * m * COALESCE(e_in, 0) - degree_sum * degree_sum
+                AS DOUBLE)
+             / CAST(4 * m * m AS DOUBLE) AS contribution
+    FROM perc p LEFT JOIN ein USING (label), mm
+    ORDER BY p.label
+"""
+)
+
+# Assortativity: identical exact integer moments + the corr finalizer.
+ORACLES["trade_degree_assortativity"] = (
+    _LPA_GRAPH_CTES
+    + """,
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM de GROUP BY 1),
+    e AS (SELECT d1.deg AS dx, d2.deg AS dy
+          FROM de JOIN deg d1 ON de.a = d1.node
+                  JOIN deg d2 ON de.b = d2.node),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+              CAST(SUM(dx) AS BIGINT) AS sx,
+              CAST(SUM(dy) AS BIGINT) AS sy,
+              CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+              CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+              CAST(SUM(dy * dy) AS BIGINT) AS syy
+            FROM e)
+    SELECT n_edges,
+           (CAST(sxy AS DOUBLE) / CAST(n_edges AS DOUBLE)
+            - (CAST(sx AS DOUBLE) / CAST(n_edges AS DOUBLE))
+              * (CAST(sy AS DOUBLE) / CAST(n_edges AS DOUBLE)))
+           / sqrt(greatest(CAST(sxx AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n_edges AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(n_edges AS DOUBLE)), 0.0)
+                  * greatest(CAST(syy AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                  - (CAST(sy AS DOUBLE) / CAST(n_edges AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(n_edges AS DOUBLE)), 0.0))
+             AS assortativity
+    FROM agg
+"""
+)
+
+
+# Quantile normalization: identical total orders via row_number,
+# identical integer ceil formula, identical every-25th sampling.
+ORACLES["doc_length_quantile_norm"] = """
+    WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw
+               FROM documents),
+    pooled AS (SELECT *, row_number() OVER (ORDER BY raw, doc_id)
+                 AS grank FROM d),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM d),
+    ranked AS (SELECT p.*, N,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY raw, doc_id) AS srank,
+                 COUNT(*) OVER (PARTITION BY source) AS sn
+               FROM pooled p, nn),
+    t AS (SELECT doc_id, source, raw, grank,
+            (srank * N + sn - 1) // sn AS target
+          FROM ranked),
+    lk AS (SELECT grank AS target, raw AS normalized FROM pooled)
+    SELECT doc_id, source, raw, normalized
+    FROM t JOIN lk USING (target)
+    WHERE grank % 25 = 0
+    ORDER BY grank
+"""
+
+
+def _confusion_oracle_sql() -> str:
+    ctes, case_arms = _langid_scorer_ctes()
+    return f"""
+    WITH {ctes},
+    pred AS (SELECT d.doc_id, d.lang,
+               CASE WHEN m.doc_id IS NULL THEN 'und'
+                {case_arms}
+                END AS lang_pred
+             FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id),
+    cells AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pred GROUP BY 1, 2)
+    SELECT lang, lang_pred, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)
+             AS frac_of_true
+    FROM cells ORDER BY lang, lang_pred
+"""
+
+
+ORACLES["langid_confusion_matrix"] = _confusion_oracle_sql()

@@ -162,3 +162,27 @@ def test_neyman_sum_matches_budget_on_real_data(spark, sf_dir):
     assert all(r["n_alloc"] >= 0 for r in rows)
     with pytest.raises(ValueError, match="n must be"):
         neyman_allocation(cust, "c_mktsegment", "c_acctbal", 0)
+
+
+def test_dsir_filter_path_equals_target_path(spark):
+    raw = _docs(
+        spark,
+        [(1, "alpha alpha beta"), (2, "omega omega"), (3, "alpha omega")],
+    ).withColumn("grp", F.col("doc_id") % 2 == 1)
+    via_filter = sorted(
+        dsir_importance_weights(raw, target_filter=F.col("grp")).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    via_target = sorted(
+        dsir_importance_weights(
+            raw, raw.where(F.col("grp"))
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [(r["doc_id"], r["n_tokens"], r["log_weight"]) for r in via_filter] == [
+        (r["doc_id"], r["n_tokens"], r["log_weight"]) for r in via_target
+    ]
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_importance_weights(raw)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_importance_weights(raw, raw, target_filter=F.col("grp"))

@@ -56,6 +56,9 @@ BNLJ_WHITELIST = {
     # r09 additions:
     "dsir_en_importance_weights",    # two 1-row model-total scalars
     "zorder_locality_report",        # 1-row min/max binning stats
+    "trade_community_modularity",    # 1-row m + above-mean threshold scalars
+    "trade_degree_assortativity",    # above-mean threshold scalar
+    "doc_length_quantile_norm",      # 1-row pooled-N scalar
 }
 
 
