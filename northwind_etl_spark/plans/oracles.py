@@ -4751,3 +4751,63 @@ def _confusion_oracle_sql() -> str:
 
 
 ORACLES["langid_confusion_matrix"] = _confusion_oracle_sql()
+
+
+# PMI collocations: identical top-100 vocabulary cut, bounded pair
+# join, identical 1024-grid quantized ln's from the frozen LUT.
+ORACLES["term_pmi_collocations"] = f"""
+    WITH dt AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term
+                FROM documents),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM dt GROUP BY 1 ORDER BY df DESC, term LIMIT 100),
+    iv AS (SELECT dt.doc_id, dt.term, v.df
+           FROM dt JOIN vocab v USING (term)),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             CAST(COUNT(*) AS BIGINT) AS n_xy,
+             MAX(a.df) AS df_x, MAX(b.df) AS df_y
+      FROM iv a JOIN iv b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT term_a, term_b, n_xy,
+           CAST({_laplace_lut_sql()}[least(1023, (n_xy * 1024) // n) + 1]
+                - {_laplace_lut_sql()}[least(1023, (df_x * 1024) // n) + 1]
+                - {_laplace_lut_sql()}[least(1023, (df_y * 1024) // n) + 1]
+                AS DOUBLE) AS pmi
+    FROM pairs, nd
+    ORDER BY pmi DESC, term_a, term_b LIMIT 20
+"""
+
+# Benford audit: identical integer CASE ladder for the leading digit,
+# identical frozen DECIMAL probability literals, identical c.r. chains.
+def _benford_oracle_sql() -> str:
+    from .queries import _BENFORD_P
+
+    plist = ", ".join(f"CAST('{p}' AS DECIMAL(14,12))" for p in _BENFORD_P)
+    arms = "\n             ".join(
+        f"WHEN cents >= {10**k} THEN cents // {10**k}"
+        for k in range(12, -1, -1)
+    )
+    return f"""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders),
+    lead AS (
+      SELECT CAST(CASE {arms} ELSE 0 END AS INT) AS digit FROM c),
+    per AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+            FROM lead GROUP BY 1),
+    t AS (SELECT *, SUM(observed) OVER () AS n FROM per)
+    SELECT digit, observed,
+           CAST(n AS DOUBLE) * CAST([{plist}][digit] AS DOUBLE) AS expected,
+           (CAST(observed AS DOUBLE)
+              - CAST(n AS DOUBLE) * CAST([{plist}][digit] AS DOUBLE))
+           * (CAST(observed AS DOUBLE)
+              - CAST(n AS DOUBLE) * CAST([{plist}][digit] AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST([{plist}][digit] AS DOUBLE))
+             AS chi2_term
+    FROM t ORDER BY digit
+"""
+
+
+ORACLES["orders_benford_audit"] = _benford_oracle_sql()

@@ -4985,6 +4985,147 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "lang_pred")
 
 
+def term_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI collocations over the top-100-df vocabulary — the
+    classic corpus collocation miner (Church & Hanks 1990):
+    PMI(x,y) = ln p(x,y) − ln p(x) − ln p(y) over document-level
+    co-occurrence, QUANTIZED onto the frozen 1024-cell ln grid
+    (functions/lnlut.py — the dp/DSIR move, so zero runtime libm in
+    the hash path; each probability is resolved to its grid cell
+    ln((g+0.5)/1024) with g = (count·1024) DIV N exact integer
+    arithmetic).  Scale shape: the vocabulary is a TakeOrderedAndProject
+    broadcast; the pair expansion is a doc-keyed self-join BOUNDED by
+    ≤100 vocabulary terms per doc; one hash agg to pair counts.
+    Min support 5, top 20 by (pmi DESC, term_a, term_b)."""
+    from decimal import Decimal
+
+    from ..functions.lnlut import LAPLACE_LN_LUT
+    from ..functions.texttools import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("term")
+    ).distinct()
+    vocab = (
+        dt.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+    in_vocab = dt.join(F.broadcast(vocab), "term")
+    a = in_vocab.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = in_vocab.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_xy"),
+            F.max("df_a").alias("df_x"),
+            F.max("df_b").alias("df_y"),
+        )
+        .where(F.col("n_xy") >= 5)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    lut = F.array(
+        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
+    )
+
+    def lnq(count: F.Column) -> F.Column:
+        aa = count * F.lit(1024)
+        g = F.least(
+            F.lit(1023),
+            ((aa - aa % F.col("nd")) / F.col("nd")).cast("int"),
+        )
+        return F.element_at(lut, g + F.lit(1))
+
+    return (
+        pairs.join(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_xy",
+            (lnq(F.col("n_xy")) - lnq(F.col("df_x")) - lnq(F.col("df_y")))
+            .cast("double")
+            .alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(20)
+    )
+
+
+# Benford's-law expected first-digit probabilities log10(1 + 1/d),
+# frozen to DECIMAL(14,12) source literals (public constants — the
+# lnlut discipline applied to nine numbers), embedded identically in
+# the Spark plan and the oracle SQL.
+_BENFORD_P = (
+    "0.301029995664", "0.176091259056", "0.124938736608",
+    "0.096910013008", "0.079181246048", "0.066946789631",
+    "0.057991946978", "0.051152522447", "0.045757490561",
+)
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the forensic
+    data-quality screen (fabricated/synthesized monetary data deviates
+    from log10(1+1/d)): per digit, observed count, expected count, and
+    the chi² contribution (obs−exp)²/exp.  The first digit comes from
+    a pure integer CASE ladder over cents (no log10, no string
+    formatting — both engines' decimal rendering stays out of the hash
+    path); expected probabilities are frozen DECIMAL literals; the two
+    released doubles are fixed c.r. chains.  One hash agg + a 9-row
+    bounded window for N."""
+    from decimal import Decimal
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    d = cents
+    # cents in [100, 10^12): peel magnitudes high-to-low
+    expr = None
+    for k in range(12, -1, -1):
+        p = 10**k
+        cond = d >= F.lit(p)
+        step = ((d - d % F.lit(p)) / F.lit(p)).cast("long")
+        expr = F.when(cond, step) if expr is None else expr.when(cond, step)
+    lead = expr.otherwise(F.lit(0))
+    # lead is now cents with all but the top digit divided away only
+    # when p is the largest power <= cents: the WHEN chain tests
+    # descending powers, so the FIRST match is that largest power and
+    # `step` is exactly the leading digit.
+    plut = F.array(
+        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in _BENFORD_P]
+    )
+    from pyspark.sql import Window as W
+
+    per = (
+        o.select(lead.cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    n = F.sum("observed").over(W.partitionBy())
+    expected = n.cast("double") * F.element_at(
+        plut, F.col("digit")
+    ).cast("double")
+    return per.select(
+        "digit",
+        "observed",
+        expected.alias("expected"),
+        (
+            (F.col("observed").cast("double") - expected)
+            * (F.col("observed").cast("double") - expected)
+            / expected
+        ).alias("chi2_term"),
+    ).orderBy("digit")
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -5253,5 +5394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trade_degree_assortativity": trade_degree_assortativity,
     "doc_length_quantile_norm": doc_length_quantile_norm,
     "langid_confusion_matrix": langid_confusion_matrix,
+    "term_pmi_collocations": term_pmi_collocations,
+    "orders_benford_audit": orders_benford_audit,
 }
 

@@ -59,6 +59,7 @@ BNLJ_WHITELIST = {
     "trade_community_modularity",    # 1-row m + above-mean threshold scalars
     "trade_degree_assortativity",    # above-mean threshold scalar
     "doc_length_quantile_norm",      # 1-row pooled-N scalar
+    "term_pmi_collocations",         # 1-row corpus-N scalar
 }
 
 
