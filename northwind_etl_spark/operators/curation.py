@@ -53,17 +53,18 @@ def _ln_lut_col() -> F.Column:
     )
 
 
-def _grid_index(count_col: F.Column, total_col: F.Column) -> F.Column:
-    """floor(p * GRID) for p = count/total as EXACT integer division
-    (not floor-of-double-division, whose rounding can cross an integer
-    boundary at extreme totals): a DIV b == (a - a % b) / b, where the
-    final division is exact because the numerator is an exact multiple
-    of b and the quotient <= GRID.  Clamped to the last cell (p == 1.0
-    would index one past the end).  The oracle uses DuckDB's native
-    `//` — the same true floor."""
-    a = (count_col * F.lit(LAPLACE_LN_GRID)).cast("long")
-    b = total_col.cast("long")
-    g = ((a - a % b) / b).cast("int")
+def _grid_index(count_sql: str, total_sql: str) -> F.Column:
+    """floor(p * GRID) for p = count/total as EXACT integral division
+    end to end, via SQL DIV on longs (ADVICE r09: the previous
+    (a − a%b)/b idiom routed the long numerator through a DOUBLE
+    division — exact only while the numerator stays under 2^53; a
+    bucket holding > 2^43 tokens, plausible at the claimed 100 TB
+    scale, could mis-floor by one grid cell).  Takes SQL snippets so
+    DIV can be expressed (the Column API has no integral-divide).
+    Clamped to the last cell (p == 1.0 would index one past the end).
+    The oracle uses DuckDB's native `//` — the same true floor."""
+    a = f"(CAST(({count_sql}) AS BIGINT) * {LAPLACE_LN_GRID})"
+    g = F.expr(f"{a} DIV CAST(({total_sql}) AS BIGINT)").cast("int")
     return F.least(F.lit(LAPLACE_LN_GRID - 1), g)
 
 
@@ -144,7 +145,7 @@ def dsir_importance_weights(
         total = counts.agg(
             (F.sum("c") + F.lit(n_buckets)).cast("long").alias("t")
         )
-        g = _grid_index(F.col("c") + F.lit(1), F.col("t"))
+        g = _grid_index("c + 1", "t")
         return (
             counts.join(F.broadcast(total))
             .select(

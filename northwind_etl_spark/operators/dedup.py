@@ -451,7 +451,11 @@ def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
 
 
 def duplicate_clusters(
-    pairs: DataFrame, *, max_iters: int = 10, reliable: bool = False
+    pairs: DataFrame,
+    *,
+    max_iters: int = 10,
+    reliable: bool = False,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc, cluster) with
     cluster = min doc id reachable; the step that turns pairwise
@@ -476,10 +480,19 @@ def duplicate_clusters(
       the already-materialized partitions — no recomputation;
     - `edges` is checkpointed once up front since every pass re-reads it.
 
-    Raises a warning (not an error) if max_iters passes still changed a
-    label: labels are then a valid partial contraction but two members
+    RAISES RuntimeError if max_iters passes still changed a label
+    (verdict r09: a warning is invisible to any downstream DataFrame
+    consumer, so an under-merged contraction could silently
+    under-delete at scale where component diameters grow): two members
     of one true cluster may carry different labels, so keep_canonical
-    would under-delete.  Raise max_iters (diameter bound) in that case.
+    would keep both.  Raise max_iters (the diameter bound) in that
+    case — or pass allow_partial=True to accept the valid-but-partial
+    contraction with a warning (the old contract), for callers that
+    only need a refinement of the true components.  A normal return
+    therefore IS the convergence certificate — the entries built on
+    this operator (golden_customer_records, entity_resolution_clusters,
+    duplicate_cluster_sizes, the corpus pipeline) assert convergence
+    by construction.
     """
     import warnings
 
@@ -536,12 +549,16 @@ def duplicate_clusters(
             converged = True
             break
     if not converged:
-        warnings.warn(
+        msg = (
             f"duplicate_clusters: labels still changing after {max_iters} "
-            "iterations — a cluster has diameter > max_iters; raise max_iters",
-            RuntimeWarning,
-            stacklevel=2,
+            "iterations — a cluster has diameter > max_iters; raise max_iters"
         )
+        if not allow_partial:
+            raise RuntimeError(
+                msg + " (or pass allow_partial=True to accept a partial"
+                " contraction)"
+            )
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -421,7 +421,16 @@ def neyman_allocation(
     ).withColumn("std", std)
     w_all = Window.partitionBy()
     total = F.sum("__nhsh").over(w_all)
-    share = F.col("__nhsh").cast("double") / total.cast("double")
+    # Degenerate guard (ADVICE r09): if EVERY stratum has zero std the
+    # Neyman weights all vanish (total == 0) and the share would be
+    # 0/0 = NaN, silently breaking the sum(n_alloc) == n invariant.
+    # Fall back to proportional-to-size allocation — the textbook
+    # limit when the variance signal carries no information.
+    total_rows = F.sum("n_rows").over(w_all)
+    share = F.when(
+        total == F.lit(0),
+        n_d / total_rows.cast("double"),
+    ).otherwise(F.col("__nhsh").cast("double") / total.cast("double"))
     per = per.withColumn("alloc_share", share)
     base = F.floor(F.lit(float(n)) * F.col("alloc_share")).cast("long")
     rem = F.lit(float(n)) * F.col("alloc_share") - base.cast("double")

@@ -239,7 +239,11 @@ def kcenter_select(
 
     Returns (round, vec_id, radius): `radius` is the selected point's
     distance-to-set at selection time — the non-increasing coverage
-    radius curve (round 1, the seed, has radius NULL).
+    radius curve (round 1, the seed, has radius NULL).  If k exceeds
+    the number of DISTINCT points the traversal stops early (the
+    remaining max distance is 0 — re-selecting a chosen point would
+    emit duplicate vec_ids with radius 0.0), so the result may have
+    fewer than k rounds.
 
     Scale shape: each of the k−1 rounds is ONE map-only distance
     expression over broadcast center LITERALS (k×dim driver state —
@@ -290,6 +294,13 @@ def kcenter_select(
             .collect()
         )
         row = top[0]
+        if float(row["__d"]) <= 0.0:
+            # universe exhausted (ADVICE r09): every remaining point
+            # coincides with a selected center, so the argmax would
+            # re-select an already-chosen point with radius 0.0 —
+            # stop instead (greedy_coverage_select's early-stop rule);
+            # the result simply has fewer than k rounds.
+            break
         sel.append((rnd, row["__id"], float(row["__d"])))
         centers.append([float(x) for x in row["__v"]])
     return spark.createDataFrame(

@@ -379,14 +379,32 @@ def cusum_alarms_by_key(
             lambda s: s["xq"],
         ).alias("xs")
     )
+    # The promised pack-factor guard (ADVICE r09): a key with >= 2048
+    # buckets would overflow the alarm counter into S' (P = 2048
+    # below).  The length is data-dependent, so the guard raises
+    # IN-PLAN — mirrored in the oracle — instead of silently
+    # corrupting n_alarms and cusum_final.
+    series = series.withColumn(
+        "xs",
+        F.when(F.size("xs") < 2048, F.col("xs")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("cusum_alarms_by_key: series length "),
+                    F.size("xs").cast("string"),
+                    F.lit(" >= pack factor 2048 — alarm counter would"
+                          " overflow into S'"),
+                )
+            )
+        ),
+    )
     n = F.size("xs").cast("long")
     total = F.aggregate(
         "xs", F.lit(0).cast("long"), lambda acc, x: acc + x
     )
     # The accumulator packs (S', alarm_count) into ONE BIGINT as
-    # S'·P + a with P = 2048 (a <= series length << P; S'·P stays far
-    # under 2^63 for any per-bucket micro sum this fixture family can
-    # produce — documented cap, asserted below).  A struct accumulator
+    # S'·P + a with P = 2048 (a < P enforced by the raise above; S'·P
+    # stays far under 2^63 for any per-bucket micro sum this fixture
+    # family can produce).  A struct accumulator
     # would be the natural shape, but DuckDB 1.0's list_reduce
     # mis-evaluates the SECOND struct field when the lambda references
     # correlated outer columns (found building this oracle: the s
@@ -396,10 +414,13 @@ def cusum_alarms_by_key(
     zero = F.lit(0).cast("long")
 
     def step(acc: F.Column, x: F.Column) -> F.Column:
-        s_prev = (acc - acc % pack) / pack
+        # acc is non-negative and P = 2^11, so shiftright IS the
+        # unpack floor-division — exact LONG arithmetic (the old
+        # (acc − acc%P)/P routed through a double, lossy past 2^53)
+        s_prev = F.shiftright(acc, 11)
         s_new = F.greatest(
             zero,
-            s_prev.cast("long") + n * x - total - n * F.lit(k_micro),
+            s_prev + n * x - total - n * F.lit(k_micro),
         )
         return (
             s_new * pack
@@ -408,7 +429,7 @@ def cusum_alarms_by_key(
         ).cast("long")
 
     folded = F.aggregate("xs", zero, step)
-    s_final = ((folded - folded % pack) / pack).cast("long")
+    s_final = F.shiftright(folded, 11)
     return series.select(
         F.col(key_col),
         n.alias("n_buckets"),

@@ -4352,8 +4352,14 @@ ORACLES["segment_sample_allocation"] = """
             CAST(CAST(n_rows AS DOUBLE) * std AS DECIMAL(28,6)) AS nhsh
           FROM m),
     sh AS (SELECT *,
-             CAST(nhsh AS DOUBLE) / CAST(SUM(nhsh) OVER () AS DOUBLE)
-               AS alloc_share
+             -- all-zero-std fallback mirrors the Spark side:
+             -- proportional-to-size when the Neyman total vanishes
+             CASE WHEN SUM(nhsh) OVER () = 0
+                  THEN CAST(n_rows AS DOUBLE)
+                       / CAST(SUM(n_rows) OVER () AS DOUBLE)
+                  ELSE CAST(nhsh AS DOUBLE)
+                       / CAST(SUM(nhsh) OVER () AS DOUBLE)
+             END AS alloc_share
            FROM q),
     b AS (SELECT *,
             CAST(floor(1000.0 * alloc_share) AS BIGINT) AS base,
@@ -4545,7 +4551,12 @@ ORACLES["event_value_cusum_alarms"] = """
       SELECT event_type,
              CAST(len(xs) AS BIGINT) AS n,
              CAST(list_sum(xs) AS BIGINT) AS total,
-             xs
+             -- pack-factor guard, mirroring the Spark-side raise: a
+             -- series of >= 2048 buckets would overflow the packed
+             -- alarm counter into S'
+             CASE WHEN len(xs) >= 2048
+                  THEN error('cusum: series length >= pack factor 2048')
+                  ELSE xs END AS xs
       FROM s),
     -- packed-BIGINT accumulator (S*2048 + alarms): DuckDB 1.0's
     -- list_reduce mis-evaluates the second field of a STRUCT
@@ -4794,7 +4805,9 @@ def _benford_oracle_sql() -> str:
                AS cents
       FROM orders),
     lead AS (
-      SELECT CAST(CASE {arms} ELSE 0 END AS INT) AS digit FROM c),
+      -- positive magnitudes only, mirroring the Spark-side filter
+      SELECT CAST(CASE {arms} ELSE 0 END AS INT) AS digit FROM c
+      WHERE cents > 0),
     per AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
             FROM lead GROUP BY 1),
     t AS (SELECT *, SUM(observed) OVER () AS n FROM per)

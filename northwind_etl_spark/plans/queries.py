@@ -4939,10 +4939,14 @@ def doc_length_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             pooled.agg(F.count(F.lit(1)).cast("long").alias("N"))
         )
     )
-    # target pooled rank: ceil(srank * N / sn) in exact integer math
-    num = F.col("srank") * F.col("N") + F.col("sn") - F.lit(1)
+    # target pooled rank: ceil(srank * N / sn) in exact integer math —
+    # SQL DIV on longs (ADVICE r09: the (num − num%sn)/sn idiom routed
+    # the long numerator through a double, which past 2^53 (srank·N at
+    # ~1e8+ docs) can mis-floor by one; DIV stays integral, matching
+    # the oracle's //)
     targeted = with_n.withColumn(
-        "target", ((num - num % F.col("sn")) / F.col("sn")).cast("long")
+        "target",
+        F.expr("(CAST(srank AS BIGINT) * N + sn - 1) DIV sn").cast("long"),
     )
     lookup = pooled.select(
         F.col("grank").alias("target"), F.col("raw").alias("normalized")
@@ -5087,7 +5091,14 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(20,0)")
         .cast("long")
     )
-    d = cents
+    # Benford's law is defined on POSITIVE magnitudes: a zero or
+    # negative total has no leading digit (digit 0 would crash the
+    # probability lookup under ANSI and diverge from the oracle's
+    # NULL-returning list index — ADVICE r09).  Filter identically on
+    # both sides; unreachable on TPC-H totals, load-bearing on any
+    # credit/refund ledger.
+    base = o.select(cents.alias("cents")).where(F.col("cents") > 0)
+    d = F.col("cents")
     # cents in [100, 10^12): peel magnitudes high-to-low
     expr = None
     for k in range(12, -1, -1):
@@ -5106,7 +5117,7 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     per = (
-        o.select(lead.cast("int").alias("digit"))
+        base.select(lead.cast("int").alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("observed"))
     )

@@ -155,6 +155,20 @@ def test_neyman_total_and_zero_variance_stratum(spark):
     assert rows["b"]["std"] == 0.0
 
 
+def test_neyman_all_zero_variance_falls_back_proportional(spark):
+    """ADVICE r09: when EVERY stratum has zero std the Neyman total is
+    0 and share was 0/0 = NaN — the fallback allocates proportional to
+    stratum size and keeps the sum(n_alloc) == n invariant."""
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 6 + [("b", 7.0)] * 2,
+        "s STRING, v DOUBLE",
+    )
+    rows = {r["stratum"]: r for r in neyman_allocation(df, "s", "v", 8).collect()}
+    assert rows["a"]["n_alloc"] == 6 and rows["b"]["n_alloc"] == 2
+    assert abs(rows["a"]["alloc_share"] - 0.75) < 1e-12
+    assert sum(r["n_alloc"] for r in rows.values()) == 8
+
+
 def test_neyman_sum_matches_budget_on_real_data(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     rows = neyman_allocation(cust, "c_mktsegment", "c_acctbal", 1000).collect()

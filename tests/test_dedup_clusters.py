@@ -42,16 +42,30 @@ def test_duplicate_clusters_lineage_bounded(spark):
     assert plan.count("Join") <= 1, plan
 
 
-def test_duplicate_clusters_warns_on_nonconvergence(spark):
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """Verdict r09: under-convergence must be machine-visible — a
+    planted chain graph whose diameter exceeds max_iters raises by
+    default (a normal return IS the convergence certificate), and
+    allow_partial=True restores the old warn-and-return-partial
+    contract with labels that are a valid refinement."""
     import warnings
+
+    import pytest
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], "id_a LONG, id_b LONG"
     )
+    with pytest.raises(RuntimeError, match="still changing"):
+        duplicate_clusters(pairs, max_iters=2)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        duplicate_clusters(pairs, max_iters=2)
+        labels = duplicate_clusters(pairs, max_iters=2, allow_partial=True)
     assert any("still changing" in str(x.message) for x in w)
+    # partial labels are a valid refinement: every label <= its id and
+    # present in the universe (no invented ids)
+    rows = labels.collect()
+    ids = {r.id for r in rows}
+    assert all(r.cluster <= r.id and r.cluster in ids for r in rows)
 
 
 def test_keep_canonical_drops_non_canonical(spark):

@@ -28,6 +28,23 @@ def test_kcenter_farthest_point_order_and_radius(spark):
     assert radii == sorted(radii, reverse=True)
 
 
+def test_kcenter_stops_when_universe_exhausted(spark):
+    """ADVICE r09: k beyond the number of DISTINCT points must stop
+    (remaining max distance 0), not re-emit a chosen point with
+    radius 0.0 — duplicate points share one selection slot."""
+    def v(x):
+        return [float(x), 0.0, 0.0, 0.0]
+
+    df = spark.createDataFrame(
+        [(0, v(0)), (1, v(0)), (2, v(5)), (3, v(5))],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    rows = kcenter_select(df, 4, seed_id=0).collect()
+    got = [(r["round"], r["vec_id"], r["radius"]) for r in rows]
+    # two distinct locations -> exactly two rounds, then early stop
+    assert got == [(1, 0, None), (2, 2, 25.0)]
+
+
 def test_kcenter_validation(spark):
     df = spark.createDataFrame(
         [(0, [0.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
@@ -95,6 +112,26 @@ def test_cusum_detects_planted_level_shift(spark):
     )
     f = cusum_alarms_by_key(flat, "k", "ts", "v", threshold="1").collect()[0]
     assert (f["n_alarms"], f["cusum_final"]) == (0, 0.0)
+
+
+def test_cusum_raises_on_pack_factor_overflow(spark):
+    """ADVICE r09 (medium): a key with >= 2048 buckets would overflow
+    the packed alarm counter into S' — the promised guard must raise
+    in-plan instead of silently corrupting both outputs."""
+    from northwind_etl_spark.operators.timeseries import cusum_alarms_by_key
+
+    long_series = spark.range(2048).select(
+        F.lit("k").alias("k"),
+        F.to_timestamp(
+            F.date_add(F.lit("2018-01-01").cast("date"), F.col("id").cast("int"))
+        ).alias("ts"),
+        F.lit(1.0).alias("v"),
+    )
+    with pytest.raises(Exception, match="pack factor 2048"):
+        cusum_alarms_by_key(long_series, "k", "ts", "v").collect()
+    # one bucket fewer is within the pack bound and must succeed
+    ok = cusum_alarms_by_key(long_series.limit(2047), "k", "ts", "v").collect()
+    assert ok[0]["n_buckets"] == 2047
 
 
 def test_cusum_validation(spark):
