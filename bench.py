@@ -282,6 +282,12 @@ HEADLINE = [
     "trade_degree_assortativity",
     "doc_length_quantile_norm",
     "langid_confusion_matrix",
+    # r09 batch 3, promoted to headline in r10 (the established
+    # post-bench-promotion pattern): PMI collocations (4.4 s warm at
+    # sf0.1) and the Benford first-digit audit (0.6 s) — recorded in
+    # ROUND_NOTES r09 pending this promotion.
+    "term_pmi_collocations",
+    "orders_benford_audit",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

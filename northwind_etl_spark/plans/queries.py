@@ -5140,121 +5140,37 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
-# changed-this-round entries jumping to the front.  r06 window =
-# the r05 overflow pair (newest row r02) + new-in-r06 entries +
-# rule-3 changed entries + 43 of the 50 r04-green entries; the 7
-# lowest-risk r04 shapes (all pytest-oracle-proven every run) defer
-# to lead the r07 window (see ROUND_NOTES.md window history).
+# changed-this-round entries jumping to the front (rule 3) and
+# never-checked entries ranking as infinitely stale (rule 1).  The
+# whole dict is regenerated each round from the CORRECTNESS_r*.json
+# history (window history in ROUND_NOTES.md).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r09 window (rows 1-50; ROUND_NOTES 'r09 driver window
-    #     plan' + rule 3).  Rows 1-16: r07-new, never driver-checked.
-    "jaccard_prefix_join_diverse": jaccard_prefix_join_diverse,
-    "multimodal_mdct_stats": multimodal_mdct_stats,
-    "leakage_safe_split_stats": leakage_safe_split_stats,
-    "user_group_kfold_counts": user_group_kfold_counts,
-    "html_extract_stats": html_extract_stats,
-    "per_host_doc_quota": per_host_doc_quota,
-    "copurchase_part_triples": copurchase_part_triples,
-    "hard_negative_mining": hard_negative_mining,
-    "winsorized_price_stats": winsorized_price_stats,
-    "multimodal_vad_segments": multimodal_vad_segments,
-    "stream_two_level_counts": stream_two_level_counts,
-    "events_jsonl_corrupt_stats": events_jsonl_corrupt_stats,
-    "linear_quality_margin": linear_quality_margin,
-    "top_terms_per_source": top_terms_per_source,
-    "embedding_int8_quant_stats": embedding_int8_quant_stats,
-    "dedup_span_removed_docs": dedup_span_removed_docs,
-    # --- rows 17-32: r08-new, never driver-checked ------------
-    "bm25_keyword_topk": bm25_keyword_topk,
-    "rrf_fused_topk": rrf_fused_topk,
-    "dedup_normalized_docs": dedup_normalized_docs,
-    "global_line_dedup_docs": global_line_dedup_docs,
-    "langid_agreement_kappa": langid_agreement_kappa,
-    "embedding_rp_projection": embedding_rp_projection,
-    "margin_conformal_threshold": margin_conformal_threshold,
-    "order_key_skew_profile": order_key_skew_profile,
-    "nation_trade_kcore": nation_trade_kcore,
-    "quantity_weighted_median_price": quantity_weighted_median_price,
-    "weekday_revenue_seasonality": weekday_revenue_seasonality,
-    "revenue_half_sample_ci": revenue_half_sample_ci,
-    "golden_customer_records": golden_customer_records,
-    "orders_fd_audit": orders_fd_audit,
-    "orders_customer_join_estimate": orders_customer_join_estimate,
-    "hourly_value_ohlc": hourly_value_ohlc,
-    # --- rows 33-39, rule 3 (changed this round): dp released
-    #     as DOUBLE (r08 verdict #1 -- the driver never hash-greenlit
-    #     a DECIMAL column); the star family's dense surrogate keys
-    #     now ride ranking.py::global_row_number (plan-lint find:
-    #     Exchange SinglePartition over a raw dimension scan) -------
-    "dp_noisy_nation_counts": dp_noisy_nation_counts,
-    "star_dim_category": star_dim_category,
-    "star_dim_part": star_dim_part,
-    "star_fact_order_metrics": star_fact_order_metrics,
-    "star_revenue_by_brand": star_revenue_by_brand,
-    "sql_flagship_revenue": sql_flagship_revenue,
-    "null_key_invariant": null_key_invariant,
-    # --- rows 40-50: the 11 oldest r05-stale entries ----------
-    "daily_user_value_gapfill": daily_user_value_gapfill,
-    "part_measures_unpivot": part_measures_unpivot,
-    "sql_q21_late_supplier": sql_q21_late_supplier,
-    "label_centroid_cosine": label_centroid_cosine,
-    "q2_min_cost_supplier": T.q2_min_cost_supplier,
-    "q11_important_parts": T.q11_important_parts,
-    "stream_tumbling_event_counts": stream_tumbling_event_counts,
-    "stream_dedup_events": stream_dedup_events,
-    "stream_click_attribution": stream_click_attribution,
-    "multimodal_png_stats": multimodal_png_stats,
-    "multimodal_audio_stats": multimodal_audio_stats,
-    # --- below the window: r05/r06/r04-green remainder, oldest
-    #     first (r05 remainder + r06 block lead r10 per ROUND_NOTES) -
-    "nation_trade_communities": nation_trade_communities,
-    "lang_id_pred": lang_id_pred,
-    "q22_dormant_customers": T.q22_dormant_customers,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "flagship_revenue_by_nation": flagship_revenue_by_nation,
-    "asof_last_touch": asof_last_touch,
-    "session_overlap_pairs": session_overlap_pairs,
-    "scd2_user_event_history": scd2_user_event_history,
-    "order_value_rank_stats": order_value_rank_stats,
-    "revenue_trend_by_nation": revenue_trend_by_nation,
-    "q4_late_order_priority": T.q4_late_order_priority,
-    "q7_volume_shipping": T.q7_volume_shipping,
-    "q8_market_share": T.q8_market_share,
-    "q9_product_type_profit": T.q9_product_type_profit,
-    "q10_returned_items": T.q10_returned_items,
-    "q13_customer_order_counts": T.q13_customer_order_counts,
-    "q14_promo_revenue": T.q14_promo_revenue,
-    "q15_top_supplier": T.q15_top_supplier,
-    "q16_supplier_part_variety": T.q16_supplier_part_variety,
-    "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
-    "q18_large_volume_customers": T.q18_large_volume_customers,
-    "doc_repetition_stats": doc_repetition_stats,
-    "multimodal_blob_features": multimodal_blob_features,
-    "multimodal_frame_stats": multimodal_frame_stats,
-    "multimodal_image_stats": multimodal_image_stats,
-    "simhash_near_dup_pairs": simhash_near_dup_pairs,
-    "minhash_near_dup_pairs": minhash_near_dup_pairs,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
-    "tfidf_scores": tfidf_scores,
-    "semi_join_active_customers": semi_join_active_customers,
-    "full_outer_nation_suppliers": full_outer_nation_suppliers,
-    "pivot_flag_by_status": pivot_flag_by_status,
-    "order_latency_by_priority": order_latency_by_priority,
-    "moving_avg_order_value": moving_avg_order_value,
-    "cube_revenue": cube_revenue,
-    "grouping_sets_revenue": grouping_sets_revenue,
-    "null_safe_join_props": null_safe_join_props,
-    "bigram_freq_top20": bigram_freq_top20,
-    "event_value_histogram": event_value_histogram,
-    "dedup_exact_docs": dedup_exact_docs,
-    "distinct_flag_status": distinct_flag_status,
-    "cross_join_flag_region": cross_join_flag_region,
-    "customer_display_names": customer_display_names,
-    "acctbal_buckets": acctbal_buckets,
-    "set_ops_brands": set_ops_brands,
-    "lang_distribution": lang_distribution,
-    "map_props_exploded": map_props_exploded,
+    # --- r10 window (rows 1-50; ROUND_NOTES "Rotation guidance
+    #     for r10").  Rows 1-18: the r09 batch, never
+    #     driver-checked (their only cross-engine evidence is the
+    #     builder preflight).  Six of them also changed this round
+    #     (r09 ADVICE fixes: cusum guard, neyman fallback, benford
+    #     positivity, quantile-norm DIV, kcenter early-stop, DSIR
+    #     grid DIV) — rule 3 and rule 1 coincide. -----------------
+    "dsir_en_importance_weights": dsir_en_importance_weights,
+    "greedy_coverage_docs": greedy_coverage_docs,
+    "weighted_reservoir_docs": weighted_reservoir_docs,
+    "segment_sample_allocation": segment_sample_allocation,
+    "langid_margin_calibration": langid_margin_calibration,
+    "incremental_join_revenue_bidelta": incremental_join_revenue_bidelta,
+    "attribution_credit_by_type": attribution_credit_by_type,
+    "bitemporal_user_state": bitemporal_user_state,
+    "kcenter_coreset_vectors": kcenter_coreset_vectors,
+    "event_value_cusum_alarms": event_value_cusum_alarms,
+    "oov_rate_by_source": oov_rate_by_source,
+    "zorder_locality_report": zorder_locality_report,
+    "trade_community_modularity": trade_community_modularity,
+    "trade_degree_assortativity": trade_degree_assortativity,
+    "doc_length_quantile_norm": doc_length_quantile_norm,
+    "langid_confusion_matrix": langid_confusion_matrix,
+    "term_pmi_collocations": term_pmi_collocations,
+    "orders_benford_audit": orders_benford_audit,
+    # --- rows 19-50: the 32-entry r05-stale remainder ----------
     "approx_distinct_users": approx_distinct_users,
     "dedup_hash_docs": dedup_hash_docs,
     "train_eval_split": train_eval_split,
@@ -5287,6 +5203,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_lineitem": profile_lineitem,
     "quantiles_quantity": quantiles_quantity,
     "tumbling_event_counts": tumbling_event_counts,
+    # --- below the window, staleness-ascending: the 50-entry r06
+    #     block leads the r11 window (ROUND_NOTES), then r07/r08,
+    #     then the entries the r09 window just re-proved. ---------
     "boilerplate_cleaned_docs": boilerplate_cleaned_docs,
     "semantic_dedup_verdicts": semantic_dedup_verdicts,
     "cms_term_counts": cms_term_counts,
@@ -5337,6 +5256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": session_stats,
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
+    # --- newest row r07 ----------------------------------------
     "multimodal_scene_changes": multimodal_scene_changes,
     "merge_upsert_orders": merge_upsert_orders,
     "keyword_search_docs": keyword_search_docs,
@@ -5386,26 +5306,105 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
     "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
     "q21_late_supplier": T.q21_late_supplier,
-    # --- r09 additions (appended at the bottom per the rotation
-    #     policy; hash-checked at sf0.001+sf0.01 in a vanilla /tmp
-    #     session before commit; they lead the r10 window) -----------
-    "dsir_en_importance_weights": dsir_en_importance_weights,
-    "greedy_coverage_docs": greedy_coverage_docs,
-    "weighted_reservoir_docs": weighted_reservoir_docs,
-    "segment_sample_allocation": segment_sample_allocation,
-    "langid_margin_calibration": langid_margin_calibration,
-    "incremental_join_revenue_bidelta": incremental_join_revenue_bidelta,
-    "attribution_credit_by_type": attribution_credit_by_type,
-    "bitemporal_user_state": bitemporal_user_state,
-    "kcenter_coreset_vectors": kcenter_coreset_vectors,
-    "event_value_cusum_alarms": event_value_cusum_alarms,
-    "oov_rate_by_source": oov_rate_by_source,
-    "zorder_locality_report": zorder_locality_report,
-    "trade_community_modularity": trade_community_modularity,
-    "trade_degree_assortativity": trade_degree_assortativity,
-    "doc_length_quantile_norm": doc_length_quantile_norm,
-    "langid_confusion_matrix": langid_confusion_matrix,
-    "term_pmi_collocations": term_pmi_collocations,
-    "orders_benford_audit": orders_benford_audit,
+    # --- newest row r08 ----------------------------------------
+    "nation_trade_communities": nation_trade_communities,
+    "lang_id_pred": lang_id_pred,
+    "q22_dormant_customers": T.q22_dormant_customers,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "flagship_revenue_by_nation": flagship_revenue_by_nation,
+    "asof_last_touch": asof_last_touch,
+    "session_overlap_pairs": session_overlap_pairs,
+    "scd2_user_event_history": scd2_user_event_history,
+    "order_value_rank_stats": order_value_rank_stats,
+    "revenue_trend_by_nation": revenue_trend_by_nation,
+    "q4_late_order_priority": T.q4_late_order_priority,
+    "q7_volume_shipping": T.q7_volume_shipping,
+    "q8_market_share": T.q8_market_share,
+    "q9_product_type_profit": T.q9_product_type_profit,
+    "q10_returned_items": T.q10_returned_items,
+    "q13_customer_order_counts": T.q13_customer_order_counts,
+    "q14_promo_revenue": T.q14_promo_revenue,
+    "q15_top_supplier": T.q15_top_supplier,
+    "q16_supplier_part_variety": T.q16_supplier_part_variety,
+    "q17_small_quantity_revenue": T.q17_small_quantity_revenue,
+    "q18_large_volume_customers": T.q18_large_volume_customers,
+    "doc_repetition_stats": doc_repetition_stats,
+    "multimodal_blob_features": multimodal_blob_features,
+    "multimodal_frame_stats": multimodal_frame_stats,
+    "multimodal_image_stats": multimodal_image_stats,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "minhash_near_dup_pairs": minhash_near_dup_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "fuzzy_name_match_pairs": fuzzy_name_match_pairs,
+    "tfidf_scores": tfidf_scores,
+    "semi_join_active_customers": semi_join_active_customers,
+    "full_outer_nation_suppliers": full_outer_nation_suppliers,
+    "pivot_flag_by_status": pivot_flag_by_status,
+    "order_latency_by_priority": order_latency_by_priority,
+    "moving_avg_order_value": moving_avg_order_value,
+    "cube_revenue": cube_revenue,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "null_safe_join_props": null_safe_join_props,
+    "bigram_freq_top20": bigram_freq_top20,
+    "event_value_histogram": event_value_histogram,
+    "dedup_exact_docs": dedup_exact_docs,
+    "distinct_flag_status": distinct_flag_status,
+    "cross_join_flag_region": cross_join_flag_region,
+    "customer_display_names": customer_display_names,
+    "acctbal_buckets": acctbal_buckets,
+    "set_ops_brands": set_ops_brands,
+    "lang_distribution": lang_distribution,
+    "map_props_exploded": map_props_exploded,
+    # --- newest row r09 (checked last round) -------------------
+    "jaccard_prefix_join_diverse": jaccard_prefix_join_diverse,
+    "multimodal_mdct_stats": multimodal_mdct_stats,
+    "leakage_safe_split_stats": leakage_safe_split_stats,
+    "user_group_kfold_counts": user_group_kfold_counts,
+    "html_extract_stats": html_extract_stats,
+    "per_host_doc_quota": per_host_doc_quota,
+    "copurchase_part_triples": copurchase_part_triples,
+    "hard_negative_mining": hard_negative_mining,
+    "winsorized_price_stats": winsorized_price_stats,
+    "multimodal_vad_segments": multimodal_vad_segments,
+    "stream_two_level_counts": stream_two_level_counts,
+    "events_jsonl_corrupt_stats": events_jsonl_corrupt_stats,
+    "linear_quality_margin": linear_quality_margin,
+    "top_terms_per_source": top_terms_per_source,
+    "embedding_int8_quant_stats": embedding_int8_quant_stats,
+    "dedup_span_removed_docs": dedup_span_removed_docs,
+    "bm25_keyword_topk": bm25_keyword_topk,
+    "rrf_fused_topk": rrf_fused_topk,
+    "dedup_normalized_docs": dedup_normalized_docs,
+    "global_line_dedup_docs": global_line_dedup_docs,
+    "langid_agreement_kappa": langid_agreement_kappa,
+    "embedding_rp_projection": embedding_rp_projection,
+    "margin_conformal_threshold": margin_conformal_threshold,
+    "order_key_skew_profile": order_key_skew_profile,
+    "nation_trade_kcore": nation_trade_kcore,
+    "quantity_weighted_median_price": quantity_weighted_median_price,
+    "weekday_revenue_seasonality": weekday_revenue_seasonality,
+    "revenue_half_sample_ci": revenue_half_sample_ci,
+    "golden_customer_records": golden_customer_records,
+    "orders_fd_audit": orders_fd_audit,
+    "orders_customer_join_estimate": orders_customer_join_estimate,
+    "hourly_value_ohlc": hourly_value_ohlc,
+    "dp_noisy_nation_counts": dp_noisy_nation_counts,
+    "star_dim_category": star_dim_category,
+    "star_dim_part": star_dim_part,
+    "star_fact_order_metrics": star_fact_order_metrics,
+    "star_revenue_by_brand": star_revenue_by_brand,
+    "sql_flagship_revenue": sql_flagship_revenue,
+    "null_key_invariant": null_key_invariant,
+    "daily_user_value_gapfill": daily_user_value_gapfill,
+    "part_measures_unpivot": part_measures_unpivot,
+    "sql_q21_late_supplier": sql_q21_late_supplier,
+    "label_centroid_cosine": label_centroid_cosine,
+    "q2_min_cost_supplier": T.q2_min_cost_supplier,
+    "q11_important_parts": T.q11_important_parts,
+    "stream_tumbling_event_counts": stream_tumbling_event_counts,
+    "stream_dedup_events": stream_dedup_events,
+    "stream_click_attribution": stream_click_attribution,
+    "multimodal_png_stats": multimodal_png_stats,
+    "multimodal_audio_stats": multimodal_audio_stats,
 }
 
