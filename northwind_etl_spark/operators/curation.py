@@ -233,3 +233,102 @@ def greedy_coverage_select(
     return spark.createDataFrame(
         rows, "round INT, doc_id BIGINT, gain BIGINT, covered_total BIGINT"
     )
+
+
+def interleave_schedule(
+    df: DataFrame, source_col: str, *, k_steps: int = 1000
+) -> DataFrame:
+    """Deterministic mixture-interleaving CURRICULUM: the first
+    `k_steps` training steps' source schedule, with each source s
+    served n_s times (largest-remainder share of its corpus row count)
+    at maximally even spacing — occurrence j of source s lands at
+    position p = ceil(j*K/n_s), collisions resolved by source name.
+    This is the step-level counterpart of mixture_sample (WHICH rows
+    to train on → WHEN each source's turn comes), the schedule an
+    interleaved data loader follows so no source floods a training
+    window.
+
+    The step index is computed in CLOSED FORM, not by a global window
+    over the K exploded rows (the plan lint's single-partition funnel
+    rule): step(s, j) = 1 + (j-1) + Σ_{s'≠s} |{j': p' < p}| +
+    Σ_{s'<s} |{j': p' = p}|, where |{j': p' <= x}| = (x*n_s') DIV K
+    exactly (ceil inversion on integers).  Every term is integral
+    arithmetic both engines replay; the result is a permutation of
+    1..K (pinned in tests).
+
+    Returns (step, source, occurrence) ordered by step.
+    """
+    if k_steps < 1:
+        raise ValueError("k_steps must be >= 1")
+    k = int(k_steps)
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    n_tot = F.sum("c").over(w_all)
+    base = F.expr(f"(c * {k}) DIV n_tot").cast("long")
+    rem = (F.col("c") * k) % F.col("n_tot")
+    quotas = (
+        counts.withColumn("n_tot", n_tot)
+        .withColumn("base", base)
+        .withColumn("rem", rem)
+        .withColumn("leftover", F.lit(k) - F.sum("base").over(w_all))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                w_all.orderBy(F.desc("rem"), F.asc("source"))
+            ),
+        )
+        .select(
+            "source",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("n_s"),
+        )
+        .where(F.col("n_s") > 0)
+    )
+    occ = quotas.select(
+        "source",
+        "n_s",
+        F.explode(F.sequence(F.lit(1), F.col("n_s").cast("int"))).alias("j"),
+    ).withColumn("p", F.expr(f"(j * {k} + n_s - 1) DIV n_s").cast("long"))
+    others = quotas.select(
+        F.col("source").alias("o_source"), F.col("n_s").alias("o_n")
+    )
+    # LEFT join: with a single source there are no "others" and the
+    # rank term is plain j — an inner join would drop every row
+    contrib = (
+        occ.join(
+            F.broadcast(others),
+            F.col("o_source") != F.col("source"),
+            "left",
+        )
+        .withColumn("lt", F.expr(f"((p - 1) * o_n) DIV {k}"))
+        .withColumn("le", F.expr(f"(p * o_n) DIV {k}"))
+        .groupBy("source", "j", "p")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.col("lt")
+                    + F.when(
+                        F.col("o_source") < F.col("source"),
+                        F.col("le") - F.col("lt"),
+                    ).otherwise(0),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("ahead")
+        )
+    )
+    return (
+        contrib.select(
+            (F.col("j") + F.col("ahead")).cast("long").alias("step"),
+            "source",
+            F.col("j").cast("long").alias("occurrence"),
+        )
+        .orderBy("step")
+    )

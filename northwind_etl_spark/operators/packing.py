@@ -84,3 +84,82 @@ def batch_fill_stats(packed: DataFrame, len_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(len_col).alias("batch_tokens"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    source_col: str,
+    *,
+    n_shards: int = 4,
+    part_budget: int = 4096,
+) -> DataFrame:
+    """Training-data EXPORT manifest: assign every document to a
+    (shard, part) under a per-part token budget and summarize each
+    planned output file — the manifest a trainer's data loader reads
+    instead of listing storage.
+
+    Layout discipline (the pack_sequences contract, minus the length
+    bucketing — an export preserves corpus order-independence, not
+    batch shape): shard = md5(id) % n_shards levels documents across
+    writers; within a shard documents take the deterministic
+    (md5(id), id) order and part = tokens_before DIV part_budget —
+    integral division on longs, one running-sum window per shard with
+    O(1) state.
+
+    Manifest row per (shard, part): n_docs, n_tokens, n_sources, and
+    the dominant source with its doc count (ties to the LARGER source
+    name — (count, name) struct max, a total order), the mixture-drift
+    signal reviewers check before a training run.
+    """
+    if n_shards < 1 or part_budget < 1:
+        raise ValueError("n_shards and part_budget must be >= 1")
+    shard = _shard_expr(F.col(id_col), n_shards).cast("int")
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("order_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = (
+        df.select(
+            F.col(id_col),
+            F.col(len_col).cast("long").alias("__len"),
+            F.col(source_col).alias("__src"),
+            shard.alias("shard"),
+            order_key.alias("order_key"),
+        )
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("__len").over(w), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "part", F.expr(f"tokens_before DIV {int(part_budget)}").cast("int")
+        )
+    )
+    per_source = assigned.groupBy("shard", "part", "__src").agg(
+        F.count(F.lit(1)).cast("long").alias("__src_docs"),
+        F.sum("__len").cast("long").alias("__src_tokens"),
+    )
+    return (
+        per_source.groupBy("shard", "part")
+        .agg(
+            F.sum("__src_docs").cast("long").alias("n_docs"),
+            F.sum("__src_tokens").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.max(F.struct(F.col("__src_docs"), F.col("__src"))).alias(
+                "__top"
+            ),
+        )
+        .select(
+            "shard",
+            "part",
+            "n_docs",
+            "n_tokens",
+            "n_sources",
+            F.col("__top.__src").alias("top_source"),
+            F.col("__top.__src_docs").alias("top_source_docs"),
+        )
+        .orderBy("shard", "part")
+    )

@@ -4824,3 +4824,343 @@ def _benford_oracle_sql() -> str:
 
 
 ORACLES["orders_benford_audit"] = _benford_oracle_sql()
+
+
+# ------------------------------------------------------------------ r10
+# lakehouse + training-export batch.
+
+# Compaction plan replay: identical modeled monthly inventory (exact
+# integer byte model), identical running-sum-before window over the
+# bounded inventory, identical integral DIV binning.
+_INV_BYTES = "40 + length(o_orderstatus) + length(o_orderpriority) + o_custkey % 32"
+
+ORACLES["orders_compaction_plan"] = f"""
+    WITH inv AS (
+      SELECT date_trunc('month', o_orderdate) AS f,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM({_INV_BYTES}) AS BIGINT) AS b
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT *, COALESCE(SUM(b) OVER (ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS before
+      FROM inv)
+    SELECT CAST(before // 65536 AS BIGINT) AS out_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_input_files,
+           CAST(SUM(b) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows
+    FROM c GROUP BY 1 ORDER BY out_bin
+"""
+
+# Size histogram replay: floor(log2) as length(binary digits) − 1 on
+# both sides (bin() here, conv base-2 there), one c.r. share division.
+ORACLES["orders_file_size_histogram"] = f"""
+    WITH inv AS (
+      SELECT date_trunc('month', o_orderdate) AS f,
+             CAST(SUM({_INV_BYTES}) AS BIGINT) AS b
+      FROM orders GROUP BY 1),
+    per AS (
+      SELECT CAST(length(bin(b)) - 1 AS INT) AS log2_bytes,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(b) AS BIGINT) AS bucket_bytes
+      FROM inv WHERE b > 0 GROUP BY 1)
+    SELECT log2_bytes, n_files, bucket_bytes,
+           CAST(bucket_bytes AS DOUBLE)
+             / CAST(SUM(bucket_bytes) OVER () AS DOUBLE) AS byte_share
+    FROM per ORDER BY log2_bytes
+"""
+
+# Zone-map skipping replay: identical per-file min/max inventories for
+# both layouts, identical skip predicate, identical sweep-identity
+# depth against the sorted endpoint lists.
+def _zonemap_layout_sql(inv_cte: str, layout: str) -> str:
+    return f"""
+    SELECT '{layout}' AS layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_skipped,
+           CAST(SUM(CASE WHEN skip THEN 0 ELSE n_rows END) AS BIGINT)
+             AS rows_scanned,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(depth) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_overlap_depth,
+           CAST(MAX(depth) AS BIGINT) AS max_overlap_depth
+    FROM (
+      SELECT i.n_rows,
+             (i.zmax < TIMESTAMP '1998-01-01 00:00:00'
+              OR i.zmin > TIMESTAMP '1998-03-31 23:59:59') AS skip,
+             CAST(len(list_filter(e.mins, m -> m <= i.zmax))
+                  - len(list_filter(e.maxs, m -> m < i.zmin)) AS BIGINT)
+               AS depth
+      FROM {inv_cte} i, (
+        SELECT list_sort(list(zmin)) AS mins,
+               list_sort(list(zmax)) AS maxs
+        FROM {inv_cte}) e)
+"""
+
+
+ORACLES["shipdate_zonemap_skipping"] = f"""
+    WITH inv_w AS (
+      SELECT date_trunc('week', l_shipdate) AS f,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax
+      FROM lineitem GROUP BY 1),
+    inv_u AS (
+      SELECT CAST('0x' || substring(
+               md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 52 AS f,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax
+      FROM lineitem GROUP BY 1)
+    {_zonemap_layout_sql('inv_w', 'clustered_by_week')}
+    UNION ALL
+    {_zonemap_layout_sql('inv_u', 'unclustered_md5')}
+    ORDER BY layout
+"""
+
+# Versioned event log shared by expiration/changelog: the bitemporal
+# late-correction seeding (event_id % 7 commits 4 h late), tombstone =
+# event_type 'error'.
+_VLOG = """
+      SELECT user_id, event_id, event_type, value,
+             CASE WHEN event_id % 7 = 0
+                  THEN ts + INTERVAL 4 HOUR ELSE ts END AS txn_ts
+      FROM events
+"""
+
+ORACLES["events_snapshot_expiration"] = f"""
+    WITH log AS ({_VLOG}),
+    l2 AS (
+      SELECT user_id,
+             lead(txn_ts) OVER (PARTITION BY user_id
+                                ORDER BY txn_ts, event_id) AS nxt
+      FROM log),
+    f AS (
+      SELECT user_id,
+             CASE WHEN nxt IS NULL THEN 'live'
+                  WHEN nxt <= TIMESTAMP '2024-01-20 00:00:00'
+                    THEN 'reclaimable'
+                  ELSE 'retained' END AS version_status
+      FROM l2)
+    SELECT version_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM f GROUP BY 1 ORDER BY version_status
+"""
+
+
+def _changelog_state_sql(at: str) -> str:
+    """Latest-version user state as of `at` with tombstone removal —
+    an INDEPENDENT row_number plan for snapshot_state's max_by."""
+    return f"""
+      SELECT user_id, value FROM (
+        SELECT user_id, value, (event_type = 'error') AS dead,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY txn_ts DESC, event_id DESC) AS rn
+        FROM log WHERE txn_ts <= TIMESTAMP '{at}')
+      WHERE rn = 1 AND NOT dead
+"""
+
+
+ORACLES["events_snapshot_changelog"] = f"""
+    WITH log AS ({_VLOG}),
+    s1 AS ({_changelog_state_sql('2024-01-10 00:00:00')}),
+    s2 AS ({_changelog_state_sql('2024-01-20 00:00:00')}),
+    j AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             a.value AS old_value, b.value AS new_value,
+             a.user_id IS NOT NULL AS in_old,
+             b.user_id IS NOT NULL AS in_new
+      FROM s1 a FULL OUTER JOIN s2 b ON a.user_id = b.user_id)
+    SELECT user_id,
+           CASE WHEN NOT in_old THEN 'insert'
+                WHEN NOT in_new THEN 'delete'
+                WHEN old_value IS DISTINCT FROM new_value THEN 'update'
+           END AS change_type,
+           old_value, new_value
+    FROM j
+    WHERE (NOT in_old) OR (NOT in_new)
+          OR (old_value IS DISTINCT FROM new_value)
+    ORDER BY user_id
+"""
+
+# Merge-on-read replay: identical modeled positions, identical md5
+# membership predicate, the standard decimal revenue macro.
+ORACLES["lineitem_deletion_vector_read"] = f"""
+    WITH li AS (
+      SELECT *, l_orderkey * 8 + l_linenumber AS pos FROM lineitem),
+    kept AS (
+      SELECT * FROM li
+      WHERE CAST('0x' || substring(md5(CAST(pos AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 20 <> 0)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_dsum(_REVENUE, "revenue")}
+    FROM kept GROUP BY 1 ORDER BY l_returnflag
+"""
+
+# Schema-evolution replay: the merged read's NULL backfill recomputed
+# logically from the orders view (the parquet hop is a lossless
+# round-trip for these exact decimal/int columns).
+ORACLES["orders_schema_evolution_read"] = f"""
+    WITH v AS (
+      SELECT CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 2 END
+               AS version,
+             o_totalprice,
+             CASE WHEN year(o_orderdate) >= 1998
+                  THEN o_orderpriority END AS pri
+      FROM orders)
+    SELECT version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_priority,
+           {_dsum("o_totalprice", "sum_price")}
+    FROM v GROUP BY 1 ORDER BY version
+"""
+
+# Manifest replay: the proven mixture CTE + the shard/part running-sum
+# arithmetic + a row_number dominant-source replay (an independent
+# plan for the struct max).
+ORACLES["training_manifest_shards"] = f"""
+    WITH w(source, wt) AS (VALUES ('src0', 4), ('src1', 2), ('src2', 1)),
+    c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    m AS (
+      SELECT MIN(COALESCE(n, 0) // wt) AS m
+      FROM w LEFT JOIN c USING (source)),
+    q AS (
+      SELECT w.source, wt * m.m AS k
+      FROM w JOIN c USING (source) CROSS JOIN m),
+    r AS (
+      SELECT d.doc_id, d.source, q.k,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      FROM documents d JOIN q ON q.source = d.source),
+    sel AS (SELECT doc_id, source FROM r WHERE rn <= k),
+    toks AS (
+      SELECT s.doc_id, s.source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             md5(CAST(s.doc_id AS VARCHAR)) AS ok,
+             CAST(CAST('0x' || substring(
+               md5(CAST(s.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4
+               AS INT) AS shard
+      FROM sel s JOIN documents USING (doc_id)),
+    cum AS (
+      SELECT *, COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS before
+      FROM toks),
+    a AS (
+      SELECT shard, CAST(before // 4096 AS INT) AS part, source, n_tokens
+      FROM cum),
+    ps AS (
+      SELECT shard, part, source,
+             CAST(COUNT(*) AS BIGINT) AS src_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      FROM a GROUP BY 1, 2, 3),
+    top AS (
+      SELECT shard, part, source, src_docs,
+             row_number() OVER (PARTITION BY shard, part
+               ORDER BY src_docs DESC, source DESC) AS rk
+      FROM ps)
+    SELECT p.shard, p.part,
+           CAST(SUM(p.src_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(p.src_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           MAX(t.source) AS top_source,
+           CAST(MAX(t.src_docs) AS BIGINT) AS top_source_docs
+    FROM ps p JOIN top t ON t.shard = p.shard AND t.part = p.part
+                         AND t.rk = 1
+    GROUP BY p.shard, p.part
+    ORDER BY p.shard, p.part
+"""
+
+# Interleave schedule replay: identical largest-remainder quotas,
+# identical even-spacing positions, identical closed-form rank terms.
+ORACLES["mixture_schedule_steps"] = """
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+               FROM documents GROUP BY 1),
+    t AS (SELECT SUM(c) AS n_tot FROM c),
+    b AS (SELECT source, c, (c * 1000) // n_tot AS base,
+                 (c * 1000) % n_tot AS rem
+          FROM c, t),
+    lo AS (SELECT 1000 - SUM(base) AS leftover FROM b),
+    q AS (SELECT source,
+                 base + CASE WHEN row_number() OVER
+                        (ORDER BY rem DESC, source) <= leftover
+                        THEN 1 ELSE 0 END AS n_s
+          FROM b, lo),
+    qq AS (SELECT source, n_s FROM q WHERE n_s > 0),
+    occ AS (SELECT source, n_s,
+                   unnest(range(1, CAST(n_s + 1 AS BIGINT))) AS j
+            FROM qq),
+    op AS (SELECT source, n_s, j,
+                  (j * 1000 + n_s - 1) // n_s AS p
+           FROM occ),
+    contrib AS (
+      -- LEFT join mirrors the Spark side: with a single source the
+      -- rank term is plain j
+      SELECT o.source, o.j, o.p,
+             CAST(SUM(COALESCE(((o.p - 1) * x.n_s) // 1000
+                  + CASE WHEN x.source < o.source
+                         THEN (o.p * x.n_s) // 1000
+                              - ((o.p - 1) * x.n_s) // 1000
+                         ELSE 0 END, 0)) AS BIGINT) AS ahead
+      FROM op o LEFT JOIN qq x ON x.source <> o.source
+      GROUP BY 1, 2, 3)
+    SELECT CAST(j + ahead AS BIGINT) AS step, source,
+           CAST(j AS BIGINT) AS occurrence
+    FROM contrib WHERE j + ahead <= 40
+    ORDER BY step
+"""
+
+
+def _kll_oracle_sql() -> str:
+    """Six unrolled halving rounds (md5-bit coins, conditional on the
+    group exceeding capacity) + the cumulative-weight quantile read."""
+    rounds = []
+    prev = "r0"
+    for lvl in range(6):
+        cur = f"r{lvl + 1}"
+        nib, bit = lvl // 4 + 1, lvl % 4
+        rounds.append(f"""
+    {cur} AS (
+      SELECT grp, value, id,
+             CASE WHEN cnt > 256 THEN weight * 2 ELSE weight END AS weight
+      FROM (SELECT *, COUNT(*) OVER (PARTITION BY grp) AS cnt FROM {prev})
+      WHERE cnt <= 256
+         OR (CAST('0x' || substring(md5(CAST(id AS VARCHAR)), {nib}, 1)
+              AS BIGINT) >> {bit}) % 2 = 0)""")
+        prev = cur
+    chain = ",".join(rounds)
+    return f"""
+    WITH r0 AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS value,
+             o_orderkey AS id, CAST(1 AS BIGINT) AS weight
+      FROM orders),{chain},
+    cum AS (
+      SELECT *, SUM(weight) OVER (PARTITION BY grp ORDER BY value, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+             SUM(weight) OVER (PARTITION BY grp) AS tot_w
+      FROM {prev}),
+    qx AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n_sketch_rows,
+             CAST(MAX(tot_w) AS BIGINT) AS total_weight,
+             MIN(CASE WHEN cum_w * 100 >= tot_w * 50
+                      THEN CAST(value AS DOUBLE) END) AS p50,
+             MIN(CASE WHEN cum_w * 100 >= tot_w * 90
+                      THEN CAST(value AS DOUBLE) END) AS p90,
+             MIN(CASE WHEN cum_w * 100 >= tot_w * 99
+                      THEN CAST(value AS DOUBLE) END) AS p99
+      FROM cum GROUP BY 1),
+    n AS (SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT)
+            AS n_rows FROM orders GROUP BY 1)
+    SELECT qx.grp AS priority, n.n_rows, qx.n_sketch_rows,
+           qx.total_weight, qx.p50, qx.p90, qx.p99
+    FROM qx JOIN n ON n.grp = qx.grp
+    ORDER BY priority
+"""
+
+
+ORACLES["priority_price_kll_quantiles"] = _kll_oracle_sql()

@@ -5137,6 +5137,378 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("digit")
 
 
+
+# ------------------------------------------------------------------ r10
+# batch: lakehouse table maintenance (compaction planning, size
+# histogram, zone-map skipping, snapshot expiration / changelog,
+# deletion vectors, schema evolution) + training export (shard
+# manifest, interleave schedule) + the mergeable quantile sketch.
+# All oracle-paired (SURVEY.md section 2c-septies).
+
+
+def orders_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (sources/inventory.py::
+    model_inventory + compaction_plan): the orders table modeled as one
+    "file" per order month (the natural ingest partition), bytes from
+    an exact integer per-row encoding model (fixed 48B + the three
+    string columns' lengths), then greedy cumulative binning of
+    adjacent months into 64 KiB outputs — the OPTIMIZE planner shape:
+    walk the manifest in layout order, bin = bytes_before DIV target.
+    Integer-exact end to end; the only window runs over the
+    month-count-bounded inventory (aggregate child — the plan lint's
+    whitelisted class).  sources/layout.py::parquet_footer_stats is the
+    real-footer counterpart (pytest-verified against DuckDB
+    parquet_metadata, which the driver's view-only harness can't
+    reach)."""
+    from ..sources.inventory import compaction_plan, model_inventory
+
+    o = _t(spark, sf_dir, "orders")
+    # synthetic-but-exact byte model over the columns the slimmed table
+    # HAS: fixed record overhead + the two string columns' lengths + a
+    # varint-ish key term — deterministic integers both engines replay
+    bytes_model = (
+        F.lit(40)
+        + F.length("o_orderstatus")
+        + F.length("o_orderpriority")
+        + F.col("o_custkey") % 32
+    ).cast("long")
+    inv = model_inventory(
+        o,
+        F.date_trunc("month", F.col("o_orderdate")),
+        bytes_expr=bytes_model,
+    )
+    return compaction_plan(inv, 65536)
+
+
+def orders_file_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two file-size histogram over the same modeled monthly
+    inventory (sources/inventory.py::size_histogram) — the small-file
+    detector: bucket = floor(log2(bytes)) computed EXACTLY as
+    length(binary digits) − 1 (conv base 2 / DuckDB bin(); no floating
+    log), byte share as one correctly-rounded division."""
+    from ..sources.inventory import model_inventory, size_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    # synthetic-but-exact byte model over the columns the slimmed table
+    # HAS: fixed record overhead + the two string columns' lengths + a
+    # varint-ish key term — deterministic integers both engines replay
+    bytes_model = (
+        F.lit(40)
+        + F.length("o_orderstatus")
+        + F.length("o_orderpriority")
+        + F.col("o_custkey") % 32
+    ).cast("long")
+    inv = model_inventory(
+        o,
+        F.date_trunc("month", F.col("o_orderdate")),
+        bytes_expr=bytes_model,
+    )
+    return size_histogram(inv)
+
+
+def shipdate_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping evidence (sources/inventory.py::
+    zonemap_skip_report), the z-order locality report's min/max
+    sibling: lineitem under TWO layouts — "clustered" (one file per
+    ship WEEK, ranges nearly disjoint) vs "unclustered" (md5(orderkey)
+    mod 52 files, every range spans the table) — probed with the Q6
+    quarter predicate l_shipdate in 1994-Q1.  Reports per layout how
+    many files the zone maps prove skippable, the rows actually
+    scanned, and the overlap DEPTH of the file ranges (the clustering
+    metric OPTIMIZE targets).  Depth via the sweep identity against
+    two broadcast sorted endpoint arrays — no range self-join.  The
+    clustered layout skips ~96% of files at depth ~1; the unclustered
+    layout skips none at full depth — the quantified argument for
+    clustering 100 TB scans."""
+    from ..sources.inventory import model_inventory, zonemap_skip_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    # one quarter inside the fixture's 1995–2001 ship-date range
+    lo = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-03-31 23:59:59").cast("timestamp")
+    clustered = model_inventory(
+        li,
+        F.date_trunc("week", F.col("l_shipdate")),
+        stat_col="l_shipdate",
+    )
+    unclustered = model_inventory(
+        li,
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 52,
+        stat_col="l_shipdate",
+    )
+    return (
+        zonemap_skip_report(clustered, "clustered_by_week", lo, hi)
+        .unionByName(
+            zonemap_skip_report(unclustered, "unclustered_md5", lo, hi)
+        )
+        .orderBy("layout")
+    )
+
+
+def _events_versioned_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an append-only keyed version log: key = user_id,
+    txn_ts = the bitemporal late-correction seeding (event_id % 7 == 0
+    commits 4 h after it happened — the bitemporal_user_state model),
+    tombstone = event_type 'error' (the deterministic delete-marker
+    model, mirrored in the oracles)."""
+    from ..sources.parquet import read_events
+
+    e = read_events(spark, sf_dir)
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.col("ts") + F.expr("INTERVAL 4 HOURS"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("txn_ts"),
+    )
+
+
+def events_snapshot_expiration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiration sweep (operators/lakehouse.py::
+    snapshot_expiration) over the versioned event log: with time-travel
+    retention floor 2024-01-20, classify every row version live /
+    retained / reclaimable (its successor committed at or before the
+    cutoff, so NO read at or after the cutoff can see it — safe to
+    vacuum).  One keyed lead() window; the report is one hash agg:
+    (version_status, n_rows, n_users)."""
+    from ..operators.lakehouse import snapshot_expiration
+
+    log = _events_versioned_log(spark, sf_dir)
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    flagged = snapshot_expiration(
+        log, "user_id", "txn_ts", cutoff, tiebreak_col="event_id"
+    )
+    return (
+        flagged.groupBy("version_status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        )
+        .orderBy("version_status")
+    )
+
+
+def events_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog between two snapshots (operators/lakehouse.py::
+    snapshot_state + snapshot_changelog): user state (latest value by
+    (txn_ts, event_id)) as of 2024-01-10 vs 2024-01-20, diffed into
+    insert / update / delete rows — the incremental feed a downstream
+    consumer reads instead of re-scanning state.  Tombstone model:
+    a latest version of type 'error' removes the key from state.
+    Per-user rows with raw parquet doubles — bit-exact both engines."""
+    from ..operators.lakehouse import snapshot_changelog, snapshot_state
+
+    log = _events_versioned_log(spark, sf_dir)
+    dead = F.col("event_type") == "error"
+    s1 = snapshot_state(
+        log,
+        "user_id",
+        "txn_ts",
+        F.lit("2024-01-10 00:00:00").cast("timestamp"),
+        value_col="value",
+        tiebreak_col="event_id",
+        tombstone=dead,
+    )
+    s2 = snapshot_state(
+        log,
+        "user_id",
+        "txn_ts",
+        F.lit("2024-01-20 00:00:00").cast("timestamp"),
+        value_col="value",
+        tiebreak_col="event_id",
+        tombstone=dead,
+    )
+    return snapshot_changelog(s1, s2, "user_id").orderBy("user_id")
+
+
+def lineitem_deletion_vector_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge-on-read positional deletes (operators/lakehouse.py::
+    apply_deletion_vector): row position modeled as l_orderkey*8 +
+    l_linenumber (unique — linenumber < 8), the deletion vector is the
+    md5(pos) % 20 == 0 subset (an equality-delete compaction's
+    output), and the read is base LEFT ANTI the broadcast vector — the
+    base files are never rewritten OR shuffled (plan-asserted in
+    tests/test_lakehouse.py).  Report: per returnflag surviving rows +
+    exact decimal revenue, deleted-row count audit."""
+    from ..operators.lakehouse import apply_deletion_vector
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "pos", (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    )
+    dv = li.select("pos").where(
+        F.conv(F.substring(F.md5(F.col("pos").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 20
+        == 0
+    )
+    kept = apply_deletion_vector(li, dv, "pos")
+    from ..functions.money import decimal_sum
+
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            decimal_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def orders_schema_evolution_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema-evolution read: orders split into a v1 extract (pre-1998;
+    key + price only) and a v2 extract (1998+; adds o_orderpriority),
+    written as REAL parquet files with different schemas and read back
+    in ONE scan via mergeSchema — the additive-column migration every
+    long-lived table goes through.  The audit proves the old files'
+    missing column surfaces as NULL, not garbage: per version, row
+    count, null-priority count, exact decimal price sum.  The oracle
+    replays the split logically from the orders view (the JSONL-hop
+    discipline: the files are a fixed per-sf temp dir, overwritten per
+    run)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..functions.money import decimal_sum
+
+    o = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"nes_evo_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    v1 = o.where(F.year("o_orderdate") < 1998).select(
+        F.lit(1).alias("version"), "o_orderkey", "o_totalprice"
+    )
+    v2 = o.where(F.year("o_orderdate") >= 1998).select(
+        F.lit(2).alias("version"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "v2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "v1"), os.path.join(root, "v2"))
+    )
+    return (
+        merged.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("o_orderpriority").isNull().cast("long"))
+            .cast("long")
+            .alias("n_null_priority"),
+            decimal_sum("o_totalprice", "sum_price"),
+        )
+        .orderBy("version")
+    )
+
+
+def training_manifest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data EXPORT manifest (operators/packing.py::
+    shard_manifest composed with operators/sampling.py::mixture_sample
+    — the verdict's suggested composition): documents mixture-sampled
+    to an exact 4:2:1 src0/src1/src2 blend, token-counted, leveled
+    across 4 shards by md5(doc_id), and cut into parts of <= 4096
+    tokens-before each (running-sum DIV — the pack_sequences
+    arithmetic).  Manifest per (shard, part): doc/token totals, source
+    spread, and the dominant source (struct max, ties to the larger
+    name) — what a loader reads instead of listing storage."""
+    from ..functions.texttools import token_count_expr
+    from ..operators.packing import shard_manifest
+    from ..operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = mixture_sample(
+        docs, "source", "doc_id", shares={"src0": 4, "src1": 2, "src2": 1}
+    ).join(docs.select("doc_id", "text"), "doc_id")
+    with_len = sampled.withColumn(
+        "n_tokens", token_count_expr(F.col("text")).cast("long")
+    )
+    return shard_manifest(
+        with_len,
+        "doc_id",
+        "n_tokens",
+        "source",
+        n_shards=4,
+        part_budget=4096,
+    )
+
+
+def mixture_schedule_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaving curriculum (operators/curation.py::
+    interleave_schedule): the first 40 of 1000 training steps' source
+    schedule, each source served its largest-remainder share of the
+    corpus at maximally even spacing (occurrence j of source s at
+    ceil(j*1000/n_s), collisions by source name).  The step index is
+    CLOSED-FORM integer arithmetic (no global window — the plan lint's
+    funnel rule), so the oracle replays it term for term."""
+    from ..operators.curation import interleave_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    sched = interleave_schedule(docs, "source", k_steps=1000)
+    return sched.where(F.col("step") <= 40).orderBy("step")
+
+
+def priority_price_kll_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable quantile SKETCH (operators/kll.py — the KLL/MRL level
+    compaction with md5-parity coins): per order priority, compact
+    o_totalprice to <= max(256, n/64) weighted survivors through 6
+    deterministic halving rounds (one exchange, 6 in-partition window
+    passes over geometrically shrinking data), then read p50/p90/p99
+    off the cumulative weights — exact integer comparisons, one
+    correctly-rounded cast per released value.  The bounded-summary
+    complement of the exact selection family (exact_median /
+    exact_p90 / weighted_kth): store-and-merge across days instead of
+    re-scanning.  Merge identity and rank-error bounds pinned in
+    tests/test_kll.py; the oracle replays all six rounds as nested
+    CTEs."""
+    from ..operators.kll import kll_sketch, sketch_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    sk = kll_sketch(
+        o,
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        capacity=256,
+        n_levels=6,
+    )
+    q = sketch_quantiles(sk, [50, 90, 99])
+    n = o.groupBy(F.col("o_orderpriority").alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return (
+        q.join(n, "group")
+        .select(
+            F.col("group").alias("priority"),
+            "n_rows",
+            "n_sketch_rows",
+            "total_weight",
+            "p50",
+            "p90",
+            "p99",
+        )
+        .orderBy("priority")
+    )
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -5406,5 +5778,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_click_attribution": stream_click_attribution,
     "multimodal_png_stats": multimodal_png_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
+    # --- r10 additions (appended at the bottom per the rotation
+    #     policy; they lead the r11 window together with the r06-stale
+    #     block) -------------------------------------------------------
+    "orders_compaction_plan": orders_compaction_plan,
+    "orders_file_size_histogram": orders_file_size_histogram,
+    "shipdate_zonemap_skipping": shipdate_zonemap_skipping,
+    "events_snapshot_expiration": events_snapshot_expiration,
+    "events_snapshot_changelog": events_snapshot_changelog,
+    "lineitem_deletion_vector_read": lineitem_deletion_vector_read,
+    "orders_schema_evolution_read": orders_schema_evolution_read,
+    "training_manifest_shards": training_manifest_shards,
+    "mixture_schedule_steps": mixture_schedule_steps,
+    "priority_price_kll_quantiles": priority_price_kll_quantiles,
 }
 

@@ -1,0 +1,164 @@
+"""File-inventory modeling: small-file compaction planning, file-size
+histograms, and zone-map (min/max) skipping reports.
+
+At 100 TB the inputs to table maintenance are not the rows but the FILE
+INVENTORY — (file, rows, bytes, per-column min/max) — which comes from
+the table format's manifest/metastore listing.  These operators take an
+inventory DataFrame and plan maintenance over it:
+
+- `compaction_plan`: greedy cumulative binning of adjacent files into
+  target-size outputs — the OPTIMIZE/rewrite planner,
+- `size_histogram`: power-of-two size buckets with byte share — the
+  small-file-problem detector,
+- `zonemap_skip_report`: per-layout file skipping under a predicate
+  plus clustering overlap depth — the data-skipping evidence that
+  justifies (or indicts) a sort order, the z-order report's sibling.
+
+For the oracle-paired registry entries the inventory itself is MODELED
+from table data (each date/hash partition is one "file"; bytes follow
+an exact integer per-row encoding model), so DuckDB can replay every
+number; `sources/layout.py::parquet_footer_stats` is the REAL-footer
+counterpart (pyarrow footer reads, verified against DuckDB's
+parquet_metadata() in tests/test_inventory.py).
+
+All arithmetic is integer-exact; the only windows run over the
+inventory relation, which is bounded by the file count (the
+aggregate-child class of the plan lint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def model_inventory(
+    df: DataFrame,
+    file_expr: Column,
+    *,
+    bytes_expr: Column | None = None,
+    stat_col: str | None = None,
+) -> DataFrame:
+    """Collapse a table into a modeled file inventory: one row per
+    `file_expr` value with an exact n_rows count, the est_bytes sum
+    when a byte model is given, and, when `stat_col` is given, the
+    per-file min/max zone map of that column.  ONE hash aggregation —
+    the shape of a manifest build."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    if bytes_expr is not None:
+        aggs.append(
+            F.sum(bytes_expr.cast("long")).cast("long").alias("est_bytes")
+        )
+    if stat_col is not None:
+        aggs += [
+            F.min(stat_col).alias("zmin"),
+            F.max(stat_col).alias("zmax"),
+        ]
+    return df.groupBy(file_expr.alias("file_id")).agg(*aggs)
+
+
+def compaction_plan(inventory: DataFrame, target_bytes: int) -> DataFrame:
+    """Greedy cumulative binning: walk files in file_id order, assign
+    each to output bin floor(bytes_before / target_bytes) — adjacent
+    small files coalesce, files at or above the target stand alone-ish
+    (the classic bin-by-running-sum compaction planner; deterministic,
+    no first-fit backtracking).  Returns one row per planned output:
+    (out_bin, n_input_files, total_bytes, total_rows).
+
+    The window is a single-partition running sum — over the INVENTORY,
+    whose cardinality is the file count (bounded: it is itself an
+    aggregation output), not the table.  Integer-exact via DIV."""
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    w = Window.orderBy("file_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before = F.coalesce(F.sum("est_bytes").over(w), F.lit(0)).cast("long")
+    binned = inventory.withColumn("__before", before).withColumn(
+        "out_bin", F.expr(f"__before DIV {int(target_bytes)}").cast("long")
+    )
+    return (
+        binned.groupBy("out_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_input_files"),
+            F.sum("est_bytes").cast("long").alias("total_bytes"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+        )
+        .orderBy("out_bin")
+    )
+
+
+def size_histogram(inventory: DataFrame) -> DataFrame:
+    """Power-of-two file-size histogram: bucket = floor(log2(bytes))
+    computed EXACTLY as length(base-2 digits) − 1 (conv to binary —
+    no floating log; DuckDB replays with bin()).  Returns per bucket:
+    file count, total bytes, and byte share of the table — the
+    small-file detector (mass piled in low buckets = compact me)."""
+    bucket = (
+        F.length(F.conv(F.col("est_bytes").cast("string"), 10, 2)) - 1
+    ).cast("int")
+    per = (
+        inventory.where(F.col("est_bytes") > 0)
+        .groupBy(bucket.alias("log2_bytes"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("est_bytes").cast("long").alias("bucket_bytes"),
+        )
+    )
+    total = F.sum("bucket_bytes").over(Window.partitionBy())
+    return per.select(
+        "log2_bytes",
+        "n_files",
+        "bucket_bytes",
+        (F.col("bucket_bytes").cast("double") / total.cast("double")).alias(
+            "byte_share"
+        ),
+    ).orderBy("log2_bytes")
+
+
+def zonemap_skip_report(
+    inventory: DataFrame,
+    layout_name: str,
+    lo: Column,
+    hi: Column,
+) -> DataFrame:
+    """Data-skipping evidence for one layout's zone maps under the
+    predicate stat BETWEEN lo AND hi: which files' [zmin, zmax] ranges
+    prove they hold no matching row (zmax < lo OR zmin > hi), plus the
+    layout's clustering OVERLAP DEPTH (per file, how many files' ranges
+    intersect its own — depth 1 means perfectly clustered; depth ~
+    n_files means the zone maps are useless).  Depth uses the sweep
+    identity |{j: zmin_j <= zmax_i}| − |{j: zmax_j < zmin_i}| computed
+    against two broadcast SORTED ARRAYS of the inventory's endpoints —
+    no range self-join (a BNLJ shape), O(F²) array scans over the
+    manifest-sized F, never the table.  Returns ONE summary row:
+    (layout, n_files, n_skipped, rows_scanned, rows_total,
+     avg_overlap_depth, max_overlap_depth)."""
+    inv = inventory.select("file_id", "n_rows", "zmin", "zmax")
+    skipped = (F.col("zmax") < lo) | (F.col("zmin") > hi)
+    flagged = inv.withColumn("__skip", skipped)
+    ends = inv.agg(
+        F.array_sort(F.collect_list("zmin")).alias("__mins"),
+        F.array_sort(F.collect_list("zmax")).alias("__maxs"),
+    )
+    depth_expr = (
+        F.size(F.filter("__mins", lambda m: m <= F.col("zmax")))
+        - F.size(F.filter("__maxs", lambda m: m < F.col("zmin")))
+    ).cast("long")
+    depth = flagged.join(F.broadcast(ends)).withColumn("__depth", depth_expr)
+    return depth.agg(
+        F.lit(layout_name).alias("layout"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(F.col("__skip"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_skipped"),
+        F.sum(F.when(F.col("__skip"), 0).otherwise(F.col("n_rows")))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        (
+            F.sum("__depth").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_overlap_depth"),
+        F.max("__depth").cast("long").alias("max_overlap_depth"),
+    )
