@@ -288,6 +288,19 @@ HEADLINE = [
     # ROUND_NOTES r09 pending this promotion.
     "term_pmi_collocations",
     "orders_benford_audit",
+    # r10 batch: lakehouse maintenance + training export + the KLL
+    # sketch — all probed <= 2.3 s at sf0.1 x10 (PLANS.md "Scale
+    # probe: r10").
+    "orders_compaction_plan",
+    "orders_file_size_histogram",
+    "shipdate_zonemap_skipping",
+    "events_snapshot_expiration",
+    "events_snapshot_changelog",
+    "lineitem_deletion_vector_read",
+    "orders_schema_evolution_read",
+    "training_manifest_shards",
+    "mixture_schedule_steps",
+    "priority_price_kll_quantiles",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

@@ -5001,12 +5001,17 @@ def term_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the pair expansion is a doc-keyed self-join BOUNDED by
     ≤100 vocabulary terms per doc; one hash agg to pair counts.
     Min support 5, top 20 by (pmi DESC, term_a, term_b)."""
+    return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+def pmi_collocations(docs: DataFrame) -> DataFrame:
+    """The PMI miner over a documents frame — split from the registry
+    entry so the scale probe can run it on replicated corpora."""
     from decimal import Decimal
 
     from ..functions.lnlut import LAPLACE_LN_LUT
     from ..functions.texttools import tokens_expr
 
-    docs = _t(spark, sf_dir, "documents")
     dt = docs.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("term")
     ).distinct()
@@ -5039,12 +5044,11 @@ def term_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
     )
 
-    def lnq(count: F.Column) -> F.Column:
-        aa = count * F.lit(1024)
-        g = F.least(
-            F.lit(1023),
-            ((aa - aa % F.col("nd")) / F.col("nd")).cast("int"),
-        )
+    def lnq(count_col: str) -> F.Column:
+        # grid index via integral DIV on longs (ADVICE r09: the
+        # (a − a%b)/b idiom routes through a double, lossy past 2^53 —
+        # df counts can exceed 2^43 at the claimed corpus scale)
+        g = F.expr(f"least(1023, ({count_col} * 1024) DIV nd)").cast("int")
         return F.element_at(lut, g + F.lit(1))
 
     return (
@@ -5053,7 +5057,7 @@ def term_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term_a",
             "term_b",
             "n_xy",
-            (lnq(F.col("n_xy")) - lnq(F.col("df_x")) - lnq(F.col("df_y")))
+            (lnq("n_xy") - lnq("df_x") - lnq("df_y"))
             .cast("double")
             .alias("pmi"),
         )

@@ -119,6 +119,8 @@ def main() -> None:
         _r08_section(spark, sf_dir, factor)
     if _want("r09"):
         _r09_section(spark, sf_dir, factor)
+    if _want("r10", "pmi"):
+        _r10_section(spark, sf_dir, factor)
     spark.stop()
 
 
@@ -908,6 +910,156 @@ def _li_section(spark, sf_dir, factor):
         )
 
     timed("q21_shape_exists_collapse", q21_shape)
+
+
+def _r10_section(spark, sf_dir, factor):
+    """Round-10 operators: PMI collocations (the one r09 entry without
+    probe evidence — its doc-keyed pair join is bounded by <=100 vocab
+    terms per doc, so it must scale with corpus size, not pairs²),
+    the KLL sketch (windows over geometrically shrinking survivors),
+    deletion-vector MOR (broadcast anti probe), snapshot expiration /
+    changelog (keyed windows / state-sized joins), the inventory
+    planners (single-scan aggregations), and the export manifest
+    (per-shard running sums).  Docs replicate with SHARED vocabulary
+    for PMI (the vocabulary cut is corpus-level) and for the manifest
+    (shards grow with docs)."""
+    from northwind_etl_spark.operators.kll import (
+        kll_sketch,
+        sketch_quantiles,
+    )
+    from northwind_etl_spark.operators.lakehouse import (
+        apply_deletion_vector,
+        snapshot_changelog,
+        snapshot_expiration,
+        snapshot_state,
+    )
+    from northwind_etl_spark.operators.packing import shard_manifest
+    from northwind_etl_spark.plans.queries import pmi_collocations
+    from northwind_etl_spark.sources.inventory import (
+        compaction_plan,
+        model_inventory,
+        zonemap_skip_report,
+    )
+    from northwind_etl_spark.sources.parquet import read_events
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    events = read_events(spark, sf_dir)
+    dbase = docs.count()
+    for times in (1, factor):
+        corp = replicate(docs, times, "doc_id", dbase * 10)
+        timed(
+            f"r10_pmi x{times}",
+            lambda c=corp: pmi_collocations(c).count(),
+        )
+        timed(
+            f"r10_manifest x{times}",
+            lambda c=corp: shard_manifest(
+                c.withColumn("n_tokens", F.length("text").cast("long")),
+                "doc_id",
+                "n_tokens",
+                "source",
+                n_shards=8,
+                part_budget=65536,
+            ).count(),
+        )
+        ow = replicate(orders, times, "o_orderkey", 60_000_000)
+        timed(
+            f"r10_kll x{times}",
+            lambda o=ow: sketch_quantiles(
+                kll_sketch(
+                    o, "o_orderpriority", "o_totalprice", "o_orderkey",
+                    capacity=256, n_levels=6,
+                ),
+                [50, 90, 99],
+            ).count(),
+        )
+        lw = replicate(li, times, "l_orderkey", 60_000_000).withColumn(
+            "pos",
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long"),
+        )
+        timed(
+            f"r10_deletion_vector x{times}",
+            lambda l=lw: apply_deletion_vector(
+                l,
+                l.select("pos").where(
+                    F.conv(
+                        F.substring(F.md5(F.col("pos").cast("string")), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 20
+                    == 0
+                ),
+                "pos",
+            ).count(),
+        )
+        evw = replicate(events, times, "event_id", 50_000_000)
+        log = evw.select(
+            "user_id", "event_id", "event_type", "value",
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.col("ts") + F.expr("INTERVAL 4 HOURS"),
+            ).otherwise(F.col("ts")).alias("txn_ts"),
+        )
+        cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+        timed(
+            f"r10_snapshot_expiration x{times}",
+            lambda g=log, c=cutoff: snapshot_expiration(
+                g, "user_id", "txn_ts", c, tiebreak_col="event_id"
+            )
+            .groupBy("version_status")
+            .count()
+            .count(),
+        )
+        timed(
+            f"r10_snapshot_changelog x{times}",
+            lambda g=log: snapshot_changelog(
+                snapshot_state(
+                    g, "user_id", "txn_ts",
+                    F.lit("2024-01-10 00:00:00").cast("timestamp"),
+                    value_col="value", tiebreak_col="event_id",
+                    tombstone=F.col("event_type") == "error",
+                ),
+                snapshot_state(
+                    g, "user_id", "txn_ts",
+                    F.lit("2024-01-20 00:00:00").cast("timestamp"),
+                    value_col="value", tiebreak_col="event_id",
+                    tombstone=F.col("event_type") == "error",
+                ),
+                "user_id",
+            ).count(),
+        )
+        timed(
+            f"r10_compaction_plan x{times}",
+            lambda o=ow: compaction_plan(
+                model_inventory(
+                    o,
+                    F.date_trunc("month", F.col("o_orderdate")),
+                    bytes_expr=(
+                        F.lit(40)
+                        + F.length("o_orderstatus")
+                        + F.length("o_orderpriority")
+                        + F.col("o_custkey") % 32
+                    ).cast("long"),
+                ),
+                65536,
+            ).count(),
+        )
+        timed(
+            f"r10_zonemap x{times}",
+            lambda l=lw: zonemap_skip_report(
+                model_inventory(
+                    l,
+                    F.date_trunc("week", F.col("l_shipdate")),
+                    stat_col="l_shipdate",
+                ),
+                "w",
+                F.lit("1998-01-01 00:00:00").cast("timestamp"),
+                F.lit("1998-03-31 23:59:59").cast("timestamp"),
+            ).count(),
+        )
 
 
 def _r09_section(spark, sf_dir, factor):
