@@ -301,6 +301,15 @@ HEADLINE = [
     "training_manifest_shards",
     "mixture_schedule_steps",
     "priority_price_kll_quantiles",
+    # r10 batch 2: observability + compliance + CBO stats
+    "custkey_bloom_file_skipping",
+    "event_ingestion_lag_quantiles",
+    "weekly_price_sketch_rollup",
+    "gdpr_erasure_audit",
+    "late_event_audit",
+    "funnel_latency_quantiles",
+    "dup_rate_by_source",
+    "lineitem_column_stats",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

@@ -5164,3 +5164,231 @@ def _kll_oracle_sql() -> str:
 
 
 ORACLES["priority_price_kll_quantiles"] = _kll_oracle_sql()
+
+
+# ------------------------------------------------------------ r10 batch 2
+
+# Bloom file-skipping replay: identical salted md5 probes, identical
+# word/bit split (bits < 62 — DuckDB's shift is overflow-checked),
+# identical bit_or signatures and membership tests.
+def _bloom_oracle_sql() -> str:
+    keys = [1, 2, 3, 5, 8, 13, 21, 34, 999983, 999979, 999961, 999959]
+    klist = ", ".join(f"({k}::BIGINT)" for k in keys)
+
+    def bit(expr: str, salt: str) -> tuple[str, str]:
+        h = (
+            f"(CAST('0x' || substring(md5('{salt}:' || CAST({expr} AS VARCHAR)"
+            f"), 1, 8) AS BIGINT) % 248)"
+        )
+        return f"({h} // 62)", f"({h} % 62)"
+
+    contrib = []
+    for w in range(4):
+        parts = []
+        for salt in ("b1", "b2"):
+            word, b = bit("o_custkey", salt)
+            parts.append(
+                f"CASE WHEN {word} = {w} THEN (1::BIGINT << {b})"
+                " ELSE 0::BIGINT END"
+            )
+        contrib.append(f"bit_or({' | '.join(parts)}) AS w{w}")
+    passes = []
+    for salt in ("b1", "b2"):
+        word, b = bit("query_key", salt)
+        arms = " OR ".join(
+            f"({word} = {w} AND (w{w} & (1::BIGINT << {b}))"
+            f" = (1::BIGINT << {b}))"
+            for w in range(4)
+        )
+        passes.append(f"({arms})")
+    return f"""
+    WITH blooms AS (
+      SELECT date_trunc('month', o_orderdate) AS f, {', '.join(contrib)}
+      FROM orders GROUP BY 1),
+    qk(query_key) AS (VALUES {klist}),
+    probed AS (
+      SELECT query_key, ({' AND '.join(passes)}) AS pass
+      FROM blooms, qk),
+    bc AS (
+      SELECT query_key, CAST(COUNT(*) AS BIGINT) AS n_files_total,
+             CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_files_bloom_pass
+      FROM probed GROUP BY 1),
+    act AS (
+      SELECT CAST(o_custkey AS BIGINT) AS query_key,
+             CAST(COUNT(DISTINCT date_trunc('month', o_orderdate))
+                  AS BIGINT) AS n_actual
+      FROM orders WHERE o_custkey IN (SELECT query_key FROM qk)
+      GROUP BY 1)
+    SELECT bc.query_key, bc.n_files_total, bc.n_files_bloom_pass,
+           CAST(COALESCE(act.n_actual, 0) AS BIGINT) AS n_files_actual,
+           CAST(bc.n_files_bloom_pass - COALESCE(act.n_actual, 0)
+                AS BIGINT) AS n_false_positive_files
+    FROM bc LEFT JOIN act USING (query_key)
+    ORDER BY query_key
+"""
+
+
+ORACLES["custkey_bloom_file_skipping"] = _bloom_oracle_sql()
+
+# Ingestion-lag quantile replay: identical deterministic lag seeding;
+# the per-type row_number definition of the q-quantile (k = ceil(q*n))
+# is an INDEPENDENT plan for group_kth_smallest's histogram search.
+ORACLES["event_ingestion_lag_quantiles"] = """
+    WITH lag AS (
+      SELECT event_type,
+             CAST((event_id % 600) * 1000000
+                  + CASE WHEN event_id % 7 = 0
+                         THEN 14400000000 ELSE 0 END AS BIGINT) AS lag_us
+      FROM events),
+    r AS (
+      SELECT event_type, lag_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY lag_us) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM lag)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN lag_us END) AS DOUBLE) / 1e6 AS p50_lag_s,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                    THEN lag_us END) AS DOUBLE) / 1e6 AS p95_lag_s
+    FROM r GROUP BY 1 ORDER BY event_type
+"""
+
+
+def _sketch_rollup_oracle_sql() -> str:
+    """Per-(priority, week) 6-round compaction chains + the MERGED
+    per-priority cumulative read — the weekly_price_sketch_rollup
+    replay (capacity 64)."""
+    rounds = []
+    prev = "r0"
+    for lvl in range(6):
+        cur = f"r{lvl + 1}"
+        nib, bit = lvl // 4 + 1, lvl % 4
+        rounds.append(f"""
+    {cur} AS (
+      SELECT grp, value, id,
+             CASE WHEN cnt > 64 THEN weight * 2 ELSE weight END AS weight
+      FROM (SELECT *, COUNT(*) OVER (PARTITION BY grp) AS cnt FROM {prev})
+      WHERE cnt <= 64
+         OR (CAST('0x' || substring(md5(CAST(id AS VARCHAR)), {nib}, 1)
+              AS BIGINT) >> {bit}) % 2 = 0)""")
+        prev = cur
+    chain = ",".join(rounds)
+    return f"""
+    WITH r0 AS (
+      SELECT o_orderpriority || '|'
+               || CAST(date_trunc('week', o_orderdate) AS VARCHAR) AS grp,
+             o_totalprice AS value, o_orderkey AS id,
+             CAST(1 AS BIGINT) AS weight
+      FROM orders),{chain},
+    merged AS (
+      SELECT string_split(grp, '|')[1] AS grp, value, id, weight
+      FROM {prev}),
+    cum AS (
+      SELECT *, SUM(weight) OVER (PARTITION BY grp ORDER BY value, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+             SUM(weight) OVER (PARTITION BY grp) AS tot_w
+      FROM merged)
+    SELECT grp AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_sketch_rows,
+           CAST(MAX(tot_w) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN cum_w * 100 >= tot_w * 50
+                    THEN CAST(value AS DOUBLE) END) AS p50,
+           MIN(CASE WHEN cum_w * 100 >= tot_w * 90
+                    THEN CAST(value AS DOUBLE) END) AS p90
+    FROM cum GROUP BY 1 ORDER BY priority
+"""
+
+
+ORACLES["weekly_price_sketch_rollup"] = _sketch_rollup_oracle_sql()
+
+# GDPR sweep replay: identical md5 request predicate, anti-join as
+# NOT IN over the bounded request set, residual identically counted.
+ORACLES["gdpr_erasure_audit"] = """
+    WITH f AS (
+      SELECT event_type, user_id,
+             (CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 37 = 0) AS erase
+      FROM events),
+    req AS (SELECT DISTINCT user_id FROM f WHERE erase),
+    a AS (SELECT * FROM f WHERE user_id NOT IN (SELECT user_id FROM req)),
+    bt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_before
+           FROM f GROUP BY 1),
+    at AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_after,
+                  CAST(COUNT(DISTINCT CASE WHEN erase THEN user_id END)
+                       AS BIGINT) AS residual_users
+           FROM a GROUP BY 1)
+    SELECT event_type, n_before, n_after,
+           CAST(n_before - n_after AS BIGINT) AS n_erased, residual_users
+    FROM bt JOIN at USING (event_type)
+    ORDER BY event_type
+"""
+
+# Late-event replay: identical arrival seeding, identical tumbling
+# window + delay cutoff, one c.r. division.
+ORACLES["late_event_audit"] = """
+    WITH e AS (
+      SELECT event_type,
+             (ts + (event_id % 600) * INTERVAL 1 SECOND
+                 + CASE WHEN event_id % 7 = 0 THEN INTERVAL 4 HOUR
+                        ELSE INTERVAL 0 SECOND END)
+               > (date_trunc('hour', ts) + INTERVAL 2 HOUR) AS late
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS late_frac
+    FROM e GROUP BY 1 ORDER BY event_type
+"""
+
+# Funnel-latency replay: identical chained min aggregations; the
+# quantiles by their ORDER BY / OFFSET definition (k = ceil(q*n)).
+ORACLES["funnel_latency_quantiles"] = """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    p AS (
+      SELECT e.user_id,
+             MIN(e.ts) AS t_purchase, MIN(s.t_signup) AS t_signup
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t_signup
+      GROUP BY 1),
+    lat AS (
+      SELECT epoch_us(t_purchase) - epoch_us(t_signup) AS lat_us FROM p),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lat),
+    r AS (SELECT lat_us, row_number() OVER (ORDER BY lat_us) AS rn FROM lat)
+    SELECT n.n AS n_converted,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN lat_us END) AS DOUBLE) / 1e6 AS p50_latency_s,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN lat_us END) AS DOUBLE) / 1e6 AS p90_latency_s
+    FROM r, n GROUP BY n.n
+"""
+
+# Dup-rate replay: same md5 digest key, one c.r. chain per source.
+ORACLES["dup_rate_by_source"] = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM documents GROUP BY 1 ORDER BY source
+"""
+
+# Column-stats replay: per-column exact counts, unioned.
+ORACLES["lineitem_column_stats"] = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv
+    FROM lineitem"""
+    for c in [
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        "l_shipdate", "l_suppkey",
+    ]
+) + " ORDER BY column_name"

@@ -5513,6 +5513,290 @@ def priority_price_kll_quantiles(
     )
 
 
+
+# ------------------------------------------------------------- r10 batch 2:
+# observability + compliance + eval (all oracle-paired).
+
+
+def custkey_bloom_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup file skipping via per-file BLOOM signatures
+    (sources/inventory.py::bloom_file_skipping) — the equality
+    complement of the zone-map report: orders' monthly "files" each get
+    a 4×62-bit filter over o_custkey (2 salted md5 probes, one bit_or
+    aggregation), then 12 query keys (8 present, 4 absent) probe every
+    signature map-side and the report compares bloom-pass file counts
+    with ACTUAL membership — zero false negatives by construction,
+    false-positive files counted per key.  All bit arithmetic replayed
+    exactly in SQL (bits stay under 62: DuckDB's shift is overflow-
+    checked).  The fixed 248-bit demo filter SATURATES once per-file
+    key NDV approaches the bit count (visible in the FP column at
+    sf0.01 — ~190 keys/file) — exactly the sizing signal this report
+    exists to surface; production sizes bits ≈ 10× NDV via n_words."""
+    from ..sources.inventory import bloom_file_skipping
+
+    o = _t(spark, sf_dir, "orders")
+    keys = [1, 2, 3, 5, 8, 13, 21, 34, 999983, 999979, 999961, 999959]
+    return bloom_file_skipping(
+        o,
+        F.date_trunc("month", F.col("o_orderdate")),
+        "o_custkey",
+        keys,
+    )
+
+
+def event_ingestion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-freshness SLO report: per event type, the EXACT p50
+    and p95 of arrival lag (arrival = ts + a deterministic per-event
+    jitter of event_id % 600 seconds, + 4 h for the %7 late-correction
+    cohort — the bitemporal seeding extended with a spread so the
+    quantiles are non-degenerate).  Quantiles via operators/
+    selection.py::group_kth_smallest — all types advance together, one
+    (group, bin) histogram per pass, NO per-type sort (the hot-group
+    discipline); the oracle is the per-type row_number definition.
+    Lag released in seconds — one c.r. division of exact micros."""
+    from ..operators.selection import group_kth_smallest
+    from ..sources.parquet import read_events
+
+    e = read_events(spark, sf_dir)
+    lag_micros = (
+        (F.col("event_id") % 600) * 1_000_000
+        + F.when(F.col("event_id") % 7 == 0, 14_400_000_000).otherwise(0)
+    ).cast("long")
+    lagged = e.select("event_type", lag_micros.alias("lag_us"))
+    p50 = {
+        g: (v, n)
+        for g, v, _, n in group_kth_smallest(
+            lagged, "lag_us", "event_type", q=0.5
+        )
+    }
+    p95 = {
+        g: v
+        for g, v, _, _ in group_kth_smallest(
+            lagged, "lag_us", "event_type", q=0.95
+        )
+    }
+    rows = [
+        (g, int(n), float(v50) / 1e6, float(p95[g]) / 1e6)
+        for g, (v50, n) in sorted(p50.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_events long, p50_lag_s double, p95_lag_s double",
+    ).orderBy("event_type")
+
+
+def weekly_price_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup evidence (operators/kll.py): build one
+    KLL sketch per (priority, order WEEK) — the per-day/shard state a
+    pipeline stores — then MERGE the weekly sketches per priority by
+    plain union of survivors and read p50/p90 off the merged state,
+    never re-touching the raw table.  This is the driver-visible form
+    of the merge property tests/test_kll.py pins; the oracle replays
+    the per-week 6-round compactions AND the merged read."""
+    from ..operators.kll import kll_sketch, sketch_quantiles
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "pw",
+        F.concat(
+            F.col("o_orderpriority"),
+            F.lit("|"),
+            F.date_trunc("week", F.col("o_orderdate")).cast("string"),
+        ),
+    )
+    sk = kll_sketch(
+        o, "pw", "o_totalprice", "o_orderkey", capacity=64, n_levels=6
+    )
+    merged = sk.withColumn(
+        "group", F.substring_index(F.col("group"), "|", 1)
+    )
+    return (
+        sketch_quantiles(merged, [50, 90])
+        .select(
+            F.col("group").alias("priority"),
+            "n_sketch_rows",
+            "total_weight",
+            "p50",
+            "p90",
+        )
+        .orderBy("priority")
+    )
+
+
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten sweep audit: the erasure request set
+    (users with md5(user_id) % 37 == 0 — a bounded request queue by
+    construction) is broadcast LEFT ANTI-joined out of the event log,
+    and the audit certifies the sweep per event type: rows before /
+    after / erased plus `residual_users` — erased users still present
+    after the sweep, which must be 0 (the compliance invariant a
+    silent partial delete would break)."""
+    from ..sources.parquet import read_events
+
+    e = read_events(spark, sf_dir)
+    erased = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 37
+        == 0
+    )
+    flagged = e.select("event_type", "user_id", erased.alias("__erase"))
+    requests = flagged.where("__erase").select("user_id").distinct()
+    after = flagged.join(F.broadcast(requests), "user_id", "left_anti")
+    before_t = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    after_t = after.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.count_distinct(F.when(F.col("__erase"), F.col("user_id")))
+        .cast("long")
+        .alias("residual_users"),
+    )
+    return (
+        before_t.join(after_t, "event_type")
+        .select(
+            "event_type",
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).alias("n_erased"),
+            "residual_users",
+        )
+        .orderBy("event_type")
+    )
+
+
+def late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit — the batch quantification of a
+    streaming watermark choice: with tumbling 1 h event-time windows
+    and a 1 h watermark delay, an event whose ARRIVAL (the ingestion
+    seeding of event_ingestion_lag_quantiles) lands after
+    window_end + delay would be DROPPED by the streaming aggregation.
+    Reports per event type: events, late events, late fraction (one
+    c.r. division) — the evidence for sizing the delay before
+    committing a streaming job to it."""
+    from ..sources.parquet import read_events
+
+    e = read_events(spark, sf_dir)
+    arrival = (
+        F.col("ts")
+        + F.make_interval(secs=(F.col("event_id") % 600).cast("double"))
+        + F.when(F.col("event_id") % 7 == 0, F.expr("INTERVAL 4 HOURS"))
+        .otherwise(F.expr("INTERVAL 0 SECONDS"))
+    )
+    window_end = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+    late = arrival > window_end + F.expr("INTERVAL 1 HOUR")
+    return (
+        e.select("event_type", late.alias("__late"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("__late"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            (F.col("n_late").cast("double") / F.col("n_events").cast("double"))
+            .alias("late_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact signup→purchase conversion-latency quantiles: per user
+    the FIRST signup and the first purchase at or after it (two min
+    aggregations — the funnel family's chained shape), then the exact
+    p50/p90 of the latency across converted users WITHOUT a global
+    sort (operators/selection.py::kth_smallest — 1024-bin histogram
+    search; the driver holds 1024 longs).  Latency released in seconds
+    — one c.r. division of exact micros.  Oracle: ORDER BY … OFFSET."""
+    from ..operators.selection import kth_smallest
+    from ..sources.parquet import read_events
+
+    e = read_events(spark, sf_dir)
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.min("t_signup").alias("t_signup2"))
+    )
+    # timestampdiff handles TIMESTAMP_NTZ (read_events' type);
+    # unix_micros does not
+    lat = p.select(
+        F.expr("timestampdiff(MICROSECOND, t_signup2, t_purchase)")
+        .cast("long")
+        .alias("lat_us")
+    )
+    v50, _, n = kth_smallest(lat, "lat_us", q=0.5)
+    v90, _, _ = kth_smallest(lat, "lat_us", q=0.9)
+    return spark.createDataFrame(
+        [(int(n), float(v50) / 1e6, float(v90) / 1e6)],
+        "n_converted long, p50_latency_s double, p90_latency_s double",
+    )
+
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup OBSERVABILITY: per source, exact-duplicate rate of the
+    text column (1 − distinct md5 digests / docs, one c.r. chain) —
+    the per-slice monitor a corpus pipeline tracks over time, riding
+    the same digest key as dedup_exact_docs (text never shuffled)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("long").alias("n_distinct"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    ).orderBy("source")
+
+
+def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for the CBO: per column, exact
+    row/null/NDV counts over one pass (Catalyst expands the
+    multi-distinct aggregate; at 100 TB swap exact NDV for the HLL
+    sketch rollup already in the registry — this is the exact
+    calibration point).  The reference's profiling queries
+    (`Project Plan6.md:154-163`) generalized to the stats a cost-based
+    optimizer actually consumes."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_returnflag", "l_shipdate"]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"null_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"ndv_{c}"))
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, ndv_{c}" for c in cols
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (column_name, n_null, ndv)"
+            ),
+        )
+        .select("column_name", "n_rows", "n_null", "ndv")
+        .orderBy("column_name")
+    )
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -5795,5 +6079,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_manifest_shards": training_manifest_shards,
     "mixture_schedule_steps": mixture_schedule_steps,
     "priority_price_kll_quantiles": priority_price_kll_quantiles,
+    # --- r10 batch 2 (same appended-below-window policy) ------------
+    "custkey_bloom_file_skipping": custkey_bloom_file_skipping,
+    "event_ingestion_lag_quantiles": event_ingestion_lag_quantiles,
+    "weekly_price_sketch_rollup": weekly_price_sketch_rollup,
+    "gdpr_erasure_audit": gdpr_erasure_audit,
+    "late_event_audit": late_event_audit,
+    "funnel_latency_quantiles": funnel_latency_quantiles,
+    "dup_rate_by_source": dup_rate_by_source,
+    "lineitem_column_stats": lineitem_column_stats,
 }
 

@@ -162,3 +162,112 @@ def zonemap_skip_report(
         ).alias("avg_overlap_depth"),
         F.max("__depth").cast("long").alias("max_overlap_depth"),
     )
+
+
+def bloom_file_skipping(
+    df: DataFrame,
+    file_expr: Column,
+    key_col: str,
+    query_keys: list[int],
+    *,
+    n_words: int = 4,
+    bits_per_word: int = 62,
+) -> DataFrame:
+    """Per-file BLOOM signatures for point-lookup file skipping — the
+    equality complement of the zone-map report (ranges prune range
+    predicates; blooms prune `key = ?`).  Each file gets a
+    n_words×bits_per_word filter over `key_col` (k = 2 salted md5
+    probes per key; bits stay below 62 because a 1<<63 overflows
+    DuckDB's checked shift — the cross-engine bit-arithmetic bound),
+    built with ONE bit_or hash aggregation.  Each query key then probes
+    every file's signature (a map-side explode over the file-count-
+    bounded bloom relation — no join) and the report compares
+    bloom-pass file counts against ACTUAL file membership:
+
+    (query_key, n_files_total, n_files_bloom_pass, n_files_actual,
+     n_false_positive_files) — zero false negatives by construction
+    (bloom_pass ⊇ actual, asserted in tests).
+
+    100 TB shape: signatures live in the manifest (n_words longs per
+    file); a point lookup touches only bloom-pass files.  Build is one
+    scan; probing is arithmetic over the manifest.
+    """
+    if n_words < 1 or not 1 <= bits_per_word <= 62:
+        raise ValueError("n_words >= 1 and 1 <= bits_per_word <= 62")
+    nbits = n_words * bits_per_word
+
+    def _wb(expr_sql: str, salt: str) -> tuple[str, str]:
+        """(word, bit) SQL snippets for one salted md5 probe — SQL
+        strings because PySpark's shiftleft() only takes a Python int
+        for the shift amount; Spark SQL's shiftleft takes a column."""
+        h = (
+            f"(CAST(conv(substring(md5(concat('{salt}:', "
+            f"CAST(({expr_sql}) AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % {nbits})"
+        )
+        return f"(({h}) DIV {bits_per_word})", f"(({h}) % {bits_per_word})"
+
+    aggs = []
+    for w in range(n_words):
+        parts = []
+        for salt in ("b1", "b2"):
+            word, bit = _wb(key_col, salt)
+            parts.append(
+                f"CASE WHEN {word} = {w}"
+                f" THEN shiftleft(CAST(1 AS BIGINT), {bit})"
+                f" ELSE CAST(0 AS BIGINT) END"
+            )
+        aggs.append(F.bit_or(F.expr(" | ".join(parts))).alias(f"w{w}"))
+    blooms = df.groupBy(file_expr.alias("file_id")).agg(*aggs)
+
+    qk = F.explode(
+        F.array(*[F.lit(int(k)).cast("long") for k in query_keys])
+    ).alias("query_key")
+    probed = blooms.select("*", qk)
+    tests = []
+    for salt in ("b1", "b2"):
+        word, bit = _wb("query_key", salt)
+        arms = " OR ".join(
+            f"({word} = {w} AND (w{w} & shiftleft(CAST(1 AS BIGINT), {bit}))"
+            f" = shiftleft(CAST(1 AS BIGINT), {bit}))"
+            for w in range(n_words)
+        )
+        tests.append(f"({arms})")
+    passes = F.expr(" AND ".join(tests))
+    bloom_counts = (
+        probed.withColumn("__pass", passes)
+        .groupBy("query_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files_total"),
+            F.sum(F.when(F.col("__pass"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_files_bloom_pass"),
+        )
+    )
+    actual = (
+        df.where(F.col(key_col).isin([int(k) for k in query_keys]))
+        .select(
+            F.col(key_col).cast("long").alias("query_key"),
+            file_expr.alias("f"),
+        )
+        .groupBy("query_key")
+        .agg(F.count_distinct(F.col("f")).cast("long").alias("n_actual"))
+    )
+    return (
+        bloom_counts.join(F.broadcast(actual), "query_key", "left")
+        .select(
+            "query_key",
+            "n_files_total",
+            "n_files_bloom_pass",
+            F.coalesce(F.col("n_actual"), F.lit(0))
+            .cast("long")
+            .alias("n_files_actual"),
+            (
+                F.col("n_files_bloom_pass")
+                - F.coalesce(F.col("n_actual"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_false_positive_files"),
+        )
+        .orderBy("query_key")
+    )

@@ -934,6 +934,8 @@ def _r10_section(spark, sf_dir, factor):
         snapshot_state,
     )
     from northwind_etl_spark.operators.packing import shard_manifest
+    from northwind_etl_spark.operators.selection import group_kth_smallest
+    from northwind_etl_spark.sources.inventory import bloom_file_skipping
     from northwind_etl_spark.plans.queries import pmi_collocations
     from northwind_etl_spark.sources.inventory import (
         compaction_plan,
@@ -1045,6 +1047,55 @@ def _r10_section(spark, sf_dir, factor):
                     ).cast("long"),
                 ),
                 65536,
+            ).count(),
+        )
+        timed(
+            f"r10_bloom_build x{times}",
+            lambda o=ow: bloom_file_skipping(
+                o,
+                F.date_trunc("month", F.col("o_orderdate")),
+                "o_custkey",
+                [1, 2, 3, 5, 8, 13, 21, 34],
+            ).count(),
+        )
+        timed(
+            f"r10_lag_quantiles x{times}",
+            lambda e=evw: len(
+                group_kth_smallest(
+                    e.select(
+                        "event_type",
+                        (
+                            (F.col("event_id") % 600) * 1_000_000
+                            + F.when(
+                                F.col("event_id") % 7 == 0, 14_400_000_000
+                            ).otherwise(0)
+                        ).cast("long").alias("lag_us"),
+                    ),
+                    "lag_us",
+                    "event_type",
+                    q=0.95,
+                )
+            ),
+        )
+        timed(
+            f"r10_sketch_rollup x{times}",
+            lambda o=ow: sketch_quantiles(
+                kll_sketch(
+                    o.withColumn(
+                        "pw",
+                        F.concat(
+                            F.col("o_orderpriority"),
+                            F.lit("|"),
+                            F.date_trunc("week", F.col("o_orderdate"))
+                            .cast("string"),
+                        ),
+                    ),
+                    "pw", "o_totalprice", "o_orderkey",
+                    capacity=64, n_levels=6,
+                ).withColumn(
+                    "group", F.substring_index(F.col("group"), "|", 1)
+                ),
+                [50, 90],
             ).count(),
         )
         timed(

@@ -60,6 +60,10 @@ BNLJ_WHITELIST = {
     "trade_degree_assortativity",    # above-mean threshold scalar
     "doc_length_quantile_norm",      # 1-row pooled-N scalar
     "term_pmi_collocations",         # 1-row corpus-N scalar
+    # r10 additions — reviewed bounded broadcasts:
+    "shipdate_zonemap_skipping",     # 1-row sorted-endpoint arrays (sweep depth)
+    "training_manifest_shards",      # mixture_sample's 1-row unit scalar
+    "mixture_schedule_steps",        # non-equi probe vs source-count-bounded quotas
 }
 
 

@@ -89,3 +89,30 @@ def test_interleave_schedule_single_source(spark):
     rows = interleave_schedule(docs, "source", k_steps=10).collect()
     assert sorted(r.step for r in rows) == list(range(1, 11))
     assert all(r.source == "only" for r in rows)
+
+
+def test_bloom_file_skipping_no_false_negatives(spark):
+    from northwind_etl_spark.sources.inventory import bloom_file_skipping
+
+    rows = [(k % 5, k) for k in range(200)]  # 5 files, keys 0..199
+    df = spark.createDataFrame(rows, "f LONG, k LONG")
+    out = {
+        r.query_key: r
+        for r in bloom_file_skipping(
+            df, F.col("f"), "k", [0, 5, 7, 9999], n_words=8
+        ).collect()
+    }
+    # key 0 lives in file 0 only; key 5 in file 0; key 7 in file 2
+    assert out[0].n_files_actual == 1
+    assert out[5].n_files_actual == 1
+    assert out[7].n_files_actual == 1
+    assert out[9999].n_files_actual == 0
+    for r in out.values():
+        assert r.n_files_total == 5
+        # the bloom can never miss a file that really holds the key
+        assert r.n_files_bloom_pass >= r.n_files_actual
+        assert r.n_false_positive_files == (
+            r.n_files_bloom_pass - r.n_files_actual
+        )
+    with pytest.raises(ValueError, match="bits_per_word"):
+        bloom_file_skipping(df, F.col("f"), "k", [1], bits_per_word=63)
