@@ -310,6 +310,16 @@ HEADLINE = [
     "funnel_latency_quantiles",
     "dup_rate_by_source",
     "lineitem_column_stats",
+    # r10 batch 3: robust trend / survival / experimentation / drift /
+    # HITS / retrieval eval / URL canonicalization
+    "daily_value_trend_robust",
+    "signup_conversion_survival",
+    "nation_trade_hits",
+    "canonical_url_dup_groups",
+    "experiment_cuped_readout",
+    "events_value_psi_drift",
+    "bm25_ndcg_eval",
+    "source_term_jsd_pairs",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

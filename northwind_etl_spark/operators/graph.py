@@ -471,3 +471,91 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .where(F.col("deg") >= k)
     )
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    iterations: int = 4,
+    max_nodes: int = 180,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list, exact in UNNORMALIZED integers — the PageRank discipline
+    applied to the two-score mutual recursion:
+
+        h_0(u) = 1
+        a_k(v) = Σ_{u→v} h_{k−1}(u)
+        h_k(u) = Σ_{u→v} a_k(v)
+
+    Classic HITS L2-normalizes every round; that division is
+    float-territory and kills cross-engine hashing.  Skipping it
+    changes only the SCALE of the scores, never their ratios or
+    ranking (each round is a linear map), so the released BIGINTs are
+    ranking-equivalent to the normalized iterate — and bit-identical
+    under any partitioning, summation order, and in DuckDB's oracle
+    unrolling the same recurrence.
+
+    Overflow contract: unnormalized scores grow like ‖AᵀA‖^k, bounded
+    by N^(2k); at the default 4 iterations N ≤ 180 keeps N^8 < 2^63,
+    enforced by an IN-PLAN raise (the cusum guard pattern — node count
+    is data-dependent, so a silent overflow would corrupt the hash,
+    not crash).  HITS on an UNBOUNDED-key graph at 100 TB needs the
+    normalized float variant (rows-only contract); this operator's
+    domain is bounded-dimension graphs (nations, categories, hosts).
+
+    Each round is two (join + groupBy) passes over the persisted edge
+    relation; loop-invariant edges persist ONCE (iterative-lint rule).
+    Returns (node, hub, auth) — BIGINTs after `iterations` rounds.
+    """
+    from ..cache import persist_stage
+
+    e = persist_stage(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    nodes = persist_stage(
+        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    )
+    # in-plan node-count guard FOLDED INTO h_0 itself (a standalone
+    # guard column would be pruned by Catalyst before evaluation):
+    # every initial hub mass evaluates the raise branch, so an
+    # oversized graph fails before any overflowing round is acted on
+    nguard = nodes.agg(F.count(F.lit(1)).alias("__nn"))
+    hubs = nodes.join(F.broadcast(nguard)).select(
+        "node",
+        F.when(F.col("__nn") <= max_nodes, F.lit(1).cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("hits_fixed_point: "),
+                    F.col("__nn").cast("string"),
+                    F.lit(f" nodes > {max_nodes} — unnormalized scores"
+                          " would overflow BIGINT at 4 iterations"),
+                )
+            )
+        )
+        .alias("hub"),
+    )
+    auths = None
+    for i in range(iterations):
+        a_in = (
+            hubs.join(e, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("m"))
+        )
+        auths = nodes.join(a_in, "node", "left").select(
+            "node", F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("auth")
+        )
+        h_in = (
+            auths.join(e, F.col("node") == F.col("dst"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("m"))
+        )
+        hubs = nodes.join(h_in, "node", "left").select(
+            "node", F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("hub")
+        )
+        if (i + 1) % 2 == 0 and i + 1 < iterations:
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
+    return hubs.join(auths, "node").select("node", "hub", "auth")

@@ -239,3 +239,58 @@ def isotonic_calibration(
         "bin INT, n BIGINT, pos BIGINT, lo_score BIGINT, hi_score BIGINT,"
         " rate DOUBLE, iso_rate DOUBLE",
     )
+
+
+def cuped_adjusted_means(
+    per_user: DataFrame,
+    arm_col: str = "arm",
+    pre_col: str = "x",
+    post_col: str = "y",
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    the industry-standard A/B adjustment: regress the post-period
+    metric on its pre-period covariate POOLED across arms,
+    θ = cov(X,Y)/var(X), and report per-arm means of
+    Y_adj = Y − θ·(X − X̄).  Randomization makes E[X|arm] equal, so
+    the adjustment is unbiased while removing the X-explained
+    variance (typically 30–50% tighter CIs from the same traffic).
+
+    Input: one row per subject with exact-DECIMAL pre/post metric
+    columns and an arm label.  Output: one row per arm,
+    (arm, n_users, mean_post, mean_adjusted, theta).
+
+    Exactness: the closed_form_corr_ols recipe — per-arm decimal
+    moments (n, Σx, Σy, Σxy, Σxx) are exact and mergeable; pooled
+    totals come from a window over the ARM-COUNT-bounded aggregate
+    (the plan lint's whitelisted bounded-child class); the finalizer
+    is one fixed chain of correctly-rounded double steps both engines
+    replay identically.
+    """
+    from pyspark.sql import Window
+
+    x, y = F.col(pre_col), F.col(post_col)
+    per_arm = per_user.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    w = Window.partitionBy()
+    tn = F.sum("n_users").over(w).cast("double")
+    tsx = F.sum("sx").over(w).cast("double")
+    tsy = F.sum("sy").over(w).cast("double")
+    tsxy = F.sum("sxy").over(w).cast("double")
+    tsxx = F.sum("sxx").over(w).cast("double")
+    theta = (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+    mean_x_all = tsx / tn
+    nd = F.col("n_users").cast("double")
+    mean_y = F.col("sy").cast("double") / nd
+    mean_x = F.col("sx").cast("double") / nd
+    return per_arm.select(
+        "arm",
+        "n_users",
+        mean_y.alias("mean_post"),
+        (mean_y - theta * (mean_x - mean_x_all)).alias("mean_adjusted"),
+        theta.alias("theta"),
+    ).orderBy("arm")

@@ -439,3 +439,118 @@ def cusum_alarms_by_key(
             / (n * F.lit(1_000_000)).cast("double")
         ).alias("cusum_final"),
     )
+
+
+def theil_sen_mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    bucket: str = "day",
+) -> DataFrame:
+    """Robust per-key trend: Mann–Kendall S (Mann 1945) and the
+    Theil–Sen slope (Sen 1968) over the per-bucket downsampled series
+    — the monotone-trend detector an OLS fit gets wrong under
+    outliers (one corrupted day can flip an OLS slope; the median
+    pairwise slope has a 29% breakdown point).
+
+    Returns (key, n_buckets, n_pairs, mk_s, sen_slope):
+      mk_s      = Σ_{i<j} sign(y_j − y_i)         (exact BIGINT)
+      sen_slope = median pairwise slope, value units per day (DOUBLE)
+
+    Exactness: the series is quantized to micros (the cusum recipe:
+    per-bucket DECIMAL sums → BIGINT), so MK's sign sum is pure
+    integer work.  The Theil–Sen median needs an ORDER on rationals
+    dy/dx — a sort key, not a comparator — so the selection orders by
+    the correctly-rounded DOUBLE quotient with (dy, dx) integer
+    tie-breaks: a deterministic total order both engines replay
+    bit-identically (two rationals within one ulp may swap relative
+    to true rational order; the order itself — hence the released
+    statistic — is still exact and engine-independent, documented as
+    the operator's quantization).  Lower median at even counts.
+
+    Scale shape: the bucket agg bounds the series at one row per
+    (key, bucket) — pair expansion is days²-bounded per key no matter
+    the raw event volume, and the pairs stage is persisted ONCE for
+    its two consumers (the MK aggregate and the median selection).
+    """
+    from ..cache import persist_stage
+
+    daily = df.groupBy(
+        F.col(key_col).alias("__k"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+    ).agg(
+        (F.sum(F.col(value_col).cast("decimal(38,6)")) * F.lit(1_000_000))
+        .cast("decimal(38,0)")
+        .cast("long")
+        .alias("yq")
+    )
+    daily = daily.select(
+        "__k",
+        F.expr("datediff(to_date(__b), DATE'1970-01-01')")
+        .cast("long")
+        .alias("di"),
+        "yq",
+    )
+    a = daily.select(
+        F.col("__k"), F.col("di").alias("di_a"), F.col("yq").alias("yq_a")
+    )
+    b = daily.select(
+        F.col("__k"), F.col("di").alias("di_b"), F.col("yq").alias("yq_b")
+    )
+    pairs = persist_stage(
+        a.join(b, "__k")
+        .where(F.col("di_a") < F.col("di_b"))
+        .select(
+            "__k",
+            (F.col("yq_b") - F.col("yq_a")).alias("dy"),
+            (F.col("di_b") - F.col("di_a")).alias("dx"),
+        )
+    )
+    stats = pairs.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            # integer sign — signum(double) would round dy past 2^53
+            F.when(F.col("dy") > 0, 1)
+            .when(F.col("dy") < 0, -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("mk_s"),
+    )
+    n_buckets = daily.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets")
+    )
+    # slope in value units/day: dy is micros, one c.r. double chain
+    slope = (
+        F.col("dy").cast("double")
+        / F.col("dx").cast("double")
+        / F.lit(1_000_000.0)
+    )
+    w = Window.partitionBy("__k").orderBy(
+        F.asc("__slope"), F.asc("dy"), F.asc("dx")
+    )
+    ranked = pairs.withColumn("__slope", slope).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    med = ranked.join(stats, "__k").where(
+        F.col("__rn") == F.expr("(n_pairs + 1) DIV 2")
+    )
+    return (
+        med.select(
+            F.col("__k"),
+            "n_pairs",
+            "mk_s",
+            F.col("__slope").alias("sen_slope"),
+        )
+        .join(n_buckets, "__k")
+        .select(
+            F.col("__k").alias(key_col),
+            "n_buckets",
+            "n_pairs",
+            "mk_s",
+            "sen_slope",
+        )
+        .orderBy(key_col)
+    )

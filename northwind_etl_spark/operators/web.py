@@ -125,3 +125,66 @@ def html_title(html: Column) -> Column:
 def html_link_count(html: Column) -> Column:
     """Number of href attributes (double-quoted form)."""
     return F.regexp_count(html, F.lit(r'href="'))
+
+
+# query params that never identify content — the standard
+# tracking-decoration families every crawler canonicalizer strips
+TRACKING_PARAM_PATTERN = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_[a-z]+)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL — the dedup key for crawl frontiers and
+    web-corpus URL-level dedup (the same page arrives decorated with
+    tracking params, default ports, fragments, WWW-case and
+    trailing-slash variants; byte-equality dedup misses all of them).
+
+    Normalization, in order (each step RE2-safe so the DuckDB oracle
+    replays it verbatim — the redact.py discipline):
+      1. scheme and host lowercased; default ports :80 (http) and
+         :443 (https) stripped
+      2. fragment dropped
+      3. tracking params (TRACKING_PARAM_PATTERN) dropped; surviving
+         params byte-sorted (query-string order never identifies a
+         resource)
+      4. trailing '/' stripped from a non-root path
+      5. '?' dropped when no params survive
+
+    Pure string expressions — map-only, JVM codegen, no UDF; the hot
+    path at 100 TB is one regex pass per URL.
+    """
+    # 1. split once around the first '?' or '#'
+    head = F.regexp_extract(url, r"^([^?#]*)", 1)
+    query = F.regexp_extract(url, r"^[^?#]*\?([^#]*)", 1)
+    scheme = F.lower(F.regexp_extract(head, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(head, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
+    )
+    host = F.when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - F.lit(4)),
+    ).when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - F.lit(3)),
+    ).otherwise(hostport)
+    path = F.regexp_extract(head, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    # 4. non-root trailing slash
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - F.lit(1)),
+    ).otherwise(path)
+    # 3. param filter + byte sort
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit(""))
+            & ~p.rlike(TRACKING_PARAM_PATTERN),
+        )
+    )
+    qcanon = F.concat_ws("&", params)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )

@@ -5392,3 +5392,407 @@ ORACLES["lineitem_column_stats"] = " UNION ALL ".join(
         "l_shipdate", "l_suppkey",
     ]
 ) + " ORDER BY column_name"
+
+
+# ------------------------------------------------------------------ r10
+# batch 3: robust trend / survival / experimentation / drift / HITS /
+# retrieval eval / URL canonicalization.
+
+
+# Theil–Sen + Mann–Kendall: identical micros quantization, identical
+# (double-quotient, dy, dx) total order, lower median.
+ORACLES["daily_value_trend_robust"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(date_trunc('day', ts) AS DATE)
+                  - DATE '1970-01-01' AS BIGINT) AS di,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+                 AS yq
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type, b.yq - a.yq AS dy, b.di - a.di AS dx
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.di < b.di),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN dy > 0 THEN 1
+                           WHEN dy < 0 THEN -1 ELSE 0 END) AS BIGINT)
+                 AS mk_s
+      FROM pairs GROUP BY 1),
+    nb AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets
+           FROM daily GROUP BY 1),
+    ranked AS (
+      SELECT event_type,
+             CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) / 1000000.0 AS slope,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) / 1000000.0
+                        ASC, dy ASC, dx ASC) AS rn
+      FROM pairs)
+    SELECT r.event_type, nb.n_buckets, s.n_pairs, s.mk_s,
+           r.slope AS sen_slope
+    FROM ranked r
+    JOIN stats s USING (event_type)
+    JOIN nb USING (event_type)
+    WHERE r.rn = (s.n_pairs + 1) // 2
+    ORDER BY event_type
+"""
+
+
+# Kaplan–Meier: identical risk-set windows and the same frozen ln grid
+# cell per event time; log-survival is the exact DECIMAL running sum.
+ORACLES["signup_conversion_survival"] = f"""
+    WITH ep AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                FROM events),
+    s AS (SELECT user_id, MIN(us) AS st FROM ep
+          WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT user_id, MIN(us) AS pt FROM ep
+          WHERE event_type = 'purchase' GROUP BY 1),
+    e AS (SELECT MAX(us) AS obs_end FROM ep),
+    subj AS (
+      SELECT CASE WHEN pt > st THEN (pt - st) // 3600000000
+                  ELSE (obs_end - st) // 3600000000 END AS duration,
+             CASE WHEN pt > st THEN 1 ELSE 0 END AS observed
+      FROM s LEFT JOIN p USING (user_id), e),
+    clamped AS (
+      SELECT LEAST(duration, 72) AS t,
+             CASE WHEN duration <= 72 THEN observed ELSE 0 END AS obs
+      FROM subj),
+    per_t AS (
+      SELECT t, CAST(SUM(obs) AS BIGINT) AS d_events,
+             CAST(SUM(1 - obs) AS BIGINT) AS n_censored_at_t
+      FROM clamped GROUP BY 1),
+    risk AS (
+      SELECT *, CAST(SUM(d_events + n_censored_at_t) OVER (
+                 ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_risk
+      FROM per_t),
+    ev AS (
+      SELECT *, {_laplace_lut_sql()}[
+                 CAST(((n_risk - d_events) * 1024) // n_risk AS INT) + 1]
+                 AS lnq
+      FROM risk WHERE d_events > 0)
+    SELECT t, n_risk, d_events, n_censored_at_t,
+           CAST(SUM(lnq) OVER (
+             ORDER BY t ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS log_survival
+    FROM ev ORDER BY t
+"""
+
+
+def _hits_sql(iterations: int = 4) -> str:
+    """Unroll graph.hits_fixed_point's integer recurrence as chained
+    CTEs over the shared trade-edge rule — h_0 = 1, then alternating
+    auth/hub sums with COALESCE-0 for isolated sides, every BIGINT sum
+    replayed."""
+    ctes = [
+        _TRADE_PAIRS,
+        """nodes AS (SELECT src AS node FROM dedges
+                     UNION SELECT dst FROM dedges)""",
+        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""
+        a{k} AS (
+          SELECT n.node, CAST(COALESCE(s.m, 0) AS BIGINT) AS auth
+          FROM nodes n
+          LEFT JOIN (
+            SELECT e.dst AS node, SUM(h.hub) AS m
+            FROM h{k - 1} h JOIN dedges e ON e.src = h.node
+            GROUP BY e.dst) s
+          ON s.node = n.node)""")
+        ctes.append(f"""
+        h{k} AS (
+          SELECT n.node, CAST(COALESCE(s.m, 0) AS BIGINT) AS hub
+          FROM nodes n
+          LEFT JOIN (
+            SELECT e.src AS node, SUM(a.auth) AS m
+            FROM a{k} a JOIN dedges e ON e.dst = a.node
+            GROUP BY e.src) s
+          ON s.node = n.node)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f""" SELECT h.node, h.hub, a.auth
+          FROM h{iterations} h JOIN a{iterations} a ON a.node = h.node
+          ORDER BY a.auth DESC, h.hub DESC, h.node"""
+    )
+
+
+ORACLES["nation_trade_hits"] = _hits_sql()
+
+
+# URL canonicalization: the seed formula AND every normalization step
+# (scheme/host lowering, default-port strip, fragment drop, tracking-
+# param filter, byte sort, trailing-slash strip) replayed in RE2/SQL.
+ORACLES["canonical_url_dup_groups"] = r"""
+    WITH u AS (
+      SELECT CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'https://WWW.Shop.example.com:443/p/'
+                    || CAST(doc_id // 4 AS VARCHAR) || '/?b=2&a=1'
+        WHEN 1 THEN 'https://www.shop.example.com/p/'
+                    || CAST(doc_id // 4 AS VARCHAR)
+                    || '?a=1&b=2&utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
+        WHEN 2 THEN 'HTTPS://www.shop.example.com/p/'
+                    || CAST(doc_id // 4 AS VARCHAR)
+                    || '/?a=1&b=2#sec' || CAST(doc_id % 5 AS VARCHAR)
+        ELSE 'https://www.shop.example.com:443/p/'
+             || CAST(doc_id // 4 AS VARCHAR) || '?utm_campaign=c&b=2&a=1'
+      END AS url FROM documents),
+    parts AS (
+      SELECT regexp_extract(url, '^([^?#]*)', 1) AS head,
+             regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS query
+      FROM u),
+    comp0 AS (
+      SELECT lower(regexp_extract(head,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(head,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)) AS hostport,
+             regexp_extract(head,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1) AS path0,
+             query
+      FROM parts),
+    comp AS (
+      SELECT scheme,
+             CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+                    THEN substring(hostport, 1, length(hostport) - 4)
+                  WHEN scheme = 'http' AND hostport LIKE '%:80'
+                    THEN substring(hostport, 1, length(hostport) - 3)
+                  ELSE hostport END AS host,
+             CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+                    THEN substring(path0, 1, length(path0) - 1)
+                  ELSE path0 END AS path,
+             array_to_string(
+               list_sort(list_filter(string_split(query, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_[a-z]+)='))),
+               '&') AS qcanon
+      FROM comp0),
+    canon AS (
+      SELECT scheme || '://' || host || path
+             || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END
+               AS canonical_url
+      FROM comp),
+    groups AS (
+      SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM canon GROUP BY 1)
+    SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           MIN(canonical_url) AS min_url, MAX(canonical_url) AS max_url
+    FROM groups GROUP BY 1 ORDER BY group_size
+"""
+
+
+# CUPED: identical md5 arm buckets, exact midpoint split, exact decimal
+# moments, identical double finalizer tree.
+ORACLES["experiment_cuped_readout"] = """
+    WITH ep AS (SELECT user_id, epoch_us(ts) AS us,
+                       CAST(value AS DECIMAL(18,6)) AS v FROM events),
+    rng AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ep),
+    pu AS (
+      SELECT user_id,
+             -- DECIMAL(19,6), not the Spark side's (16,6): DuckDB
+             -- executes p<=18 decimal multiplication in int64 and
+             -- overflows on x*y; width 19 forces the int128 kernel.
+             -- The widening cast changes no value, both engines'
+             -- products stay exact, and only the final doubles are
+             -- hashed.
+             CAST(SUM(CASE WHEN us < mid THEN v
+                           ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DECIMAL(19,6)) AS x,
+             CAST(SUM(CASE WHEN us >= mid THEN v
+                           ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DECIMAL(19,6)) AS y
+      FROM ep, rng GROUP BY 1),
+    arms AS (
+      SELECT CASE WHEN CAST('0x' || substring(
+                       md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm, x, y
+      FROM pu),
+    pa AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM arms GROUP BY 1),
+    tot AS (
+      SELECT *, CAST(SUM(n_users) OVER () AS DOUBLE) AS tn,
+             CAST(SUM(sx) OVER () AS DOUBLE) AS tsx,
+             CAST(SUM(sy) OVER () AS DOUBLE) AS tsy,
+             CAST(SUM(sxy) OVER () AS DOUBLE) AS tsxy,
+             CAST(SUM(sxx) OVER () AS DOUBLE) AS tsxx
+      FROM pa)
+    SELECT arm, n_users,
+           CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_post,
+           CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)
+             - ((tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx))
+               * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE) - tsx / tn)
+             AS mean_adjusted,
+           (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS theta
+    FROM tot ORDER BY arm
+"""
+
+
+# PSI: identical fixed bucket grid, add-one smoothing, denominator-
+# cleared exact decimal sum, same frozen ln cells.
+ORACLES["events_value_psi_drift"] = f"""
+    WITH ep AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+    rng AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ep),
+    fr AS (
+      SELECT event_type,
+             CASE WHEN us >= mid THEN 1 ELSE 0 END AS w,
+             CAST(LEAST(9, GREATEST(0,
+                 CAST(FLOOR(value / 50.0) AS BIGINT))) AS INT) AS b
+      FROM ep, rng),
+    counts AS (SELECT event_type, w, b, CAST(COUNT(*) AS BIGINT) AS c
+               FROM fr GROUP BY 1, 2, 3),
+    totals AS (SELECT event_type, w, CAST(SUM(c) AS BIGINT) AS n
+               FROM counts GROUP BY 1, 2),
+    grid AS (
+      SELECT t.event_type, t.w, t.n, g.b, COALESCE(c.c, 0) AS c
+      FROM totals t
+      CROSS JOIN (SELECT UNNEST(range(0, 10)) AS b) g
+      LEFT JOIN counts c
+        ON c.event_type = t.event_type AND c.w = t.w AND c.b = g.b),
+    p0 AS (SELECT event_type, b, c AS c0, n AS n0 FROM grid WHERE w = 0),
+    p1 AS (SELECT event_type, b, c AS c1, n AS n1 FROM grid WHERE w = 1),
+    rows_ AS (
+      SELECT p0.event_type, n0, n1,
+             CAST((c0 + 1) * (n1 + 10) - (c1 + 1) * (n0 + 10)
+                  AS DECIMAL(20,0)) AS num,
+             ({_laplace_lut_sql()}[CAST(LEAST(1023,
+                 ((c0 + 1) * 1024) // (n0 + 10)) AS INT) + 1]
+              - {_laplace_lut_sql()}[CAST(LEAST(1023,
+                 ((c1 + 1) * 1024) // (n1 + 10)) AS INT) + 1]) AS dln
+      FROM p0 JOIN p1 ON p0.event_type = p1.event_type AND p0.b = p1.b)
+    SELECT event_type,
+           CAST(MAX(n0) AS BIGINT) AS n_baseline,
+           CAST(MAX(n1) AS BIGINT) AS n_comparison,
+           CAST(SUM(num * dln) AS DOUBLE)
+             / (CAST(MAX(n0) + 10 AS DOUBLE) * CAST(MAX(n1) + 10 AS DOUBLE))
+             AS psi
+    FROM rows_ GROUP BY 1 ORDER BY event_type
+"""
+
+
+def _ndcg_sql() -> str:
+    """nDCG@10 over the bm25_keyword_topk scoring tree: the same
+    ranked list (LIMIT 10 of the identical score expression), graded
+    relevance min(3, Σ tf), the corpus ideal ordering, and the frozen
+    1/log2(i+1) discount literals in exact integer×DECIMAL cumulative
+    sums."""
+    from .queries import _NDCG_W
+
+    wlist = ", ".join(f"CAST('{w}' AS DECIMAL(14,12))" for w in _NDCG_W)
+    avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+
+    def wterm(t: str) -> str:
+        return (
+            f"(((CAST(tf_{t} AS DOUBLE) * 2.25) / (CAST(tf_{t} AS DOUBLE)"
+            f" + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / {avgdl}))))"
+            f" * ((CAST(n AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{t} AS DOUBLE) + 0.5)))"
+        )
+
+    score = f"(({wterm('merge')} + {wterm('vector')}) + {wterm('dup')})"
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+               CAST(len(list_filter(toks, x -> x = 'merge')) AS INT)
+                 AS tf_merge,
+               CAST(len(list_filter(toks, x -> x = 'vector')) AS INT)
+                 AS tf_vector,
+               CAST(len(list_filter(toks, x -> x = 'dup')) AS INT)
+                 AS tf_dup
+             FROM t),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS BIGINT) AS sumdl,
+               CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_merge,
+               CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_vector,
+               CAST(SUM(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df_dup
+           FROM base),
+    ranked AS (
+      SELECT doc_id,
+             CAST(LEAST(3, tf_merge + tf_vector + tf_dup) AS INT) AS rel,
+             {score} AS score
+      FROM base, st
+      WHERE tf_merge > 0 OR tf_vector > 0 OR tf_dup > 0
+      ORDER BY score DESC, doc_id LIMIT 10),
+    rpos AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                AS INT) AS pos
+      FROM ranked),
+    ideal AS (
+      SELECT CAST(LEAST(3, tf_merge + tf_vector + tf_dup) AS INT)
+               AS ideal_rel,
+             doc_id AS idoc
+      FROM base ORDER BY ideal_rel DESC, doc_id LIMIT 10),
+    ipos AS (
+      SELECT ideal_rel, CAST(ROW_NUMBER() OVER (
+               ORDER BY ideal_rel DESC, idoc) AS INT) AS pos
+      FROM ideal),
+    joined AS (
+      SELECT r.pos, r.doc_id, r.rel, i.ideal_rel,
+             r.rel * [{wlist}][r.pos] AS g,
+             i.ideal_rel * [{wlist}][r.pos] AS ig
+      FROM rpos r JOIN ipos i USING (pos))
+    SELECT pos, doc_id, rel, ideal_rel,
+           CAST(SUM(g) OVER (ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+           / CAST(SUM(ig) OVER (ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS ndcg
+    FROM joined ORDER BY pos
+"""
+
+
+ORACLES["bm25_ndcg_eval"] = _ndcg_sql()
+
+
+# JSD: identical top-100 occurrence vocabulary, full source×term grid,
+# denominator-cleared exact decimal sums, ln(2p/(p+q)) = LUT + ln2.
+ORACLES["source_term_jsd_pairs"] = f"""
+    WITH occ AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+    vocab AS (SELECT term FROM (
+        SELECT term, COUNT(*) AS tot FROM occ
+        GROUP BY 1 ORDER BY tot DESC, term LIMIT 100)),
+    st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+           FROM occ JOIN vocab USING (term) GROUP BY 1, 2),
+    totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+               FROM st GROUP BY 1),
+    grid AS (
+      SELECT t.source, t.n, v.term, COALESCE(s.c, 0) AS c
+      FROM totals t CROSS JOIN vocab v
+      LEFT JOIN st s ON s.source = t.source AND s.term = v.term),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+      FROM grid a JOIN grid b
+        ON a.term = b.term AND a.source < b.source),
+    terms_ AS (
+      SELECT source_a, source_b, na, nb,
+             CAST(ca AS DECIMAL(20,0)) AS cad,
+             CAST(cb AS DECIMAL(20,0)) AS cbd,
+             ca * nb AS xa, cb * na AS xb
+      FROM pairs WHERE ca + cb > 0),
+    contrib AS (
+      SELECT source_a, source_b, na, nb,
+             cad * ({_laplace_lut_sql()}[CAST(LEAST(1023,
+                 (xa * 1024) // (xa + xb)) AS INT) + 1]
+               + CAST('0.693147180560' AS DECIMAL(14,12))) AS ta,
+             cbd * ({_laplace_lut_sql()}[CAST(LEAST(1023,
+                 (xb * 1024) // (xb + xa)) AS INT) + 1]
+               + CAST('0.693147180560' AS DECIMAL(14,12))) AS tb
+      FROM terms_)
+    SELECT source_a, source_b,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(SUM(ta) AS DOUBLE) / (2.0 * CAST(MAX(na) AS DOUBLE))
+             + CAST(SUM(tb) AS DOUBLE) / (2.0 * CAST(MAX(nb) AS DOUBLE))
+             AS jsd
+    FROM contrib GROUP BY 1, 2 ORDER BY source_a, source_b
+"""

@@ -5797,6 +5797,444 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epoch_us(col: str) -> F.Column:
+    """Exact epoch microseconds for a TIMESTAMP_NTZ column —
+    unix_micros() rejects NTZ, so anchor with timestampdiff against
+    the NTZ epoch literal (mirrors DuckDB's epoch_us, which treats
+    its TIMESTAMP the same timezone-free way)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND,"
+        f" TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+    ).cast("long")
+
+
+# ------------------------------------------------------------------ r10
+# batch 3: robust-trend / survival / experimentation / drift
+# observability, graph HITS, retrieval ranking eval, and web URL
+# canonicalization (SURVEY.md section 2c-octies).  All oracle-paired.
+
+
+def daily_value_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type trend over the daily event-value series
+    (operators/timeseries.py::theil_sen_mann_kendall): Mann–Kendall S
+    and the Theil–Sen median pairwise slope — the outlier-proof
+    complement to revenue_trend_by_nation's OLS fit.  MK's sign sum is
+    exact integers on the micros-quantized series; the median
+    selection orders rationals by their correctly-rounded double
+    quotient with (dy, dx) integer tie-breaks — a deterministic total
+    order both engines replay (the operator docstring records the
+    one-ulp quantization).  Pair expansion is days²-bounded per type
+    regardless of event volume — the hypertable contract."""
+    from ..operators.timeseries import theil_sen_mann_kendall
+
+    return theil_sen_mann_kendall(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "value"
+    )
+
+
+def signup_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-conversion (operators/survival.py): hours
+    from each user's first signup to their first subsequent purchase,
+    right-censored at the observation end for users who never
+    converted and administratively at the 72 h horizon — the
+    censoring-aware funnel readout a naive latency average biases
+    (dropping non-converters makes conversion look fast; KM counts
+    them in every risk set they survive through).  The curve is
+    released in LOG space through the frozen ln grid: exact DECIMAL
+    partial sums, one DOUBLE cast per row, zero runtime libm."""
+    from ..operators.survival import km_log_survival
+
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(_epoch_us("ts")).alias("st"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(_epoch_us("ts")).alias("pt"))
+    )
+    end = ev.agg(F.max(_epoch_us("ts")).alias("obs_end"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .join(F.broadcast(end))
+        .select(
+            F.when(
+                F.col("pt") > F.col("st"),
+                F.expr("(pt - st) DIV 3600000000"),
+            )
+            .otherwise(F.expr("(obs_end - st) DIV 3600000000"))
+            .alias("duration"),
+            F.when(F.col("pt") > F.col("st"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("observed"),
+        )
+    )
+    return km_log_survival(subj, "duration", "observed", horizon=72)
+
+
+def nation_trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.py::hits_fixed_point)
+    over the directed above-mean nation trade graph — import
+    authorities vs export hubs, the asymmetric-role statistic
+    PageRank's single score can't separate.  Unnormalized integer
+    recursion (ranking-equivalent to the normalized iterate, exact
+    under any partitioning), 4 rounds, in-plan node-count overflow
+    guard; the oracle unrolls the identical recurrence."""
+    from ..operators.graph import hits_fixed_point
+
+    edges = _above_mean(_nation_trade_pairs(spark, sf_dir), "cnt").select(
+        "src", "dst"
+    )
+    return hits_fixed_point(edges, iterations=4).orderBy(
+        F.desc("auth"), F.desc("hub"), F.asc("node")
+    )
+
+
+def canonical_url_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup through canonicalization (operators/web.py::
+    canonical_url): four decorated variants of each logical page are
+    seeded per doc-quad from doc_id (uppercase WWW + default :443
+    port + unsorted params / tracking utm_* param / fragment +
+    trailing slash / both), canonicalized, grouped, and reported as a
+    group-size histogram whose min/max canonical strings put the FULL
+    normalized URL — scheme, host, port, path, sorted surviving
+    params — inside the value hash.  Map-only string expressions, one
+    dedup groupBy on the canonical key; the crawl-frontier recipe."""
+    from ..operators.web import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    page = F.expr("doc_id DIV 4").cast("string")
+    url = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("https://WWW.Shop.example.com:443/p/"),
+                page,
+                F.lit("/?b=2&a=1"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("https://www.shop.example.com/p/"),
+                page,
+                F.lit("?a=1&b=2&utm_source=s"),
+                (d % 3).cast("string"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("HTTPS://www.shop.example.com/p/"),
+                page,
+                F.lit("/?a=1&b=2#sec"),
+                (d % 5).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.shop.example.com:443/p/"),
+                page,
+                F.lit("?utm_campaign=c&b=2&a=1"),
+            )
+        )
+    )
+    canon = docs.select(canonical_url(url).alias("canonical_url"))
+    groups = canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        groups.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("canonical_url").alias("min_url"),
+            F.max("canonical_url").alias("max_url"),
+        )
+        .orderBy("group_size")
+    )
+
+
+def experiment_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (operators/modelfit.py::
+    cuped_adjusted_means): users md5-bucketed into two arms (the
+    leakage-safe split recipe — no RNG), the observation range split
+    at its exact midpoint into pre/post periods, per-user pre (X) and
+    post (Y) decimal value sums, pooled θ = cov(X,Y)/var(X), per-arm
+    raw and adjusted means.  Exact mergeable decimal moments + one
+    fixed double finalizer (the corr/OLS recipe); the pooled totals
+    ride a window over the 2-row arm aggregate."""
+    from ..operators.modelfit import cuped_adjusted_means
+    from ..operators.sampling import split_bucket_expr
+
+    ev = _t(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(_epoch_us("ts")).alias("mn"),
+        F.max(_epoch_us("ts")).alias("mx"),
+    ).select(F.expr("(mn + mx) DIV 2").alias("mid"))
+    v = F.col("value").cast("decimal(18,6)")
+    per_user = (
+        ev.join(F.broadcast(rng))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(_epoch_us("ts") < F.col("mid"), v).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            ))
+            .cast("decimal(16,6)")
+            .alias("x"),
+            F.sum(F.when(_epoch_us("ts") >= F.col("mid"), v).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            ))
+            .cast("decimal(16,6)")
+            .alias("y"),
+        )
+        .select(
+            F.when(
+                split_bucket_expr("user_id", buckets=2) == 0,
+                F.lit("control"),
+            )
+            .otherwise(F.lit("treatment"))
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    return cuped_adjusted_means(per_user)
+
+
+def events_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second halves of the observation range (operators/drift.py::
+    psi_by_group) — the model-monitoring drift score over a fixed
+    10-bucket value grid (50-unit buckets, top bucket open).  Exact
+    denominator-cleared decimal sum + frozen ln grid, one double
+    division per type; the one data pass is the (type, window,
+    bucket) hash agg."""
+    from ..operators.drift import psi_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(_epoch_us("ts")).alias("mn"),
+        F.max(_epoch_us("ts")).alias("mx"),
+    ).select(F.expr("(mn + mx) DIV 2").alias("mid"))
+    framed = ev.join(F.broadcast(rng)).select(
+        "event_type",
+        (_epoch_us("ts") >= F.col("mid")).cast("int").alias("w"),
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("value") / F.lit(50.0))),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return psi_by_group(framed, "event_type", "w", "bucket", n_buckets=10)
+
+
+# frozen DCG position discounts 1/log2(i+1), i = 1..10, and ln 2 —
+# public constants quantized to DECIMAL(14,12) source literals (the
+# lnlut discipline), embedded identically in both engines
+_NDCG_W = (
+    "1.000000000000", "0.630929753571", "0.500000000000",
+    "0.430676558073", "0.386852807235", "0.356207187108",
+    "0.333333333333", "0.315464876786", "0.301029995664",
+    "0.289064826318",
+)
+_LN2 = "0.693147180560"
+
+
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking (the retrieval family's missing
+    EVAL leg): graded relevance rel = min(3, Σ query-term tf) per doc,
+    DCG from the frozen 1/log2(i+1) discount literals (exact
+    integer×DECIMAL cumulative sums), IDCG from the corpus-wide ideal
+    ordering (rel desc, doc_id), ndcg = one double division per
+    position.  Both the ranked and ideal lists are bounded to 10 rows
+    BEFORE any window touches them."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from ..functions.texttools import tokens_expr
+    from ..operators.retrieval import bm25_topk
+
+    terms = ["merge", "vector", "dup"]
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+
+    # helper, NOT a default-arg lambda: PySpark treats a second lambda
+    # parameter as the array INDEX (the retrieval.py::_tf trap)
+    def _tf(term: str) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    rel_expr = F.least(F.lit(3), sum(_tf(t) for t in terms)).cast("int")
+    rels = docs.select("doc_id", rel_expr.alias("rel"))
+    ranked = bm25_topk(docs, terms, k=10).select(
+        "doc_id",
+        F.least(
+            F.lit(3),
+            sum(F.col(f"tf_{t}") for t in terms).cast("int"),
+        ).alias("rel"),
+        "score",
+    )
+    w_rank = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    w_ideal = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+    ranked = ranked.withColumn("pos", F.row_number().over(w_rank))
+    ideal = (
+        rels.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("ipos", F.row_number().over(w_ideal))
+        .select(F.col("ipos").alias("pos"), F.col("rel").alias("ideal_rel"))
+    )
+    wlut = F.array(
+        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in _NDCG_W]
+    )
+    disc = F.element_at(wlut, F.col("pos"))
+    w_cum = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = (
+        ranked.join(ideal, "pos")
+        .withColumn("__g", F.col("rel") * disc)
+        .withColumn("__ig", F.col("ideal_rel") * disc)
+    )
+    return (
+        joined.withColumn("dcg", F.sum("__g").over(w_cum))
+        .withColumn("idcg", F.sum("__ig").over(w_cum))
+        .select(
+            "pos",
+            "doc_id",
+            "rel",
+            "ideal_rel",
+            (F.col("dcg").cast("double") / F.col("idcg").cast("double"))
+            .alias("ndcg"),
+        )
+        .orderBy("pos")
+    )
+
+
+def source_term_jsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between every source pair's unigram
+    distribution over the shared top-100 vocabulary — the
+    mixture-balance signal a curation pipeline reads before setting
+    sampling weights (JSD is symmetric, bounded by ln 2, and finite
+    even on disjoint support — unlike KL).  Exactness: with
+    p = a/A, q = b/B, each side's sum clears its denominator —
+    Σ_t a_t·[lnLUT(a_tB/(a_tB+b_tA)) + ln2] is an exact DECIMAL sum
+    of BIGINT×literal products (the PSI recipe), divided by 2A in ONE
+    double step; ln(2p/(p+q)) = ln(r) + ln(2) keeps the LUT argument
+    in (0,1).  In-plan raise when A·B would overflow the grid-index
+    product (the cusum guard pattern).  Scale: one (source, term)
+    agg, a 100-term broadcast vocabulary, and a source-pair frame
+    bounded by the source dimension."""
+    from decimal import Decimal
+
+    from ..functions.lnlut import LAPLACE_LN_LUT
+    from ..functions.texttools import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "source", F.explode(tokens_expr(F.col("text"))).alias("term")
+    )
+    vocab = (
+        occ.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("term"))
+        .limit(100)
+        .select("term")
+    )
+    st = (
+        occ.join(F.broadcast(vocab), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    # full (source, vocab-term) grid so absent terms carry c = 0
+    grid = (
+        totals.crossJoin(F.broadcast(vocab))
+        .join(st, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("c").alias("ca"),
+        F.col("n").alias("na"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("c").alias("cb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, "term").where(F.col("source_a") < F.col("source_b"))
+    # overflow guard: grid indices multiply c·n across the pair
+    lim = 1 << 26
+    pairs = pairs.withColumn(
+        "na",
+        F.when((F.col("na") < lim) & (F.col("nb") < lim), F.col("na"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "source_term_jsd_pairs: source token count >= 2^26 —"
+                    " grid-index product would overflow BIGINT"
+                )
+            )
+        ),
+    )
+    lut = F.array(
+        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
+    )
+    ln2 = F.lit(Decimal(_LN2)).cast("decimal(14,12)")
+
+    def ln2r(cnum: str, cden: str) -> F.Column:
+        # ln(2·x/(x+y)) = LUT[x/(x+y)] + ln2, x = cnum·N_other,
+        # y = cden·N_self cross-multiplied exactly
+        g = F.expr(
+            f"least(1023, ({cnum} * 1024) DIV ({cnum} + {cden}))"
+        ).cast("int")
+        return F.element_at(lut, g + F.lit(1)) + ln2
+
+    terms_df = pairs.where(F.col("ca") + F.col("cb") > 0).select(
+        "source_a",
+        "source_b",
+        "na",
+        "nb",
+        F.expr("ca * nb").alias("xa"),
+        F.expr("cb * na").alias("xb"),
+        F.col("ca").cast("decimal(20,0)").alias("cad"),
+        F.col("cb").cast("decimal(20,0)").alias("cbd"),
+    )
+    contrib = terms_df.select(
+        "source_a",
+        "source_b",
+        "na",
+        "nb",
+        (F.col("cad") * ln2r("xa", "xb")).alias("ta"),
+        (F.col("cbd") * ln2r("xb", "xa")).alias("tb"),
+    )
+    return (
+        contrib.groupBy("source_a", "source_b")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            (
+                F.sum("ta").cast("double")
+                / (F.lit(2.0) * F.max("na").cast("double"))
+                + F.sum("tb").cast("double")
+                / (F.lit(2.0) * F.max("nb").cast("double"))
+            ).alias("jsd"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -6088,5 +6526,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_latency_quantiles": funnel_latency_quantiles,
     "dup_rate_by_source": dup_rate_by_source,
     "lineitem_column_stats": lineitem_column_stats,
+    # --- new in r10 batch 3 (observability/eval/web; never
+    #     driver-checked — lead the r11 window with the rest of the
+    #     r10 batches per rule 1) --------------------------------
+    "daily_value_trend_robust": daily_value_trend_robust,
+    "signup_conversion_survival": signup_conversion_survival,
+    "nation_trade_hits": nation_trade_hits,
+    "canonical_url_dup_groups": canonical_url_dup_groups,
+    "experiment_cuped_readout": experiment_cuped_readout,
+    "events_value_psi_drift": events_value_psi_drift,
+    "bm25_ndcg_eval": bm25_ndcg_eval,
+    "source_term_jsd_pairs": source_term_jsd_pairs,
 }
 
