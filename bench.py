@@ -320,6 +320,12 @@ HEADLINE = [
     "events_value_psi_drift",
     "bm25_ndcg_eval",
     "source_term_jsd_pairs",
+    # r10 batch 4: ML-eval + audit statistics
+    "quality_margin_auc",
+    "quality_margin_gains",
+    "type_value_mutual_info",
+    "langid_agreement_alpha",
+    "daily_revenue_runs_test",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

@@ -334,3 +334,150 @@ def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("kappa"),
     )
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Krippendorff's alpha for two raters on a nominal scale, no
+    missing data (Krippendorff 2004) — the chance-corrected agreement
+    that, unlike Cohen's kappa, derives expected disagreement from the
+    POOLED value distribution of both raters (so it stays comparable
+    when the panel grows or units go missing; this is the 2-rater
+    complete-data specialization):
+
+        D_o = d / n                          (disagreeing units)
+        D_e = (P − S) / P,  P = 2n(2n−1),  S = Σ_v n_v(n_v−1)
+        α   = 1 − D_o / D_e
+
+    with n_v the pooled count of value v over BOTH raters.  All
+    integers (two hash aggs), then a fixed chain of correctly-rounded
+    double steps — casts to DOUBLE happen BEFORE any multiplication,
+    so nothing overflows BIGINT at any n.  Returns one row
+    (n_units, n_disagree, d_o, d_e, alpha); degenerate D_e = 0 (all
+    ratings one value) pins alpha to 0.0 like the kappa guard.
+    """
+    pairs = df.select(
+        F.col(a_col).cast("string").alias("a"),
+        F.col(b_col).cast("string").alias("b"),
+    )
+    base = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("a") != F.col("b")).cast("long"))
+        .cast("long")
+        .alias("d"),
+    )
+    pooled = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+        .agg(
+            F.sum(
+                F.col("nv").cast("decimal(38,0)")
+                * (F.col("nv") - 1).cast("decimal(38,0)")
+            ).alias("s")
+        )
+    )
+    out = base.join(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    dd = F.col("d").cast("double")
+    p = F.lit(2.0) * nd * (F.lit(2.0) * nd - F.lit(1.0))
+    sd = F.col("s").cast("double")
+    d_o = dd / nd
+    d_e = (p - sd) / p
+    return out.select(
+        F.col("n").alias("n_units"),
+        F.col("d").alias("n_disagree"),
+        d_o.alias("d_o"),
+        d_e.alias("d_e"),
+        F.when(p - sd == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) - d_o / d_e)
+        .alias("alpha"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    max_n: int = 1 << 26,
+) -> DataFrame:
+    """Mutual information between two discrete columns, decomposed per
+    x-value (the rows sum to MI):  MI = Σ_xy (c_xy/N)·ln(c_xy·N /
+    (c_x·c_y)) — the dependence audit behind feature selection and
+    leakage screens (MI ≈ 0 → the columns carry no shared signal).
+
+    Exactness: ln of a ratio that can exceed 1 splits into two frozen
+    grid cells — ln(a/b) = LUT(a/(a+b)) − LUT(b/(a+b)), both
+    arguments in (0,1) — with a = c_xy·N and b = c_x·c_y
+    cross-multiplied exactly; Σ c_xy·Δln is an exact DECIMAL sum
+    divided by N in ONE double step per x (the PSI/JSD recipe).
+    Overflow guard: c_xy·N·1024 must fit BIGINT, so N is capped at
+    2^26 with an in-plan raise folded into the joint count.
+
+    Returns (x, n_x, mi_part) per x-value, ordered; Σ mi_part = MI.
+    """
+    from decimal import Decimal
+
+    from ..functions.lnlut import LAPLACE_LN_LUT
+
+    lim = int(max_n)
+    pairs = df.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    )
+    cxy = pairs.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("cxy")
+    )
+    cx = pairs.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cx"))
+    cy = pairs.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cy"))
+    n = pairs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    joined = (
+        cxy.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .join(F.broadcast(n))
+        .select(
+            "x",
+            "cx",
+            F.when(F.col("nn") < lim, F.col("cxy"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("mutual_information: N = "),
+                        F.col("nn").cast("string"),
+                        F.lit(f" >= {lim} — grid-index products would"
+                              " overflow BIGINT"),
+                    )
+                )
+            )
+            .alias("cxy"),
+            F.expr("cxy * nn").alias("a"),
+            F.expr("cx * cy").alias("b"),
+            "nn",
+        )
+    )
+    lut = F.array(
+        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
+    )
+
+    def lnq(num: str) -> F.Column:
+        g = F.expr(f"least(1023, ({num} * 1024) DIV (a + b))").cast("int")
+        return F.element_at(lut, g + F.lit(1))
+
+    terms = joined.select(
+        "x",
+        "cx",
+        "nn",
+        (F.col("cxy").cast("decimal(20,0)") * (lnq("a") - lnq("b")))
+        .alias("t"),
+    )
+    return (
+        terms.groupBy(F.col("x").alias(x_col))
+        .agg(
+            F.max("cx").cast("long").alias(f"n_{x_col}"),
+            (F.sum("t").cast("double") / F.max("nn").cast("double"))
+            .alias("mi_part"),
+        )
+        .orderBy(x_col)
+    )

@@ -91,3 +91,65 @@ def global_row_number(
         )
         .drop("__pid", "__local", "__off")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    *,
+    out_col: str = "running_sum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Append the INCLUSIVE prefix sum of `value_col` following
+    `order_cols` (a TOTAL order — same contract as global_row_number)
+    WITHOUT a single-partition window: range-partition on the order,
+    local cumulative window per partition, then one bounded collect of
+    per-partition totals whose exclusive prefix becomes a broadcast
+    offset.  Driver state is P rows — the two-phase ranking pattern
+    extended from ranks to sums (rank = prefix sum of 1).
+
+    `value_col` must be integral/decimal for the offsets to merge
+    exactly (the money discipline — float prefix sums are
+    order-dependent).
+    """
+    from ..cache import persist_stage
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = persist_stage(
+        df.repartitionByRange(p, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    local = F.sum(value_col).over(
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("__s"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offset = 0
+    offsets = []
+    for r in totals:
+        offsets.append((r["__pid"], offset))
+        offset += r["__s"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    return (
+        ranged.withColumn("__local", local)
+        .join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(
+            out_col,
+            (
+                F.col("__local").cast("long")
+                + F.coalesce(F.col("__off"), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("__pid", "__local", "__off")
+    )

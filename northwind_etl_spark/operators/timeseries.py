@@ -554,3 +554,88 @@ def theil_sen_mann_kendall(
         )
         .orderBy(key_col)
     )
+
+
+def runs_test_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    bucket: str = "day",
+) -> DataFrame:
+    """Wald–Wolfowitz runs test on the per-bucket value series — the
+    randomness audit that catches serial dependence (trends, regime
+    blocks, meandering) a Benford or distribution check can't see:
+    classify each bucket above/below the series median (ties to the
+    median are dropped, the standard convention), count sign runs R,
+    and z-score it against the known run-count distribution
+
+        μ = 2·n₁·n₀/(n₁+n₀) + 1,   σ² = (μ−1)(μ−2)/(n₁+n₀−1).
+
+    Exactness: the series is micros-quantized (the cusum recipe); the
+    LOWER MEDIAN is taken fully in-plan — rank (n+1) DIV 2 of the
+    (yq, bucket) total order — so no driver-side float round-trip can
+    desync the above/below classification across engines; R is an
+    exact lag count; μ/σ/z are one fixed chain of correctly-rounded
+    double steps (σ² = 0 degenerates pin z to 0.0 on both engines).
+
+    All windows run over the bucket-count-bounded aggregate — the
+    hypertable contract.  Returns one row
+    (n_buckets, n_above, n_below, n_runs, z_stat).
+    """
+    daily = df.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b")
+    ).agg(
+        (F.sum(F.col(value_col).cast("decimal(38,6)")) * F.lit(1_000_000))
+        .cast("decimal(38,0)")
+        .cast("long")
+        .alias("yq")
+    )
+    w_rank = Window.orderBy(F.asc("yq"), F.asc("__b"))
+    ranked = daily.withColumn("__r", F.row_number().over(w_rank))
+    nrow = daily.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    med = (
+        ranked.join(F.broadcast(nrow))
+        .where(F.col("__r") == F.expr("(nb + 1) DIV 2"))
+        .select(F.col("yq").alias("med"))
+    )
+    signs = (
+        daily.join(F.broadcast(med))
+        .where(F.col("yq") != F.col("med"))
+        .select("__b", (F.col("yq") > F.col("med")).cast("int").alias("s"))
+    )
+    w_seq = Window.orderBy(F.asc("__b"))
+    runs = signs.withColumn("__prev", F.lag("s").over(w_seq)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n0"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("__prev").isNotNull()
+                    & (F.col("s") != F.col("__prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    out = runs.join(F.broadcast(nrow))
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    mu = F.lit(2.0) * n1 * n0 / (n1 + n0) + F.lit(1.0)
+    var = (mu - F.lit(1.0)) * (mu - F.lit(2.0)) / (n1 + n0 - F.lit(1.0))
+    return out.select(
+        F.col("nb").alias("n_buckets"),
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below"),
+        "n_runs",
+        F.when(
+            var > 0,
+            (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )

@@ -5796,3 +5796,193 @@ ORACLES["source_term_jsd_pairs"] = f"""
              AS jsd
     FROM contrib GROUP BY 1, 2 ORDER BY source_a, source_b
 """
+
+
+# ------------------------------------------------------------------ r10
+# batch 4: ML-eval + audit statistics.
+
+
+def _quality_scored_sql() -> str:
+    """Shared scored frame: the linear_quality_margin oracle joined
+    with the gopher verdict oracle (both replayed verbatim as
+    subqueries)."""
+    return f"""(
+      SELECT m.doc_id, m.margin AS s,
+             CASE WHEN g.passes THEN 1 ELSE 0 END AS pos
+      FROM ({ORACLES["linear_quality_margin"]}) m
+      JOIN ({ORACLES["gopher_quality_verdicts"]}) g USING (doc_id))"""
+
+
+# AUC: identical midrank-doubled rank sums (2·below + cnt + 1), same
+# DECIMAL(38,0) summation, same double finalizer tree.
+ORACLES["quality_margin_auc"] = f"""
+    WITH scored AS (SELECT * FROM {_quality_scored_sql()}),
+    bym AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(pos) AS BIGINT) AS np
+            FROM scored GROUP BY 1),
+    run AS (SELECT *, CAST(SUM(cnt) OVER (
+              ORDER BY s ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum FROM bym),
+    agg AS (SELECT
+              SUM(CAST(np * (2 * (cum - cnt) + cnt + 1)
+                  AS DECIMAL(38,0))) AS s2,
+              CAST(SUM(np) AS BIGINT) AS n_pos,
+              CAST(SUM(cnt - np) AS BIGINT) AS n_neg
+            FROM run)
+    SELECT n_pos, n_neg,
+           (CAST(s2 AS DOUBLE)
+              - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+           / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+    FROM agg
+"""
+
+
+# Gains: identical (score desc, id) total order, integral-DIV decile
+# boundaries, 10-row cumulative window, same gain/lift double chains.
+ORACLES["quality_margin_gains"] = f"""
+    WITH scored AS (SELECT * FROM {_quality_scored_sql()}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                   CAST(SUM(pos) AS BIGINT) AS npt FROM scored),
+    ranked AS (SELECT pos,
+                 ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS r
+               FROM scored),
+    binned AS (SELECT CAST(((r - 1) * 10) // nt AS INT) AS bin, pos,
+                      nt, npt
+               FROM ranked, tot),
+    per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   MAX(nt) AS n_total, MAX(npt) AS n_pos_total
+            FROM binned GROUP BY 1),
+    cum AS (SELECT *, CAST(SUM(n_pos) OVER (
+              ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_pos FROM per)
+    SELECT bin, n_docs, n_pos, cum_pos,
+           CAST(cum_pos AS DOUBLE) / CAST(n_pos_total AS DOUBLE) AS gain,
+           (CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             / (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+             AS lift
+    FROM cum ORDER BY bin
+"""
+
+
+# Mutual information: identical fixed bucket grid, the two-cell
+# ln(a/b) split on the frozen grid, exact decimal sums.
+ORACLES["type_value_mutual_info"] = f"""
+    WITH fr AS (
+      SELECT event_type,
+             CAST(LEAST(9, GREATEST(0,
+                 CAST(FLOOR(value / 50.0) AS BIGINT))) AS INT) AS bucket
+      FROM events),
+    cxy AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cxy
+            FROM fr GROUP BY 1, 2),
+    cx AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cx
+           FROM fr GROUP BY 1),
+    cy AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cy
+           FROM fr GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM fr),
+    j AS (SELECT c.event_type, c.bucket, c.cxy, x.cx, y.cy, n.nn,
+                 c.cxy * n.nn AS a, x.cx * y.cy AS b
+          FROM cxy c JOIN cx x USING (event_type)
+          JOIN cy y USING (bucket), n),
+    t AS (SELECT event_type, cx, nn,
+            CAST(cxy AS DECIMAL(20,0))
+              * ({_laplace_lut_sql()}[CAST(LEAST(1023,
+                    (a * 1024) // (a + b)) AS INT) + 1]
+                 - {_laplace_lut_sql()}[CAST(LEAST(1023,
+                    (b * 1024) // (a + b)) AS INT) + 1]) AS term
+          FROM j)
+    SELECT event_type, CAST(MAX(cx) AS BIGINT) AS n_event_type,
+           CAST(SUM(term) AS DOUBLE) / CAST(MAX(nn) AS DOUBLE) AS mi_part
+    FROM t GROUP BY 1 ORDER BY event_type
+"""
+
+
+# Krippendorff's alpha: the lang_id_pred oracle replayed as the second
+# rater; identical pooled-frequency expected disagreement and double
+# finalizer order.
+ORACLES["langid_agreement_alpha"] = f"""
+    WITH pred AS ({ORACLES["lang_id_pred"]}),
+    pairs AS (SELECT d.lang AS a, p.lang_pred AS b
+              FROM documents d JOIN pred p USING (doc_id)),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN a <> b THEN 1 ELSE 0 END)
+                         AS BIGINT) AS d
+             FROM pairs),
+    pooled AS (
+      SELECT SUM(CAST(nv AS DECIMAL(38,0))
+                 * CAST(nv - 1 AS DECIMAL(38,0))) AS s
+      FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS nv
+            FROM (SELECT a AS v FROM pairs
+                  UNION ALL SELECT b FROM pairs)
+            GROUP BY 1))
+    SELECT n AS n_units, d AS n_disagree,
+           CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS d_o,
+           (2.0 * CAST(n AS DOUBLE) * (2.0 * CAST(n AS DOUBLE) - 1.0)
+              - CAST(s AS DOUBLE))
+           / (2.0 * CAST(n AS DOUBLE) * (2.0 * CAST(n AS DOUBLE) - 1.0))
+             AS d_e,
+           CASE WHEN 2.0 * CAST(n AS DOUBLE)
+                       * (2.0 * CAST(n AS DOUBLE) - 1.0)
+                     - CAST(s AS DOUBLE) = 0
+                THEN 0.0
+                ELSE 1.0 - (CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                     / ((2.0 * CAST(n AS DOUBLE)
+                         * (2.0 * CAST(n AS DOUBLE) - 1.0)
+                         - CAST(s AS DOUBLE))
+                        / (2.0 * CAST(n AS DOUBLE)
+                           * (2.0 * CAST(n AS DOUBLE) - 1.0)))
+                END AS alpha
+    FROM base, pooled
+"""
+
+
+# Runs test: identical micros quantization, in-plan lower median over
+# the (yq, bucket) total order, identical run counting and z chain.
+ORACLES["daily_revenue_runs_test"] = """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS b,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000
+                  AS BIGINT) AS yq
+      FROM orders GROUP BY 1),
+    nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM daily),
+    ranked AS (SELECT yq,
+                 ROW_NUMBER() OVER (ORDER BY yq ASC, b ASC) AS r
+               FROM daily),
+    med AS (SELECT yq AS med FROM ranked, nrow
+            WHERE r = (nb + 1) // 2),
+    signs AS (SELECT b, CASE WHEN yq > med THEN 1 ELSE 0 END AS s
+              FROM daily, med WHERE yq <> med),
+    seq AS (SELECT s, LAG(s) OVER (ORDER BY b ASC) AS prev FROM signs),
+    runs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+                    CAST(SUM(s) AS BIGINT) AS n1,
+                    CAST(SUM(1 - s) AS BIGINT) AS n0,
+                    CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_runs
+             FROM seq)
+    SELECT nb AS n_buckets, n1 AS n_above, n0 AS n_below, n_runs,
+           CASE WHEN (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)) + 1.0
+                      - 1.0)
+                     * (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)) + 1.0
+                        - 2.0)
+                     / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 1.0) > 0
+                THEN (CAST(n_runs AS DOUBLE)
+                      - (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                         / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))
+                         + 1.0))
+                     / sqrt((2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                             / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))
+                             + 1.0 - 1.0)
+                            * (2.0 * CAST(n1 AS DOUBLE)
+                               * CAST(n0 AS DOUBLE)
+                               / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))
+                               + 1.0 - 2.0)
+                            / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)
+                               - 1.0))
+                ELSE 0.0 END AS z_stat
+    FROM runs, nrow
+"""

@@ -6235,6 +6235,122 @@ def source_term_jsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ r10
+# batch 4: ML-eval + audit statistics (exact AUC, gains/lift, mutual
+# information, Krippendorff's alpha, runs test).  All oracle-paired
+# (SURVEY.md section 2c-nonies).
+
+
+def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, margin, pos) frame for the eval entries: the
+    linear quality margin (exact BIGINT, the linear_quality_margin
+    expression) scored against the Gopher composite verdict as ground
+    truth — 'does the cheap linear filter rank like the rule-based
+    gate'."""
+    from ..operators.text import gopher_quality_filter, hashed_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_features(docs, n_buckets=64)
+    w = (F.col("bucket").cast("long") * F.lit(2654435761)) % 1001 - 500
+    margins = (
+        feats.select("doc_id", (F.col("weight") * w).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.sum("__c").cast("long").alias("margin"))
+    )
+    labels = gopher_quality_filter(docs).select(
+        "doc_id", F.col("passes").cast("int").alias("pos")
+    )
+    return margins.join(labels, "doc_id")
+
+
+def quality_margin_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (operators/mleval.py::auc_exact) of the linear
+    quality margin against the Gopher verdict — the Mann–Whitney rank
+    statistic with midrank ties, computed with NO global sort: scores
+    collapse to the (score, cnt, pos) level, the exclusive prefix
+    count rides the two-phase range-partitioned running sum
+    (ranking.py::global_running_sum, the global_row_number pattern
+    extended from ranks to sums), and the finalizer is one fixed
+    double chain.  In-plan raise past 2^30 rows (doubled rank sums
+    would overflow BIGINT — at that scale the eval shards by
+    stratum)."""
+    from ..operators.mleval import auc_exact
+
+    return auc_exact(_quality_scored(spark, sf_dir), "margin", "pos")
+
+
+def quality_margin_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile cumulative-gains / lift table (operators/mleval.py::
+    cumulative_gains) for the same scored frame — the 'top 10% of
+    docs by score hold X% of the quality passes' curve a filter
+    threshold is actually chosen from.  One distributed ranking
+    (margin desc, doc_id — a total order), integral-DIV decile
+    boundaries, a 10-row cumulative window, fixed double chains for
+    gain and lift."""
+    from ..operators.mleval import cumulative_gains
+
+    return cumulative_gains(
+        _quality_scored(spark, sf_dir), "margin", "doc_id", "pos"
+    )
+
+
+def type_value_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and the fixed 10-bucket
+    value grid (operators/features.py::mutual_information), decomposed
+    per type (rows sum to MI) — the dependence audit behind feature
+    selection and leakage screens.  ln of a ratio that can exceed 1
+    splits into two frozen grid cells (ln(a/b) = LUT(a/(a+b)) −
+    LUT(b/(a+b)), both arguments in (0,1)); exact DECIMAL sums, one
+    double division per type, N capped at 2^26 by an in-plan raise."""
+    from ..operators.features import mutual_information
+
+    ev = _t(spark, sf_dir, "events")
+    framed = ev.select(
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("value") / F.lit(50.0))),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return mutual_information(framed, "event_type", "bucket")
+
+
+def langid_agreement_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (operators/features.py::
+    krippendorff_alpha_nominal) between the fixture's lang labels and
+    the trained scorer's predictions — kappa's panel-ready sibling:
+    expected disagreement comes from the POOLED value distribution of
+    both raters, so the statistic stays comparable as raters are
+    added or units go missing.  Like the kappa entry, alpha ≈ 0 here
+    is the CORRECT reading (the fixture's lang column is measured
+    random) — the eval harness exposing that is its job."""
+    from ..operators.features import krippendorff_alpha_nominal
+    from ..operators.text import lang_id_scored
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id_scored(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return krippendorff_alpha_nominal(joined, "lang", "lang_pred")
+
+
+def daily_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test (operators/timeseries.py::
+    runs_test_daily) on daily order revenue — the serial-dependence
+    audit that complements the Benford screen (Benford sees digit
+    distributions; runs see ORDER: trends, regime blocks, or
+    alternation all push |z| up).  The median is taken fully in-plan
+    on the micros-quantized bounded daily series (no driver float
+    round-trip to desync the above/below split), R is an exact lag
+    count, z one fixed double chain."""
+    from ..operators.timeseries import runs_test_daily
+
+    return runs_test_daily(
+        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    )
+
+
 # Registry order IS the driver schedule: the correctness driver checks
 # the FIRST 50 entries each round.  Rotation scheme (ROUND_NOTES.md):
 # order entries by staleness — newest-driver-row ascending — with
@@ -6537,5 +6653,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_psi_drift": events_value_psi_drift,
     "bm25_ndcg_eval": bm25_ndcg_eval,
     "source_term_jsd_pairs": source_term_jsd_pairs,
+    # --- new in r10 batch 4 (ML-eval + audit; never driver-checked) --
+    "quality_margin_auc": quality_margin_auc,
+    "quality_margin_gains": quality_margin_gains,
+    "type_value_mutual_info": type_value_mutual_info,
+    "langid_agreement_alpha": langid_agreement_alpha,
+    "daily_revenue_runs_test": daily_revenue_runs_test,
 }
 

@@ -121,6 +121,8 @@ def main() -> None:
         _r09_section(spark, sf_dir, factor)
     if _want("r10", "pmi"):
         _r10_section(spark, sf_dir, factor)
+    if _want("r10b"):
+        _r10b_section(spark, sf_dir, factor)
     spark.stop()
 
 
@@ -1214,3 +1216,128 @@ def __r09_attr(e):
 
 if __name__ == "__main__":
     main()
+
+
+def _r10b_section(spark, sf_dir, factor):
+    """Round-10 batches 3-4: robust trend (days²-bounded pairs per
+    type — flat past the scan), KM survival (subjects grow, distinct
+    event times stay horizon-bounded), canonical-URL dedup (map-only
+    + one groupBy), source-pair JSD (one (source,term) agg; the pair
+    frame is vocab × source² bounded), exact AUC (margin-level prefix
+    sum — distinct margins grow with docs), and decile gains (one
+    distributed ranking).  Docs replicate with SHARED sources so the
+    JSD pair count stays fixed while counts grow; events replicate
+    with shifted event ids (same users — per-user histories deepen,
+    the adversarial direction for KM's per-user min aggregations)."""
+    from northwind_etl_spark.operators.mleval import (
+        auc_exact,
+        cumulative_gains,
+    )
+    from northwind_etl_spark.operators.text import (
+        gopher_quality_filter,
+        hashed_features,
+    )
+    from northwind_etl_spark.operators.timeseries import (
+        theil_sen_mann_kendall,
+    )
+    from northwind_etl_spark.operators.survival import km_log_survival
+    from northwind_etl_spark.operators.web import canonical_url
+    from northwind_etl_spark.plans.queries import source_term_jsd_pairs
+    from northwind_etl_spark.sources.parquet import read_events
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = read_events(spark, sf_dir)
+    dbase = docs.count()
+    for times in (1, factor):
+        evw = replicate(events, times, "event_id", 50_000_000)
+        timed(
+            f"r10b_theil_sen x{times}",
+            lambda e=evw: theil_sen_mann_kendall(
+                e, "event_type", "ts", "value"
+            ).count(),
+        )
+
+        def _km(e):
+            s = (
+                e.where(F.col("event_type") == "signup")
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("st"))
+            )
+            p = (
+                e.where(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("pt"))
+            )
+            subj = s.join(p, "user_id", "left").select(
+                F.when(
+                    F.col("pt") > F.col("st"),
+                    F.expr(
+                        "timestampdiff(MICROSECOND, st, pt)"
+                        " DIV 3600000000"
+                    ),
+                )
+                .otherwise(F.lit(720))
+                .alias("duration"),
+                F.when(F.col("pt") > F.col("st"), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("observed"),
+            )
+            return km_log_survival(
+                subj, "duration", "observed", horizon=72
+            ).count()
+
+        timed(f"r10b_km_survival x{times}", lambda e=evw: _km(e))
+
+        corp = replicate(docs, times, "doc_id", dbase * 10)
+        timed(
+            f"r10b_canonical_url x{times}",
+            lambda c=corp: c.select(
+                canonical_url(
+                    F.concat(
+                        F.lit("https://WWW.Host.example.com:443/p/"),
+                        F.expr("doc_id DIV 4").cast("string"),
+                        F.lit("/?b=2&a=1&utm_source=s"),
+                        (F.col("doc_id") % 3).cast("string"),
+                    )
+                ).alias("u")
+            )
+            .groupBy("u")
+            .count()
+            .count(),
+        )
+        # shared sources: the source dimension (and so the pair frame)
+        # stays fixed while per-source counts grow
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="jsdprobe-")
+        corp.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        timed(
+            f"r10b_jsd x{times}",
+            lambda t=tmp: source_term_jsd_pairs(spark, t).count(),
+        )
+
+        def _scored(c):
+            feats = hashed_features(c, n_buckets=64)
+            w = (
+                F.col("bucket").cast("long") * F.lit(2654435761)
+            ) % 1001 - 500
+            margins = (
+                feats.select("doc_id", (F.col("weight") * w).alias("__c"))
+                .groupBy("doc_id")
+                .agg(F.sum("__c").cast("long").alias("margin"))
+            )
+            labels = gopher_quality_filter(c).select(
+                "doc_id", F.col("passes").cast("int").alias("pos")
+            )
+            return margins.join(labels, "doc_id")
+
+        timed(
+            f"r10b_auc x{times}",
+            lambda c=corp: auc_exact(_scored(c), "margin", "pos").count(),
+        )
+        timed(
+            f"r10b_gains x{times}",
+            lambda c=corp: cumulative_gains(
+                _scored(c), "margin", "doc_id", "pos"
+            ).count(),
+        )

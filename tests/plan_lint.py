@@ -61,7 +61,18 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     # bounded by |distinct x| which the operator documents as the
     # frontier's own working set.
     "order_value_skyline": "prefix-max over distinct-x aggregate rows",
+    # runs test: the lag window's child is BNLJ(daily-aggregate ⋈
+    # 1-row in-plan median) — the broadcast side is exactly one row
+    # and the probe side emits one row per day bucket (the operator's
+    # documented hypertable bound), so per-task rows into the
+    # exchange are calendar-bounded regardless of order volume.
+    "daily_revenue_runs_test": (
+        "sign sequence = day-bounded aggregate x 1-row median broadcast"
+    ),
 }
+# (the corresponding BNLJ reviews live in tests/test_plan_lint.py's
+# BNLJ_WHITELIST — both lists must name an entry for it to ship with
+# a 1-row broadcast under a single-partition window)
 
 
 def _walk(node, visit) -> None:

@@ -64,6 +64,18 @@ BNLJ_WHITELIST = {
     "shipdate_zonemap_skipping",     # 1-row sorted-endpoint arrays (sweep depth)
     "training_manifest_shards",      # mixture_sample's 1-row unit scalar
     "mixture_schedule_steps",        # non-equi probe vs source-count-bounded quotas
+    # r10 batches 3-4 — reviewed bounded broadcasts:
+    "signup_conversion_survival",    # 1-row observation-end scalar
+    "experiment_cuped_readout",      # 1-row midpoint scalar
+    "events_value_psi_drift",        # 1-row midpoint scalar
+    "nation_trade_hits",             # above-mean edge threshold + 1-row node-count guard
+    "bm25_ndcg_eval",                # 1-row corpus-stats (bm25 pattern)
+    "source_term_jsd_pairs",         # totals ⨯ 100-row vocabulary grid
+    "type_value_mutual_info",        # 1-row N scalar ⨯ bucket marginals
+    "langid_agreement_alpha",        # 1-row totals ⨯ 1-row pooled-S
+    "quality_margin_auc",            # 1-row row-count guard scalar
+    "quality_margin_gains",          # 1-row row-count guard scalar
+    "daily_revenue_runs_test",       # 1-row median + 1-row day count
 }
 
 
