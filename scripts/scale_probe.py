@@ -1214,10 +1214,6 @@ def __r09_attr(e):
 
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _r10b_section(spark, sf_dir, factor):
     """Round-10 batches 3-4: robust trend (days²-bounded pairs per
     type — flat past the scan), KM survival (subjects grow, distinct
@@ -1341,3 +1337,7 @@ def _r10b_section(spark, sf_dir, factor):
                 _scored(c), "margin", "doc_id", "pos"
             ).count(),
         )
+
+if __name__ == "__main__":
+    main()
+
