@@ -357,21 +357,30 @@ def krippendorff_alpha_nominal(
     (n_units, n_disagree, d_o, d_e, alpha); degenerate D_e = 0 (all
     ratings one value) pins alpha to 0.0 like the kappa guard.
     """
-    pairs = df.select(
-        F.col(a_col).cast("string").alias("a"),
-        F.col(b_col).cast("string").alias("b"),
+    from ..cache import persist_stage
+
+    # ONE full-data pass to the label-pair-bounded cell counts; the
+    # disagreement total AND the pooled value distribution both derive
+    # from the cells (persisted — two consumers)
+    cells = persist_stage(
+        df.select(
+            F.col(a_col).cast("string").alias("a"),
+            F.col(b_col).cast("string").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    base = pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum((F.col("a") != F.col("b")).cast("long"))
+    base = cells.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") != F.col("b"), F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("d"),
     )
     pooled = (
-        pairs.select(F.col("a").alias("v"))
-        .unionAll(pairs.select(F.col("b").alias("v")))
+        cells.select(F.col("a").alias("v"), "cnt")
+        .unionAll(cells.select(F.col("b").alias("v"), "cnt"))
         .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+        .agg(F.sum("cnt").cast("long").alias("nv"))
         .agg(
             F.sum(
                 F.col("nv").cast("decimal(38,0)")
@@ -423,16 +432,23 @@ def mutual_information(
 
     from ..functions.lnlut import LAPLACE_LN_LUT
 
+    from ..cache import persist_stage
+
     lim = int(max_n)
     pairs = df.select(
         F.col(x_col).alias("x"), F.col(y_col).alias("y")
     )
-    cxy = pairs.groupBy("x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("cxy")
+    # ONE full-data pass: the joint (x, y) counts; the marginals and
+    # the grand total are rollups of the bounded joint aggregate
+    # (persisted — it has three consumers)
+    cxy = persist_stage(
+        pairs.groupBy("x", "y").agg(
+            F.count(F.lit(1)).cast("long").alias("cxy")
+        )
     )
-    cx = pairs.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cx"))
-    cy = pairs.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cy"))
-    n = pairs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    cx = cxy.groupBy("x").agg(F.sum("cxy").cast("long").alias("cx"))
+    cy = cxy.groupBy("y").agg(F.sum("cxy").cast("long").alias("cy"))
+    n = cxy.agg(F.sum("cxy").cast("long").alias("nn"))
     joined = (
         cxy.join(F.broadcast(cx), "x")
         .join(F.broadcast(cy), "y")

@@ -479,7 +479,7 @@ def hits_fixed_point(
     dst_col: str = "dst",
     *,
     iterations: int = 4,
-    max_nodes: int = 180,
+    max_nodes: int | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
     list, exact in UNNORMALIZED integers — the PageRank discipline
@@ -498,10 +498,12 @@ def hits_fixed_point(
     unrolling the same recurrence.
 
     Overflow contract: unnormalized scores grow like ‖AᵀA‖^k, bounded
-    by N^(2k); at the default 4 iterations N ≤ 180 keeps N^8 < 2^63,
-    enforced by an IN-PLAN raise (the cusum guard pattern — node count
-    is data-dependent, so a silent overflow would corrupt the hash,
-    not crash).  HITS on an UNBOUNDED-key graph at 100 TB needs the
+    by N^(2k), so the node cap is DERIVED from `iterations` —
+    max_nodes = floor(2^(62/(2k))) (215 at the default 4 rounds; an
+    explicit max_nodes may only tighten it) — and enforced by an
+    IN-PLAN raise (the cusum guard pattern — node count is
+    data-dependent, so a silent overflow would corrupt the hash, not
+    crash).  HITS on an UNBOUNDED-key graph at 100 TB needs the
     normalized float variant (rows-only contract); this operator's
     domain is bounded-dimension graphs (nations, categories, hosts).
 
@@ -511,6 +513,10 @@ def hits_fixed_point(
     """
     from ..cache import persist_stage
 
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    derived = int(2 ** (62 / (2 * iterations)))
+    max_nodes = derived if max_nodes is None else min(int(max_nodes), derived)
     e = persist_stage(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     )
@@ -531,7 +537,8 @@ def hits_fixed_point(
                     F.lit("hits_fixed_point: "),
                     F.col("__nn").cast("string"),
                     F.lit(f" nodes > {max_nodes} — unnormalized scores"
-                          " would overflow BIGINT at 4 iterations"),
+                          f" would overflow BIGINT at {iterations}"
+                          " iterations"),
                 )
             )
         )

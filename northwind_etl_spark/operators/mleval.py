@@ -122,13 +122,19 @@ def auc_exact(
     )
     npd = F.col("n_pos").cast("double")
     nnd = F.col("n_neg").cast("double")
+    # single-class input has no ranking to score: pin to 0.5 (chance)
+    # instead of releasing a NaN/Inf division — the kappa/alpha/z
+    # degenerate-fallback discipline, mirrored in the oracle
     return s2.select(
         "n_pos",
         "n_neg",
-        (
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             (F.col("s2").cast("double") - npd * (npd + F.lit(1.0)))
-            / (F.lit(2.0) * npd * nnd)
-        ).alias("auc"),
+            / (F.lit(2.0) * npd * nnd),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("auc"),
     )
 
 
@@ -180,18 +186,29 @@ def cumulative_gains(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = per.withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+    # zero positives anywhere -> no capture curve to normalize: pin
+    # gain/lift to 0.0 (mirrored in the oracle) instead of NaN
+    has_pos = F.col("n_pos_total") > 0
     return cum.select(
         "bin",
         "n_docs",
         "n_pos",
         "cum_pos",
-        (F.col("cum_pos").cast("double") / F.col("n_pos_total").cast("double"))
+        F.when(
+            has_pos,
+            F.col("cum_pos").cast("double")
+            / F.col("n_pos_total").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
         .alias("gain"),
-        (
+        F.when(
+            has_pos,
             (F.col("n_pos").cast("double") / F.col("n_docs").cast("double"))
             / (
                 F.col("n_pos_total").cast("double")
                 / F.col("n_total").cast("double")
-            )
-        ).alias("lift"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lift"),
     ).orderBy("bin")

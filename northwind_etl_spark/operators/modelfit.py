@@ -282,7 +282,13 @@ def cuped_adjusted_means(
     tsy = F.sum("sy").over(w).cast("double")
     tsxy = F.sum("sxy").over(w).cast("double")
     tsxx = F.sum("sxx").over(w).cast("double")
-    theta = (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+    # var(X) = 0 (constant covariate) leaves nothing to adjust: pin
+    # theta to 0.0 (adjusted mean == raw mean) instead of NaN — the
+    # kappa degenerate discipline, mirrored in the oracle
+    theta = F.when(
+        tn * tsxx - tsx * tsx > 0,
+        (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx),
+    ).otherwise(F.lit(0.0))
     mean_x_all = tsx / tn
     nd = F.col("n_users").cast("double")
     mean_y = F.col("sy").cast("double") / nd

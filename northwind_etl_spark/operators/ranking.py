@@ -109,12 +109,21 @@ def global_running_sum(
     offset.  Driver state is P rows — the two-phase ranking pattern
     extended from ranks to sums (rank = prefix sum of 1).
 
-    `value_col` must be integral/decimal for the offsets to merge
-    exactly (the money discipline — float prefix sums are
-    order-dependent).
+    `value_col` must be an INTEGRAL type: the per-partition offsets
+    travel as BIGINTs, so a decimal/float column would be silently
+    truncated — rejected up front instead.  (Decimal prefix sums need
+    a decimal offset channel; add it when a caller exists.  Float
+    prefix sums are order-dependent and never exact.)
     """
     from ..cache import persist_stage
 
+    vtype = df.schema[value_col].dataType.simpleString()
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"global_running_sum: {value_col!r} is {vtype}; only"
+            " integral value columns merge exactly through the BIGINT"
+            " offset channel"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     p = partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = persist_stage(

@@ -486,13 +486,17 @@ def theil_sen_mann_kendall(
         .cast("long")
         .alias("yq")
     )
-    daily = daily.select(
-        "__k",
-        F.expr("datediff(to_date(__b), DATE'1970-01-01')")
-        .cast("long")
-        .alias("di"),
-        "yq",
+    daily = persist_stage(
+        daily.select(
+            "__k",
+            F.expr("datediff(to_date(__b), DATE'1970-01-01')")
+            .cast("long")
+            .alias("di"),
+            "yq",
+        )
     )
+    # daily has THREE consumers (both pair sides + n_buckets): persist
+    # so the raw-event aggregation — the only full scan — runs once
     a = daily.select(
         F.col("__k"), F.col("di").alias("di_a"), F.col("yq").alias("yq_a")
     )

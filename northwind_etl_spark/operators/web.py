@@ -146,7 +146,8 @@ def canonical_url(url: Column) -> Column:
       3. tracking params (TRACKING_PARAM_PATTERN) dropped; surviving
          params byte-sorted (query-string order never identifies a
          resource)
-      4. trailing '/' stripped from a non-root path
+      4. empty path unified to '/' (RFC 3986 http(s) equivalence),
+         then trailing '/' stripped from a non-root path
       5. '?' dropped when no params survive
 
     Pure string expressions — map-only, JVM codegen, no UDF; the hot
@@ -167,6 +168,10 @@ def canonical_url(url: Column) -> Column:
         F.substring(hostport, 1, F.length(hostport) - F.lit(3)),
     ).otherwise(hostport)
     path = F.regexp_extract(head, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    # RFC 3986: for http(s) an EMPTY path is equivalent to '/' — the
+    # homepage pair (example.com vs example.com/) is the most common
+    # trailing-slash variant of all, so unify before the strip rule
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     # 4. non-root trailing slash
     path = F.when(
         (F.length(path) > 1) & path.endswith("/"),

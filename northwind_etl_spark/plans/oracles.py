@@ -5455,7 +5455,11 @@ ORACLES["signup_conversion_survival"] = f"""
              CASE WHEN pt > st THEN 1 ELSE 0 END AS observed
       FROM s LEFT JOIN p USING (user_id), e),
     clamped AS (
-      SELECT LEAST(duration, 72) AS t,
+      -- mirrored in-plan guard (the cusum error() pattern): a
+      -- negative duration fails BOTH engines identically
+      SELECT CASE WHEN LEAST(duration, 72) < 0
+                  THEN error('km_log_survival: negative duration')
+                  ELSE LEAST(duration, 72) END AS t,
              CASE WHEN duration <= 72 THEN observed ELSE 0 END AS obs
       FROM subj),
     per_t AS (
@@ -5491,7 +5495,14 @@ def _hits_sql(iterations: int = 4) -> str:
         _TRADE_PAIRS,
         """nodes AS (SELECT src AS node FROM dedges
                      UNION SELECT dst FROM dedges)""",
-        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)",
+        """nc AS (SELECT COUNT(*) AS n_nodes FROM nodes)""",
+        """h0 AS (SELECT node,
+                    CASE WHEN nc.n_nodes > 215
+                         THEN error('hits_fixed_point: nodes'
+                                    ' overflow BIGINT at 4'
+                                    ' iterations')
+                         ELSE CAST(1 AS BIGINT) END AS hub
+                  FROM nodes, nc)""",
     ]
     for k in range(1, iterations + 1):
         ctes.append(f"""
@@ -5560,7 +5571,8 @@ ORACLES["canonical_url_dup_groups"] = r"""
                   WHEN scheme = 'http' AND hostport LIKE '%:80'
                     THEN substring(hostport, 1, length(hostport) - 3)
                   ELSE hostport END AS host,
-             CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+             CASE WHEN path0 = '' THEN '/'
+                  WHEN length(path0) > 1 AND path0 LIKE '%/'
                     THEN substring(path0, 1, length(path0) - 1)
                   ELSE path0 END AS path,
              array_to_string(
@@ -5625,10 +5637,15 @@ ORACLES["experiment_cuped_readout"] = """
     SELECT arm, n_users,
            CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_post,
            CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)
-             - ((tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx))
+             - (CASE WHEN tn * tsxx - tsx * tsx > 0
+                     THEN (tn * tsxy - tsx * tsy)
+                          / (tn * tsxx - tsx * tsx)
+                     ELSE 0.0 END)
                * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE) - tsx / tn)
              AS mean_adjusted,
-           (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS theta
+           CASE WHEN tn * tsxx - tsx * tsx > 0
+                THEN (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+                ELSE 0.0 END AS theta
     FROM tot ORDER BY arm
 """
 
@@ -5646,7 +5663,11 @@ ORACLES["events_value_psi_drift"] = f"""
       FROM ep, rng),
     counts AS (SELECT event_type, w, b, CAST(COUNT(*) AS BIGINT) AS c
                FROM fr GROUP BY 1, 2, 3),
-    totals AS (SELECT event_type, w, CAST(SUM(c) AS BIGINT) AS n
+    totals AS (SELECT event_type, w,
+                      CASE WHEN SUM(c) + 10 >= 2147483648
+                           THEN error('psi_by_group: window size'
+                                      ' >= 2^31')
+                           ELSE CAST(SUM(c) AS BIGINT) END AS n
                FROM counts GROUP BY 1, 2),
     grid AS (
       SELECT t.event_type, t.w, t.n, g.b, COALESCE(c.c, 0) AS c
@@ -5774,7 +5795,12 @@ ORACLES["source_term_jsd_pairs"] = f"""
       FROM grid a JOIN grid b
         ON a.term = b.term AND a.source < b.source),
     terms_ AS (
-      SELECT source_a, source_b, na, nb,
+      SELECT source_a, source_b,
+             CASE WHEN na >= 67108864 OR nb >= 67108864
+                  THEN error('source_term_jsd_pairs: source token'
+                             ' count >= 2^26')
+                  ELSE na END AS na,
+             nb,
              CAST(ca AS DECIMAL(20,0)) AS cad,
              CAST(cb AS DECIMAL(20,0)) AS cbd,
              ca * nb AS xa, cb * na AS xb
@@ -5817,9 +5843,12 @@ def _quality_scored_sql() -> str:
 # DECIMAL(38,0) summation, same double finalizer tree.
 ORACLES["quality_margin_auc"] = f"""
     WITH scored AS (SELECT * FROM {_quality_scored_sql()}),
+    tot_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM scored),
     bym AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
-                   CAST(SUM(pos) AS BIGINT) AS np
-            FROM scored GROUP BY 1),
+                   CASE WHEN MAX(nt) >= 1073741824
+                        THEN error('auc_exact: shard the eval')
+                        ELSE CAST(SUM(pos) AS BIGINT) END AS np
+            FROM scored, tot_ GROUP BY 1),
     run AS (SELECT *, CAST(SUM(cnt) OVER (
               ORDER BY s ASC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -5831,9 +5860,13 @@ ORACLES["quality_margin_auc"] = f"""
               CAST(SUM(cnt - np) AS BIGINT) AS n_neg
             FROM run)
     SELECT n_pos, n_neg,
-           (CAST(s2 AS DOUBLE)
-              - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
-           / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN (CAST(s2 AS DOUBLE)
+                      - CAST(n_pos AS DOUBLE)
+                        * (CAST(n_pos AS DOUBLE) + 1.0))
+                     / (2.0 * CAST(n_pos AS DOUBLE)
+                        * CAST(n_neg AS DOUBLE))
+                ELSE 0.5 END AS auc
     FROM agg
 """
 
@@ -5847,8 +5880,12 @@ ORACLES["quality_margin_gains"] = f"""
     ranked AS (SELECT pos,
                  ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS r
                FROM scored),
-    binned AS (SELECT CAST(((r - 1) * 10) // nt AS INT) AS bin, pos,
-                      nt, npt
+    binned AS (SELECT CASE WHEN nt >= 1073741824
+                           THEN error('cumulative_gains: shard the'
+                                      ' eval')
+                           ELSE CAST(((r - 1) * 10) // nt AS INT)
+                           END AS bin,
+                      pos, nt, npt
                FROM ranked, tot),
     per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(pos) AS BIGINT) AS n_pos,
@@ -5859,10 +5896,15 @@ ORACLES["quality_margin_gains"] = f"""
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS BIGINT) AS cum_pos FROM per)
     SELECT bin, n_docs, n_pos, cum_pos,
-           CAST(cum_pos AS DOUBLE) / CAST(n_pos_total AS DOUBLE) AS gain,
-           (CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
-             / (CAST(n_pos_total AS DOUBLE) / CAST(n_total AS DOUBLE))
-             AS lift
+           CASE WHEN n_pos_total > 0
+                THEN CAST(cum_pos AS DOUBLE)
+                     / CAST(n_pos_total AS DOUBLE)
+                ELSE 0.0 END AS gain,
+           CASE WHEN n_pos_total > 0
+                THEN (CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     / (CAST(n_pos_total AS DOUBLE)
+                        / CAST(n_total AS DOUBLE))
+                ELSE 0.0 END AS lift
     FROM cum ORDER BY bin
 """
 
@@ -5882,7 +5924,11 @@ ORACLES["type_value_mutual_info"] = f"""
     cy AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cy
            FROM fr GROUP BY 1),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM fr),
-    j AS (SELECT c.event_type, c.bucket, c.cxy, x.cx, y.cy, n.nn,
+    j AS (SELECT c.event_type, c.bucket,
+                 CASE WHEN n.nn >= 67108864
+                      THEN error('mutual_information: N >= 2^26')
+                      ELSE c.cxy END AS cxy,
+                 x.cx, y.cy, n.nn,
                  c.cxy * n.nn AS a, x.cx * y.cy AS b
           FROM cxy c JOIN cx x USING (event_type)
           JOIN cy y USING (bucket), n),

@@ -3734,6 +3734,25 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "rank")
 
 
+def quality_margins(docs: DataFrame) -> DataFrame:
+    """Shared (doc_id, margin) scoring stage for the quality-filter
+    family (linear_quality_margin, margin_conformal_threshold, the
+    AUC/gains eval entries, and the scale probe): hashed-trick
+    features dotted with the deterministic in-plan weight vector
+    w_b = (b·2654435761) % 1001 − 500.  ONE definition — the three
+    oracle copies must stay bit-identical to this expression, so the
+    Spark side exists exactly once."""
+    from ..operators.text import hashed_features
+
+    feats = hashed_features(docs, n_buckets=64)
+    w = (F.col("bucket").cast("long") * F.lit(2654435761)) % 1001 - 500
+    return (
+        feats.select("doc_id", (F.col("weight") * w).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.sum("__c").cast("long").alias("margin"))
+    )
+
+
 def linear_quality_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality-classifier SCORING at corpus scale — the
     fastText-style shape (Joulin et al. 2016) a trained quality model
@@ -3748,15 +3767,9 @@ def linear_quality_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT arithmetic the oracle replays bit-for-bit.  Swapping real
     trained weights in = a 1001-row broadcast join, nothing else
     changes."""
-    from ..operators.text import hashed_features
-
     docs = _t(spark, sf_dir, "documents")
-    feats = hashed_features(docs, n_buckets=64)
-    w = (F.col("bucket").cast("long") * F.lit(2654435761)) % 1001 - 500
     return (
-        feats.select("doc_id", (F.col("weight") * w).alias("__c"))
-        .groupBy("doc_id")
-        .agg(F.sum("__c").cast("long").alias("margin"))
+        quality_margins(docs)
         .withColumn("keep", F.col("margin") > 0)
         .orderBy("doc_id")
     )
@@ -4108,18 +4121,10 @@ def margin_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     the counts."""
     from ..operators.sampling import split_bucket_expr
     from ..operators.selection import kth_smallest
-    from ..operators.text import hashed_features
 
     docs = _t(spark, sf_dir, "documents")
-    feats = hashed_features(docs, n_buckets=64)
-    w = (F.col("bucket").cast("long") * F.lit(2654435761)) % 1001 - 500
-    margins = (
-        feats.select("doc_id", (F.col("weight") * w).alias("__c"))
-        .groupBy("doc_id")
-        .agg(F.sum("__c").cast("long").alias("margin"))
-        .withColumn(
-            "__cal", split_bucket_expr(F.col("doc_id"), buckets=2) == 0
-        )
+    margins = quality_margins(docs).withColumn(
+        "__cal", split_bucket_expr(F.col("doc_id"), buckets=2) == 0
     )
     from ..cache import persist_stage
 
@@ -6247,20 +6252,13 @@ def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression) scored against the Gopher composite verdict as ground
     truth — 'does the cheap linear filter rank like the rule-based
     gate'."""
-    from ..operators.text import gopher_quality_filter, hashed_features
+    from ..operators.text import gopher_quality_filter
 
     docs = _t(spark, sf_dir, "documents")
-    feats = hashed_features(docs, n_buckets=64)
-    w = (F.col("bucket").cast("long") * F.lit(2654435761)) % 1001 - 500
-    margins = (
-        feats.select("doc_id", (F.col("weight") * w).alias("__c"))
-        .groupBy("doc_id")
-        .agg(F.sum("__c").cast("long").alias("margin"))
-    )
     labels = gopher_quality_filter(docs).select(
         "doc_id", F.col("passes").cast("int").alias("pos")
     )
-    return margins.join(labels, "doc_id")
+    return quality_margins(docs).join(labels, "doc_id")
 
 
 def quality_margin_auc(spark: SparkSession, sf_dir: str) -> DataFrame:

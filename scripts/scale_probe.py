@@ -1231,7 +1231,6 @@ def _r10b_section(spark, sf_dir, factor):
     )
     from northwind_etl_spark.operators.text import (
         gopher_quality_filter,
-        hashed_features,
     )
     from northwind_etl_spark.operators.timeseries import (
         theil_sen_mann_kendall,
@@ -1313,19 +1312,12 @@ def _r10b_section(spark, sf_dir, factor):
         )
 
         def _scored(c):
-            feats = hashed_features(c, n_buckets=64)
-            w = (
-                F.col("bucket").cast("long") * F.lit(2654435761)
-            ) % 1001 - 500
-            margins = (
-                feats.select("doc_id", (F.col("weight") * w).alias("__c"))
-                .groupBy("doc_id")
-                .agg(F.sum("__c").cast("long").alias("margin"))
-            )
+            from northwind_etl_spark.plans.queries import quality_margins
+
             labels = gopher_quality_filter(c).select(
                 "doc_id", F.col("passes").cast("int").alias("pos")
             )
-            return margins.join(labels, "doc_id")
+            return quality_margins(c).join(labels, "doc_id")
 
         timed(
             f"r10b_auc x{times}",

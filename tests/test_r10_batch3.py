@@ -175,6 +175,10 @@ def test_hits_node_count_guard_raises(spark):
         # http default port, root path slash KEPT, all params dropped
         ("http://Host.example.org:80/?utm_campaign=x",
          "http://host.example.org/"),
+        # RFC 3986: empty path unifies with '/' — both homepage forms
+        # land on one dedup key
+        ("http://host.example.org", "http://host.example.org/"),
+        ("https://Host.example.org:443", "https://host.example.org/"),
         # non-default port kept; non-tracking params survive sorted
         ("https://h.example.org:8443/a/?z=1&gclid=abc&b=2",
          "https://h.example.org:8443/a?b=2&z=1"),
@@ -266,10 +270,10 @@ def test_ndcg_perfect_prefix_is_one(spark):
     assert float(dcg) / float(idcg) == 1.0
 
 
-def test_ndcg_entry_bounds(spark):
+def test_ndcg_entry_bounds(spark, sf_dir):
     from northwind_etl_spark.plans.queries import bm25_ndcg_eval
 
-    out = bm25_ndcg_eval(spark, "/root/testdata/sf0.001").collect()
+    out = bm25_ndcg_eval(spark, sf_dir).collect()
     assert len(out) == 10
     assert [r["pos"] for r in out] == list(range(1, 11))
     for r in out:

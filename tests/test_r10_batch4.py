@@ -189,3 +189,69 @@ def test_runs_test_median_days_dropped(spark):
     r = runs_test_daily(_days_df(spark, ys), "ts", "value").collect()[0]
     assert r["n_buckets"] == 5
     assert r["n_above"] + r["n_below"] == 3
+
+
+# ------------------------------------------- review-pass regressions
+
+
+def test_auc_single_class_pins_to_half(spark):
+    from northwind_etl_spark.operators.mleval import auc_exact
+
+    allpos = [(i, i, 1) for i in range(5)]
+    r = auc_exact(_scored(spark, allpos), "s", "pos").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (5, 0, 0.5)
+
+
+def test_gains_no_positives_pins_to_zero(spark):
+    from northwind_etl_spark.operators.mleval import cumulative_gains
+
+    rows = [(i, 100 - i, 0) for i in range(20)]
+    out = cumulative_gains(
+        _scored(spark, rows), "s", "doc_id", "pos"
+    ).collect()
+    assert all(r["gain"] == 0.0 and r["lift"] == 0.0 for r in out)
+
+
+def test_cuped_constant_covariate_pins_theta(spark):
+    from decimal import Decimal
+
+    from northwind_etl_spark.operators.modelfit import cuped_adjusted_means
+
+    rows = [
+        ("control", Decimal(5), Decimal(2)),
+        ("control", Decimal(5), Decimal(4)),
+        ("treatment", Decimal(5), Decimal(8)),
+        ("treatment", Decimal(5), Decimal(10)),
+    ]
+    df = spark.createDataFrame(
+        rows, "arm STRING, x DECIMAL(16,6), y DECIMAL(16,6)"
+    )
+    out = {r["arm"]: r for r in cuped_adjusted_means(df).collect()}
+    assert out["control"]["theta"] == 0.0
+    assert out["control"]["mean_adjusted"] == out["control"]["mean_post"]
+
+
+def test_hits_guard_scales_with_iterations(spark):
+    from northwind_etl_spark.operators.graph import hits_fixed_point
+
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 12}") for i in range(12)],
+        "src STRING, dst STRING",
+    )
+    # 12 nodes: fine at 4 iterations (cap 215), over the derived cap
+    # at 9 iterations (2^(62/18) ≈ 10.9 -> cap 10)
+    assert hits_fixed_point(e, iterations=4).count() == 12
+    with pytest.raises(Exception, match="12 nodes > 10"):
+        hits_fixed_point(e, iterations=9).count()
+    with pytest.raises(ValueError, match="iterations"):
+        hits_fixed_point(e, iterations=0)
+
+
+def test_running_sum_rejects_non_integral(spark):
+    from northwind_etl_spark.operators.ranking import global_running_sum
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.5)], "k INT, amount DOUBLE"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        global_running_sum(df, ["k"], "amount")
