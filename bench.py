@@ -326,6 +326,14 @@ HEADLINE = [
     "type_value_mutual_info",
     "langid_agreement_alpha",
     "daily_revenue_runs_test",
+    # r11: mergeable sketch, incremental MinHash, measured ANN/LSH
+    # quality, crawl compliance
+    "user_topk_mergeable",
+    "minhash_delta_candidates",
+    "minhash_band_recall_eval",
+    "int8_ann_recall_eval",
+    "host_license_rollup",
+    "robots_block_rate",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

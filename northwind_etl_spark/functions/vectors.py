@@ -121,3 +121,40 @@ def sparse_rp_exprs(
             )
         )
     return out
+
+
+def int8_codes_expr(vec: Column | str) -> Column:
+    """The full int8 code vector as array<long> — the same per-element
+    rounding chain as int8_quant_exprs (floor(x/scale·127 + 0.5), each
+    step one correctly-rounded IEEE op), exposed as an array so
+    downstream integer math (quantized dot products, ANN recall
+    measurement) runs on EXACT integers.  Zero vectors code to all
+    zeros."""
+    xd = to_double_expr(vec)
+    scale = F.array_max(F.transform(xd, F.abs))
+    codes = F.transform(
+        xd, lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast("long")
+    )
+    return F.when(scale > 0, codes).otherwise(
+        F.transform(xd, lambda x: F.lit(0).cast("long"))
+    )
+
+
+def int_dot_expr(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ over two long arrays — pure integer fold, exact on both
+    engines (64-dim int8 dots stay far below 2^63)."""
+    prods = F.zip_with(_col(a), _col(b), lambda x, y: x * y)
+    return F.aggregate(
+        prods, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def int8_cosine_expr(a: Column | str, b: Column | str) -> Column:
+    """Cosine of two int8 CODE vectors: the scales cancel, so this is
+    integer-dot / sqrt(integer-dot · integer-dot) — one double
+    division and one sqrt over exact longs, bit-identical cross-
+    engine.  NULL when either code vector is all-zero."""
+    num = int_dot_expr(a, b).cast("double")
+    na = int_dot_expr(a, a).cast("double")
+    nb = int_dot_expr(b, b).cast("double")
+    return num / F.nullif(F.sqrt(na * nb), F.lit(0.0))

@@ -825,3 +825,149 @@ def remove_duplicated_spans(
         F.coalesce("__kept", F.lit(0)).cast("long").alias("kept_tokens"),
         F.md5(F.coalesce("__text", F.lit(""))).alias("cleaned_md5"),
     )
+
+
+# --------------------------------------------------------------- r11:
+# incremental MinHash maintenance (md5 scheme, fully SQL-replayable)
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature in the md5-hex domain: sig_i =
+    lexicographic MIN over shingles of md5('i|' <shingle>).
+
+    The oracle-PAIRABLE twin of minhash_signatures (whose xxhash64
+    seeds no SQL engine replays): md5 exists verbatim in DuckDB and
+    hex strings compare bytewise identically in both engines, so the
+    entire signature — and everything downstream of it (band keys,
+    candidate pairs, recall measurements) — becomes cross-engine
+    checkable.  Same permutation-min estimator, same explode → k MIN
+    aggregates shape (the shingle set materializes once, the MINs
+    combine map-side); ~2× the hash cost of xxhash64, which buys the
+    dedup family its first hash-verified correctness entries.
+    """
+    sh = _exploded_shingles(df, text_col, id_col, shingle_n)
+    agg = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+                f"__m{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(
+            "signature"
+        ),
+    )
+
+
+def band_keys_md5(
+    signatures: DataFrame, id_col: str, *, bands: int, num_hashes: int
+) -> DataFrame:
+    """(id, band, bucket) band keys: bucket = md5 of the band's '|'
+    -joined signature slice.  This IS the storable signature store
+    schema — one row per (doc, band), keyed by (band, bucket) on
+    disk, which is what makes the delta path below incremental."""
+    r = num_hashes // bands
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("signature")[i]
+                                    for i in range(b * r, (b + 1) * r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def delta_candidate_pairs(
+    store: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    *,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Incremental LSH candidate maintenance — the IVM pattern applied
+    to the most expensive pipeline stage: given the persisted band-key
+    STORE for the already-deduplicated corpus and the band keys of a
+    newly-arrived DELTA (delta ⊆ store once appended), emit only the
+    candidate pairs that TOUCH the delta: delta×base and delta×delta.
+    Base×base pairs were decided when the base was ingested and are
+    never recomputed — per batch the join probes |delta| band keys
+    against the (band, bucket)-keyed store instead of re-banding the
+    corpus, so daily maintenance cost tracks the delta, not history.
+
+    Pair emission dedups across bands with n_shared_bands kept (the
+    dedup pipeline's verify stage prioritizes multi-band collisions).
+    The max_bucket cap bounds degenerate buckets exactly like
+    lsh_candidate_pairs: each delta key meets at most max_bucket
+    store rows per (band, bucket) — boilerplate-heavy corpora stay a
+    bounded cost, with the cap surfaced via the capped flag so a
+    production run can route hot buckets to the exact verifier.
+    Returns (id_a, id_b, n_shared_bands), id_a < id_b, both orders
+    normalized so delta-delta pairs emit once.
+    """
+    other = store.select(
+        F.col(id_col).alias("__oid"), "band", "bucket"
+    )
+    mine = delta.select(F.col(id_col).alias("__did"), "band", "bucket")
+    joined = mine.join(other, ["band", "bucket"]).where(
+        # base×delta keeps both orders out of the store side only via
+        # id inequality; delta×delta appears twice (once per probe
+        # side) and normalizes below
+        F.col("__did") != F.col("__oid")
+    )
+    pairs = joined.select(
+        "band",
+        F.least("__did", "__oid").alias("id_a"),
+        F.greatest("__did", "__oid").alias("id_b"),
+    ).distinct()
+    out = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_bands")
+    )
+    # cap guard: a (band, bucket) whose store side exceeds max_bucket
+    # would make the probe cost data-dependent-unbounded; raise
+    # in-plan (folded through the consumed count) instead of silently
+    # truncating — the hot-key discipline every dedup operator keeps
+    sizes = other.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__bsz")
+    )
+    guard = sizes.agg(
+        F.max(
+            F.when(F.col("__bsz") <= max_bucket, F.lit(0)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("delta_candidate_pairs: band bucket size "),
+                        F.col("__bsz").cast("string"),
+                        F.lit(f" exceeds max_bucket={max_bucket}"),
+                    )
+                )
+            )
+        ).alias("__zero")
+    )
+    return out.join(F.broadcast(guard)).select(
+        (F.col("id_a") + F.col("__zero")).alias("id_a"),
+        "id_b",
+        "n_shared_bands",
+    )

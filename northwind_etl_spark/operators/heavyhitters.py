@@ -122,3 +122,83 @@ def plain_heavy_hitters(
         .where(F.col("cnt") >= F.col("__T"))
         .select(value_col, "cnt", F.col("__T").alias("threshold"))
     )
+
+
+def mergeable_topk_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int,
+    shards: int,
+    shard_key: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Mergeable approximate top-k — the deterministic Misra–Gries /
+    SpaceSaving summary build + merge (Misra & Gries 1982; the
+    mergeability theorem is Agarwal et al., "Mergeable Summaries",
+    PODS 2012): each shard compresses its counts to at most k
+    counters by subtracting the (k+1)-th largest local count t_s and
+    dropping non-positives; summaries merge by plain counter
+    addition, and the merged undercount of ANY value is bounded by
+    Σ_s t_s regardless of how many merge levels happened.
+
+    Complements the exact two-pass `heavy_hitters`: that one answers
+    "every value with count >= T, exactly"; this one answers "a k-row
+    bounded-size summary you can store per file / micro-batch / day
+    and fold incrementally WITHOUT re-scanning history" — the sketch
+    a 100 TB ingest keeps next to each partition manifest.  The shard
+    here is a logical split on md5(shard_key) so the build is
+    deterministic and SQL-replayable; production builds the same
+    summary per physical unit and only k-row summaries ever move.
+
+    Returns the merged top-k by estimate: (value_col, est_count,
+    err_bound) with est_count <= true count <= est_count + err_bound.
+    Deterministic total order everywhere: counts tie-break on the
+    value itself, so both engines release identical rows.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import split_bucket_expr
+
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    counts = (
+        df.select(
+            F.col(value_col),
+            w.alias("__w"),
+            split_bucket_expr(shard_key, buckets=shards).alias("__shard"),
+        )
+        .groupBy("__shard", value_col)
+        .agg(F.sum("__w").alias("__c"))
+    )
+    rk = Window.partitionBy("__shard").orderBy(
+        F.desc("__c"), F.asc(value_col)
+    )
+    ranked = counts.withColumn("__r", F.row_number().over(rk))
+    # t_s = (k+1)-th largest count in the shard (0 when the shard has
+    # <= k distinct values: nothing is dropped, the summary is exact)
+    ts = ranked.where(F.col("__r") == k + 1).select(
+        "__shard", F.col("__c").alias("__t")
+    )
+    compressed = (
+        ranked.join(ts, "__shard", "left")
+        .withColumn("__t", F.coalesce("__t", F.lit(0).cast("long")))
+        .where(F.col("__c") > F.col("__t"))
+        .select("__shard", value_col, (F.col("__c") - F.col("__t")).alias("__cnt"), "__t")
+    )
+    # merge = counter addition; the bound adds EVERY shard's t_s (a
+    # value absent from a shard's summary may have had up to t_s mass
+    # there), including shards that kept all values only if t_s > 0
+    err = (
+        ranked.select("__shard").distinct()
+        .join(ts, "__shard", "left")
+        .agg(F.coalesce(F.sum("__t"), F.lit(0).cast("long")).alias("err_bound"))
+    )
+    merged = compressed.groupBy(value_col).agg(
+        F.sum("__cnt").alias("est_count")
+    )
+    return (
+        merged.join(F.broadcast(err))
+        .orderBy(F.desc("est_count"), F.asc(value_col))
+        .limit(k)
+        .select(value_col, "est_count", "err_bound")
+    )

@@ -474,8 +474,25 @@ def theil_sen_mann_kendall(
     (key, bucket) — pair expansion is days²-bounded per key no matter
     the raw event volume, and the pairs stage is persisted ONCE for
     its two consumers (the MK aggregate and the median selection).
+
+    ``bucket`` must be day-or-coarser: the time index is derived via
+    datediff(to_date(bucket)), so a sub-day bucket ('hour', 'minute')
+    would alias distinct buckets onto one day index — same-day pairs
+    silently vanish from both MK S and the Theil–Sen median while
+    n_buckets still counts them, and the per-day slope unit stops
+    matching the series.  Rejected up front rather than silently
+    mis-measured (the global_running_sum type-check pattern).
     """
     from ..cache import persist_stage
+
+    if bucket.lower() not in {"day", "week", "month", "quarter", "year"}:
+        raise ValueError(
+            "theil_sen_mann_kendall: bucket must be day-or-coarser "
+            "(day/week/month/quarter/year); got "
+            f"{bucket!r} — a sub-day bucket aliases distinct buckets "
+            "to one day index and the 'per day' slope unit no longer "
+            "matches the series"
+        )
 
     daily = df.groupBy(
         F.col(key_col).alias("__k"),
@@ -609,11 +626,19 @@ def runs_test_daily(
         .select("__b", (F.col("yq") > F.col("med")).cast("int").alias("s"))
     )
     w_seq = Window.orderBy(F.asc("__b"))
+    # Degenerate series (every bucket equals the median) leave `signs`
+    # empty; the bare aggregates would then emit NULL n1/n0/n_runs on a
+    # schema that documents counts.  Coalesce to explicit zeros (and
+    # pin n_runs to 0 when n_used = 0 — "one run" of nothing is not a
+    # run) so the degenerate row is typed, not NULL-typed.
     runs = signs.withColumn("__prev", F.lag("s").over(w_seq)).agg(
         F.count(F.lit(1)).cast("long").alias("n_used"),
-        F.sum("s").cast("long").alias("n1"),
-        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n0"),
-        (
+        F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.lit(1) - F.col("s")), F.lit(0))
+        .cast("long")
+        .alias("n0"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(0))
+        .otherwise(
             F.lit(1)
             + F.sum(
                 F.when(
@@ -629,8 +654,17 @@ def runs_test_daily(
     out = runs.join(F.broadcast(nrow))
     n1 = F.col("n1").cast("double")
     n0 = F.col("n0").cast("double")
-    mu = F.lit(2.0) * n1 * n0 / (n1 + n0) + F.lit(1.0)
-    var = (mu - F.lit(1.0)) * (mu - F.lit(2.0)) / (n1 + n0 - F.lit(1.0))
+    # degenerate n1 = n0 = 0: pin the denominator to 1 so ANSI mode
+    # doesn't raise on 0/0 — mu becomes 1, var 0, and the var > 0
+    # branch below pins z to 0.0 (DuckDB's double 0/0 is NULL, whose
+    # CASE condition also falls to the 0.0 branch — same released row)
+    denom = F.when(n1 + n0 > 0, n1 + n0).otherwise(F.lit(1.0))
+    mu = F.lit(2.0) * n1 * n0 / denom + F.lit(1.0)
+    # n_used <= 1 pins the var denominator to 1 the same way (the
+    # numerator is already 0 there since n1*n0 = 0), so var = 0 and
+    # z falls to the 0.0 branch on both engines
+    vdenom = F.when(n1 + n0 > 1, n1 + n0 - F.lit(1.0)).otherwise(F.lit(1.0))
+    var = (mu - F.lit(1.0)) * (mu - F.lit(2.0)) / vdenom
     return out.select(
         F.col("nb").alias("n_buckets"),
         F.col("n1").alias("n_above"),

@@ -128,8 +128,13 @@ def html_link_count(html: Column) -> Column:
 
 
 # query params that never identify content — the standard
-# tracking-decoration families every crawler canonicalizer strips
-TRACKING_PARAM_PATTERN = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_[a-z]+)="
+# tracking-decoration families every crawler canonicalizer strips.
+# Bare `ref=` is deliberately NOT here: unlike utm_*/gclid it is
+# content-identifying on many real sites (GitHub ?ref=branch,
+# docs-site ?ref=page anchors), so stripping it would merge genuinely
+# distinct pages into one dedup group.  Only the referral-tracking
+# forms (ref_src, ref_url) are decoration.
+TRACKING_PARAM_PATTERN = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref_src|ref_url|mc_[a-z]+)="
 
 
 def canonical_url(url: Column) -> Column:
@@ -192,4 +197,117 @@ def canonical_url(url: Column) -> Column:
         host,
         path,
         F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+
+
+# ---------------------------------------------------------------- r11:
+# crawl-compliance rollups (license tags + robots-style path rules) —
+# the curation step RefinedWeb/C4-style pipelines run after URL
+# canonicalization and before any text reaches training shards.
+
+
+def license_rollup(
+    df: DataFrame,
+    host_col: str,
+    license_col: str,
+    *,
+    permissive: tuple[str, ...] = ("cc-by", "cc-by-sa", "cc0", "public-domain"),
+    blocked: tuple[str, ...] = ("noai", "all-rights-reserved"),
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-host license-compliance rollup: how much of each host's
+    content is permissively licensed, how much carries an opt-out
+    (noai / all-rights-reserved), and whether the host is train-
+    eligible under a strict no-opt-out policy.
+
+    One hash aggregation over (host, license-class flags) — the flags
+    are computed map-side so the shuffle carries three longs per
+    host, never text.  Fractions are single divisions of exact longs
+    (cross-engine identical); train_eligible is the strict policy
+    n_blocked = 0, surfaced as a column rather than a filter so the
+    audit shows WHY a host is out, not just that it vanished.
+
+    Returns (host, n_docs, weight, n_permissive, n_blocked,
+    permissive_frac, blocked_frac, train_eligible) ordered by host.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    lic = F.col(license_col)
+    base = df.select(
+        F.col(host_col).alias("host"),
+        w.alias("__w"),
+        F.when(lic.isin(*permissive), F.lit(1)).otherwise(F.lit(0)).alias("__p"),
+        F.when(lic.isin(*blocked), F.lit(1)).otherwise(F.lit(0)).alias("__b"),
+    )
+    agg = base.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__w").alias("weight"),
+        F.sum("__p").cast("long").alias("n_permissive"),
+        F.sum("__b").cast("long").alias("n_blocked"),
+    )
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        "host",
+        "n_docs",
+        "weight",
+        "n_permissive",
+        "n_blocked",
+        F.round(F.col("n_permissive").cast("double") / n, 6).alias(
+            "permissive_frac"
+        ),
+        F.round(F.col("n_blocked").cast("double") / n, 6).alias(
+            "blocked_frac"
+        ),
+        (F.col("n_blocked") == 0).alias("train_eligible"),
+    ).orderBy("host")
+
+
+def longest_prefix_match(
+    df: DataFrame,
+    rules: DataFrame,
+    path_col: str,
+    *,
+    prefix_col: str = "prefix",
+    default: Column | None = None,
+    out_col: str = "verdict",
+) -> DataFrame:
+    """Longest-prefix-match rule join — robots.txt Allow/Disallow
+    resolution (RFC 9309 §2.2.2: the most specific, i.e. longest,
+    matching rule wins), and the same shape as IP-prefix/ACL tables.
+
+    The rules side is a small table (a robots file is bounded), so
+    the match is a BROADCAST theta-join on startswith — no shuffle of
+    the data side — followed by one max_by per row to keep the
+    longest matching prefix.  Ties on length cannot happen within one
+    ruleset (two distinct rules of equal length match the same path
+    only if the prefixes are equal), but the selection still carries
+    the prefix itself as a deterministic tie-break so the operator is
+    total-ordered by construction.
+
+    `rules` columns: `prefix_col` (string) and `out_col` (the rule's
+    verdict, any orderable type).  Rows matching NO rule get
+    `default` (NULL when omitted).  Returns df + (matched_prefix,
+    out_col).
+    """
+    r = F.broadcast(
+        rules.select(
+            F.col(prefix_col).alias("__pfx"), F.col(out_col).alias("__v")
+        )
+    )
+    joined = df.join(r, F.col(path_col).startswith(F.col("__pfx")), "left")
+    keys = [c for c in df.columns]
+    best = joined.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(F.col("__pfx").alias("matched_prefix"), F.col("__v")),
+            F.struct(F.length("__pfx"), F.col("__pfx")),
+        ).alias("__m")
+    )
+    dflt = default if default is not None else F.lit(None)
+    return best.select(
+        *keys,
+        F.col("__m.matched_prefix").alias("matched_prefix"),
+        F.coalesce(F.col("__m.__v"), dflt).alias(out_col),
     )

@@ -5578,7 +5578,7 @@ ORACLES["canonical_url_dup_groups"] = r"""
              array_to_string(
                list_sort(list_filter(string_split(query, '&'),
                  x -> x <> '' AND NOT regexp_matches(x,
-                   '^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_[a-z]+)='))),
+                   '^(utm_[a-z]+|gclid|fbclid|msclkid|ref_src|ref_url|mc_[a-z]+)='))),
                '&') AS qcanon
       FROM comp0),
     canon AS (
@@ -5609,12 +5609,26 @@ ORACLES["experiment_cuped_readout"] = """
              -- The widening cast changes no value, both engines'
              -- products stay exact, and only the final doubles are
              -- hashed.
-             CAST(SUM(CASE WHEN us < mid THEN v
-                           ELSE CAST(0 AS DECIMAL(18,6)) END)
-                  AS DECIMAL(19,6)) AS x,
-             CAST(SUM(CASE WHEN us >= mid THEN v
-                           ELSE CAST(0 AS DECIMAL(18,6)) END)
-                  AS DECIMAL(19,6)) AS y
+             -- mirrored in-plan guard (the cusum error() pattern): a
+             -- per-user half-period sum >= 1e10 would overflow the
+             -- Spark side's DECIMAL(16,6); both engines now raise
+             -- identically instead of diverging on oversized input
+             CASE WHEN abs(SUM(CASE WHEN us < mid THEN v
+                                    ELSE CAST(0 AS DECIMAL(18,6)) END))
+                       >= 10000000000
+                  THEN error('experiment_cuped_readout: per-user x sum'
+                             || ' exceeds DECIMAL(16,6) range')
+                  ELSE CAST(SUM(CASE WHEN us < mid THEN v
+                                     ELSE CAST(0 AS DECIMAL(18,6)) END)
+                            AS DECIMAL(19,6)) END AS x,
+             CASE WHEN abs(SUM(CASE WHEN us >= mid THEN v
+                                    ELSE CAST(0 AS DECIMAL(18,6)) END))
+                       >= 10000000000
+                  THEN error('experiment_cuped_readout: per-user y sum'
+                             || ' exceeds DECIMAL(16,6) range')
+                  ELSE CAST(SUM(CASE WHEN us >= mid THEN v
+                                     ELSE CAST(0 AS DECIMAL(18,6)) END)
+                            AS DECIMAL(19,6)) END AS y
       FROM ep, rng GROUP BY 1),
     arms AS (
       SELECT CASE WHEN CAST('0x' || substring(
@@ -6001,12 +6015,17 @@ ORACLES["daily_revenue_runs_test"] = """
     signs AS (SELECT b, CASE WHEN yq > med THEN 1 ELSE 0 END AS s
               FROM daily, med WHERE yq <> med),
     seq AS (SELECT s, LAG(s) OVER (ORDER BY b ASC) AS prev FROM signs),
+    -- degenerate all-equal-median series: explicit zeros, not NULLs
+    -- (mirrors the Spark-side coalesce; n_runs pinned to 0 when the
+    -- sign sequence is empty)
     runs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
-                    CAST(SUM(s) AS BIGINT) AS n1,
-                    CAST(SUM(1 - s) AS BIGINT) AS n0,
-                    CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
-                                      THEN 1 ELSE 0 END) AS BIGINT)
-                        AS n_runs
+                    CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n1,
+                    CAST(COALESCE(SUM(1 - s), 0) AS BIGINT) AS n0,
+                    CASE WHEN COUNT(*) = 0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(1 + SUM(CASE WHEN prev IS NOT NULL
+                                                AND s <> prev
+                                           THEN 1 ELSE 0 END) AS BIGINT)
+                    END AS n_runs
              FROM seq)
     SELECT nb AS n_buckets, n1 AS n_above, n0 AS n_below, n_runs,
            CASE WHEN (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
@@ -6031,4 +6050,234 @@ ORACLES["daily_revenue_runs_test"] = """
                                - 1.0))
                 ELSE 0.0 END AS z_stat
     FROM runs, nrow
+"""
+
+
+# ------------------------------------------------------------------ r11
+# Mergeable Misra-Gries top-k: the oracle rebuilds the per-shard
+# compress (t_s = the 21st-largest local count), the counter-addition
+# merge, the summed error bound, AND the exact counts — the
+# within_bound verdict is recomputed, not echoed.
+ORACLES["user_topk_mergeable"] = """
+    WITH base AS (
+      SELECT user_id,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS shard
+      FROM events),
+    counts AS (SELECT shard, user_id, CAST(COUNT(*) AS BIGINT) AS c
+               FROM base GROUP BY 1, 2),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY shard ORDER BY c DESC, user_id ASC) AS r
+               FROM counts),
+    ts AS (SELECT shard, c AS t FROM ranked WHERE r = 21),
+    tall AS (SELECT s.shard, COALESCE(ts.t, 0) AS t
+             FROM (SELECT DISTINCT shard FROM counts) s
+             LEFT JOIN ts USING (shard)),
+    comp AS (SELECT rk.shard, rk.user_id, rk.c - tall.t AS cnt
+             FROM ranked rk JOIN tall USING (shard)
+             WHERE rk.c > tall.t),
+    err AS (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS err_bound
+            FROM tall),
+    merged AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS est_count
+               FROM comp GROUP BY 1),
+    topk AS (SELECT user_id, est_count FROM merged
+             ORDER BY est_count DESC, user_id ASC LIMIT 20),
+    exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+              FROM events GROUP BY 1)
+    SELECT t.user_id, t.est_count, e.exact_count, err.err_bound,
+           (t.est_count <= e.exact_count
+            AND e.exact_count <= t.est_count + err.err_bound)
+             AS within_bound
+    FROM topk t JOIN exact e USING (user_id), err
+    ORDER BY t.est_count DESC, t.user_id ASC
+"""
+
+# md5-MinHash band machinery, shared by the two entries below: the
+# oracle rebuilds shingles -> 12 per-seed md5 minima -> 4 band keys
+# exactly as dedup.py::minhash_signatures_md5 / band_keys_md5 do.
+_MINHASH_BANDS = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+             AS shingle
+           FROM t),
+    sig AS (SELECT doc_id, g.i,
+                   MIN(md5(CAST(g.i AS VARCHAR) || '|' || shingle)) AS m
+            FROM sh, generate_series(0, 11) g(i) GROUP BY 1, 2),
+    band AS (SELECT doc_id, CAST(i // 3 AS INT) AS band,
+                    md5(string_agg(m, '|' ORDER BY i)) AS bucket
+             FROM sig GROUP BY doc_id, i // 3)
+"""
+
+ORACLES["minhash_delta_candidates"] = f"""
+    WITH {_MINHASH_BANDS},
+    delta AS (SELECT * FROM band WHERE doc_id % 10 >= 8),
+    hits AS (SELECT DISTINCT d.band,
+                    least(d.doc_id, o.doc_id) AS id_a,
+                    greatest(d.doc_id, o.doc_id) AS id_b
+             FROM delta d
+             JOIN band o ON d.band = o.band AND d.bucket = o.bucket
+                        AND d.doc_id <> o.doc_id)
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM hits GROUP BY 1, 2 ORDER BY id_a, id_b
+"""
+
+ORACLES["minhash_band_recall_eval"] = f"""
+    WITH {_MINHASH_BANDS},
+    -- ground truth: exact shingle-Jaccard >= 0.5 under the identical
+    -- max_df=500 hot-shingle discipline as dedup.py::ngram_jaccard
+    live AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) > 1 AND COUNT(*) <= 500),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s
+           FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS i
+              FROM sh a
+              JOIN live l ON l.shingle = a.shingle
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT id_a, id_b FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.5),
+    cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                    greatest(a.doc_id, b.doc_id) AS id_b
+             FROM band a
+             JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id <> b.doc_id),
+    hit AS (SELECT t.id_a, t.id_b FROM truth t
+            JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+    nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM hit)
+    SELECT n_true_pairs, n_candidates, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE)
+                 / NULLIF(CAST(n_true_pairs AS DOUBLE), 0.0), 6) AS recall,
+           ROUND(CAST(n_hits AS DOUBLE)
+                 / NULLIF(CAST(n_candidates AS DOUBLE), 0.0), 6)
+             AS precision
+    FROM nt, nc, nh
+"""
+
+# int8 recall@10: codes replay the int8_quant_exprs rounding chain
+# (floor(x/scale*127 + 0.5), every step one correctly-rounded IEEE
+# op); quantized cosine is integer-dot / sqrt(int*int) — scales
+# cancel — and the float ranking reuses the knn oracle's fold shape.
+ORACLES["int8_ann_recall_eval"] = """
+    WITH e AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings),
+    coded AS (
+      SELECT vec_id, embedding,
+             CASE WHEN scale > 0
+                  THEN list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127
+                                       + 0.5) AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+             END AS codes
+      FROM e),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, codes AS qcodes
+          FROM coded WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_sum(list_transform(generate_series(1, len(c.embedding)),
+                  i -> CAST(c.embedding[i] AS DOUBLE)
+                       * CAST(q.qv[i] AS DOUBLE)))
+             / NULLIF(
+               sqrt(list_sum(list_transform(c.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0)
+               AS cos_f,
+             CAST(list_sum(list_transform(generate_series(1, len(c.codes)),
+                  i -> c.codes[i] * q.qcodes[i])) AS DOUBLE)
+             / NULLIF(
+               sqrt(CAST(list_sum(list_transform(c.codes, x -> x * x))
+                         AS DOUBLE)
+                    * CAST(list_sum(list_transform(q.qcodes, x -> x * x))
+                           AS DOUBLE)), 0.0) AS cos_q
+      FROM coded c, q),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_f DESC, vec_id ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_q DESC, vec_id ASC) AS rq
+      FROM scored),
+    hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM ranked WHERE rf <= 10 AND rq <= 10 GROUP BY 1)
+    SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0, 6)
+             AS recall_at_10
+    FROM q LEFT JOIN hits h USING (query_id)
+    ORDER BY q.query_id
+"""
+
+ORACLES["host_license_rollup"] = """
+    WITH base AS (
+      SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.org' AS host,
+             CASE WHEN b < 40 THEN 'cc-by'
+                  WHEN b < 60 THEN 'cc-by-sa'
+                  WHEN b < 72 THEN 'cc0'
+                  WHEN b < 90 THEN 'all-rights-reserved'
+                  ELSE 'noai' END AS license,
+             n_chars
+      FROM (SELECT doc_id, n_chars,
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8) AS BIGINT) % 100 AS b
+            FROM documents)),
+    agg AS (
+      SELECT host,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS weight,
+             CAST(SUM(CASE WHEN license IN
+                    ('cc-by', 'cc-by-sa', 'cc0', 'public-domain')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_permissive,
+             CAST(SUM(CASE WHEN license IN
+                    ('noai', 'all-rights-reserved')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+      FROM base GROUP BY 1)
+    SELECT host, n_docs, weight, n_permissive, n_blocked,
+           ROUND(CAST(n_permissive AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS permissive_frac,
+           ROUND(CAST(n_blocked AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS blocked_frac,
+           (n_blocked = 0) AS train_eligible
+    FROM agg ORDER BY host
+"""
+
+# Longest-prefix robots match: rules VALUES + LIKE prefix join; the
+# most specific (longest, then lexicographically greatest) matching
+# prefix wins — identical to web.py::longest_prefix_match's max_by.
+ORACLES["robots_block_rate"] = """
+    WITH rules(prefix, verdict) AS (VALUES
+      ('/', 'allow'), ('/admin', 'deny'), ('/static', 'deny'),
+      ('/static/css', 'allow'), ('/p', 'allow'), ('/p/private', 'deny')),
+    base AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN '/p/' || CAST(doc_id % 97 AS VARCHAR)
+               WHEN 1 THEN '/admin/job' || CAST(doc_id % 97 AS VARCHAR)
+               WHEN 2 THEN '/static/css/s' || CAST(doc_id % 97 AS VARCHAR)
+               WHEN 3 THEN '/p/private/doc' || CAST(doc_id % 97 AS VARCHAR)
+               ELSE '/' END AS path
+      FROM documents),
+    matched AS (
+      SELECT doc_id, host, path, verdict,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY length(prefix) DESC, prefix DESC) AS r
+      FROM base JOIN rules ON base.path LIKE rules.prefix || '%'),
+    agg AS (
+      SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN verdict = 'deny' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_blocked
+      FROM matched WHERE r = 1 GROUP BY 1)
+    SELECT host, n_docs, n_blocked,
+           ROUND(CAST(n_blocked AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS block_rate
+    FROM agg ORDER BY host
 """

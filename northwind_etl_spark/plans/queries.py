@@ -5980,20 +5980,40 @@ def experiment_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(_epoch_us("ts")).alias("mx"),
     ).select(F.expr("(mn + mx) DIV 2").alias("mid"))
     v = F.col("value").cast("decimal(18,6)")
+
+    # The (16,6) narrowing keeps x*y within 38 digits downstream, but
+    # a per-user half-period sum >= 1e10 would overflow it silently
+    # (NULL) on one engine while the oracle's (19,6) stays exact — a
+    # data-dependent divergence.  Guard IN-PLAN (the cusum error()
+    # pattern, folded into the consumed value so Catalyst can't prune
+    # it), mirrored in the oracle, so oversized inputs fail loudly and
+    # identically on both engines.
+    def _half_sum(pred, name):
+        s = F.sum(F.when(pred, v).otherwise(F.lit(0).cast("decimal(18,6)")))
+        return (
+            F.when(F.abs(s) < F.lit("10000000000").cast("decimal(28,6)"),
+                   s)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("experiment_cuped_readout: per-user "),
+                        F.lit(name),
+                        F.lit(" sum "),
+                        s.cast("string"),
+                        F.lit(" exceeds DECIMAL(16,6) range"),
+                    )
+                )
+            )
+            .cast("decimal(16,6)")
+            .alias(name)
+        )
+
     per_user = (
         ev.join(F.broadcast(rng))
         .groupBy("user_id")
         .agg(
-            F.sum(F.when(_epoch_us("ts") < F.col("mid"), v).otherwise(
-                F.lit(0).cast("decimal(18,6)")
-            ))
-            .cast("decimal(16,6)")
-            .alias("x"),
-            F.sum(F.when(_epoch_us("ts") >= F.col("mid"), v).otherwise(
-                F.lit(0).cast("decimal(18,6)")
-            ))
-            .cast("decimal(16,6)")
-            .alias("y"),
+            _half_sum(_epoch_us("ts") < F.col("mid"), "x"),
+            _half_sum(_epoch_us("ts") >= F.col("mid"), "y"),
         )
         .select(
             F.when(
@@ -6356,68 +6376,305 @@ def daily_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never-checked entries ranking as infinitely stale (rule 1).  The
 # whole dict is regenerated each round from the CORRECTNESS_r*.json
 # history (window history in ROUND_NOTES.md).
+
+# ---------------------------------------------------------------- r11:
+# mergeable sketches, incremental dedup maintenance, measured ANN /
+# LSH quality, crawl compliance (VERDICT r10 "next round" item 4)
+
+
+def user_topk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate top-k users by event count
+    (operators/heavyhitters.py::mergeable_topk_sketch — Misra-Gries
+    compress per md5 shard, counter-addition merge, Agarwal et al.
+    2012 error bound), SELF-MEASURING: the exact per-user counts are
+    joined back so every released row carries its true count and a
+    within_bound verdict — est <= exact <= est + err_bound must hold
+    for every row, and the oracle recomputes both sides.  k=20 over 8
+    shards; at 100 TB the same summary is built per file/micro-batch
+    and only k-row summaries ever move."""
+    from ..operators.heavyhitters import mergeable_topk_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = mergeable_topk_sketch(
+        ev, "user_id", k=20, shards=8, shard_key="event_id"
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return (
+        sk.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            "err_bound",
+            (
+                (F.col("est_count") <= F.col("exact_count"))
+                & (
+                    F.col("exact_count")
+                    <= F.col("est_count") + F.col("err_bound")
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("est_count"), F.asc("user_id"))
+    )
+
+
+def minhash_delta_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup maintenance (operators/dedup.py::
+    minhash_signatures_md5 / band_keys_md5 / delta_candidate_pairs):
+    the corpus is split into an already-ingested base (doc_id % 10 <
+    8) and a newly-arrived delta; only candidate pairs TOUCHING the
+    delta are generated — the IVM pattern applied to the most
+    expensive pipeline stage, so daily maintenance cost tracks the
+    delta, not history.  The md5 signature scheme makes this the
+    dedup family's first HASH-VERIFIED MinHash entry: DuckDB replays
+    shingles -> 12 md5 minima -> 4 band keys -> the delta-restricted
+    bucket join, value-exact."""
+    from ..cache import persist_stage
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures_md5(
+        docs, "text", "doc_id", num_hashes=12, shingle_n=3
+    )
+    banded = persist_stage(
+        D.band_keys_md5(sigs, "doc_id", bands=4, num_hashes=12)
+    )
+    delta = banded.where(F.col("doc_id") % 10 >= 8)
+    return D.delta_candidate_pairs(banded, delta, "doc_id").orderBy(
+        "id_a", "id_b"
+    )
+
+
+def minhash_band_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH-banding quality — the move that upgrades the
+    near-dup family from rows-only to measured: ground truth is the
+    exact shingle-Jaccard pairs at threshold 0.5 (the oracle-proven
+    ngram_jaccard machinery, identical max_df discipline), candidates
+    are the md5 MinHash band collisions (12 hashes x 4 bands, the
+    r=3 S-curve: P[collide] = 1-(1-s^3)^4), and the released row is
+    (n_true_pairs, n_candidates, n_hits, recall, precision) — all
+    integer-derived, hash-checked cross-engine.  A recall regression
+    in the banding layer now turns a driver row red instead of
+    silently shipping under-deduplicated corpora."""
+    from ..cache import persist_stage
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard(
+        docs, "text", "doc_id", threshold=0.5, shingle_n=3, max_df=500
+    ).select("id_a", "id_b")
+    sigs = D.minhash_signatures_md5(
+        docs, "text", "doc_id", num_hashes=12, shingle_n=3
+    )
+    banded = persist_stage(
+        D.band_keys_md5(sigs, "doc_id", bands=4, num_hashes=12)
+    )
+    cand = D.delta_candidate_pairs(banded, banded, "doc_id").select(
+        "id_a", "id_b"
+    )
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    agg = (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+        .join(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+        .join(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    )
+    return agg.select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+    )
+
+
+def int8_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured int8-quantization retrieval quality: recall@10 of
+    quantized-cosine top-10 vs exact float-cosine top-10, per query
+    (every 50th vector), fully hash-checked — the scales cancel in
+    cosine, so the quantized score is integer-dot / sqrt(int*int),
+    exact on both engines, and recall is a pure integer ratio.  The
+    query set rides a broadcast (no collect); the two rankings share
+    ONE window partitioning (two sorts, one shuffle)."""
+    from ..functions.vectors import int8_codes_expr, int8_cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", int8_codes_expr("embedding").alias("codes")
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("codes").alias("qcodes"),
+    )
+    scored = emb.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        cosine_expr("embedding", "qv").alias("cos_f"),
+        int8_cosine_expr("codes", "qcodes").alias("cos_q"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_f"), F.asc("vec_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_q"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wq).alias("rq"),
+    )
+    hits = (
+        ranked.where((F.col("rf") <= 10) & (F.col("rq") <= 10))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0).cast("long")).cast("double")
+                / F.lit(10.0),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def host_license_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host license-compliance rollup (operators/web.py::
+    license_rollup) — the curation gate RefinedWeb/C4-style pipelines
+    apply before text reaches training shards.  License tags are the
+    deterministic md5-bucket fixture (40% cc-by / 20% cc-by-sa / 12%
+    cc0 / 18% all-rights-reserved / 10% noai), hosts the doc_id % 23
+    spread; the released row shows each host's permissive and
+    opt-out fractions plus the strict train_eligible verdict."""
+    from ..operators.sampling import split_bucket_expr
+    from ..operators.web import license_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    b = split_bucket_expr(d, buckets=100)
+    base = docs.select(
+        F.concat(
+            F.lit("h"), (d % 23).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.when(b < 40, F.lit("cc-by"))
+        .when(b < 60, F.lit("cc-by-sa"))
+        .when(b < 72, F.lit("cc0"))
+        .when(b < 90, F.lit("all-rights-reserved"))
+        .otherwise(F.lit("noai"))
+        .alias("license"),
+        F.col("n_chars"),
+    )
+    return license_rollup(base, "host", "license", weight_col="n_chars")
+
+
+def robots_block_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-rule evaluation via longest-prefix match (operators/
+    web.py::longest_prefix_match — RFC 9309 most-specific-rule-wins,
+    the same join shape as IP-prefix/ACL tables): a 6-rule table with
+    a genuine LPM override chain ('/static' deny but '/static/css'
+    allow, '/p' allow but '/p/private' deny) applied to a
+    deterministic 5-class path fixture, rolled up to per-host block
+    rates.  Rules ride a broadcast theta-join; the data side never
+    shuffles before the rollup."""
+    from ..operators.web import longest_prefix_match
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pid = (d % 97).cast("string")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (d % 7).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        F.when(d % 5 == 0, F.concat(F.lit("/p/"), pid))
+        .when(d % 5 == 1, F.concat(F.lit("/admin/job"), pid))
+        .when(d % 5 == 2, F.concat(F.lit("/static/css/s"), pid))
+        .when(d % 5 == 3, F.concat(F.lit("/p/private/doc"), pid))
+        .otherwise(F.lit("/"))
+        .alias("path"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("/", "allow"),
+            ("/admin", "deny"),
+            ("/static", "deny"),
+            ("/static/css", "allow"),
+            ("/p", "allow"),
+            ("/p/private", "deny"),
+        ],
+        "prefix STRING, verdict STRING",
+    )
+    matched = longest_prefix_match(base, rules, "path")
+    agg = matched.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("verdict") == "deny", 1).otherwise(0))
+        .cast("long")
+        .alias("n_blocked"),
+    )
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_blocked",
+        F.round(
+            F.col("n_blocked").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("block_rate"),
+    ).orderBy("host")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r10 window (rows 1-50; ROUND_NOTES "Rotation guidance
-    #     for r10").  Rows 1-18: the r09 batch, never
-    #     driver-checked (their only cross-engine evidence is the
-    #     builder preflight).  Six of them also changed this round
-    #     (r09 ADVICE fixes: cusum guard, neyman fallback, benford
-    #     positivity, quantile-norm DIV, kcenter early-stop, DSIR
-    #     grid DIV) — rule 3 and rule 1 coincide. -----------------
-    "dsir_en_importance_weights": dsir_en_importance_weights,
-    "greedy_coverage_docs": greedy_coverage_docs,
-    "weighted_reservoir_docs": weighted_reservoir_docs,
-    "segment_sample_allocation": segment_sample_allocation,
-    "langid_margin_calibration": langid_margin_calibration,
-    "incremental_join_revenue_bidelta": incremental_join_revenue_bidelta,
-    "attribution_credit_by_type": attribution_credit_by_type,
-    "bitemporal_user_state": bitemporal_user_state,
-    "kcenter_coreset_vectors": kcenter_coreset_vectors,
-    "event_value_cusum_alarms": event_value_cusum_alarms,
-    "oov_rate_by_source": oov_rate_by_source,
-    "zorder_locality_report": zorder_locality_report,
-    "trade_community_modularity": trade_community_modularity,
-    "trade_degree_assortativity": trade_degree_assortativity,
-    "doc_length_quantile_norm": doc_length_quantile_norm,
-    "langid_confusion_matrix": langid_confusion_matrix,
-    "term_pmi_collocations": term_pmi_collocations,
-    "orders_benford_audit": orders_benford_audit,
-    # --- rows 19-50: the 32-entry r05-stale remainder ----------
-    "approx_distinct_users": approx_distinct_users,
-    "dedup_hash_docs": dedup_hash_docs,
-    "train_eval_split": train_eval_split,
-    "stratified_sample_docs": stratified_sample_docs,
-    "contamination_check": contamination_check,
-    "text_quality_stats": text_quality_stats,
-    "token_counts": token_counts,
-    "token_count_bpe_docs": token_count_bpe_docs,
-    "term_freq_top20": term_freq_top20,
-    "unigram_surprisal_scores": unigram_surprisal_scores,
-    "doc_fingerprints": doc_fingerprints,
-    "ann_lsh_topk": ann_lsh_topk,
-    "ivf_ann_topk": ivf_ann_topk,
-    "embedding_near_dup_pairs": embedding_near_dup_pairs,
-    "approx_quantiles_quantity": approx_quantiles_quantity,
-    "embedding_norms": embedding_norms,
-    "knn_bruteforce_topk": knn_bruteforce_topk,
-    "fact_rowcount": fact_rowcount,
-    "topk_extendedprice": topk_extendedprice,
-    "nullkey_audit": nullkey_audit,
-    "extended_price_3factor": extended_price_3factor,
-    "null_coercing_cast": null_coercing_cast,
-    "counts_all_tables": counts_all_tables,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "window_topn_per_group": window_topn_per_group,
-    "running_monthly_revenue": running_monthly_revenue,
-    "rollup_revenue": rollup_revenue,
-    "profile_lineitem": profile_lineitem,
-    "quantiles_quantity": quantiles_quantity,
-    "tumbling_event_counts": tumbling_event_counts,
-    # --- below the window, staleness-ascending: the 50-entry r06
-    #     block leads the r11 window (ROUND_NOTES), then r07/r08,
-    #     then the entries the r09 window just re-proved. ---------
+    # --- r11 window (rows 1-50; ROUND_NOTES "Rotation guidance for
+    #     r11").  Rows 1-31: the entire r10 batch (lakehouse/export,
+    #     batch 2 observability, batch 3 eval/web, batch 4 ML-eval),
+    #     never driver-checked — rule 1.  Rows 32-50: the 19 oldest
+    #     r06-stale entries (boilerplate_cleaned_docs …
+    #     orders_expectations) — rule 2. ---------------------------
+    "orders_compaction_plan": orders_compaction_plan,
+    "orders_file_size_histogram": orders_file_size_histogram,
+    "shipdate_zonemap_skipping": shipdate_zonemap_skipping,
+    "events_snapshot_expiration": events_snapshot_expiration,
+    "events_snapshot_changelog": events_snapshot_changelog,
+    "lineitem_deletion_vector_read": lineitem_deletion_vector_read,
+    "orders_schema_evolution_read": orders_schema_evolution_read,
+    "training_manifest_shards": training_manifest_shards,
+    "mixture_schedule_steps": mixture_schedule_steps,
+    "priority_price_kll_quantiles": priority_price_kll_quantiles,
+    "custkey_bloom_file_skipping": custkey_bloom_file_skipping,
+    "event_ingestion_lag_quantiles": event_ingestion_lag_quantiles,
+    "weekly_price_sketch_rollup": weekly_price_sketch_rollup,
+    "gdpr_erasure_audit": gdpr_erasure_audit,
+    "late_event_audit": late_event_audit,
+    "funnel_latency_quantiles": funnel_latency_quantiles,
+    "dup_rate_by_source": dup_rate_by_source,
+    "lineitem_column_stats": lineitem_column_stats,
+    "daily_value_trend_robust": daily_value_trend_robust,
+    "signup_conversion_survival": signup_conversion_survival,
+    "nation_trade_hits": nation_trade_hits,
+    "canonical_url_dup_groups": canonical_url_dup_groups,
+    "experiment_cuped_readout": experiment_cuped_readout,
+    "events_value_psi_drift": events_value_psi_drift,
+    "bm25_ndcg_eval": bm25_ndcg_eval,
+    "source_term_jsd_pairs": source_term_jsd_pairs,
+    "quality_margin_auc": quality_margin_auc,
+    "quality_margin_gains": quality_margin_gains,
+    "type_value_mutual_info": type_value_mutual_info,
+    "langid_agreement_alpha": langid_agreement_alpha,
+    "daily_revenue_runs_test": daily_revenue_runs_test,
+    # --- rows 32-50: oldest r06-stale block ---------------------
     "boilerplate_cleaned_docs": boilerplate_cleaned_docs,
     "semantic_dedup_verdicts": semantic_dedup_verdicts,
     "cms_term_counts": cms_term_counts,
@@ -6437,6 +6694,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_length_drift": source_length_drift,
     "corpus_build_report": corpus_build_report,
     "orders_expectations": orders_expectations,
+    # --- below the window, staleness-ascending: the remaining 31
+    #     r06-stale entries lead the r12 window (ROUND_NOTES), then
+    #     r07/r08/r09-stale, then the 50 entries the r10 window just
+    #     re-proved. --------------------------------------------------
     "doc_compression_ratio": doc_compression_ratio,
     "stream_incremental_user_value": stream_incremental_user_value,
     "time_weighted_user_value": time_weighted_user_value,
@@ -6468,7 +6729,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": session_stats,
     "json_prop_histogram": json_prop_histogram,
     "top_users_by_value": top_users_by_value,
-    # --- newest row r07 ----------------------------------------
     "multimodal_scene_changes": multimodal_scene_changes,
     "merge_upsert_orders": merge_upsert_orders,
     "keyword_search_docs": keyword_search_docs,
@@ -6518,7 +6778,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": T.q19_disjunctive_revenue,
     "q20_promo_part_suppliers": T.q20_promo_part_suppliers,
     "q21_late_supplier": T.q21_late_supplier,
-    # --- newest row r08 ----------------------------------------
     "nation_trade_communities": nation_trade_communities,
     "lang_id_pred": lang_id_pred,
     "q22_dormant_customers": T.q22_dormant_customers,
@@ -6567,7 +6826,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_brands": set_ops_brands,
     "lang_distribution": lang_distribution,
     "map_props_exploded": map_props_exploded,
-    # --- newest row r09 (checked last round) -------------------
     "jaccard_prefix_join_diverse": jaccard_prefix_join_diverse,
     "multimodal_mdct_stats": multimodal_mdct_stats,
     "leakage_safe_split_stats": leakage_safe_split_stats,
@@ -6618,44 +6876,66 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_click_attribution": stream_click_attribution,
     "multimodal_png_stats": multimodal_png_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
-    # --- r10 additions (appended at the bottom per the rotation
-    #     policy; they lead the r11 window together with the r06-stale
-    #     block) -------------------------------------------------------
-    "orders_compaction_plan": orders_compaction_plan,
-    "orders_file_size_histogram": orders_file_size_histogram,
-    "shipdate_zonemap_skipping": shipdate_zonemap_skipping,
-    "events_snapshot_expiration": events_snapshot_expiration,
-    "events_snapshot_changelog": events_snapshot_changelog,
-    "lineitem_deletion_vector_read": lineitem_deletion_vector_read,
-    "orders_schema_evolution_read": orders_schema_evolution_read,
-    "training_manifest_shards": training_manifest_shards,
-    "mixture_schedule_steps": mixture_schedule_steps,
-    "priority_price_kll_quantiles": priority_price_kll_quantiles,
-    # --- r10 batch 2 (same appended-below-window policy) ------------
-    "custkey_bloom_file_skipping": custkey_bloom_file_skipping,
-    "event_ingestion_lag_quantiles": event_ingestion_lag_quantiles,
-    "weekly_price_sketch_rollup": weekly_price_sketch_rollup,
-    "gdpr_erasure_audit": gdpr_erasure_audit,
-    "late_event_audit": late_event_audit,
-    "funnel_latency_quantiles": funnel_latency_quantiles,
-    "dup_rate_by_source": dup_rate_by_source,
-    "lineitem_column_stats": lineitem_column_stats,
-    # --- new in r10 batch 3 (observability/eval/web; never
-    #     driver-checked — lead the r11 window with the rest of the
-    #     r10 batches per rule 1) --------------------------------
-    "daily_value_trend_robust": daily_value_trend_robust,
-    "signup_conversion_survival": signup_conversion_survival,
-    "nation_trade_hits": nation_trade_hits,
-    "canonical_url_dup_groups": canonical_url_dup_groups,
-    "experiment_cuped_readout": experiment_cuped_readout,
-    "events_value_psi_drift": events_value_psi_drift,
-    "bm25_ndcg_eval": bm25_ndcg_eval,
-    "source_term_jsd_pairs": source_term_jsd_pairs,
-    # --- new in r10 batch 4 (ML-eval + audit; never driver-checked) --
-    "quality_margin_auc": quality_margin_auc,
-    "quality_margin_gains": quality_margin_gains,
-    "type_value_mutual_info": type_value_mutual_info,
-    "langid_agreement_alpha": langid_agreement_alpha,
-    "daily_revenue_runs_test": daily_revenue_runs_test,
+    # --- newest row r10 (checked last round) --------------------
+    "dsir_en_importance_weights": dsir_en_importance_weights,
+    "greedy_coverage_docs": greedy_coverage_docs,
+    "weighted_reservoir_docs": weighted_reservoir_docs,
+    "segment_sample_allocation": segment_sample_allocation,
+    "langid_margin_calibration": langid_margin_calibration,
+    "incremental_join_revenue_bidelta": incremental_join_revenue_bidelta,
+    "attribution_credit_by_type": attribution_credit_by_type,
+    "bitemporal_user_state": bitemporal_user_state,
+    "kcenter_coreset_vectors": kcenter_coreset_vectors,
+    "event_value_cusum_alarms": event_value_cusum_alarms,
+    "oov_rate_by_source": oov_rate_by_source,
+    "zorder_locality_report": zorder_locality_report,
+    "trade_community_modularity": trade_community_modularity,
+    "trade_degree_assortativity": trade_degree_assortativity,
+    "doc_length_quantile_norm": doc_length_quantile_norm,
+    "langid_confusion_matrix": langid_confusion_matrix,
+    "term_pmi_collocations": term_pmi_collocations,
+    "orders_benford_audit": orders_benford_audit,
+    "approx_distinct_users": approx_distinct_users,
+    "dedup_hash_docs": dedup_hash_docs,
+    "train_eval_split": train_eval_split,
+    "stratified_sample_docs": stratified_sample_docs,
+    "contamination_check": contamination_check,
+    "text_quality_stats": text_quality_stats,
+    "token_counts": token_counts,
+    "token_count_bpe_docs": token_count_bpe_docs,
+    "term_freq_top20": term_freq_top20,
+    "unigram_surprisal_scores": unigram_surprisal_scores,
+    "doc_fingerprints": doc_fingerprints,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ivf_ann_topk": ivf_ann_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "approx_quantiles_quantity": approx_quantiles_quantity,
+    "embedding_norms": embedding_norms,
+    "knn_bruteforce_topk": knn_bruteforce_topk,
+    "fact_rowcount": fact_rowcount,
+    "topk_extendedprice": topk_extendedprice,
+    "nullkey_audit": nullkey_audit,
+    "extended_price_3factor": extended_price_3factor,
+    "null_coercing_cast": null_coercing_cast,
+    "counts_all_tables": counts_all_tables,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "window_topn_per_group": window_topn_per_group,
+    "running_monthly_revenue": running_monthly_revenue,
+    "rollup_revenue": rollup_revenue,
+    "profile_lineitem": profile_lineitem,
+    "quantiles_quantity": quantiles_quantity,
+    "tumbling_event_counts": tumbling_event_counts,
+    # --- new in r11 (mergeable sketch, incremental MinHash, measured
+    #     ANN/LSH quality, crawl compliance; never driver-checked —
+    #     they lead the r12 window together with the remaining
+    #     r06-stale block per rule 1) --------------------------------
+    "user_topk_mergeable": user_topk_mergeable,
+    "minhash_delta_candidates": minhash_delta_candidates,
+    "minhash_band_recall_eval": minhash_band_recall_eval,
+    "int8_ann_recall_eval": int8_ann_recall_eval,
+    "host_license_rollup": host_license_rollup,
+    "robots_block_rate": robots_block_rate,
 }
 

@@ -123,6 +123,8 @@ def main() -> None:
         _r10_section(spark, sf_dir, factor)
     if _want("r10b"):
         _r10b_section(spark, sf_dir, factor)
+    if _want("r11"):
+        _r11_section(spark, sf_dir, factor)
     spark.stop()
 
 
@@ -1330,6 +1332,138 @@ def _r10b_section(spark, sf_dir, factor):
             ).count(),
         )
 
+
+
+
+def _r11_section(spark, sf_dir, factor):
+    """Round-11 operators.  Mergeable MG top-k: the (shard, value)
+    agg is map-side combined and the per-shard compress window sorts
+    only DISTINCT values per shard (users fixed under replication —
+    counts deepen, distinct stays flat → flat probe).  Incremental
+    MinHash: replicas get disjoint shingle spaces, so the delta probe
+    measures signature+banding cost (linear in corpus) with the
+    candidate count held structural — the delta side stays a fixed
+    20% fraction.  int8 recall: the query panel is pinned to the
+    base corpus's ids (a production recall eval samples a FIXED
+    panel), so cost is queries × corpus = linear in corpus.  Robots
+    LPM + license rollup: map-only broadcast joins + one bounded
+    agg — linear scans."""
+    from northwind_etl_spark.operators import dedup as D11
+    from northwind_etl_spark.operators.heavyhitters import (
+        mergeable_topk_sketch,
+    )
+    from northwind_etl_spark.functions.vectors import (
+        int8_codes_expr,
+        int8_cosine_expr,
+    )
+    from northwind_etl_spark.functions.vectors import cosine_expr as _cos
+    from northwind_etl_spark.operators.web import (
+        license_rollup,
+        longest_prefix_match,
+    )
+    from northwind_etl_spark.sources.parquet import read_events
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = read_events(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ebase = emb.count()
+    for times in (1, factor):
+        evw = replicate(events, times, "event_id", 50_000_000)
+        timed(
+            f"r11_mergeable_topk x{times}",
+            lambda e=evw: mergeable_topk_sketch(
+                e, "user_id", k=20, shards=8, shard_key="event_id"
+            ).count(),
+        )
+        dw = replicate(docs, times, "doc_id", 10_000_000, _doc_variant)
+        def _delta(d):
+            sigs = D11.minhash_signatures_md5(
+                d, "text", "doc_id", num_hashes=12, shingle_n=3
+            )
+            banded = D11.band_keys_md5(
+                sigs, "doc_id", bands=4, num_hashes=12
+            )
+            delta = banded.where(F.col("doc_id") % 10 >= 8)
+            return D11.delta_candidate_pairs(
+                banded, delta, "doc_id"
+            ).count()
+        timed(f"r11_minhash_delta x{times}", lambda d=dw: _delta(d))
+        ew = replicate(emb, times, "vec_id", ebase, _vec_variant)
+        def _recall(e):
+            coded = e.select(
+                "vec_id",
+                "embedding",
+                int8_codes_expr("embedding").alias("codes"),
+            )
+            q = coded.where(
+                (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < ebase)
+            ).select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qv"),
+                F.col("codes").alias("qc"),
+            )
+            scored = coded.join(F.broadcast(q)).select(
+                "qid",
+                "vec_id",
+                _cos("embedding", "qv").alias("cf"),
+                int8_cosine_expr("codes", "qc").alias("cq"),
+            )
+            wf = Window.partitionBy("qid").orderBy(
+                F.desc("cf"), F.asc("vec_id")
+            )
+            wq = Window.partitionBy("qid").orderBy(
+                F.desc("cq"), F.asc("vec_id")
+            )
+            r = scored.select(
+                "qid",
+                F.row_number().over(wf).alias("rf"),
+                F.row_number().over(wq).alias("rq"),
+            )
+            return (
+                r.where((F.col("rf") <= 10) & (F.col("rq") <= 10))
+                .groupBy("qid")
+                .count()
+                .count()
+            )
+        timed(f"r11_int8_recall x{times}", lambda e=ew: _recall(e))
+        def _lpm(d):
+            rules = spark.createDataFrame(
+                [
+                    ("/", "allow"),
+                    ("/admin", "deny"),
+                    ("/static", "deny"),
+                    ("/static/css", "allow"),
+                    ("/p", "allow"),
+                    ("/p/private", "deny"),
+                ],
+                "prefix STRING, verdict STRING",
+            )
+            did = F.col("doc_id")
+            pid = (did % 97).cast("string")
+            base = d.select(
+                "doc_id",
+                F.when(did % 5 == 0, F.concat(F.lit("/p/"), pid))
+                .when(did % 5 == 1, F.concat(F.lit("/admin/job"), pid))
+                .when(did % 5 == 2, F.concat(F.lit("/static/css/s"), pid))
+                .when(did % 5 == 3, F.concat(F.lit("/p/private/d"), pid))
+                .otherwise(F.lit("/"))
+                .alias("path"),
+            )
+            return longest_prefix_match(base, rules, "path").count()
+        timed(f"r11_robots_lpm x{times}", lambda d=dw: _lpm(d))
+        def _lic(d):
+            did = F.col("doc_id")
+            base = d.select(
+                (did % 23).cast("string").alias("host"),
+                F.when(did % 3 == 0, F.lit("cc-by"))
+                .otherwise(F.lit("noai"))
+                .alias("license"),
+                F.col("n_chars"),
+            )
+            return license_rollup(base, "host", "license").count()
+        timed(f"r11_license_rollup x{times}", lambda d=dw: _lic(d))
+
+
 if __name__ == "__main__":
     main()
-

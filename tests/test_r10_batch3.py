@@ -308,3 +308,107 @@ def test_jsd_identical_sources_near_zero_disjoint_near_ln2(spark):
     # disjoint support: JSD -> ln 2 (quantization keeps it close)
     assert out[("s1", "s3")] == pytest.approx(math.log(2.0), abs=2e-3)
     assert out[("s2", "s3")] == pytest.approx(math.log(2.0), abs=2e-3)
+
+
+# ------------------------------------------- r10 ADVICE regressions
+
+
+def test_theil_sen_rejects_subday_bucket(spark):
+    from northwind_etl_spark.operators.timeseries import (
+        theil_sen_mann_kendall,
+    )
+
+    # sub-day buckets alias distinct buckets onto one day index
+    # (datediff drops the time-of-day), silently dropping same-day
+    # pairs while n_buckets still counts them — rejected up front
+    df = _trend_df(spark, [1.0, 2.0, 3.0])
+    for bad in ("hour", "minute", "second", "HOUR"):
+        with pytest.raises(ValueError, match="day-or-coarser"):
+            theil_sen_mann_kendall(df, "event_type", "ts", "value",
+                                   bucket=bad)
+    # coarser-than-day buckets keep distinct day indices and stay
+    # legal (15 days span 3 ISO weeks -> 3 buckets, 3 pairs)
+    out = theil_sen_mann_kendall(
+        _trend_df(spark, [float(i) for i in range(15)]),
+        "event_type", "ts", "value", bucket="week",
+    ).collect()
+    assert len(out) == 1 and out[0]["n_buckets"] == 3
+
+
+def test_canonical_url_keeps_bare_ref_param(spark):
+    from northwind_etl_spark.operators.web import canonical_url
+
+    # bare ?ref= is content-identifying (GitHub ?ref=branch): two
+    # different refs must stay two dedup keys, while the referral
+    # tracking forms ref_src/ref_url still strip
+    urls = [
+        "https://github.example.com/r/tree?ref=main",
+        "https://github.example.com/r/tree?ref=dev",
+        "https://github.example.com/r/tree?ref=main&ref_src=twsrc",
+        "https://news.example.com/a?ref_url=feed&id=7",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    got = [r["c"] for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got[0] == "https://github.example.com/r/tree?ref=main"
+    assert got[1] == "https://github.example.com/r/tree?ref=dev"
+    assert got[0] != got[1]          # distinct branches stay distinct
+    assert got[2] == got[0]          # ref_src decoration strips
+    assert got[3] == "https://news.example.com/a?id=7"
+
+
+def test_cuped_per_user_sum_overflow_raises(spark, tmp_path):
+    """experiment_cuped_readout raises in-plan (not NULL-overflow) when
+    a per-user half-period sum exceeds the DECIMAL(16,6) range — the
+    cusum guard pattern, mirrored in the oracle."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from northwind_etl_spark.plans.queries import experiment_cuped_readout
+
+    rows = [
+        # user 1: post-period sum = 2e10 -> overflows DECIMAL(16,6)
+        (1, "2024-01-01 00:00:00", 1, "click", 5.0, "{}"),
+        (2, "2024-06-30 00:00:00", 1, "click", 2.0e10, "{}"),
+        (3, "2024-01-02 00:00:00", 2, "view", 1.0, "{}"),
+        (4, "2024-06-29 00:00:00", 2, "view", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts_s STRING, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(SparkRuntimeException,
+                       match="exceeds DECIMAL\\(16,6\\) range"):
+        experiment_cuped_readout(spark, str(tmp_path)).collect()
+
+
+def test_cuped_readout_in_range_sums_unchanged(spark, tmp_path):
+    """Sanity twin of the guard test: in-range sums flow through the
+    guard branch untouched (2 arms, finite doubles)."""
+    from northwind_etl_spark.plans.queries import experiment_cuped_readout
+
+    rows = []
+    eid = 0
+    for uid in range(8):
+        for ts, val in (("2024-01-05 00:00:00", 3.5),
+                        ("2024-06-20 00:00:00", 7.25)):
+            eid += 1
+            rows.append((eid, ts, uid, "click", val + uid, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts_s STRING, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = experiment_cuped_readout(spark, str(tmp_path)).collect()
+    assert {r["arm"] for r in out} == {"control", "treatment"}
+    assert all(math.isfinite(r["mean_adjusted"]) for r in out)

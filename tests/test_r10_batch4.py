@@ -255,3 +255,17 @@ def test_running_sum_rejects_non_integral(spark):
     )
     with pytest.raises(ValueError, match="integral"):
         global_running_sum(df, ["k"], "amount")
+
+
+def test_runs_test_degenerate_all_median_is_zero_typed(spark):
+    """Every bucket equals the median -> the sign sequence is empty.
+    The counts must be explicit zeros (not NULL-typed) with z pinned
+    to 0.0 — the r10 ADVICE regression."""
+    from northwind_etl_spark.operators.timeseries import runs_test_daily
+
+    r = runs_test_daily(
+        _days_df(spark, [4.0] * 6), "ts", "value"
+    ).collect()[0]
+    assert r["n_buckets"] == 6
+    assert (r["n_above"], r["n_below"], r["n_runs"]) == (0, 0, 0)
+    assert r["z_stat"] == 0.0
