@@ -334,6 +334,12 @@ HEADLINE = [
     "int8_ann_recall_eval",
     "host_license_rollup",
     "robots_block_rate",
+    "rp_lsh_recall_eval",
+    "kll_quantile_error_eval",
+    "license_token_budget",
+    "simhash_md5_band_pairs",
+    "minhash_erasure_impact",
+    "source_temperature_budget",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

@@ -971,3 +971,64 @@ def delta_candidate_pairs(
         "id_b",
         "n_shared_bands",
     )
+
+
+def simhash_fingerprints_md5(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """64-bit SimHash in the md5 domain — the ORACLE-VERIFIED twin of
+    simhash_fingerprints (whose xxhash64 no SQL engine replays), the
+    same move minhash_signatures_md5 made for the MinHash family:
+    token votes ±count per bit, bit b set iff the vote sum is
+    positive, with the 64 hash bits taken from md5's leading 16 hex
+    chars as TWO 32-bit halves (conv of 16 hex chars would overflow
+    BIGINT under ANSI; two 8-char halves each fit).
+
+    The fingerprint is released as a 64-char '0'/'1' STRING, bit 63
+    first — strings band by substring and compare bytewise
+    identically in both engines, which is what makes the banding and
+    hamming stages downstream hash-checkable.  Two-stage shape
+    (collapse to (id, tok, count) first, then 64 count-weighted
+    conditional sums); ~2x the packed xxhash64 path, the cost of
+    cross-engine verifiability — production dedup keeps the packed
+    path, this twin keeps it honest.
+    """
+    from ..functions.texttools import tokens_expr
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok")
+    )
+    hashed = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c"),
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h_hi"),
+            F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h_lo"),
+        )
+    )
+    votes = []
+    for b in range(64):
+        src = F.col("h_hi") if b >= 32 else F.col("h_lo")
+        bit = F.shiftrightunsigned(src, b % 32).bitwiseAND(
+            F.lit(1).cast("long")
+        )
+        votes.append(
+            F.sum(
+                F.when(bit == 1, F.col("c")).otherwise(-F.col("c"))
+            ).alias(f"v{b}")
+        )
+    agg = hashed.groupBy(id_col).agg(*votes)
+    fp = F.concat(
+        *[
+            F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(63, -1, -1)
+        ]
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash_bits"))

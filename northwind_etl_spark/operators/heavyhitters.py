@@ -158,6 +158,7 @@ def mergeable_topk_sketch(
     """
     from pyspark.sql import Window
 
+    from ..cache import persist_stage
     from .sampling import split_bucket_expr
 
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
@@ -173,7 +174,12 @@ def mergeable_topk_sketch(
     rk = Window.partitionBy("__shard").orderBy(
         F.desc("__c"), F.asc(value_col)
     )
-    ranked = counts.withColumn("__r", F.row_number().over(rk))
+    # THREE consumers hang off the ranked stage (the t_s filter, the
+    # compress join, and the shard spine for the error bound) — AQE
+    # does not dedup plan branches, so without the persist the full
+    # scan + count + window would run three times (the theil_sen
+    # lesson from the r10 self-review).
+    ranked = persist_stage(counts.withColumn("__r", F.row_number().over(rk)))
     # t_s = (k+1)-th largest count in the shard (0 when the shard has
     # <= k distinct values: nothing is dropped, the summary is exact)
     ts = ranked.where(F.col("__r") == k + 1).select(

@@ -457,3 +457,83 @@ def neyman_allocation(
         .cast("long")
         .alias("n_alloc"),
     ).orderBy("stratum")
+
+
+def largest_remainder_allocation(
+    df: DataFrame,
+    class_col: str,
+    weight_col: str,
+    *,
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Hamilton largest-remainder apportionment of an integer budget
+    across classes, proportional to each class's total weight — the
+    budget-split step of a mixture plan once eligibility filtering
+    has decided WHAT may be sampled (license gates, dedup verdicts).
+    Complements mixture_sample_by_budget (which picks the concrete
+    row prefix for GIVEN per-class budgets) and neyman_allocation
+    (variance-optimal, needs per-stratum stds): largest-remainder is
+    the proportional splitter with the smallest worst-case deviation
+    that still sums EXACTLY to the budget.
+
+    The budget itself is scale-free and in-plan: B = (W · budget_num)
+    DIV budget_den of the total weight W (default half) — no driver
+    scalar, the q11/q22 1-row broadcast pattern.  All integer
+    arithmetic: base_c = (B·w_c) DIV W, remainders rank by
+    ((B·w_c) mod W) DESC with the class name as tie-break, and the
+    first (B − Σ base) classes get +1.  Σ final_alloc == B by
+    construction (asserted by the planted tests, recomputable by any
+    consumer from the released columns).
+
+    Returns (class_col, weight, base_alloc, extra, final_alloc)
+    ordered by class.  Scale shape: one hash agg to |classes| rows;
+    the ranking window runs over the class list, never the data.
+    """
+    from pyspark.sql import Window
+
+    from ..cache import persist_stage
+
+    # TWO consumers hang off the per-class aggregate (the budget total
+    # and the quota projection) — persist so the upstream corpus scan
+    # runs once, not once per branch
+    per = persist_stage(
+        df.groupBy(F.col(class_col).alias("clazz")).agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__w")
+        )
+    )
+    # __wt/__bt, not w/W: Spark resolution is case-insensitive by
+    # default, so a bare W beside w is an AMBIGUOUS_REFERENCE
+    tot = per.agg(
+        F.sum("__w").alias("__wt"),
+        F.expr(f"(SUM(__w) * {budget_num}) DIV {budget_den}").alias("__bt"),
+    )
+    quoted = per.join(F.broadcast(tot)).select(
+        "clazz",
+        "__w",
+        "__bt",
+        F.expr("(__bt * __w) DIV __wt").alias("__base"),
+        F.expr("(__bt * __w) % __wt").alias("__rem"),
+    )
+    rk = Window.orderBy(F.desc("__rem"), F.asc("clazz"))
+    spill = Window.partitionBy()
+    ranked = quoted.withColumn("__rk", F.row_number().over(rk)).withColumn(
+        "__left", F.col("__bt") - F.sum("__base").over(spill)
+    )
+    return ranked.select(
+        F.col("clazz").alias(class_col),
+        F.col("__w").alias("weight"),
+        F.col("__base").cast("long").alias("base_alloc"),
+        F.when(F.col("__rk") <= F.col("__left"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("extra"),
+        (
+            F.col("__base")
+            + F.when(F.col("__rk") <= F.col("__left"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("final_alloc"),
+    ).orderBy(class_col)

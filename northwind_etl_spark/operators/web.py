@@ -291,6 +291,10 @@ def longest_prefix_match(
     verdict, any orderable type).  Rows matching NO rule get
     `default` (NULL when omitted).  Returns df + (matched_prefix,
     out_col).
+
+    Contract: `df`'s rows must be UNIQUE across its columns (carry a
+    row id) — the longest-match selection re-groups by every df
+    column, so fully-duplicate rows would collapse to one.
     """
     r = F.broadcast(
         rules.select(

@@ -6281,3 +6281,272 @@ ORACLES["robots_block_rate"] = """
              AS block_rate
     FROM agg ORDER BY host
 """
+
+
+# Sign-LSH recall on planted twins: same literal sign matrix as the
+# rp_projection oracle; the twin rebuild replays Spark's exact chain
+# (double add, then one float32 rounding via CAST AS REAL).
+def _rp_lsh_oracle_sql() -> str:
+    from ..functions.vectors import rp_signs
+
+    signs = rp_signs(64, 8)
+    ycols = []
+    for j, row in enumerate(signs):
+        arr = "[" + ", ".join(f"{float(s):.1f}" for s in row) + "]"
+        ycols.append(
+            f"list_sum(list_transform(generate_series(1, 64),\n"
+            f"    i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+            f" AS y{j:02d}"
+        )
+    y_sql = ",\n           ".join(ycols)
+    bucket_sql = " + ".join(
+        f"(CASE WHEN y{j:02d} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(8)
+    )
+    return f"""
+    WITH allv AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             [CAST(CAST(embedding[1] AS DOUBLE) + 0.001 AS REAL)]
+               || embedding[2:]
+      FROM embeddings),
+    proj AS (
+      SELECT vec_id,
+           {y_sql}
+      FROM allv),
+    bk AS (SELECT vec_id, {bucket_sql} AS bucket FROM proj),
+    guard AS (
+      SELECT MAX(CASE WHEN c <= 4096 THEN 0
+                      ELSE error('rp_lsh_recall_eval: bucket size '
+                                 || CAST(c AS VARCHAR)
+                                 || ' exceeds 4096') END) AS z
+      FROM (SELECT COUNT(*) AS c FROM bk GROUP BY bucket)),
+    cand AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+             FROM bk a JOIN bk b ON a.bucket = b.bucket
+                                AND a.vec_id < b.vec_id),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs
+           FROM embeddings),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+    nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM cand WHERE ib = ia + 1000000)
+    SELECT n_true_pairs + guard.z AS n_true_pairs, n_candidates, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE)
+                 / NULLIF(CAST(n_true_pairs AS DOUBLE), 0.0), 6) AS recall,
+           ROUND(CAST(n_hits AS DOUBLE)
+                 / NULLIF(CAST(n_candidates AS DOUBLE), 0.0), 6)
+             AS precision
+    FROM nt, nc, nh, guard
+"""
+
+
+ORACLES["rp_lsh_recall_eval"] = _rp_lsh_oracle_sql()
+
+
+# KLL accuracy eval: the SAME six unrolled halving rounds as the
+# priority_price_kll_quantiles oracle, then each released quantile
+# value joined to its exact strict rank over the raw data.
+def _kll_eval_oracle_sql() -> str:
+    rounds = []
+    prev = "r0"
+    for lvl in range(6):
+        cur = f"r{lvl + 1}"
+        nib, bit = lvl // 4 + 1, lvl % 4
+        rounds.append(f"""
+    {cur} AS (
+      SELECT grp, value, id,
+             CASE WHEN cnt > 256 THEN weight * 2 ELSE weight END AS weight
+      FROM (SELECT *, COUNT(*) OVER (PARTITION BY grp) AS cnt FROM {prev})
+      WHERE cnt <= 256
+         OR (CAST('0x' || substring(md5(CAST(id AS VARCHAR)), {nib}, 1)
+              AS BIGINT) >> {bit}) % 2 = 0)""")
+        prev = cur
+    chain = ",".join(rounds)
+    qcases = ",\n             ".join(
+        f"MIN(CASE WHEN cum_w * 100 >= tot_w * {p}\n"
+        f"                      THEN CAST(value AS DOUBLE) END) AS p{p}"
+        for p in (25, 50, 75, 90)
+    )
+    punion = " UNION ALL ".join(
+        f"SELECT grp, {p} AS pct, p{p} AS sketch_val FROM qx"
+        for p in (25, 50, 75, 90)
+    )
+    return f"""
+    WITH r0 AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS value,
+             o_orderkey AS id, CAST(1 AS BIGINT) AS weight
+      FROM orders),{chain},
+    cum AS (
+      SELECT *, SUM(weight) OVER (PARTITION BY grp ORDER BY value, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+             SUM(weight) OVER (PARTITION BY grp) AS tot_w
+      FROM {prev}),
+    qx AS (
+      SELECT grp,
+             {qcases}
+      FROM cum GROUP BY 1),
+    qlong AS ({punion}),
+    ranks AS (
+      SELECT q.grp, q.pct, q.sketch_val,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DOUBLE)
+                                < q.sketch_val
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+      FROM qlong q JOIN orders o ON o.o_orderpriority = q.grp
+      GROUP BY 1, 2, 3)
+    SELECT grp AS priority, CAST(pct AS INT) AS pct, sketch_val,
+           n_rows, n_below,
+           ROUND(abs(CAST(n_below AS DOUBLE) * 100.0
+                     / CAST(n_rows AS DOUBLE)
+                     - CAST(pct AS DOUBLE)), 6) AS rank_err_pct,
+           (abs(CAST(n_below AS DOUBLE) * 100.0 / CAST(n_rows AS DOUBLE)
+                - CAST(pct AS DOUBLE)) <= 5.0) AS within_tol
+    FROM ranks ORDER BY priority, pct
+"""
+
+
+ORACLES["kll_quantile_error_eval"] = _kll_eval_oracle_sql()
+
+
+ORACLES["license_token_budget"] = f"""
+    WITH lic AS (
+      SELECT CASE WHEN b < 40 THEN 'cc-by'
+                  WHEN b < 60 THEN 'cc-by-sa'
+                  WHEN b < 72 THEN 'cc0'
+                  WHEN b < 90 THEN 'all-rights-reserved'
+                  ELSE 'noai' END AS license,
+             CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM (SELECT {_TOKS} AS toks,
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8) AS BIGINT) % 100 AS b
+            FROM documents)),
+    per AS (
+      SELECT license AS clazz, CAST(SUM(n_tokens) AS BIGINT) AS w
+      FROM lic WHERE license NOT IN ('noai', 'all-rights-reserved')
+      GROUP BY 1),
+    tot AS (SELECT SUM(w) AS wt, (SUM(w) * 1) // 2 AS bt FROM per),
+    quoted AS (
+      SELECT clazz, w, wt, bt,
+             (bt * w) // wt AS base_q, (bt * w) % wt AS rem
+      FROM per, tot),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, clazz ASC) AS rk,
+             bt - SUM(base_q) OVER () AS leftover
+      FROM quoted)
+    SELECT clazz AS license, w AS weight,
+           CAST(base_q AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS final_alloc
+    FROM ranked ORDER BY license
+"""
+
+
+# md5-SimHash band pairs: token votes from md5's leading 16 hex chars
+# as two 32-bit halves; 64-char bit string (bit 63 first); 4 x 16-bit
+# substring bands; exact hamming over positions.
+def _simhash_md5_oracle_sql() -> str:
+    votes = []
+    for b in range(64):
+        half = 1 if b >= 32 else 9  # hex offset of the 32-bit half
+        shift = b % 32
+        votes.append(
+            f"CAST(SUM(CASE WHEN (CAST('0x' || substring(h, {half}, 8)"
+            f" AS BIGINT) >> {shift}) % 2 = 1 THEN c ELSE -c END)"
+            f" AS BIGINT) AS v{b}"
+        )
+    vote_sql = ",\n             ".join(votes)
+    bit_sql = " || ".join(
+        f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)"
+        for b in range(63, -1, -1)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    cnt AS (SELECT doc_id, md5(tok) AS h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM occ GROUP BY 1, 2),
+    agg AS (SELECT doc_id,
+             {vote_sql}
+            FROM cnt GROUP BY 1),
+    fp AS (SELECT doc_id, {bit_sql} AS bits FROM agg),
+    banded AS (
+      SELECT doc_id, g.b AS band, substring(bits, 1 + 16 * g.b, 16) AS key
+      FROM fp, generate_series(0, 3) g(b)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(DISTINCT a.band) AS BIGINT) AS n_shared_bands
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.key = b.key
+                   AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    ham AS (
+      SELECT p.id_a, p.id_b, p.n_shared_bands,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> CASE WHEN substring(fa.bits, i, 1)
+                                 <> substring(fb.bits, i, 1)
+                            THEN 1 ELSE 0 END)) AS INT) AS hamming
+      FROM pairs p
+      JOIN fp fa ON fa.doc_id = p.id_a
+      JOIN fp fb ON fb.doc_id = p.id_b)
+    SELECT id_a, id_b, n_shared_bands, hamming
+    FROM ham WHERE hamming <= 8 ORDER BY id_a, id_b
+"""
+
+
+ORACLES["simhash_md5_band_pairs"] = _simhash_md5_oracle_sql()
+
+
+ORACLES["minhash_erasure_impact"] = f"""
+    WITH {_MINHASH_BANDS},
+    cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                    greatest(a.doc_id, b.doc_id) AS id_b
+             FROM band a
+             JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id <> b.doc_id),
+    directed AS (
+      SELECT id_a AS owner, id_b AS partner FROM cand
+      UNION ALL
+      SELECT id_b AS owner, id_a AS partner FROM cand),
+    impact AS (
+      SELECT owner AS doc_id,
+             CAST(SUM(CASE WHEN partner % 17 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS partners_lost,
+             CAST(SUM(CASE WHEN partner % 17 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS partners_left
+      FROM directed WHERE owner % 17 <> 0 GROUP BY 1)
+    SELECT doc_id, partners_lost, partners_left
+    FROM impact WHERE partners_lost >= 1 ORDER BY doc_id
+"""
+
+
+ORACLES["source_temperature_budget"] = f"""
+    WITH per AS (
+      SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS raw_tokens
+      FROM documents GROUP BY 1),
+    tempered AS (
+      SELECT source, raw_tokens,
+             CAST(floor(sqrt(CAST(raw_tokens AS DOUBLE)) * 1048576.0)
+                  AS BIGINT) AS temp_weight
+      FROM per),
+    tot AS (SELECT SUM(temp_weight) AS wt,
+                   (SUM(temp_weight) * 1) // 2 AS bt FROM tempered),
+    quoted AS (
+      SELECT source, raw_tokens, temp_weight, wt, bt,
+             (bt * temp_weight) // wt AS base_q,
+             (bt * temp_weight) % wt AS rem
+      FROM tempered, tot),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             bt - SUM(base_q) OVER () AS leftover
+      FROM quoted)
+    SELECT source, raw_tokens, temp_weight,
+           CAST(base_q AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS final_alloc
+    FROM ranked ORDER BY source
+"""

@@ -6460,17 +6460,24 @@ def minhash_band_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import persist_stage
 
     docs = _t(spark, sf_dir, "documents")
-    truth = D.ngram_jaccard(
-        docs, "text", "doc_id", threshold=0.5, shingle_n=3, max_df=500
-    ).select("id_a", "id_b")
+    # truth and cand each feed TWO consumers (the hit join and their
+    # own count) — persist both so the expensive pair generation runs
+    # once per side
+    truth = persist_stage(
+        D.ngram_jaccard(
+            docs, "text", "doc_id", threshold=0.5, shingle_n=3, max_df=500
+        ).select("id_a", "id_b")
+    )
     sigs = D.minhash_signatures_md5(
         docs, "text", "doc_id", num_hashes=12, shingle_n=3
     )
     banded = persist_stage(
         D.band_keys_md5(sigs, "doc_id", bands=4, num_hashes=12)
     )
-    cand = D.delta_candidate_pairs(banded, banded, "doc_id").select(
-        "id_a", "id_b"
+    cand = persist_stage(
+        D.delta_candidate_pairs(banded, banded, "doc_id").select(
+            "id_a", "id_b"
+        )
     )
     hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
     agg = (
@@ -6634,6 +6641,363 @@ def robots_block_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("block_rate"),
     ).orderBy("host")
+
+
+
+def rp_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured sign-LSH recall on planted near-duplicate twins — the
+    hash-verified upgrade of embedding_near_dup_pairs' rows-only
+    check: corpus + one perturbed twin per vector (dim-0 nudged 1e-3,
+    the documented fixture; original corpus max pairwise cosine 0.51
+    so the twins ARE the ground truth), bucketed by the 8 sign bits
+    of the source-frozen Achlioptas projection (functions/vectors.py::
+    rp_signs — md5-derived literals, no RNG anywhere), candidates =
+    same-bucket pairs.  Released row: (n_true_pairs, n_candidates,
+    n_hits, recall, precision) — recall is the planted-twin recovery
+    rate, precision the honest bucket noise a verify stage would
+    filter.  A bucket exceeding 4096 raises in-plan on both engines
+    (the hot-key discipline)."""
+    from ..cache import persist_stage
+    from ..functions.vectors import rp_signs, sparse_rp_exprs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twin = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.001)).otherwise(x),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    allv = emb.unionByName(twin)
+    signs = rp_signs(64, 8)
+    proj = allv.select("vec_id", *sparse_rp_exprs(F.col("embedding"), signs))
+    bucket = None
+    for j in range(8):
+        bit = F.when(F.col(f"y{j:02d}") > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    bk = persist_stage(
+        proj.select("vec_id", bucket.cast("int").alias("bucket"))
+    )
+    sizes = bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+    guard = sizes.agg(
+        F.max(
+            F.when(F.col("__bsz") <= 4096, F.lit(0)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("rp_lsh_recall_eval: bucket size "),
+                        F.col("__bsz").cast("string"),
+                        F.lit(" exceeds 4096"),
+                    )
+                )
+            )
+        ).alias("__zero")
+    )
+    a = bk.select(F.col("vec_id").alias("ia"), "bucket")
+    b = bk.select(F.col("vec_id").alias("ib"), "bucket")
+    cand = a.join(b, "bucket").where(F.col("ia") < F.col("ib")).select(
+        "ia", "ib"
+    )
+    hits = cand.where(F.col("ib") == F.col("ia") + 1_000_000)
+    agg = (
+        emb.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+        .join(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+        .join(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        .join(F.broadcast(guard))
+    )
+    return agg.select(
+        (F.col("n_true_pairs") + F.col("__zero")).alias("n_true_pairs"),
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+    )
+
+
+def kll_quantile_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured KLL sketch accuracy — the same upgrade the ANN/LSH
+    recall entries got, applied to the sketch family: per order
+    priority, the p25/p50/p75/p90 read off the 6-round KLL sketch is
+    joined against the EXACT rank of each released value (count of
+    strictly-smaller rows over the raw data), and the released row
+    carries rank_err_pct = |100·n_below/n − pct| plus a within_tol
+    verdict at the 5-point tolerance the accuracy tests pin.  A
+    sketch accuracy regression (bad coin, broken compaction weights)
+    now turns a driver row red instead of drifting silently."""
+    from ..operators.kll import kll_sketch, sketch_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    sk = kll_sketch(
+        o,
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        capacity=256,
+        n_levels=6,
+    )
+    q = sketch_quantiles(sk, [25, 50, 75, 90])
+    qlong = q.select(
+        "group",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("int").alias("pct"),
+                        F.col(f"p{p}").alias("sketch_val"),
+                    )
+                    for p in (25, 50, 75, 90)
+                ]
+            )
+        ).alias("qq"),
+    ).select("group", "qq.pct", "qq.sketch_val")
+    joined = o.select(
+        F.col("o_orderpriority").alias("group"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    ).join(F.broadcast(qlong), "group")
+    ranks = joined.groupBy("group", "pct", "sketch_val").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v") < F.col("sketch_val"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_below"),
+    )
+    err = (
+        F.abs(
+            F.col("n_below").cast("double")
+            * F.lit(100.0)
+            / F.col("n_rows").cast("double")
+            - F.col("pct").cast("double")
+        )
+    )
+    return ranks.select(
+        F.col("group").alias("priority"),
+        "pct",
+        "sketch_val",
+        "n_rows",
+        "n_below",
+        F.round(err, 6).alias("rank_err_pct"),
+        (err <= F.lit(5.0)).alias("within_tol"),
+    ).orderBy("priority", "pct")
+
+
+def license_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-aware training-token budgeting: the license fixture
+    gates eligibility (blocked classes never enter), whitespace token
+    counts weight each eligible class, and HALF the eligible token
+    mass is apportioned by Hamilton largest-remainder
+    (operators/sampling.py::largest_remainder_allocation — exact
+    integer quotas, Σ final_alloc == B by construction).  The
+    composition a curation run actually ships: compliance gate →
+    weigh → split the budget → hand per-class budgets to
+    mixture_sample_by_budget."""
+    from ..functions.texttools import tokens_expr
+    from ..operators.sampling import (
+        largest_remainder_allocation,
+        split_bucket_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    b = split_bucket_expr(F.col("doc_id"), buckets=100)
+    lic = (
+        F.when(b < 40, F.lit("cc-by"))
+        .when(b < 60, F.lit("cc-by-sa"))
+        .when(b < 72, F.lit("cc0"))
+        .when(b < 90, F.lit("all-rights-reserved"))
+        .otherwise(F.lit("noai"))
+    )
+    eligible = docs.select(
+        lic.alias("license"),
+        F.size(tokens_expr(F.col("text"))).cast("long").alias("n_tokens"),
+    ).where(~F.col("license").isin("noai", "all-rights-reserved"))
+    return largest_remainder_allocation(
+        eligible, "license", "n_tokens", budget_num=1, budget_den=2
+    )
+
+
+
+def simhash_md5_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-VERIFIED SimHash near-dup candidates — the md5 twin
+    (operators/dedup.py::simhash_fingerprints_md5) banded into 4 x
+    16-bit substrings, pairs sharing >= 1 band, released with their
+    exact hamming distance (<= 8) and shared-band count.  The same
+    upgrade minhash got this round: the production path keeps the
+    packed xxhash64 fingerprints; this twin makes the whole
+    vote -> band -> hamming chain cross-engine checkable.  16-bit
+    bands saturate at web scale — production widens bands with the
+    pigeonhole machinery in simhash_near_duplicates; the fixture
+    corpus stays far below saturation."""
+    from ..cache import persist_stage
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = persist_stage(
+        D.simhash_fingerprints_md5(docs, "text", "doc_id")
+    )
+    banded = fps.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash_bits", 1 + 16 * b, 16).alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.key")
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+    fa = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash_bits").alias("ba"))
+    fb = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash_bits").alias("bb2"))
+    ham = F.aggregate(
+        F.zip_with(
+            F.split(F.col("ba"), ""),
+            F.split(F.col("bb2"), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure x dedup-store maintenance: when the documents with
+    doc_id % 17 == 0 are erased, which RETAINED documents lose
+    near-dup candidate partners (their duplicate-group membership
+    must be re-decided)?  Composes the md5 band store with the
+    erasure sweep: only buckets containing a deleted doc are touched
+    — the incremental-maintenance twin of the delta-ingest path.
+    Released: every retained doc that loses >= 1 partner, with
+    partners_lost / partners_left counts."""
+    from ..cache import persist_stage
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures_md5(
+        docs, "text", "doc_id", num_hashes=12, shingle_n=3
+    )
+    banded = persist_stage(
+        D.band_keys_md5(sigs, "doc_id", bands=4, num_hashes=12)
+    )
+    cand = D.delta_candidate_pairs(banded, banded, "doc_id")
+    # explode both directions in ONE pass over cand (a unionByName of
+    # two selects would recompute the bucket join once per branch)
+    directed = cand.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("owner"),
+                    F.col("id_b").alias("partner"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("owner"),
+                    F.col("id_a").alias("partner"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.owner", "d.partner")
+    own_del = F.col("owner") % 17 == 0
+    par_del = F.col("partner") % 17 == 0
+    return (
+        directed.where(~own_del)
+        .groupBy("owner")
+        .agg(
+            F.sum(F.when(par_del, 1).otherwise(0))
+            .cast("long")
+            .alias("partners_lost"),
+            F.sum(F.when(par_del, 0).otherwise(1))
+            .cast("long")
+            .alias("partners_left"),
+        )
+        .where(F.col("partners_lost") >= 1)
+        .select(
+            F.col("owner").alias("doc_id"),
+            "partners_lost",
+            "partners_left",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def source_temperature_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LM sampling
+    rule p_s proportional to w_s^T): T = 0.5 via sqrt — the one
+    exponent whose IEEE result is correctly rounded on every engine
+    (pow() is not), scaled by 2^20 (exact power-of-two multiply) and
+    floored to an integer weight, then apportioned by Hamilton
+    largest-remainder.  Low-resource sources gain share vs raw
+    proportional sampling — the released rows show raw_tokens next
+    to final_alloc so the flattening is visible and hash-checked."""
+    from ..functions.texttools import tokens_expr
+    from ..operators.sampling import largest_remainder_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(tokens_expr(F.col("text"))))
+        .cast("long")
+        .alias("raw_tokens")
+    )
+    from ..cache import persist_stage
+
+    # tempered feeds the allocation operator AND the raw_tokens join —
+    # persist so the corpus tokenization aggregate runs once
+    tempered = persist_stage(
+        per.select(
+            "source",
+            "raw_tokens",
+            F.floor(
+                F.sqrt(F.col("raw_tokens").cast("double")) * F.lit(1048576.0)
+            )
+            .cast("long")
+            .alias("temp_weight"),
+        )
+    )
+    alloc = largest_remainder_allocation(
+        tempered, "source", "temp_weight", budget_num=1, budget_den=2
+    )
+    return (
+        alloc.join(tempered.select("source", "raw_tokens"), "source")
+        .select(
+            "source",
+            "raw_tokens",
+            F.col("weight").alias("temp_weight"),
+            "base_alloc",
+            "extra",
+            "final_alloc",
+        )
+        .orderBy("source")
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6937,5 +7301,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "int8_ann_recall_eval": int8_ann_recall_eval,
     "host_license_rollup": host_license_rollup,
     "robots_block_rate": robots_block_rate,
+    "rp_lsh_recall_eval": rp_lsh_recall_eval,
+    "kll_quantile_error_eval": kll_quantile_error_eval,
+    "license_token_budget": license_token_budget,
+    "simhash_md5_band_pairs": simhash_md5_band_pairs,
+    "minhash_erasure_impact": minhash_erasure_impact,
+    "source_temperature_budget": source_temperature_budget,
 }
 

@@ -1463,6 +1463,91 @@ def _r11_section(spark, sf_dir, factor):
             )
             return license_rollup(base, "host", "license").count()
         timed(f"r11_license_rollup x{times}", lambda d=dw: _lic(d))
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ow = replicate(orders, times, "o_orderkey", 50_000_000)
+        def _kll_eval(o):
+            from northwind_etl_spark.operators.kll import (
+                kll_sketch,
+                sketch_quantiles,
+            )
+            sk = kll_sketch(
+                o, "o_orderpriority", "o_totalprice", "o_orderkey",
+                capacity=256, n_levels=6,
+            )
+            q = sketch_quantiles(sk, [25, 50, 75, 90])
+            qlong = q.select(
+                "group",
+                F.explode(F.array(*[
+                    F.struct(F.lit(p).alias("pct"),
+                             F.col(f"p{p}").alias("sv"))
+                    for p in (25, 50, 75, 90)
+                ])).alias("qq"),
+            ).select("group", "qq.pct", "qq.sv")
+            j = o.select(
+                F.col("o_orderpriority").alias("group"),
+                F.col("o_totalprice").cast("double").alias("v"),
+            ).join(F.broadcast(qlong), "group")
+            return (
+                j.groupBy("group", "pct")
+                .agg(F.sum(F.when(F.col("v") < F.col("sv"), 1)
+                           .otherwise(0)).alias("nb"))
+                .count()
+            )
+        timed(f"r11_kll_eval x{times}", lambda o=ow: _kll_eval(o))
+        def _rp_lsh(e):
+            from northwind_etl_spark.functions.vectors import (
+                rp_signs,
+                sparse_rp_exprs,
+            )
+            signs = rp_signs(64, 8)
+            proj = e.select(
+                "vec_id", *sparse_rp_exprs(F.col("embedding"), signs)
+            )
+            bucket = None
+            for j in range(8):
+                bit = F.when(
+                    F.col(f"y{j:02d}") > 0, F.lit(1 << j)
+                ).otherwise(F.lit(0))
+                bucket = bit if bucket is None else bucket + bit
+            bk = proj.select("vec_id", bucket.alias("bucket"))
+            a = bk.select(F.col("vec_id").alias("ia"), "bucket")
+            b = bk.select(F.col("vec_id").alias("ib"), "bucket")
+            return (
+                a.join(b, "bucket")
+                .where(F.col("ia") < F.col("ib"))
+                .count()
+            )
+        timed(f"r11_rp_lsh_cand x{times}", lambda e=ew: _rp_lsh(e))
+        def _simhash_md5(d):
+            from northwind_etl_spark.operators.dedup import (
+                simhash_fingerprints_md5,
+            )
+            return simhash_fingerprints_md5(d, "text", "doc_id").count()
+        timed(f"r11_simhash_md5 x{times}", lambda d=dw: _simhash_md5(d))
+        def _erasure(d):
+            from northwind_etl_spark.operators import dedup as DD
+            sigs = DD.minhash_signatures_md5(
+                d, "text", "doc_id", num_hashes=12, shingle_n=3
+            )
+            from northwind_etl_spark.cache import persist_stage
+            banded = persist_stage(
+                DD.band_keys_md5(sigs, "doc_id", bands=4, num_hashes=12)
+            )
+            cand = DD.delta_candidate_pairs(banded, banded, "doc_id")
+            directed = cand.select(
+                F.col("id_a").alias("o"), F.col("id_b").alias("p")
+            ).unionByName(
+                cand.select(F.col("id_b").alias("o"), F.col("id_a").alias("p"))
+            )
+            return (
+                directed.where(F.col("o") % 17 != 0)
+                .groupBy("o")
+                .agg(F.sum(F.when(F.col("p") % 17 == 0, 1).otherwise(0))
+                     .alias("lost"))
+                .where(F.col("lost") >= 1)
+                .count()
+            )
+        timed(f"r11_erasure x{times}", lambda d=dw: _erasure(d))
 
 
 if __name__ == "__main__":

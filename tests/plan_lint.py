@@ -69,6 +69,18 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "daily_revenue_runs_test": (
         "sign sequence = day-bounded aggregate x 1-row median broadcast"
     ),
+    # largest-remainder apportionment: the global ranking window's
+    # child is BNLJ(per-class hash aggregate x 1-row budget
+    # broadcast) — per-task rows into the exchange are bounded by
+    # |license classes| (the operator's documented working set), the
+    # same shape as neyman_allocation's whitelisted strata ranking.
+    "license_token_budget": (
+        "remainder ranking over |classes|-bounded aggregate x 1-row budget"
+    ),
+    # same largest-remainder window, |sources|-bounded
+    "source_temperature_budget": (
+        "remainder ranking over |sources|-bounded aggregate x 1-row budget"
+    ),
 }
 # (the corresponding BNLJ reviews live in tests/test_plan_lint.py's
 # BNLJ_WHITELIST — both lists must name an entry for it to ship with

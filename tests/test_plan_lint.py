@@ -76,6 +76,16 @@ BNLJ_WHITELIST = {
     "quality_margin_auc",            # 1-row row-count guard scalar
     "quality_margin_gains",          # 1-row row-count guard scalar
     "daily_revenue_runs_test",       # 1-row median + 1-row day count
+    # r11 additions — reviewed bounded broadcasts:
+    "user_topk_mergeable",           # 1-row err-bound scalar
+    "minhash_delta_candidates",      # 1-row hot-bucket guard scalar
+    "minhash_band_recall_eval",      # three 1-row count frames + guard
+    "int8_ann_recall_eval",          # query-panel broadcast (fixed panel in production; N/50 at test SF — the knn brute-force pattern)
+    "robots_block_rate",             # 6-row rules table, startswith theta-join
+    "rp_lsh_recall_eval",            # three 1-row count frames + 1-row guard
+    "license_token_budget",          # 1-row total/budget scalar
+    "minhash_erasure_impact",        # 1-row hot-bucket guard scalar
+    "source_temperature_budget",     # 1-row total/budget scalar
 }
 
 

@@ -253,3 +253,196 @@ def test_int8_cosine_exact_properties(spark):
     assert got[2][0] == pytest.approx(1.0)
     assert got[3][0] is None and got[3][1] == 0
     assert got[1][1] == 42 * 42 + 85 * 85 + 127 * 127
+
+
+# ------------------------------------------- largest-remainder budget
+
+
+def test_largest_remainder_sums_exactly_and_ranks_ties(spark):
+    from northwind_etl_spark.operators.sampling import (
+        largest_remainder_allocation,
+    )
+
+    # weights 5/3/2 with budget = half of 10 = 5: quotas 2.5/1.5/1.0
+    # -> bases 2/1/1 (sum 4), one leftover unit goes to the LARGEST
+    # remainder; a/b tie on remainder 5 resolves by class name
+    rows = (
+        [("a", 1)] * 5 + [("b", 1)] * 3 + [("c", 1)] * 2
+    )
+    df = spark.createDataFrame(rows, "cls STRING, w LONG")
+    out = {
+        r["cls"]: r
+        for r in largest_remainder_allocation(df, "cls", "w").collect()
+    }
+    assert sum(r["final_alloc"] for r in out.values()) == 5
+    assert out["a"]["final_alloc"] == 3  # remainder tie -> 'a' wins
+    assert out["b"]["final_alloc"] == 1
+    assert out["c"]["final_alloc"] == 1
+    assert all(
+        r["final_alloc"] in (r["base_alloc"], r["base_alloc"] + 1)
+        for r in out.values()
+    )
+
+
+def test_largest_remainder_proportional_on_exact_split(spark):
+    from northwind_etl_spark.operators.sampling import (
+        largest_remainder_allocation,
+    )
+
+    # exact divisibility -> zero remainders, no +1 units at all
+    rows = [("x", 4)] * 10 + [("y", 2)] * 10 + [("z", 2)] * 10
+    df = spark.createDataFrame(rows, "cls STRING, w LONG")
+    out = {
+        r["cls"]: r
+        for r in largest_remainder_allocation(df, "cls", "w").collect()
+    }
+    assert {k: v["final_alloc"] for k, v in out.items()} == {
+        "x": 20,
+        "y": 10,
+        "z": 10,
+    }
+    assert all(v["extra"] == 0 for v in out.values())
+
+
+def test_license_token_budget_excludes_blocked(spark):
+    from northwind_etl_spark.plans.queries import license_token_budget
+
+    out = license_token_budget(spark, "/root/testdata/sf0.001").collect()
+    classes = {r["license"] for r in out}
+    assert "noai" not in classes and "all-rights-reserved" not in classes
+    total = sum(r["weight"] for r in out)
+    budget = sum(r["final_alloc"] for r in out)
+    assert budget == total // 2  # Σ final == B by construction
+
+
+# --------------------------------------------------- measured quality
+
+
+def test_rp_lsh_recall_high_on_planted_twins(spark):
+    from northwind_etl_spark.plans.queries import rp_lsh_recall_eval
+
+    r = rp_lsh_recall_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    # a 1e-3 nudge on one of 64 dims almost never flips a sign bit
+    assert r["n_true_pairs"] > 0
+    assert r["recall"] >= 0.9, r
+    assert 0.0 <= r["precision"] <= 1.0
+
+
+def test_kll_eval_within_tolerance_and_err_consistent(spark):
+    from northwind_etl_spark.plans.queries import kll_quantile_error_eval
+
+    rows = kll_quantile_error_eval(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20  # 5 priorities x 4 quantiles
+    for r in rows:
+        assert r["within_tol"] == (r["rank_err_pct"] <= 5.0)
+        got = abs(100.0 * r["n_below"] / r["n_rows"] - r["pct"])
+        assert abs(got - r["rank_err_pct"]) < 1e-5
+
+
+# ------------------------------------------------- md5 SimHash twin
+
+
+def test_simhash_md5_matches_hand_votes(spark):
+    """Two-token doc: the fingerprint must equal the hand-computed
+    vote of the two md5 bit patterns (bit 63 first)."""
+    import hashlib
+
+    from northwind_etl_spark.operators import dedup as D
+
+    toks = ["alpha", "beta"]
+    df = _docs_df(spark, {1: " ".join(toks)})
+    got = D.simhash_fingerprints_md5(df, "text", "doc_id").collect()[0][
+        "simhash_bits"
+    ]
+
+    def h64(tok):
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        return (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+
+    votes = [0] * 64
+    for t in toks:
+        h = h64(t)
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    want = "".join("1" if votes[b] > 0 else "0" for b in range(63, -1, -1))
+    assert got == want and len(got) == 64
+
+
+def test_simhash_md5_twins_and_near_twins(spark):
+    from northwind_etl_spark.operators import dedup as D
+
+    texts = {
+        1: _BASE_TEXT,
+        2: _BASE_TEXT,  # identical -> hamming 0
+        3: _BASE_TEXT.replace("river", "ocean"),  # one word -> small hamming
+    }
+    fps = {
+        r["doc_id"]: r["simhash_bits"]
+        for r in D.simhash_fingerprints_md5(
+            _docs_df(spark, texts), "text", "doc_id"
+        ).collect()
+    }
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert fps[1] == fps[2]
+    assert 0 < ham(fps[1], fps[3]) <= 16  # one token of ~14 flips few bits
+
+
+# --------------------------------------------------- erasure impact
+
+
+def test_minhash_erasure_planted_partners(spark, tmp_path):
+    """doc 17 (17 % 17 == 0) erased; its twin 18 must be released with
+    partners_lost=1, partners_left=0; the untouched twin pair 19/20
+    must NOT appear (they lose nothing)."""
+    from pyspark.sql import functions as SF
+
+    from northwind_etl_spark.plans.queries import minhash_erasure_impact
+
+    other = "unrelated streaming shuffle catalyst tungsten adaptive plans"
+    texts = {
+        17: _BASE_TEXT,
+        18: _BASE_TEXT,
+        19: other,
+        20: other,
+        21: "a third island of words never repeated anywhere else today",
+    }
+    df = spark.createDataFrame(
+        [(k, v, "en", "src0", len(v)) for k, v in sorted(texts.items())],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           minhash_erasure_impact(spark, str(tmp_path)).collect()}
+    assert set(out) == {18}
+    assert out[18]["partners_lost"] == 1 and out[18]["partners_left"] == 0
+
+
+# ---------------------------------------------- temperature budget
+
+
+def test_temperature_budget_flattens_shares(spark, tmp_path):
+    from northwind_etl_spark.plans.queries import source_temperature_budget
+
+    rows = []
+    did = 0
+    # srcA: 100 docs x 10 tokens; srcB: 4 docs x 10 tokens
+    for n, src in ((100, "srcA"), (4, "srcB")):
+        for _ in range(n):
+            did += 1
+            t = "tok " * 10
+            rows.append((did, t.strip(), "en", src, len(t)))
+    spark.createDataFrame(
+        rows,
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in
+           source_temperature_budget(spark, str(tmp_path)).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert a["raw_tokens"] == 1000 and b["raw_tokens"] == 40
+    total_alloc = a["final_alloc"] + b["final_alloc"]
+    assert total_alloc == (a["temp_weight"] + b["temp_weight"]) // 2
+    raw_share_b = 40 / 1040
+    temp_share_b = b["final_alloc"] / total_alloc
+    # sqrt tempering lifts the low-resource source: 40/1040 = 3.8% raw
+    # -> sqrt(40)/(sqrt(1000)+sqrt(40)) = 16.7% tempered
+    assert temp_share_b > 2 * raw_share_b
