@@ -20,7 +20,8 @@ Prints ONE compact JSON line (driver contract keys only — short enough
 for the driver's tail capture, which truncated r05's full line):
   {"metric":"...","value":N,"unit":"sec","queries":{...},"sf":...}
 and writes the FULL record (plus duckdb anchors and spark/duck ratios)
-to BENCH_LOCAL.json next to this script.
+to BENCH_LOCAL.json (builder protocol, SPARK_GRAFT_BENCH_COMMIT=1) or
+the untracked BENCH_LAST_RUN.json (everyone else) next to this script.
 """
 
 from __future__ import annotations
@@ -429,12 +430,21 @@ def main() -> None:
     from northwind_etl_spark.plans.queries import QUERIES
     from northwind_etl_spark.session import get_spark
 
+    # iteration aid: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to
+    # a headline subset (full-protocol runs leave it unset)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))]
+        if only
+        else HEADLINE
+    )
+
     spark = get_spark("northwind-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup pass: builds the table cache, compiles codegen, exercises
     # broadcast machinery — steady-state numbers are what we report
-    for name in HEADLINE:
+    for name in headline:
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as ex:  # noqa: BLE001 - warmup failure reported in timed pass
@@ -444,7 +454,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = QUERIES[name]
         times: list[float] = []
         for _ in range(reps):
@@ -472,7 +482,12 @@ def main() -> None:
     # headline regression with an advisory-lane one.
     slow: dict[str, float] = {}
     slow_errors: dict[str, str] = {}
-    for name in SLOW_LANE:
+    slow_lane = (
+        [n for n in SLOW_LANE if n in set(only.split(","))]
+        if only
+        else SLOW_LANE
+    )
+    for name in slow_lane:
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -516,8 +531,19 @@ def main() -> None:
     # timings lost).  The stdout line keeps the driver contract keys
     # (metric/value/unit/queries/sf) with compact separators and leaves
     # the anchor maps to the file.
+    # Provenance rule (BASELINE.md, r11 verdict #4): the COMMITTED
+    # BENCH_LOCAL.json is always the builder's controlled quiet-host
+    # run.  Any other invocation (the driver's per-round run included)
+    # writes the full record to the untracked BENCH_LAST_RUN.json so a
+    # driver bench never dirties the committed artifact; the builder
+    # opts in with SPARK_GRAFT_BENCH_COMMIT=1.
+    fname = (
+        "BENCH_LOCAL.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1"
+        else "BENCH_LAST_RUN.json"
+    )
     local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        os.path.dirname(os.path.abspath(__file__)), fname
     )
     with open(local_path, "w") as fh:
         json.dump(record, fh, indent=1)
@@ -545,7 +571,7 @@ def main() -> None:
             omitted += 1
             stdout_line["queries"] = kept
             stdout_line["queries_omitted"] = omitted
-            stdout_line["full_record"] = "BENCH_LOCAL.json"
+            stdout_line["full_record"] = fname
             line = json.dumps(stdout_line, separators=(",", ":"))
     print(line)
     spark.stop()

@@ -920,11 +920,16 @@ def delta_candidate_pairs(
 
     Pair emission dedups across bands with n_shared_bands kept (the
     dedup pipeline's verify stage prioritizes multi-band collisions).
-    The max_bucket cap bounds degenerate buckets exactly like
-    lsh_candidate_pairs: each delta key meets at most max_bucket
-    store rows per (band, bucket) — boilerplate-heavy corpora stay a
-    bounded cost, with the cap surfaced via the capped flag so a
-    production run can route hot buckets to the exact verifier.
+    The max_bucket cap bounds degenerate buckets: unlike
+    lsh_candidate_pairs (which TRUNCATES oversized posting lists and
+    surfaces a capped flag), this operator RAISES in-plan when any
+    (band, bucket) the delta actually probes holds more than
+    max_bucket store rows — silent truncation would make the
+    incremental result diverge from a full re-band, which is the one
+    invariant an IVM operator must keep.  The size check is
+    delta-scoped (a semi-join restricts it to buckets present in the
+    delta), so the guard's cost — like the probe's — tracks the
+    delta, not the historical store.
     Returns (id_a, id_b, n_shared_bands), id_a < id_b, both orders
     normalized so delta-delta pairs emit once.
     """
@@ -949,9 +954,14 @@ def delta_candidate_pairs(
     # cap guard: a (band, bucket) whose store side exceeds max_bucket
     # would make the probe cost data-dependent-unbounded; raise
     # in-plan (folded through the consumed count) instead of silently
-    # truncating — the hot-key discipline every dedup operator keeps
-    sizes = other.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__bsz")
+    # truncating — the hot-key discipline every dedup operator keeps.
+    # Delta-scoped: only buckets the delta probes are sized, so the
+    # guard never scans store-only buckets (cost tracks the delta).
+    probed = mine.select("band", "bucket").distinct()
+    sizes = (
+        other.join(probed, ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
     )
     guard = sizes.agg(
         F.max(
@@ -967,7 +977,12 @@ def delta_candidate_pairs(
         ).alias("__zero")
     )
     return out.join(F.broadcast(guard)).select(
-        (F.col("id_a") + F.col("__zero")).alias("id_a"),
+        # coalesce: sizes is empty (MAX -> NULL) only when the bucket
+        # join matched nothing, in which case `out` is empty too —
+        # but keep the null out of the id arithmetic regardless
+        (F.col("id_a") + F.coalesce(F.col("__zero"), F.lit(0))).alias(
+            "id_a"
+        ),
         "id_b",
         "n_shared_bands",
     )

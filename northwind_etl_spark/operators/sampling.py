@@ -507,8 +507,32 @@ def largest_remainder_allocation(
     tot = per.agg(
         F.sum("__w").alias("__wt"),
         F.expr(f"(SUM(__w) * {budget_num}) DIV {budget_den}").alias("__bt"),
+        F.max("__w").alias("__wmax"),
     )
-    quoted = per.join(F.broadcast(tot)).select(
+    # overflow guard: the worst per-class product is __bt * __wmax;
+    # once it would exceed int64 (B ~ W/2, so W past ~4.3e9 trips it)
+    # raise in-plan on BOTH engines (oracle-mirrored) instead of
+    # letting each fail with its own engine-specific overflow error.
+    # Folded into the consumed __bt (the Catalyst-pruning lesson).
+    bt_checked = F.when(
+        F.col("__bt")
+        <= F.expr("9223372036854775807L DIV GREATEST(__wmax, 1L)"),
+        F.col("__bt"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "largest_remainder_allocation: budget*weight exceeds"
+                    " int64 (total weight "
+                ),
+                F.col("__wt").cast("string"),
+                F.lit(") — rescale weights before apportioning"),
+            )
+        )
+    )
+    quoted = per.join(
+        F.broadcast(tot.select(bt_checked.alias("__bt"), "__wt"))
+    ).select(
         "clazz",
         "__w",
         "__bt",

@@ -281,11 +281,14 @@ def longest_prefix_match(
     The rules side is a small table (a robots file is bounded), so
     the match is a BROADCAST theta-join on startswith — no shuffle of
     the data side — followed by one max_by per row to keep the
-    longest matching prefix.  Ties on length cannot happen within one
-    ruleset (two distinct rules of equal length match the same path
-    only if the prefixes are equal), but the selection still carries
-    the prefix itself as a deterministic tie-break so the operator is
-    total-ordered by construction.
+    longest matching prefix.  Two DISTINCT prefixes of equal length
+    matching the same path must be equal strings, so length ties
+    reduce to duplicate-prefix rules; the rules side is therefore
+    deduped per prefix to the MIN verdict before the join, making a
+    rules table with a duplicated prefix and conflicting verdicts
+    resolve deterministically — and for robots-style 'allow' vs
+    'deny'/'disallow' strings, MIN prefers 'allow', matching RFC 9309
+    §2.2.2's least-restrictive tie rule.
 
     `rules` columns: `prefix_col` (string) and `out_col` (the rule's
     verdict, any orderable type).  Rows matching NO rule get
@@ -300,6 +303,9 @@ def longest_prefix_match(
         rules.select(
             F.col(prefix_col).alias("__pfx"), F.col(out_col).alias("__v")
         )
+        # duplicate-prefix conflicts resolve to MIN verdict (see above)
+        .groupBy("__pfx")
+        .agg(F.min("__v").alias("__v"))
     )
     joined = df.join(r, F.col(path_col).startswith(F.col("__pfx")), "left")
     keys = [c for c in df.columns]

@@ -6110,23 +6110,49 @@ _MINHASH_BANDS = f"""
              FROM sig GROUP BY doc_id, i // 3)
 """
 
+# the in-plan max_bucket guard of dedup.py::delta_candidate_pairs,
+# mirrored (the rp_lsh_recall_eval error() pattern) so a hot bucket
+# fails BOTH engines instead of diverging; `probe` is the delta's
+# distinct (band, bucket) set — the guard is delta-scoped exactly
+# like the Spark side's semi-join.
+_DELTA_GUARD = """
+    guard AS (
+      SELECT COALESCE(MAX(CASE WHEN c <= 256 THEN 0
+                 ELSE error('delta_candidate_pairs: band bucket size '
+                            || CAST(c AS VARCHAR)
+                            || ' exceeds max_bucket=256') END), 0) AS z
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+            FROM band b
+            WHERE EXISTS (SELECT 1 FROM probe p
+                          WHERE p.band = b.band AND p.bucket = b.bucket)
+            GROUP BY b.band, b.bucket))
+"""
+
 ORACLES["minhash_delta_candidates"] = f"""
     WITH {_MINHASH_BANDS},
     delta AS (SELECT * FROM band WHERE doc_id % 10 >= 8),
+    probe AS (SELECT DISTINCT band, bucket FROM delta),
+    {_DELTA_GUARD},
     hits AS (SELECT DISTINCT d.band,
                     least(d.doc_id, o.doc_id) AS id_a,
                     greatest(d.doc_id, o.doc_id) AS id_b
              FROM delta d
              JOIN band o ON d.band = o.band AND d.bucket = o.bucket
-                        AND d.doc_id <> o.doc_id)
-    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-    FROM hits GROUP BY 1, 2 ORDER BY id_a, id_b
+                        AND d.doc_id <> o.doc_id),
+    pairs AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+              FROM hits GROUP BY 1, 2)
+    SELECT id_a + guard.z AS id_a, id_b, n_shared_bands
+    FROM pairs, guard ORDER BY 1, 2
 """
 
 ORACLES["minhash_band_recall_eval"] = f"""
     WITH {_MINHASH_BANDS},
-    -- ground truth: exact shingle-Jaccard >= 0.5 under the identical
-    -- max_df=500 hot-shingle discipline as dedup.py::ngram_jaccard
+    probe AS (SELECT DISTINCT band, bucket FROM band),
+    {_DELTA_GUARD},
+    -- ground truth: exact shingle-Jaccard under the identical
+    -- max_df=500 hot-shingle discipline as dedup.py::ngram_jaccard,
+    -- thresholded on the SAME ROUND(j, 6) the Spark side releases
+    -- (ngram_jaccard rounds before filtering)
     live AS (SELECT shingle FROM sh GROUP BY shingle
              HAVING COUNT(*) > 1 AND COUNT(*) <= 500),
     sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s
@@ -6137,27 +6163,43 @@ ORACLES["minhash_band_recall_eval"] = f"""
               JOIN live l ON l.shingle = a.shingle
               JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-    truth AS (SELECT id_a, id_b FROM inter
-              JOIN sz sa ON sa.doc_id = id_a
-              JOIN sz sb ON sb.doc_id = id_b
-              WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.5),
+    jac AS (SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6)
+                     AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE ROUND(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) >= 0.5),
     cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
                     greatest(a.doc_id, b.doc_id) AS id_b
              FROM band a
              JOIN band b ON a.band = b.band AND a.bucket = b.bucket
                         AND a.doc_id <> b.doc_id),
-    hit AS (SELECT t.id_a, t.id_b FROM truth t
-            JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b),
-    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth),
+    hitj AS (SELECT j.jaccard FROM jac j
+             JOIN cand c ON j.id_a = c.id_a AND j.id_b = c.id_b),
     nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
-    nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits FROM hit)
-    SELECT n_true_pairs, n_candidates, n_hits,
-           ROUND(CAST(n_hits AS DOUBLE)
-                 / NULLIF(CAST(n_true_pairs AS DOUBLE), 0.0), 6) AS recall,
-           ROUND(CAST(n_hits AS DOUBLE)
-                 / NULLIF(CAST(n_candidates AS DOUBLE), 0.0), 6)
+    taus AS (SELECT CAST(0.5 AS DOUBLE) AS tau
+             UNION ALL SELECT CAST(0.8 AS DOUBLE)),
+    nt AS (SELECT t.tau,
+                  CAST(COALESCE(SUM(CASE WHEN j.jaccard >= t.tau
+                                         THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS n_true_pairs
+           FROM taus t LEFT JOIN jac j ON TRUE GROUP BY t.tau),
+    nh AS (SELECT t.tau,
+                  CAST(COALESCE(SUM(CASE WHEN h.jaccard >= t.tau
+                                         THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS n_hits
+           FROM taus t LEFT JOIN hitj h ON TRUE GROUP BY t.tau)
+    SELECT nt.tau, nt.n_true_pairs,
+           nc.n_candidates + guard.z AS n_candidates, nh.n_hits,
+           ROUND(CAST(nh.n_hits AS DOUBLE)
+                 / NULLIF(CAST(nt.n_true_pairs AS DOUBLE), 0.0), 6)
+             AS recall,
+           ROUND(CAST(nh.n_hits AS DOUBLE)
+                 / NULLIF(CAST(nc.n_candidates AS DOUBLE), 0.0), 6)
              AS precision
-    FROM nt, nc, nh
+    FROM nt JOIN nh ON nt.tau = nh.tau, nc, guard
+    ORDER BY nt.tau
 """
 
 # int8 recall@10: codes replay the int8_quant_exprs rounding chain
@@ -6253,9 +6295,13 @@ ORACLES["host_license_rollup"] = """
 # most specific (longest, then lexicographically greatest) matching
 # prefix wins — identical to web.py::longest_prefix_match's max_by.
 ORACLES["robots_block_rate"] = """
-    WITH rules(prefix, verdict) AS (VALUES
+    WITH rules_raw(prefix, verdict) AS (VALUES
       ('/', 'allow'), ('/admin', 'deny'), ('/static', 'deny'),
       ('/static/css', 'allow'), ('/p', 'allow'), ('/p/private', 'deny')),
+    -- mirrored duplicate-prefix dedupe (web.py::longest_prefix_match):
+    -- conflicting duplicates resolve to MIN verdict ('allow' first)
+    rules AS (SELECT prefix, MIN(verdict) AS verdict
+              FROM rules_raw GROUP BY prefix),
     base AS (
       SELECT doc_id,
              'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
@@ -6424,11 +6470,23 @@ ORACLES["license_token_budget"] = f"""
       SELECT license AS clazz, CAST(SUM(n_tokens) AS BIGINT) AS w
       FROM lic WHERE license NOT IN ('noai', 'all-rights-reserved')
       GROUP BY 1),
-    tot AS (SELECT SUM(w) AS wt, (SUM(w) * 1) // 2 AS bt FROM per),
+    tot AS (SELECT SUM(w) AS wt, (SUM(w) * 1) // 2 AS bt,
+                   MAX(w) AS wmax FROM per),
+    -- mirrored in-plan overflow guard (sampling.py::
+    -- largest_remainder_allocation): bt*w must stay inside int64
+    tchk AS (SELECT wt,
+                    CASE WHEN bt <= 9223372036854775807 // greatest(wmax, 1)
+                         THEN bt
+                         ELSE error('largest_remainder_allocation: '
+                                    || 'budget*weight exceeds int64 (total '
+                                    || 'weight ' || CAST(wt AS VARCHAR)
+                                    || ') — rescale weights before '
+                                    || 'apportioning') END AS bt
+             FROM tot),
     quoted AS (
       SELECT clazz, w, wt, bt,
              (bt * w) // wt AS base_q, (bt * w) % wt AS rem
-      FROM per, tot),
+      FROM per, tchk),
     ranked AS (
       SELECT *,
              ROW_NUMBER() OVER (ORDER BY rem DESC, clazz ASC) AS rk,
@@ -6500,6 +6558,8 @@ ORACLES["simhash_md5_band_pairs"] = _simhash_md5_oracle_sql()
 
 ORACLES["minhash_erasure_impact"] = f"""
     WITH {_MINHASH_BANDS},
+    probe AS (SELECT DISTINCT band, bucket FROM band),
+    {_DELTA_GUARD},
     cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
                     greatest(a.doc_id, b.doc_id) AS id_b
              FROM band a
@@ -6516,8 +6576,8 @@ ORACLES["minhash_erasure_impact"] = f"""
              CAST(SUM(CASE WHEN partner % 17 = 0 THEN 0 ELSE 1 END)
                   AS BIGINT) AS partners_left
       FROM directed WHERE owner % 17 <> 0 GROUP BY 1)
-    SELECT doc_id, partners_lost, partners_left
-    FROM impact WHERE partners_lost >= 1 ORDER BY doc_id
+    SELECT doc_id + guard.z AS doc_id, partners_lost, partners_left
+    FROM impact, guard WHERE partners_lost >= 1 ORDER BY 1
 """
 
 
@@ -6531,12 +6591,24 @@ ORACLES["source_temperature_budget"] = f"""
                   AS BIGINT) AS temp_weight
       FROM per),
     tot AS (SELECT SUM(temp_weight) AS wt,
-                   (SUM(temp_weight) * 1) // 2 AS bt FROM tempered),
+                   (SUM(temp_weight) * 1) // 2 AS bt,
+                   MAX(temp_weight) AS wmax FROM tempered),
+    -- mirrored in-plan overflow guard (sampling.py::
+    -- largest_remainder_allocation): bt*w must stay inside int64
+    tchk AS (SELECT wt,
+                    CASE WHEN bt <= 9223372036854775807 // greatest(wmax, 1)
+                         THEN bt
+                         ELSE error('largest_remainder_allocation: '
+                                    || 'budget*weight exceeds int64 (total '
+                                    || 'weight ' || CAST(wt AS VARCHAR)
+                                    || ') — rescale weights before '
+                                    || 'apportioning') END AS bt
+             FROM tot),
     quoted AS (
       SELECT source, raw_tokens, temp_weight, wt, bt,
              (bt * temp_weight) // wt AS base_q,
              (bt * temp_weight) % wt AS rem
-      FROM tempered, tot),
+      FROM tempered, tchk),
     ranked AS (
       SELECT *,
              ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk,

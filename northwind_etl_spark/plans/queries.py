@@ -6452,21 +6452,27 @@ def minhash_band_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shingle-Jaccard pairs at threshold 0.5 (the oracle-proven
     ngram_jaccard machinery, identical max_df discipline), candidates
     are the md5 MinHash band collisions (12 hashes x 4 bands, the
-    r=3 S-curve: P[collide] = 1-(1-s^3)^4), and the released row is
-    (n_true_pairs, n_candidates, n_hits, recall, precision) — all
-    integer-derived, hash-checked cross-engine.  A recall regression
-    in the banding layer now turns a driver row red instead of
-    silently shipping under-deduplicated corpora."""
+    r=3 S-curve: P[collide] = 1-(1-s^3)^4), and the released rows are
+    (tau, n_true_pairs, n_candidates, n_hits, recall, precision) at
+    TWO operating points — tau=0.5 (the banding sweet spot) and
+    tau=0.8 (above the S-curve knee, where recall is parameter-
+    sensitive: a bands/rows mis-tune that barely moves recall@0.5
+    shifts recall@0.8 visibly) — all integer-derived, hash-checked
+    cross-engine.  A recall regression in the banding layer now turns
+    a driver row red instead of silently shipping under-deduplicated
+    corpora."""
     from ..cache import persist_stage
 
     docs = _t(spark, sf_dir, "documents")
+    taus = [0.5, 0.8]
     # truth and cand each feed TWO consumers (the hit join and their
     # own count) — persist both so the expensive pair generation runs
-    # once per side
+    # once per side; truth keeps the jaccard value so BOTH operating
+    # points read one pair generation at threshold=min(taus)
     truth = persist_stage(
         D.ngram_jaccard(
-            docs, "text", "doc_id", threshold=0.5, shingle_n=3, max_df=500
-        ).select("id_a", "id_b")
+            docs, "text", "doc_id", threshold=taus[0], shingle_n=3, max_df=500
+        ).select("id_a", "id_b", "jaccard")
     )
     sigs = D.minhash_signatures_md5(
         docs, "text", "doc_id", num_hashes=12, shingle_n=3
@@ -6479,27 +6485,61 @@ def minhash_band_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b"
         )
     )
-    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    hitp = truth.join(cand, ["id_a", "id_b"], "left_semi")
+
+    def _per_tau(src: DataFrame, stem: str) -> DataFrame:
+        # one pass, one conditional sum per operating point; coalesce
+        # pins the empty-relation SUM (NULL) to 0 on both engines
+        return src.agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("jaccard") >= F.lit(t), 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"__{stem}{i}")
+                for i, t in enumerate(taus)
+            ]
+        )
+
     agg = (
-        truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+        _per_tau(truth, "nt")
+        .join(_per_tau(hitp, "nh"))
         .join(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
-        .join(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
     )
-    return agg.select(
-        "n_true_pairs",
-        "n_candidates",
-        "n_hits",
+    per_tau = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tau"),
+                        F.col(f"__nt{i}").alias("n_true_pairs"),
+                        F.col("n_candidates").alias("n_candidates"),
+                        F.col(f"__nh{i}").alias("n_hits"),
+                    )
+                    for i, t in enumerate(taus)
+                ]
+            )
+        ).alias("s")
+    )
+    return per_tau.select(
+        "s.tau",
+        "s.n_true_pairs",
+        "s.n_candidates",
+        "s.n_hits",
         F.round(
-            F.col("n_hits").cast("double")
-            / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0)),
+            F.col("s.n_hits").cast("double")
+            / F.nullif(F.col("s.n_true_pairs").cast("double"), F.lit(0.0)),
             6,
         ).alias("recall"),
         F.round(
-            F.col("n_hits").cast("double")
-            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
+            F.col("s.n_hits").cast("double")
+            / F.nullif(F.col("s.n_candidates").cast("double"), F.lit(0.0)),
             6,
         ).alias("precision"),
-    )
+    ).orderBy("tau")
 
 
 def int8_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7001,67 +7041,25 @@ def source_temperature_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r11 window (rows 1-50; ROUND_NOTES "Rotation guidance for
-    #     r11").  Rows 1-31: the entire r10 batch (lakehouse/export,
-    #     batch 2 observability, batch 3 eval/web, batch 4 ML-eval),
-    #     never driver-checked — rule 1.  Rows 32-50: the 19 oldest
-    #     r06-stale entries (boilerplate_cleaned_docs …
-    #     orders_expectations) — rule 2. ---------------------------
-    "orders_compaction_plan": orders_compaction_plan,
-    "orders_file_size_histogram": orders_file_size_histogram,
-    "shipdate_zonemap_skipping": shipdate_zonemap_skipping,
-    "events_snapshot_expiration": events_snapshot_expiration,
-    "events_snapshot_changelog": events_snapshot_changelog,
-    "lineitem_deletion_vector_read": lineitem_deletion_vector_read,
-    "orders_schema_evolution_read": orders_schema_evolution_read,
-    "training_manifest_shards": training_manifest_shards,
-    "mixture_schedule_steps": mixture_schedule_steps,
-    "priority_price_kll_quantiles": priority_price_kll_quantiles,
-    "custkey_bloom_file_skipping": custkey_bloom_file_skipping,
-    "event_ingestion_lag_quantiles": event_ingestion_lag_quantiles,
-    "weekly_price_sketch_rollup": weekly_price_sketch_rollup,
-    "gdpr_erasure_audit": gdpr_erasure_audit,
-    "late_event_audit": late_event_audit,
-    "funnel_latency_quantiles": funnel_latency_quantiles,
-    "dup_rate_by_source": dup_rate_by_source,
-    "lineitem_column_stats": lineitem_column_stats,
-    "daily_value_trend_robust": daily_value_trend_robust,
-    "signup_conversion_survival": signup_conversion_survival,
-    "nation_trade_hits": nation_trade_hits,
-    "canonical_url_dup_groups": canonical_url_dup_groups,
-    "experiment_cuped_readout": experiment_cuped_readout,
-    "events_value_psi_drift": events_value_psi_drift,
-    "bm25_ndcg_eval": bm25_ndcg_eval,
-    "source_term_jsd_pairs": source_term_jsd_pairs,
-    "quality_margin_auc": quality_margin_auc,
-    "quality_margin_gains": quality_margin_gains,
-    "type_value_mutual_info": type_value_mutual_info,
-    "langid_agreement_alpha": langid_agreement_alpha,
-    "daily_revenue_runs_test": daily_revenue_runs_test,
-    # --- rows 32-50: oldest r06-stale block ---------------------
-    "boilerplate_cleaned_docs": boilerplate_cleaned_docs,
-    "semantic_dedup_verdicts": semantic_dedup_verdicts,
-    "cms_term_counts": cms_term_counts,
-    "per_source_doc_sample": per_source_doc_sample,
-    "term_vocabulary_ids": term_vocabulary_ids,
-    "multimodal_image_dhash_dups": multimodal_image_dhash_dups,
-    "multimodal_audio_fingerprint_dups": multimodal_audio_fingerprint_dups,
-    "user_activity_islands": user_activity_islands,
-    "salted_distinct_users": salted_distinct_users,
-    "incremental_order_stats": incremental_order_stats,
-    "bloom_filtered_orders": bloom_filtered_orders,
-    "table_diff_summary": table_diff_summary,
-    "kmv_distinct_users": kmv_distinct_users,
-    "incremental_price_quantiles": incremental_price_quantiles,
-    "salted_join_revenue": salted_join_revenue,
-    "kmv_overlap_customers": kmv_overlap_customers,
-    "source_length_drift": source_length_drift,
-    "corpus_build_report": corpus_build_report,
-    "orders_expectations": orders_expectations,
-    # --- below the window, staleness-ascending: the remaining 31
-    #     r06-stale entries lead the r12 window (ROUND_NOTES), then
-    #     r07/r08/r09-stale, then the 50 entries the r10 window just
-    #     re-proved. --------------------------------------------------
+    # --- r12 window (rows 1-50; ROUND_NOTES "Rotation guidance
+    #     for r12").  Rows 1-12: the entire r11 batch
+    #     (§2c-decies), never driver-checked — rule 1.  Rows
+    #     13-50: the 31 remaining r06-stale entries
+    #     (doc_compression_ratio …) then the 7 oldest r07
+    #     entries — rule 2. ----------------------------------
+    "user_topk_mergeable": user_topk_mergeable,
+    "minhash_delta_candidates": minhash_delta_candidates,
+    "minhash_band_recall_eval": minhash_band_recall_eval,
+    "int8_ann_recall_eval": int8_ann_recall_eval,
+    "host_license_rollup": host_license_rollup,
+    "robots_block_rate": robots_block_rate,
+    "rp_lsh_recall_eval": rp_lsh_recall_eval,
+    "kll_quantile_error_eval": kll_quantile_error_eval,
+    "license_token_budget": license_token_budget,
+    "simhash_md5_band_pairs": simhash_md5_band_pairs,
+    "minhash_erasure_impact": minhash_erasure_impact,
+    "source_temperature_budget": source_temperature_budget,
+    # --- rows 13-50: r06-stale block, then oldest r07 ------
     "doc_compression_ratio": doc_compression_ratio,
     "stream_incremental_user_value": stream_incremental_user_value,
     "time_weighted_user_value": time_weighted_user_value,
@@ -7100,6 +7098,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitter_terms": heavy_hitter_terms,
     "recursive_nation_hierarchy": recursive_nation_hierarchy,
     "lateral_topk_customers": lateral_topk_customers,
+    # --- below the window, staleness-ascending: r07/r08/r09-
+    #     stale, then the r10-window re-proofs, then the 50
+    #     entries the r11 window just re-proved at the bottom. -
     "url_host_stats": url_host_stats,
     "unicode_nfc_stats": unicode_nfc_stats,
     "nation_trade_pagerank": nation_trade_pagerank,
@@ -7240,7 +7241,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_click_attribution": stream_click_attribution,
     "multimodal_png_stats": multimodal_png_stats,
     "multimodal_audio_stats": multimodal_audio_stats,
-    # --- newest row r10 (checked last round) --------------------
     "dsir_en_importance_weights": dsir_en_importance_weights,
     "greedy_coverage_docs": greedy_coverage_docs,
     "weighted_reservoir_docs": weighted_reservoir_docs,
@@ -7291,21 +7291,56 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_lineitem": profile_lineitem,
     "quantiles_quantity": quantiles_quantity,
     "tumbling_event_counts": tumbling_event_counts,
-    # --- new in r11 (mergeable sketch, incremental MinHash, measured
-    #     ANN/LSH quality, crawl compliance; never driver-checked —
-    #     they lead the r12 window together with the remaining
-    #     r06-stale block per rule 1) --------------------------------
-    "user_topk_mergeable": user_topk_mergeable,
-    "minhash_delta_candidates": minhash_delta_candidates,
-    "minhash_band_recall_eval": minhash_band_recall_eval,
-    "int8_ann_recall_eval": int8_ann_recall_eval,
-    "host_license_rollup": host_license_rollup,
-    "robots_block_rate": robots_block_rate,
-    "rp_lsh_recall_eval": rp_lsh_recall_eval,
-    "kll_quantile_error_eval": kll_quantile_error_eval,
-    "license_token_budget": license_token_budget,
-    "simhash_md5_band_pairs": simhash_md5_band_pairs,
-    "minhash_erasure_impact": minhash_erasure_impact,
-    "source_temperature_budget": source_temperature_budget,
+    # --- freshest: re-proved by the r11 driver window ------
+    "orders_compaction_plan": orders_compaction_plan,
+    "orders_file_size_histogram": orders_file_size_histogram,
+    "shipdate_zonemap_skipping": shipdate_zonemap_skipping,
+    "events_snapshot_expiration": events_snapshot_expiration,
+    "events_snapshot_changelog": events_snapshot_changelog,
+    "lineitem_deletion_vector_read": lineitem_deletion_vector_read,
+    "orders_schema_evolution_read": orders_schema_evolution_read,
+    "training_manifest_shards": training_manifest_shards,
+    "mixture_schedule_steps": mixture_schedule_steps,
+    "priority_price_kll_quantiles": priority_price_kll_quantiles,
+    "custkey_bloom_file_skipping": custkey_bloom_file_skipping,
+    "event_ingestion_lag_quantiles": event_ingestion_lag_quantiles,
+    "weekly_price_sketch_rollup": weekly_price_sketch_rollup,
+    "gdpr_erasure_audit": gdpr_erasure_audit,
+    "late_event_audit": late_event_audit,
+    "funnel_latency_quantiles": funnel_latency_quantiles,
+    "dup_rate_by_source": dup_rate_by_source,
+    "lineitem_column_stats": lineitem_column_stats,
+    "daily_value_trend_robust": daily_value_trend_robust,
+    "signup_conversion_survival": signup_conversion_survival,
+    "nation_trade_hits": nation_trade_hits,
+    "canonical_url_dup_groups": canonical_url_dup_groups,
+    "experiment_cuped_readout": experiment_cuped_readout,
+    "events_value_psi_drift": events_value_psi_drift,
+    "bm25_ndcg_eval": bm25_ndcg_eval,
+    "source_term_jsd_pairs": source_term_jsd_pairs,
+    "quality_margin_auc": quality_margin_auc,
+    "quality_margin_gains": quality_margin_gains,
+    "type_value_mutual_info": type_value_mutual_info,
+    "langid_agreement_alpha": langid_agreement_alpha,
+    "daily_revenue_runs_test": daily_revenue_runs_test,
+    "boilerplate_cleaned_docs": boilerplate_cleaned_docs,
+    "semantic_dedup_verdicts": semantic_dedup_verdicts,
+    "cms_term_counts": cms_term_counts,
+    "per_source_doc_sample": per_source_doc_sample,
+    "term_vocabulary_ids": term_vocabulary_ids,
+    "multimodal_image_dhash_dups": multimodal_image_dhash_dups,
+    "multimodal_audio_fingerprint_dups": multimodal_audio_fingerprint_dups,
+    "user_activity_islands": user_activity_islands,
+    "salted_distinct_users": salted_distinct_users,
+    "incremental_order_stats": incremental_order_stats,
+    "bloom_filtered_orders": bloom_filtered_orders,
+    "table_diff_summary": table_diff_summary,
+    "kmv_distinct_users": kmv_distinct_users,
+    "incremental_price_quantiles": incremental_price_quantiles,
+    "salted_join_revenue": salted_join_revenue,
+    "kmv_overlap_customers": kmv_overlap_customers,
+    "source_length_drift": source_length_drift,
+    "corpus_build_report": corpus_build_report,
+    "orders_expectations": orders_expectations,
 }
 
