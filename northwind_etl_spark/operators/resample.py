@@ -50,9 +50,19 @@ def half_sample_means(
     are exact decimal; mean_b is one correctly-rounded division."""
     if replicas < 2:
         raise ValueError("replicas must be >= 2")
+    # Repartition BEFORE the ×B explode: the fan-out plus the md5
+    # parity filter and the partial agg all run before the first
+    # exchange, so without this the operator's parallelism is
+    # whatever the input file layout happens to be (the sf fixtures
+    # are single-row-group files — one task does ×64 the work).  One
+    # cheap shuffle of the pre-explode (key, value) pairs decouples
+    # the operator from layout and from the table-cache opt-in.
+    par = df.sparkSession.sparkContext.defaultParallelism
     b = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("b")
-    exploded = df.select(
-        F.col(key_col).alias("__k"), F.col(value_col).alias("__v"), b
+    exploded = (
+        df.select(F.col(key_col).alias("__k"), F.col(value_col).alias("__v"))
+        .repartition(par, F.col("__k"))
+        .select("__k", "__v", b)
     )
     kept = exploded.where(half_sample_members(F.col("__k"), F.col("b")))
     return kept.groupBy("b").agg(

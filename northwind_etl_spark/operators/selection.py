@@ -192,10 +192,32 @@ def group_kth_smallest(
     if k is not None and q is not None:
         raise ValueError("pass k or q, not both")
     spark = df.sparkSession
+    v = F.col("v")
+    # Local persist with deterministic release: the loop reads base
+    # once per pass (the first-stats agg, then P histogram jobs and
+    # any finish_by_walk), and every pass's `cur` lineage replays the
+    # earlier passes' joins+filters FROM base — without the persist
+    # each of those jobs re-runs the upstream scan/join, which also
+    # makes the operator's latency track whatever else the session
+    # has cached (the r09→r11 bench creep on unchanged code).  The
+    # projected (g, v) pair is small; unpersist in `finally` so a
+    # long-lived session never accumulates one entry per call.
+    base = (
+        df.select(F.col(group_col).alias("g"), F.col(col).alias("v"))
+        .where(v.isNotNull())
+        .persist()
+    )
+    try:
+        return _group_kth_smallest_loop(spark, base, k, q, max_passes)
+    finally:
+        base.unpersist()
+
+
+def _group_kth_smallest_loop(spark, base, k, q, max_passes):
+    """Driver-iterative selection loop over a PERSISTED (g, v)
+    base — split out so group_kth_smallest can release the persist
+    in a finally regardless of which validation path raises."""
     v, g = F.col("v"), F.col("g")
-    base = df.select(
-        F.col(group_col).alias("g"), F.col(col).alias("v")
-    ).where(v.isNotNull())
     first = (
         base.groupBy("g")
         .agg(
