@@ -46,6 +46,38 @@ def stratified_sample(
     return df.sampleBy(stratum_col, fractions, seed=seed)
 
 
+def stratified_sample_deterministic(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    *,
+    key: str,
+    salt: str = "strat",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample with DETERMINISTIC md5 inclusion —
+    the weighted_sample hash→uniform trick with a per-stratum constant
+    probability: keep ⇔ (md5(salt|key) mapped onto [0, 1)) <
+    fractions[stratum].  Inclusion is a pure function of (salt, key,
+    stratum), so the sample is reproducible across engines, runs, and
+    partitionings, and the SAMPLE ITSELF is SQL-oracle-checkable —
+    unlike sampleBy (stratified_sample above), whose RNG stream is
+    engine-specific and pins only the sample's size.  Rows whose
+    stratum is absent from `fractions` are dropped (sampleBy
+    semantics: NULL probability compares false).  Map-only, no
+    shuffle; the salt decorrelates this sample from any other md5
+    sampler sharing the key column."""
+    kc = F.concat(F.lit(f"{salt}|"), F.col(key).cast("string"))
+    u = (
+        F.conv(F.substring(F.md5(kc), 1, 8), 16, 10).cast("long")
+        % resolution
+    ) / F.lit(float(resolution))
+    p = F.lit(None).cast("double")
+    for s_val, f_val in fractions.items():
+        p = F.when(F.col(stratum_col) == s_val, F.lit(float(f_val))).otherwise(p)
+    return df.where(u < p)
+
+
 def weighted_sample(
     df: DataFrame,
     key: str,

@@ -108,6 +108,67 @@ def ann_lsh_topk(
     return knn_bruteforce(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ann_lsh_topk_frozen(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_planes: int = 6,
+    multiprobe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ann-lsh-r12",
+) -> DataFrame:
+    """ann_lsh_topk with the md5-FROZEN Achlioptas sign planes
+    (functions/vectors.py::rp_signs) instead of the numpy-seeded
+    Gaussian matrix — same probe semantics (score only rows whose
+    sign-bucket is within `multiprobe_hamming` bit flips of the
+    query's), but every projection coordinate is a sequential
+    Catalyst double fold over sign LITERALS, so a SQL oracle replays
+    the buckets, the probe set, and the final cosine top-k
+    bit-for-bit (the rp_lsh_recall_eval machinery, pointed at the
+    search path).  The query's bucket is computed driver-side with
+    the IDENTICAL left-to-right fold (python float adds are the same
+    correctly-rounded IEEE ops), one pure-python pass over the sign
+    rows — no job, unlike the .first() that fetched the query vector.
+
+    Production keeps ann_lsh_topk's vectorized-numpy bucket pass for
+    throughput; this twin is the oracle-checkable semantics of the
+    same index, and the registry's driver-verified search entry."""
+    from ..functions.vectors import rp_signs, sparse_rp_exprs
+
+    dim = len(query_vec)
+    signs = rp_signs(dim, n_planes, seed=seed)
+    qbucket = 0
+    for j, row in enumerate(signs):
+        acc = 0.0
+        for s, x in zip(row, query_vec):
+            acc = acc + (float(s) * float(x))
+        if acc > 0:
+            qbucket |= 1 << j
+    probe = {qbucket}
+    if multiprobe_hamming >= 1:
+        probe |= {qbucket ^ (1 << b) for b in range(n_planes)}
+    if multiprobe_hamming >= 2:
+        probe |= {
+            qbucket ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        }
+    ys = sparse_rp_exprs(F.col(vec_col), signs)
+    proj = embeddings.select(F.col(id_col), F.col(vec_col), *ys)
+    bucket = None
+    for j in range(n_planes):
+        term = F.when(F.col(f"y{j:02d}") > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+        bucket = term if bucket is None else bucket + term
+    cand = proj.where(bucket.isin(*sorted(probe))).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    return knn_bruteforce(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     *,

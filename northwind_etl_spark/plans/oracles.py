@@ -6622,3 +6622,101 @@ ORACLES["source_temperature_budget"] = f"""
                 AS BIGINT) AS final_alloc
     FROM ranked ORDER BY source
 """
+
+
+# ---------------------------------------------------------------- r12:
+# rows-only shrink — the md5-deterministic twins that upgrade three
+# long-standing rows-only entries to full hash verification.
+
+ORACLES["stratified_sample_docs"] = """
+    SELECT doc_id, lang FROM documents
+    WHERE (CAST('0x' || substring(md5('strat|' || CAST(doc_id AS VARCHAR)),
+                                  1, 8) AS BIGINT) % 1000000) / 1000000.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.5
+                      WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.5
+                      WHEN 'zh' THEN 0.5 END
+"""
+
+
+# ann_lsh_topk: the md5-frozen sign planes (functions/vectors.py::
+# rp_signs, seed "ann-lsh-r12") embedded as literals; buckets, the
+# hamming<=2 multiprobe set, and the cosine top-k all replayed exactly
+# (the knn fold + rp_lsh sign-matrix disciplines combined).
+def _ann_lsh_topk_oracle_sql() -> str:
+    from ..functions.vectors import rp_signs
+
+    signs = rp_signs(64, 6, seed="ann-lsh-r12")
+    ycols = []
+    for j, row in enumerate(signs):
+        arr = "[" + ", ".join(f"{float(s):.1f}" for s in row) + "]"
+        ycols.append(
+            f"list_sum(list_transform(generate_series(1, 64),\n"
+            f"    i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+            f" AS y{j:02d}"
+        )
+    y_sql = ",\n           ".join(ycols)
+    bucket_sql = " + ".join(
+        f"(CASE WHEN y{j:02d} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(6)
+    )
+    ham_sql = " + ".join(
+        f"(CASE WHEN ((b.bucket // {1 << j}) % 2)"
+        f" <> ((q.bucket // {1 << j}) % 2) THEN 1 ELSE 0 END)"
+        for j in range(6)
+    )
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, embedding,
+           {y_sql}
+      FROM embeddings),
+    bk AS (SELECT vec_id, embedding, {bucket_sql} AS bucket FROM proj),
+    q AS (SELECT bucket, embedding AS qv FROM bk WHERE vec_id = 0),
+    cand AS (SELECT b.vec_id, b.embedding, q.qv FROM bk b, q
+             WHERE {ham_sql} <= 2),
+    scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(generate_series(1, len(embedding)),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+             / NULLIF(
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0)
+               AS cos_raw
+      FROM cand)
+    SELECT vec_id, ROUND(cos_raw, 6) AS cosine
+    FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+ORACLES["ann_lsh_topk"] = _ann_lsh_topk_oracle_sql()
+
+
+# duplicate_cluster_sizes: md5 band candidates (the _MINHASH_BANDS /
+# _DELTA_GUARD machinery) + the ITERATIVE min-label closure replayed
+# as a recursive transitive-closure CTE — cluster = min reachable id,
+# exactly duplicate_clusters' fixed point.
+ORACLES["duplicate_cluster_sizes"] = f"""
+    WITH RECURSIVE {_MINHASH_BANDS},
+    probe AS (SELECT DISTINCT band, bucket FROM band),
+    {_DELTA_GUARD},
+    cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                    greatest(a.doc_id, b.doc_id) AS id_b
+             FROM band a
+             JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id <> b.doc_id),
+    edges AS (SELECT id_a AS u, id_b AS v FROM cand
+              UNION SELECT id_b AS u, id_a AS v FROM cand),
+    walk(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+    comp AS (SELECT u AS doc, LEAST(u, MIN(v)) AS cluster
+             FROM walk GROUP BY u),
+    sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY 1)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) + guard.z AS n_clusters
+    FROM sizes, guard GROUP BY cluster_size, guard.z
+    ORDER BY cluster_size
+"""

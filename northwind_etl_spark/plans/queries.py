@@ -2245,21 +2245,33 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over MinHash near-dup pairs
+    """Connected components over MinHash near-dup candidate pairs
     (operators/dedup.py::duplicate_clusters — iterative pointer-jumping
     min-label propagation), reported as a cluster-size histogram.
-    Rows-only by design twice over: the upstream candidate set is
-    hash-seeded LSH and the closure is iterative; correctness is
-    pinned by planted-transitive-chain tests (tests/test_dedup_clusters
-    .py).  This gives the iterative operator driver-visible evidence."""
+    HASH-VERIFIED since r12: the candidate pairs come from the md5
+    band store (minhash_signatures_md5 / band_keys_md5 /
+    delta_candidate_pairs — the same machinery minhash_delta_candidates
+    proved), and the oracle replays the ITERATIVE closure with a
+    recursive CTE — the pointer-jumping operator's first value-exact
+    cross-engine check (planted-transitive-chain tests remain in
+    tests/test_dedup_clusters.py; the xxhash production path keeps its
+    driver row via minhash_near_dup_pairs)."""
+    from ..cache import persist_stage
+
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_near_duplicates(docs, "text", "doc_id", threshold=0.5)
+    sigs = D.minhash_signatures_md5(
+        docs, "text", "doc_id", num_hashes=12, shingle_n=3
+    )
+    banded = persist_stage(
+        D.band_keys_md5(sigs, "doc_id", bands=4, num_hashes=12)
+    )
+    pairs = D.delta_candidate_pairs(banded, banded, "doc_id")
     clusters = D.duplicate_clusters(pairs.select("id_a", "id_b"))
     return (
         clusters.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
         .groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
         .orderBy("cluster_size")
     )
 
@@ -2319,13 +2331,20 @@ def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language Bernoulli sample (seeded; rows-only — sampling RNG
-    is engine-specific, bounds asserted in tests)."""
-    from ..operators.sampling import stratified_sample
+    """Per-language Bernoulli sample, md5-DETERMINISTIC (operators/
+    sampling.py::stratified_sample_deterministic): inclusion is a pure
+    function of (salt, doc_id, lang), so the oracle replays the
+    identical hash arithmetic and the SAMPLE ITSELF is value-checked —
+    the same upgrade weighted_sample_docs made over RNG sampling
+    (previously rows-only via sampleBy, whose RNG stream is
+    engine-specific)."""
+    from ..operators.sampling import stratified_sample_deterministic
 
     docs = _t(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
-    return stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
+    return stratified_sample_deterministic(
+        docs, "lang", fractions, key="doc_id"
+    ).select("doc_id", "lang")
 
 
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2364,8 +2383,14 @@ def knn_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
-    is asserted in tests).
+    """LSH-bucketed approximate top-k, HASH-VERIFIED (operators/
+    similarity.py::ann_lsh_topk_frozen): the md5-frozen Achlioptas
+    sign planes replace the numpy-seeded Gaussian matrix, so the
+    DuckDB oracle replays buckets, the hamming<=2 multiprobe set, and
+    the final cosine top-k value-exact — the rp_lsh_recall_eval
+    machinery pointed at the search path (rows-only until r12;
+    production throughput keeps the vectorized ann_lsh_topk twin,
+    recall-pinned in tests).
 
     The `.first()` fetch of the query vector is deliberate, not an
     accident: LSH probing must compute the query's bucket (and its
@@ -2379,7 +2404,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     # plane count sized to corpus (~500 vecs): 2^6 buckets ≈ 8 rows each;
     # at 100 TB you'd raise n_planes so bucket size stays ~constant.
-    return V.ann_lsh_topk(emb, qvec, k=10, n_planes=6, multiprobe_hamming=2)
+    return V.ann_lsh_topk_frozen(
+        emb, qvec, k=10, n_planes=6, multiprobe_hamming=2
+    )
 
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
