@@ -602,6 +602,44 @@ def ngram_jaccard(
     plan branches AQE will not dedup, and without the persist the
     corpus is tokenized once per branch (verified: 3 parquet scans).
     """
+    inter, sizes = _shingle_intersections(
+        df, text_col, id_col, shingle_n=shingle_n, max_df=max_df
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int,
+    max_df: int,
+):
+    """Shared pair-intersection machinery for the exact shingle-set
+    family (ngram_jaccard, ngram_containment): returns (inter, sizes)
+    where inter is |A∩B| per unordered candidate pair (id_a < id_b,
+    only pairs sharing >= 1 live shingle) and sizes is the per-doc
+    shingle-set size.  One shuffle groups each shingle's (sorted) doc
+    list, pairs expand array-locally; posting lists longer than max_df
+    are dropped BEFORE expansion, bounding the worst case at max_df^2
+    per shingle (the hot-shingle discipline documented on
+    ngram_jaccard)."""
     from .text import _doc_tokens
 
     docsh = persist_stage(
@@ -612,10 +650,6 @@ def ngram_jaccard(
         )
     )
     sizes = docsh.select(F.col(id_col), F.size("__sh").alias("set_size"))
-    # |∩| per pair without a self-join: one shuffle groups each shingle's
-    # (sorted) doc list, pairs expand array-locally, then a count per
-    # pair.  Posting lists longer than max_df are dropped BEFORE
-    # expansion, bounding the worst case at max_df² per shingle.
     postings = (
         docsh.select(F.col(id_col), F.explode("__sh").alias("shingle"))
         .groupBy("shingle")
@@ -639,22 +673,112 @@ def ngram_jaccard(
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return inter, sizes
+
+
+def ngram_containment(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_df: int = 500,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(A in B) = |A∩B| / |A| — the
+    near-dup signal Jaccard structurally misses: a short document
+    fully quoted inside a long one has Jaccard |A|/|B| (tiny) but
+    containment 1.0, and substring-level training-data dedup (Lee et
+    al. 2022) is precisely about such subset duplication.  Same
+    candidate generation and hot-shingle discipline as ngram_jaccard
+    (shared _shingle_intersections stage — posting lists capped at
+    max_df before array-local pair expansion, never O(n^2)); each
+    unordered intersection then emits BOTH directed rows and keeps
+    those with round(C, 6) >= threshold.  min_shingles floors the
+    denominator: a 1-shingle doc is "contained" in anything it
+    touches, which is noise, not duplication.
+
+    Returns (id_a, id_b, containment) — containment OF id_a IN id_b,
+    directed.  Equivalent ANSI SQL exists (oracle-checkable)."""
+    inter, sizes = _shingle_intersections(
+        df, text_col, id_col, shingle_n=shingle_n, max_df=max_df
     )
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.col("n_inter"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.col("n_inter"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.src", "d.dst", "d.n_inter")
+    ssz = sizes.select(
+        F.col(id_col).alias("src"), F.col("set_size").alias("size_src")
+    )
+    return (
+        directed.join(ssz, "src")
+        .where(F.col("size_src") >= min_shingles)
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter") / F.col("size_src"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            "containment",
+        )
+    )
+
+
+def exact_copy_rate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact-duplicate LINEAGE audit per group (source): within each
+    md5(text) duplicate group the earliest (min-id) doc is the
+    original; every later doc is a copy/re-upload.  Per group_col:
+    how many docs, how many are copies of an earlier doc (possibly
+    from another group), and the copy rate — the per-source
+    re-publication signal a crawl-curation pipeline uses to damp
+    mirror-heavy sources.  Two hash aggregations (md5 -> min id, then
+    the group rollup); the shuffle carries 16-byte digests, never
+    text.  Copy fractions are one division of exact longs."""
+    keyed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("__id"),
+        F.md5(F.col(text_col)).alias("__h"),
+    )
+    firsts = keyed.groupBy("__h").agg(F.min("__id").alias("__first"))
+    flagged = keyed.join(firsts, "__h").select(
+        "grp",
+        F.when(F.col("__id") > F.col("__first"), 1)
+        .otherwise(0)
+        .alias("__copy"),
+    )
+    agg = flagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__copy").cast("long").alias("n_copies"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_copies",
+        F.round(
+            F.col("n_copies").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("copy_rate"),
+    ).orderBy(group_col)
 
 
 def duplicated_ngram_coverage(

@@ -208,3 +208,81 @@ def mergeable_topk_sketch(
         .limit(k)
         .select(value_col, "est_count", "err_bound")
     )
+
+
+def topk_churn(
+    df: DataFrame,
+    key_col: str,
+    side_col: str,
+    *,
+    k: int = 20,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Top-k CHURN between two sides of a corpus (two time windows, two
+    crawl snapshots, two sources): rank keys per side by exact count
+    (ties broken by key), keep each side's top-k, and full-outer join
+    the two lists — the drift report a monitoring pipeline reads to
+    see which heavy hitters entered, left, or moved.  `side_col` must
+    be a two-valued column ('a'/'b' by convention; validated
+    in-plan: a third side raises through the consumed count).
+
+    One hash aggregation to (side, key, count), one row_number per
+    side over the aggregated rows (two sorts of |keys| rows, never the
+    data), one join of 2k rows.  Returns (key, count_a, rank_a,
+    count_b, rank_b, status) with status in/out/moved/held, ordered by
+    coalesce(rank_a, k+1), key."""
+    from pyspark.sql import Window
+
+    cnt = (
+        F.sum(F.col(count_col)).cast("long")
+        if count_col
+        else F.count(F.lit(1)).cast("long")
+    )
+    counts = df.groupBy(
+        F.col(side_col).alias("__side"), F.col(key_col).alias("key")
+    ).agg(cnt.alias("__c"))
+    # in-plan two-side contract: an AGGREGATE guard joined back (the
+    # delta_candidate_pairs pattern) — a per-row fold would be pruned
+    # the moment the per-side filters below push past it, because a
+    # third side's rows never survive those filters
+    guard = counts.agg(
+        F.max(
+            F.when(
+                F.col("__side").isin("a", "b"), F.lit(0).cast("long")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("topk_churn: side_col value "),
+                        F.col("__side"),
+                        F.lit(" outside {'a','b'}"),
+                    )
+                )
+            )
+        ).alias("__z")
+    )
+    counts = counts.join(F.broadcast(guard)).select(
+        "__side",
+        "key",
+        (F.col("__c") + F.coalesce(F.col("__z"), F.lit(0))).alias("__c"),
+    )
+    w = Window.partitionBy("__side").orderBy(F.desc("__c"), F.asc("key"))
+    ranked = counts.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= k
+    )
+    a = ranked.where(F.col("__side") == "a").select(
+        "key", F.col("__c").alias("count_a"), F.col("__r").alias("rank_a")
+    )
+    b = ranked.where(F.col("__side") == "b").select(
+        "key", F.col("__c").alias("count_b"), F.col("__r").alias("rank_b")
+    )
+    joined = a.join(b, "key", "full_outer")
+    status = (
+        F.when(F.col("rank_a").isNull(), F.lit("in"))
+        .when(F.col("rank_b").isNull(), F.lit("out"))
+        .when(F.col("rank_a") == F.col("rank_b"), F.lit("held"))
+        .otherwise(F.lit("moved"))
+    )
+    return joined.select(
+        "key", "count_a", "rank_a", "count_b", "rank_b",
+        status.alias("status"),
+    ).orderBy(F.coalesce(F.col("rank_a"), F.lit(k + 1)), F.asc("key"))

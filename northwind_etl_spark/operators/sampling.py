@@ -593,3 +593,157 @@ def largest_remainder_allocation(
         .cast("long")
         .alias("final_alloc"),
     ).orderBy(class_col)
+
+
+def split_balance_z(
+    df: DataFrame,
+    key: str,
+    *,
+    group_col: str | None = None,
+    train_pct: int = 50,
+    buckets: int = 100,
+) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check for the md5 hash split — the
+    first gate every experiment readout runs: with an intended
+    train_pct/100 split, is the OBSERVED assignment consistent with
+    the binomial expectation?  z = (n_train − N·p) / sqrt(N·p·(1−p));
+    |z| > 3 flags the split (a biased key, a filtered funnel, a
+    collision) before any downstream metric is trusted.  Exact long
+    counts, one division + one sqrt — cross-engine identical; grouped
+    by `group_col` when given (per-segment SRM), else one row.
+
+    Scale shape: one hash aggregation over the split flags; the z
+    arithmetic runs on |groups| rows."""
+    p = train_pct / 100.0
+    flagged = hash_split(df, key, train_pct=train_pct, buckets=buckets)
+    keys = [group_col] if group_col else []
+    agg = flagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+    )
+    z = (
+        F.col("n_train").cast("double") - F.col("n_total").cast("double") * p
+    ) / F.sqrt(F.col("n_total").cast("double") * p * (1.0 - p))
+    out = agg.select(
+        *keys,
+        "n_total",
+        "n_train",
+        (F.col("n_total") - F.col("n_train")).cast("long").alias("n_eval"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > 3.0).alias("srm_flag"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def floored_allocation(
+    df: DataFrame,
+    class_col: str,
+    weight_col: str,
+    *,
+    floor_pct: int = 5,
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Hamilton apportionment WITH per-class floors — the mixture-
+    schedule shape real data plans use: every source is guaranteed
+    floor_pct% of the budget (low-resource languages never starve),
+    and the REMAINDER is split proportionally by largest-remainder.
+    B = (W·budget_num) DIV budget_den as in
+    largest_remainder_allocation; floor_c = (B·floor_pct) DIV 100 per
+    class; the leftover B − n_classes·floor_c apportions over the
+    weights via the same exact-integer Hamilton rule (inheriting its
+    in-plan int64 overflow guard).  floor_pct·n_classes must stay
+    <= 100 — validated in-plan through the consumed floor.
+
+    Returns (class_col, weight, floor_alloc, prop_alloc, final_alloc)
+    ordered by class; Σ final_alloc == B by construction."""
+    from ..cache import persist_stage
+
+    per = persist_stage(
+        df.groupBy(F.col(class_col).alias("clazz")).agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__w")
+        )
+    )
+    tot = per.agg(
+        F.sum("__w").alias("__wt"),
+        F.expr(f"(SUM(__w) * {budget_num}) DIV {budget_den}").alias("__bt"),
+        F.count(F.lit(1)).alias("__nc"),
+    )
+    # per-class floor + in-plan feasibility check (folded into the
+    # consumed floor value, the guard-pruning lesson)
+    floor_c = F.expr(f"(__bt * {floor_pct}) DIV 100")
+    feasible = F.lit(floor_pct) * F.col("__nc") <= F.lit(100)
+    floor_checked = F.when(feasible, floor_c).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"floored_allocation: floor_pct={floor_pct} x "),
+                F.col("__nc").cast("string"),
+                F.lit(" classes exceeds 100% of the budget"),
+            )
+        )
+    )
+    spec = tot.select(
+        "__bt",
+        floor_checked.alias("__floor"),
+        (F.col("__bt") - floor_checked * F.col("__nc")).alias("__rest"),
+    )
+    # Hamilton over the REMAINDER: same integer quota/remainder rule
+    # as largest_remainder_allocation, budget = __rest
+    from pyspark.sql import Window
+
+    wtot = per.agg(
+        F.sum("__w").alias("__wt"), F.max("__w").alias("__wmax")
+    )
+    quoted = per.join(F.broadcast(spec)).join(F.broadcast(wtot)).select(
+        "clazz",
+        "__w",
+        "__floor",
+        "__bt",
+        F.when(
+            F.col("__rest")
+            <= F.expr("9223372036854775807L DIV GREATEST(__wmax, 1L)"),
+            F.col("__rest"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "floored_allocation: rest*weight exceeds int64"
+                        " (total weight "
+                    ),
+                    F.col("__wt").cast("string"),
+                    F.lit(") — rescale weights before apportioning"),
+                )
+            )
+        )
+        .alias("__rb"),
+        F.col("__wt"),
+    )
+    quoted = quoted.select(
+        "clazz",
+        "__w",
+        "__floor",
+        "__bt",
+        F.expr("(__rb * __w) DIV __wt").alias("__base"),
+        F.expr("(__rb * __w) % __wt").alias("__rem"),
+        "__rb",
+    )
+    rk = Window.orderBy(F.desc("__rem"), F.asc("clazz"))
+    spill = Window.partitionBy()
+    ranked = quoted.withColumn("__rk", F.row_number().over(rk)).withColumn(
+        "__left", F.col("__rb") - F.sum("__base").over(spill)
+    )
+    extra = F.when(F.col("__rk") <= F.col("__left"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return ranked.select(
+        F.col("clazz").alias(class_col),
+        F.col("__w").alias("weight"),
+        F.col("__floor").cast("long").alias("floor_alloc"),
+        (F.col("__base") + extra).cast("long").alias("prop_alloc"),
+        (F.col("__floor") + F.col("__base") + extra)
+        .cast("long")
+        .alias("final_alloc"),
+    ).orderBy(class_col)

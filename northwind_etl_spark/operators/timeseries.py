@@ -677,3 +677,64 @@ def runs_test_daily(
         .otherwise(F.lit(0.0))
         .alias("z_stat"),
     )
+
+
+def burn_rate_windows(
+    df: DataFrame,
+    ts_col: str,
+    violation_col: str,
+    *,
+    error_budget: float = 0.05,
+    tail_minutes: int = 5,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    per hour, burn = violation_fraction / error_budget over the FULL
+    window AND over its trailing `tail_minutes` sub-window; the alert
+    fires only when BOTH burn > 1 — the long window proves sustained
+    budget spend, the short one proves it is still happening (no alert
+    on an incident that already ended).
+
+    `violation_col` is a 0/1 int column (the SLI predicate, computed
+    by the caller so the SLO stays declarative).  ONE hash aggregation
+    per hour computes all four counts (the tail counts are conditional
+    sums on minute(ts), map-side combined); burn fractions are single
+    divisions of exact longs, rounded once — cross-engine identical.
+    Returns (window_start, n, n_viol, burn_full, n_tail, n_tail_viol,
+    burn_tail, alert) ordered by window_start."""
+    v = F.col(violation_col)
+    tail = F.minute(F.col(ts_col)) >= 60 - tail_minutes
+    agg = df.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("n_viol"),
+        F.sum(F.when(tail, 1).otherwise(0)).cast("long").alias("n_tail"),
+        F.sum(F.when(tail, v).otherwise(0))
+        .cast("long")
+        .alias("n_tail_viol"),
+    )
+    burn_full = F.round(
+        F.col("n_viol").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(error_budget),
+        6,
+    )
+    burn_tail = F.round(
+        F.col("n_tail_viol").cast("double")
+        / F.nullif(F.col("n_tail").cast("double"), F.lit(0.0))
+        / F.lit(error_budget),
+        6,
+    )
+    return agg.select(
+        "window_start",
+        "n",
+        "n_viol",
+        burn_full.alias("burn_full"),
+        "n_tail",
+        "n_tail_viol",
+        burn_tail.alias("burn_tail"),
+        (
+            (burn_full > 1.0)
+            & F.coalesce(burn_tail > 1.0, F.lit(False))
+        ).alias("alert"),
+    ).orderBy("window_start")

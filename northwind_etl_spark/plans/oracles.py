@@ -6720,3 +6720,461 @@ ORACLES["duplicate_cluster_sizes"] = f"""
     FROM sizes, guard GROUP BY cluster_size, guard.z
     ORDER BY cluster_size
 """
+
+
+# ---------------------------------------------------------------- r12:
+# §2c-undecies batch A.
+
+ORACLES["ngram_containment_pairs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+             AS shingle
+           FROM t),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    live AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) BETWEEN 2 AND 500),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS n_inter
+              FROM sh a
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              JOIN live l ON l.shingle = a.shingle
+              GROUP BY 1, 2),
+    directed AS (
+      SELECT id_a AS src, id_b AS dst, n_inter FROM inter
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst, n_inter FROM inter)
+    SELECT src AS id_a, dst AS id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / s.set_size, 6) AS containment
+    FROM directed d JOIN sizes s ON s.doc_id = d.src
+    WHERE s.set_size >= 5
+      AND ROUND(CAST(n_inter AS DOUBLE) / s.set_size, 6) >= 0.8
+    ORDER BY 1, 2
+"""
+
+ORACLES["source_copy_rate"] = """
+    WITH keyed AS (SELECT source, doc_id, md5(text) AS h FROM documents),
+    firsts AS (SELECT h, MIN(doc_id) AS first_id FROM keyed GROUP BY h),
+    fl AS (SELECT source,
+                  CASE WHEN doc_id > first_id THEN 1 ELSE 0 END AS cp
+           FROM keyed JOIN firsts USING (h))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cp) AS BIGINT) AS n_copies,
+           ROUND(CAST(SUM(cp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS copy_rate
+    FROM fl GROUP BY source ORDER BY source
+"""
+
+ORACLES["matryoshka_recall_eval"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> CAST(e.embedding[i] AS DOUBLE)
+                       * CAST(q.qv[i] AS DOUBLE)))
+             / NULLIF(
+               sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0)
+               AS cos_f,
+             list_sum(list_transform(generate_series(1, 16),
+                  i -> CAST(e.embedding[i] AS DOUBLE)
+                       * CAST(q.qv[i] AS DOUBLE)))
+             / NULLIF(
+               sqrt(list_sum(list_transform(generate_series(1, 16),
+                    i -> CAST(e.embedding[i] AS DOUBLE)
+                         * CAST(e.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, 16),
+                    i -> CAST(q.qv[i] AS DOUBLE)
+                         * CAST(q.qv[i] AS DOUBLE)))), 0.0)
+               AS cos_t
+      FROM embeddings e, q),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_f DESC, vec_id ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_t DESC, vec_id ASC) AS rt
+      FROM scored),
+    hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM ranked WHERE rf <= 10 AND rt <= 10 GROUP BY 1)
+    SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0, 6)
+             AS recall_at_10
+    FROM q LEFT JOIN hits h USING (query_id)
+    ORDER BY q.query_id
+"""
+
+ORACLES["srm_split_balance"] = """
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8) AS BIGINT) % 100) < 50
+                  THEN 1 ELSE 0 END AS tr
+      FROM documents),
+    a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+                 CAST(SUM(tr) AS BIGINT) AS n_train
+          FROM s GROUP BY 1)
+    SELECT lang, n_total, n_train,
+           CAST(n_total - n_train AS BIGINT) AS n_eval,
+           ROUND((CAST(n_train AS DOUBLE) - CAST(n_total AS DOUBLE) * 0.5)
+                 / sqrt(CAST(n_total AS DOUBLE) * 0.5 * 0.5), 6) AS z,
+           abs(ROUND((CAST(n_train AS DOUBLE)
+                      - CAST(n_total AS DOUBLE) * 0.5)
+                 / sqrt(CAST(n_total AS DOUBLE) * 0.5 * 0.5), 6)) > 3.0
+             AS srm_flag
+    FROM a ORDER BY lang
+"""
+
+ORACLES["term_topk_churn"] = f"""
+    WITH t AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END
+                 AS side,
+               unnest({_TOKS}) AS term
+               FROM documents),
+    c AS (SELECT side, term AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM t GROUP BY 1, 2),
+    r AS (SELECT side, key, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY side
+                                    ORDER BY cnt DESC, key ASC) AS rk
+          FROM c),
+    ka AS (SELECT key, cnt AS count_a, CAST(rk AS INT) AS rank_a
+           FROM r WHERE side = 'a' AND rk <= 20),
+    kb AS (SELECT key, cnt AS count_b, CAST(rk AS INT) AS rank_b
+           FROM r WHERE side = 'b' AND rk <= 20)
+    SELECT COALESCE(ka.key, kb.key) AS key,
+           count_a, rank_a, count_b, rank_b,
+           CASE WHEN rank_a IS NULL THEN 'in'
+                WHEN rank_b IS NULL THEN 'out'
+                WHEN rank_a = rank_b THEN 'held'
+                ELSE 'moved' END AS status
+    FROM ka FULL OUTER JOIN kb ON ka.key = kb.key
+    ORDER BY COALESCE(rank_a, 21), COALESCE(ka.key, kb.key)
+"""
+
+ORACLES["event_lag_burn_rate"] = """
+    WITH f AS (
+      SELECT ts,
+             CASE WHEN (event_id % 600)
+                       + (CASE WHEN event_id % 7 = 0
+                               THEN 14400 ELSE 0 END) > 600
+                  THEN 1 ELSE 0 END AS viol
+      FROM events),
+    a AS (SELECT date_trunc('hour', ts) AS window_start,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(viol) AS BIGINT) AS n_viol,
+                 CAST(SUM(CASE WHEN EXTRACT(minute FROM ts) >= 55
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+                 CAST(SUM(CASE WHEN EXTRACT(minute FROM ts) >= 55
+                               THEN viol ELSE 0 END) AS BIGINT)
+                   AS n_tail_viol
+          FROM f GROUP BY 1)
+    SELECT window_start, n, n_viol,
+           ROUND(CAST(n_viol AS DOUBLE) / CAST(n AS DOUBLE) / 0.14, 6)
+             AS burn_full,
+           n_tail, n_tail_viol,
+           ROUND(CAST(n_tail_viol AS DOUBLE)
+                 / NULLIF(CAST(n_tail AS DOUBLE), 0.0) / 0.14, 6)
+             AS burn_tail,
+           (ROUND(CAST(n_viol AS DOUBLE) / CAST(n AS DOUBLE) / 0.14, 6)
+              > 1.0)
+           AND COALESCE(
+               ROUND(CAST(n_tail_viol AS DOUBLE)
+                     / NULLIF(CAST(n_tail AS DOUBLE), 0.0) / 0.14, 6)
+                 > 1.0, FALSE) AS alert
+    FROM a ORDER BY window_start
+"""
+
+ORACLES["floored_mixture_budget"] = f"""
+    WITH per AS (
+      SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS w
+      FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(w) AS wt, (SUM(w) * 1) // 2 AS bt,
+                   COUNT(*) AS nc, MAX(w) AS wmax FROM per),
+    -- mirrored in-plan guards (sampling.py::floored_allocation):
+    -- floor feasibility, then the Hamilton int64 overflow bound
+    spec AS (SELECT wt, wmax, bt,
+                    CASE WHEN 5 * nc <= 100 THEN (bt * 5) // 100
+                         ELSE error('floored_allocation: floor_pct=5 x '
+                                    || CAST(nc AS VARCHAR)
+                                    || ' classes exceeds 100% of the '
+                                    || 'budget') END AS fl,
+                    bt - ((bt * 5) // 100) * nc AS rest
+             FROM tot),
+    spec2 AS (SELECT wt, bt, fl,
+                     CASE WHEN rest <= 9223372036854775807
+                                       // greatest(wmax, 1)
+                          THEN rest
+                          ELSE error('floored_allocation: rest*weight '
+                                     || 'exceeds int64') END AS rb
+              FROM spec),
+    quoted AS (
+      SELECT source, w, fl, (rb * w) // wt AS base_q,
+             (rb * w) % wt AS rem, rb
+      FROM per, spec2),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk,
+             rb - SUM(base_q) OVER () AS leftover
+      FROM quoted)
+    SELECT source, w AS weight,
+           CAST(fl AS BIGINT) AS floor_alloc,
+           CAST(base_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS prop_alloc,
+           CAST(fl + base_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS final_alloc
+    FROM ranked ORDER BY source
+"""
+
+
+# §2c-undecies batch B.
+
+ORACLES["dedup_canonical_docs"] = f"""
+    WITH RECURSIVE {_MINHASH_BANDS},
+    probe AS (SELECT DISTINCT band, bucket FROM band),
+    {_DELTA_GUARD},
+    cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                    greatest(a.doc_id, b.doc_id) AS id_b
+             FROM band a
+             JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id <> b.doc_id),
+    edges AS (SELECT id_a AS u, id_b AS v FROM cand
+              UNION SELECT id_b AS u, id_a AS v FROM cand),
+    walk(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u),
+    comp AS (SELECT u AS doc, LEAST(u, MIN(v)) AS cluster
+             FROM walk GROUP BY u),
+    member AS (SELECT c.doc, c.cluster, d.n_chars
+               FROM comp c JOIN documents d ON d.doc_id = c.doc),
+    pick AS (SELECT cluster, doc, n_chars,
+                    ROW_NUMBER() OVER (PARTITION BY cluster
+                        ORDER BY n_chars DESC, doc ASC) AS rn,
+                    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+             FROM member)
+    SELECT cluster + guard.z AS cluster, doc AS canonical_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM pick, guard WHERE rn = 1 ORDER BY 1
+"""
+
+
+# lsh_band_sweep_eval: per-config band keys re-derived from the SAME
+# sig CTE; each config carries the mirrored delta-guard on its own
+# buckets, and truth thresholds on ROUND(j, 6) like ngram_jaccard.
+def _lsh_band_sweep_oracle_sql() -> str:
+    truth = """
+    live AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) > 1 AND COUNT(*) <= 500),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s
+           FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS i
+              FROM sh a
+              JOIN live l ON l.shingle = a.shingle
+              JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT id_a, id_b FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE ROUND(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) >= 0.5),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth)"""
+    blocks, selects = [], []
+    for bands in (2, 3, 4, 6):
+        r = 12 // bands
+        blocks.append(f"""
+    band{bands} AS (SELECT doc_id, CAST(i // {r} AS INT) AS band,
+                    md5(string_agg(m, '|' ORDER BY i)) AS bucket
+             FROM sig GROUP BY doc_id, i // {r}),
+    guard{bands} AS (
+      SELECT COALESCE(MAX(CASE WHEN c <= 256 THEN 0
+                 ELSE error('delta_candidate_pairs: band bucket size '
+                            || CAST(c AS VARCHAR)
+                            || ' exceeds max_bucket=256') END), 0) AS z
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+            FROM band{bands} GROUP BY band, bucket)),
+    cand{bands} AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                    greatest(a.doc_id, b.doc_id) AS id_b
+             FROM band{bands} a
+             JOIN band{bands} b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id <> b.doc_id),
+    nc{bands} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+                  FROM cand{bands}),
+    nh{bands} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+                  FROM truth t JOIN cand{bands} c
+                    ON t.id_a = c.id_a AND t.id_b = c.id_b)""")
+        selects.append(f"""
+    SELECT CAST({bands} AS INT) AS bands,
+           CAST({r} AS INT) AS rows_per_band,
+           nt.n_true_pairs,
+           nc{bands}.n_candidates + guard{bands}.z AS n_candidates,
+           nh{bands}.n_hits,
+           ROUND(CAST(nh{bands}.n_hits AS DOUBLE)
+                 / NULLIF(CAST(nt.n_true_pairs AS DOUBLE), 0.0), 6)
+             AS recall,
+           ROUND(CAST(nh{bands}.n_hits AS DOUBLE)
+                 / NULLIF(CAST(nc{bands}.n_candidates AS DOUBLE), 0.0), 6)
+             AS precision
+    FROM nt, nc{bands}, nh{bands}, guard{bands}""")
+    union = "\n    UNION ALL\n".join(selects)
+    return (
+        f"""
+    WITH {_MINHASH_BANDS},
+    {truth},
+    {','.join(blocks)}
+    SELECT * FROM (
+    {union}
+    ) ORDER BY bands
+"""
+    )
+
+
+ORACLES["lsh_band_sweep_eval"] = _lsh_band_sweep_oracle_sql()
+
+ORACLES["pq_ann_recall_eval"] = """
+    WITH cb AS (SELECT vec_id AS c, embedding AS cv
+                FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id % 50 = 0),
+    dist AS (
+      SELECT e.vec_id, s.s, cb.c,
+             list_sum(list_transform(generate_series(1, 8),
+                 i -> (CAST(e.embedding[s.s * 8 + i] AS DOUBLE)
+                       - CAST(cb.cv[s.s * 8 + i] AS DOUBLE))
+                      * (CAST(e.embedding[s.s * 8 + i] AS DOUBLE)
+                         - CAST(cb.cv[s.s * 8 + i] AS DOUBLE)))) AS d
+      FROM embeddings e, generate_series(0, 7) s(s), cb),
+    asg AS (SELECT vec_id, s, c AS a FROM (
+              SELECT vec_id, s, c,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                        ORDER BY d ASC, c ASC) AS rn
+              FROM dist)
+            WHERE rn = 1),
+    term AS (
+      SELECT q.query_id, a.vec_id, a.s,
+             list_sum(list_transform(generate_series(1, 8),
+                 i -> CAST(q.qv[a.s * 8 + i] AS DOUBLE)
+                      * CAST(cb.cv[a.s * 8 + i] AS DOUBLE))) AS t
+      FROM asg a JOIN cb ON cb.c = a.a, q),
+    adc AS (
+      SELECT query_id, vec_id,
+             MAX(CASE WHEN s = 0 THEN t END) AS t0,
+             MAX(CASE WHEN s = 1 THEN t END) AS t1,
+             MAX(CASE WHEN s = 2 THEN t END) AS t2,
+             MAX(CASE WHEN s = 3 THEN t END) AS t3,
+             MAX(CASE WHEN s = 4 THEN t END) AS t4,
+             MAX(CASE WHEN s = 5 THEN t END) AS t5,
+             MAX(CASE WHEN s = 6 THEN t END) AS t6,
+             MAX(CASE WHEN s = 7 THEN t END) AS t7
+      FROM term GROUP BY 1, 2),
+    ex AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                      * CAST(q.qv[i] AS DOUBLE))) AS dot_exact
+      FROM embeddings e, q),
+    scored AS (
+      SELECT ex.query_id, ex.vec_id, ex.dot_exact,
+             ((((((adc.t0 + adc.t1) + adc.t2) + adc.t3) + adc.t4)
+               + adc.t5) + adc.t6) + adc.t7 AS dot_adc
+      FROM ex JOIN adc ON adc.query_id = ex.query_id
+                      AND adc.vec_id = ex.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_exact DESC, vec_id ASC) AS re,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_adc DESC, vec_id ASC) AS ra
+      FROM scored),
+    hits AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+             FROM ranked WHERE re <= 10 AND ra <= 10 GROUP BY 1)
+    SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10.0, 6)
+             AS recall_at_10
+    FROM q LEFT JOIN hits h USING (query_id)
+    ORDER BY q.query_id
+"""
+
+ORACLES["ivf_ann_recall_eval"] = """
+    WITH ct AS (SELECT vec_id AS j, embedding AS cv
+                FROM embeddings WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, ct.j,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> (CAST(e.embedding[i] AS DOUBLE)
+                       - CAST(ct.cv[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(ct.cv[i] AS DOUBLE)))) AS d
+      FROM embeddings e, ct),
+    asg AS (SELECT vec_id, j AS a FROM (
+              SELECT vec_id, j, d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, j ASC) AS rn
+              FROM d)
+            WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id % 50 = 0),
+    qd AS (SELECT q.query_id, d.j, d.d FROM d
+           JOIN q ON d.vec_id = q.query_id),
+    pr AS (
+      SELECT qa.query_id, v.vec_id,
+             1 + SUM(CASE WHEN (qd.d < qa.d)
+                            OR (qd.d = qa.d AND qd.j < v.a)
+                          THEN 1 ELSE 0 END) AS rank_a
+      FROM asg v
+      JOIN qd qa ON qa.j = v.a
+      JOIN qd ON qd.query_id = qa.query_id
+      GROUP BY 1, 2, qa.d, v.a),
+    scanned AS (SELECT query_id, vec_id, (rank_a <= 3) AS scanned
+                FROM pr),
+    cosf AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> CAST(e.embedding[i] AS DOUBLE)
+                       * CAST(q.qv[i] AS DOUBLE)))
+             / NULLIF(
+               sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0)
+               AS cos_f
+      FROM embeddings e, q),
+    ranked_e AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_f DESC, vec_id ASC) AS re
+      FROM cosf),
+    ranked_a AS (
+      SELECT c.query_id, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                ORDER BY c.cos_f DESC, c.vec_id ASC) AS ra
+      FROM cosf c JOIN scanned s ON s.query_id = c.query_id
+                                AND s.vec_id = c.vec_id
+      WHERE s.scanned),
+    perq AS (
+      SELECT e.query_id,
+             CAST(SUM(CASE WHEN e.re <= 10 AND a.ra <= 10
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM ranked_e e
+      LEFT JOIN ranked_a a ON a.query_id = e.query_id
+                          AND a.vec_id = e.vec_id
+      GROUP BY 1),
+    scn AS (SELECT query_id,
+                   CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_scanned,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM scanned GROUP BY 1)
+    SELECT q.query_id, COALESCE(p.n_hits, 0) AS n_hits,
+           ROUND(CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / 10.0, 6)
+             AS recall_at_10,
+           s.n_scanned,
+           ROUND(CAST(s.n_scanned AS DOUBLE)
+                 / CAST(s.n_total AS DOUBLE), 6) AS scan_frac
+    FROM q
+    LEFT JOIN perq p ON p.query_id = q.query_id
+    JOIN scn s ON s.query_id = q.query_id
+    ORDER BY q.query_id
+"""

@@ -7067,6 +7067,325 @@ def source_temperature_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- r12:
+# §2c-undecies — measured ANN quality for the remaining index families,
+# containment dedup, dedup keep-policy, corpus-ops monitoring, and
+# mixture floors (sixth consecutive all-oracle-paired batch).
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dups (operators/dedup.py::
+    ngram_containment): C(A in B) = |A∩B|/|A| >= 0.8 catches the
+    quote-inclusion/subset duplication Jaccard structurally misses —
+    a short doc fully embedded in a long one scores Jaccard |A|/|B|
+    (tiny) but containment 1.0.  Shares ngram_jaccard's posting-list
+    candidate machinery (max_df hot-shingle cap, array-local pair
+    expansion, never O(n^2)); hash-checked cross-engine."""
+    return D.ngram_containment(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=0.8,
+        shingle_n=3,
+        max_df=500,
+        min_shingles=5,
+    ).orderBy("id_a", "id_b")
+
+
+def source_copy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate lineage per source (operators/dedup.py::
+    exact_copy_rate): within each md5(text) group the min-id doc is
+    the original, later ids are copies — the per-source re-publication
+    rate a crawl-curation pipeline uses to damp mirror-heavy sources.
+    Shuffles carry 16-byte digests, never text; hash-checked."""
+    return D.exact_copy_rate(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "source"
+    )
+
+
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Matryoshka-truncation retrieval quality: recall@10 of
+    cosine over the FIRST 16 of 64 dims vs full-dim cosine, per query
+    (every 50th vector) — the dimension-elision trade every MRL-style
+    embedding deployment makes (4x less memory/bandwidth), now a
+    hash-checked regression gate like int8_ann_recall_eval.  Both
+    rankings share ONE window partitioning; pure Catalyst folds."""
+    from ..functions.vectors import cosine_expr as _cos
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        _cos("embedding", "qv").alias("cos_f"),
+        _cos(
+            F.slice(F.col("embedding"), 1, 16), F.slice(F.col("qv"), 1, 16)
+        ).alias("cos_t"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_f"), F.asc("vec_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_t"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    hits = (
+        ranked.where((F.col("rf") <= 10) & (F.col("rt") <= 10))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0).cast("long")).cast("double")
+                / F.lit(10.0),
+                6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def srm_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate on the md5 hash split (operators/
+    sampling.py::split_balance_z): per language, is the observed
+    50/50 train/eval assignment binomially consistent?  |z| > 3 flags
+    a biased key before any experiment metric is trusted.  Exact long
+    counts; hash-checked."""
+    from ..operators.sampling import split_balance_z
+
+    return split_balance_z(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        group_col="lang",
+        train_pct=50,
+    )
+
+
+def term_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 term churn between the two halves of the corpus
+    (operators/heavyhitters.py::topk_churn): which heavy hitters
+    entered, left, moved, or held between side a (doc_id even) and
+    side b (doc_id odd) — the drift report a monitoring pipeline
+    diffs between crawl snapshots.  One hash agg + two |terms|-row
+    window sorts; hash-checked."""
+    from ..functions.texttools import tokens_expr
+    from ..operators.heavyhitters import topk_churn
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("side"),
+        F.explode(tokens_expr(F.col("text"))).alias("term"),
+    )
+    return topk_churn(terms, "term", "side", k=20)
+
+
+def event_lag_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerts (operators/timeseries.py::
+    burn_rate_windows) over ingestion lag: SLI = lag <= 600 s (the
+    deterministic lag seeding shared with event_ingestion_lag_
+    quantiles — the %7 late-correction cohort is exactly the
+    violating set), error budget 14%; an hour alerts only when BOTH
+    the full hour and its trailing 5 minutes burn > 1 — sustained
+    AND still happening, the SRE-workbook pattern.  One hash agg per
+    hour; hash-checked."""
+    from ..operators.timeseries import burn_rate_windows
+
+    e = _t(spark, sf_dir, "events")
+    lag_s = (F.col("event_id") % 600) + F.when(
+        F.col("event_id") % 7 == 0, 14400
+    ).otherwise(0)
+    flagged = e.select(
+        "ts",
+        F.when(lag_s > 600, 1).otherwise(0).alias("viol"),
+    )
+    return burn_rate_windows(
+        flagged, "ts", "viol", error_budget=0.14, tail_minutes=5
+    )
+
+
+def floored_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture apportionment WITH per-source floors (operators/
+    sampling.py::floored_allocation): every source is guaranteed 5%
+    of the half-total-token budget (low-resource sources never
+    starve), the remainder splits proportionally by the exact-integer
+    Hamilton rule — the schedule shape real multilingual data plans
+    use.  Sums exactly to the budget by construction; hash-checked."""
+    from ..functions.texttools import tokens_expr
+    from ..operators.sampling import floored_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    return floored_allocation(
+        per, "source", "n_tokens", floor_pct=5, budget_num=1, budget_den=2
+    )
+
+
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup KEEP-POLICY audit: md5-band near-dup clusters (the
+    hash-verified minhash machinery + duplicate_clusters' iterative
+    pointer-jumping closure, replayed by the oracle's recursive CTE)
+    resolved to one canonical per cluster by the curation policy
+    "longest text wins, ties to the smallest id" — the decision step
+    between candidate pairs and actual deletion, released as
+    (cluster, canonical_id, n_members, n_dropped) so the deletion
+    volume is reviewable before any doc is dropped."""
+    from ..cache import persist_stage
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures_md5(
+        docs, "text", "doc_id", num_hashes=12, shingle_n=3
+    )
+    banded = persist_stage(
+        D.band_keys_md5(sigs, "doc_id", bands=4, num_hashes=12)
+    )
+    pairs = D.delta_candidate_pairs(banded, banded, "doc_id")
+    clusters = D.duplicate_clusters(pairs.select("id_a", "id_b"))
+    member = clusters.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    return (
+        member.groupBy("cluster")
+        .agg(
+            F.max_by(
+                F.col("id"), F.struct(F.col("n_chars"), -F.col("id"))
+            ).alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            "cluster",
+            "canonical_id",
+            "n_members",
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def lsh_band_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding PARAMETER SWEEP — the tuning curve behind
+    minhash_band_recall_eval's fixed operating point: from ONE shared
+    12-hash md5 signature set, evaluate (bands, rows) in {(2,6),
+    (3,4), (4,3), (6,2)} against the exact Jaccard>=0.5 truth and
+    release (bands, rows_per_band, n_true_pairs, n_candidates,
+    n_hits, recall, precision) per config — the S-curve trade
+    (more bands = higher recall, more candidates) measured, not
+    assumed, and hash-checked per point.  Signature and truth stages
+    are persisted once; each config re-bands the persisted
+    signatures."""
+    from ..cache import persist_stage
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = persist_stage(
+        D.ngram_jaccard(
+            docs, "text", "doc_id", threshold=0.5, shingle_n=3, max_df=500
+        ).select("id_a", "id_b")
+    )
+    sigs = persist_stage(
+        D.minhash_signatures_md5(
+            docs, "text", "doc_id", num_hashes=12, shingle_n=3
+        )
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    rows = []
+    for bands in (2, 3, 4, 6):
+        banded = D.band_keys_md5(sigs, "doc_id", bands=bands, num_hashes=12)
+        cand = D.delta_candidate_pairs(banded, banded, "doc_id").select(
+            "id_a", "id_b"
+        )
+        hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+        rows.append(
+            nt.join(
+                cand.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_candidates")
+                )
+            )
+            .join(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(12 // bands).cast("int").alias("rows_per_band"),
+                "n_true_pairs",
+                "n_candidates",
+                "n_hits",
+            )
+        )
+    swept = rows[0]
+    for r in rows[1:]:
+        swept = swept.unionByName(r)
+    return swept.select(
+        "bands",
+        "rows_per_band",
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_true_pairs").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_candidates").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("precision"),
+    ).orderBy("bands")
+
+
+def pq_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PQ quantization loss (operators/annquality.py::
+    pq_frozen_recall): recall@10 of frozen-codebook PQ-ADC
+    inner-product retrieval vs the exact dot ranking, per query —
+    int8_ann_recall_eval's discipline extended to the product-
+    quantization family (8 subspaces x 16 medoid-seeded codewords;
+    the trained pq_ann_topk path keeps its planted pytests).  Every
+    assignment and ADC term is a sequential fold both engines replay
+    bit-for-bit; hash-checked."""
+    from ..operators.annquality import pq_frozen_recall
+
+    return pq_frozen_recall(
+        _t(spark, sf_dir, "embeddings"),
+        m=8,
+        dsub=8,
+        k_codewords=16,
+        query_mod=50,
+        topk=10,
+    )
+
+
+def ivf_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF pruning trade (operators/annquality.py::
+    ivf_medoid_recall): recall@10 AND scan fraction of medoid-seeded
+    IVF cosine retrieval at nprobe=3 of 8 clusters — the pruning loss
+    and the pruning win in one hash-checked row per query (the
+    trained ivf_ann_topk path keeps its planted pytests).  The probe
+    test is the rank-by-inequality-count formula, so centroid
+    distance ties cannot diverge across engines."""
+    from ..operators.annquality import ivf_medoid_recall
+
+    return ivf_medoid_recall(
+        _t(spark, sf_dir, "embeddings"),
+        n_centroids=8,
+        nprobe=3,
+        query_mod=50,
+        topk=10,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r12 window (rows 1-50; ROUND_NOTES "Rotation guidance
     #     for r12").  Rows 1-12: the entire r11 batch
@@ -7369,5 +7688,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_length_drift": source_length_drift,
     "corpus_build_report": corpus_build_report,
     "orders_expectations": orders_expectations,
+    # --- r12 batch (§2c-undecies): never driver-checked — leads the
+    #     r13 window (rule 1). -------------------------------------
+    "ngram_containment_pairs": ngram_containment_pairs,
+    "source_copy_rate": source_copy_rate,
+    "matryoshka_recall_eval": matryoshka_recall_eval,
+    "srm_split_balance": srm_split_balance,
+    "term_topk_churn": term_topk_churn,
+    "event_lag_burn_rate": event_lag_burn_rate,
+    "floored_mixture_budget": floored_mixture_budget,
+    "dedup_canonical_docs": dedup_canonical_docs,
+    "lsh_band_sweep_eval": lsh_band_sweep_eval,
+    "pq_ann_recall_eval": pq_ann_recall_eval,
+    "ivf_ann_recall_eval": ivf_ann_recall_eval,
 }
 
