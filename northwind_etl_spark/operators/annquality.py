@@ -120,6 +120,7 @@ def pq_frozen_recall(
     dsub: int = 8,
     k_codewords: int = 16,
     query_mod: int = 50,
+    query_max: int | None = None,
     topk: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -133,7 +134,10 @@ def pq_frozen_recall(
     the PQ family's quantization loss as a hash-checked driver row."""
     cb = _fetch_seed_vectors(emb, k_codewords, id_col, vec_col)
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    q = base.where(F.col("vec_id") % query_mod == 0).select(
+    qpred = F.col("vec_id") % query_mod == 0
+    if query_max is not None:
+        qpred = qpred & (F.col("vec_id") < query_max)
+    q = base.where(qpred).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     # per-subspace assignment: argmin over (dist, c) structs — the
@@ -190,6 +194,7 @@ def ivf_medoid_recall(
     n_centroids: int = 8,
     nprobe: int = 3,
     query_mod: int = 50,
+    query_max: int | None = None,
     topk: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -221,7 +226,10 @@ def ivf_medoid_recall(
     )
     # query frame carries its 8 centroid distances (computed ONCE on
     # the tiny broadcast side, not per pair)
-    q = base.where(F.col("vec_id") % query_mod == 0).select(
+    qpred = F.col("vec_id") % query_mod == 0
+    if query_max is not None:
+        qpred = qpred & (F.col("vec_id") < query_max)
+    q = base.where(qpred).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         *[

@@ -125,6 +125,8 @@ def main() -> None:
         _r10b_section(spark, sf_dir, factor)
     if _want("r11"):
         _r11_section(spark, sf_dir, factor)
+    if _want("r12"):
+        _r12_section(spark, sf_dir, factor)
     spark.stop()
 
 
@@ -1548,6 +1550,99 @@ def _r11_section(spark, sf_dir, factor):
                 .count()
             )
         timed(f"r11_erasure x{times}", lambda d=dw: _erasure(d))
+
+
+
+
+def _r12_section(spark, sf_dir, factor):
+    """Round-12 operators.  Containment: replicas carry disjoint
+    shingle spaces, so the posting-list machinery is measured at N×
+    corpus with the pair count structural.  topk_churn: user ids are
+    fixed under replication — counts deepen, the per-side distinct
+    stays flat, so the two |terms|-row window sorts stay flat.  Burn
+    rate: one hash agg per hour — linear scan.  Floored allocation:
+    aggregates to |sources| rows, flat.  PQ/IVF recall: the query
+    panel is pinned to the base corpus ids (fixed panel), so cost is
+    queries × corpus = linear; the codebook/centroid fetch stays 16/8
+    rows at any scale.  Copy rate: md5-digest agg, linear."""
+    from northwind_etl_spark.operators.annquality import (
+        ivf_medoid_recall,
+        pq_frozen_recall,
+    )
+    from northwind_etl_spark.operators.dedup import (
+        exact_copy_rate,
+        ngram_containment,
+    )
+    from northwind_etl_spark.operators.heavyhitters import topk_churn
+    from northwind_etl_spark.operators.sampling import floored_allocation
+    from northwind_etl_spark.operators.timeseries import burn_rate_windows
+    from northwind_etl_spark.sources.parquet import read_events
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    events = read_events(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ebase = emb.count()
+    for times in (1, factor):
+        dw = replicate(docs, times, "doc_id", 10_000_000, _doc_variant)
+        timed(
+            f"r12_containment x{times}",
+            lambda d=dw: ngram_containment(
+                d, "text", "doc_id", threshold=0.8, min_shingles=5
+            ).count(),
+        )
+        timed(
+            f"r12_copy_rate x{times}",
+            lambda d=dw: exact_copy_rate(
+                d, "text", "doc_id", "source"
+            ).count(),
+        )
+        evw = replicate(events, times, "event_id", 50_000_000)
+        terms = evw.select(
+            F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("side"),
+            F.col("user_id").cast("string").alias("term"),
+        )
+        timed(
+            f"r12_topk_churn x{times}",
+            lambda t=terms: topk_churn(t, "term", "side", k=20).count(),
+        )
+        lag_s = (F.col("event_id") % 600) + F.when(
+            F.col("event_id") % 7 == 0, 14400
+        ).otherwise(0)
+        flagged = evw.select(
+            "ts", F.when(lag_s > 600, 1).otherwise(0).alias("viol")
+        )
+        timed(
+            f"r12_burn_rate x{times}",
+            lambda fl=flagged: burn_rate_windows(
+                fl, "ts", "viol", error_budget=0.14
+            ).count(),
+        )
+        per = dw.select(
+            "source", F.length("text").alias("w")
+        )
+        timed(
+            f"r12_floored_alloc x{times}",
+            lambda p=per: floored_allocation(
+                p, "source", "w", floor_pct=5
+            ).count(),
+        )
+        # query_max pins the panel to the BASE corpus ids (fixed-panel
+        # eval: cost = queries × corpus = linear in corpus)
+        ew = replicate(emb, times, "vec_id", 1_000_001, _vec_variant)
+        timed(
+            f"r12_pq_recall x{times}",
+            lambda e=ew, m=ebase: pq_frozen_recall(
+                e, query_mod=50, query_max=m
+            ).count(),
+        )
+        timed(
+            f"r12_ivf_recall x{times}",
+            lambda e=ew, m=ebase: ivf_medoid_recall(
+                e, query_mod=50, query_max=m
+            ).count(),
+        )
 
 
 if __name__ == "__main__":
