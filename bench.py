@@ -341,6 +341,19 @@ HEADLINE = [
     "simhash_md5_band_pairs",
     "minhash_erasure_impact",
     "source_temperature_budget",
+    # r12: structured-ANN quality evals, containment dedup,
+    # keep-policy, corpus-ops monitoring, floored mixtures
+    "ngram_containment_pairs",
+    "source_copy_rate",
+    "matryoshka_recall_eval",
+    "srm_split_balance",
+    "term_topk_churn",
+    "event_lag_burn_rate",
+    "floored_mixture_budget",
+    "dedup_canonical_docs",
+    "lsh_band_sweep_eval",
+    "pq_ann_recall_eval",
+    "ivf_ann_recall_eval",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

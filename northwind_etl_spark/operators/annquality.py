@@ -137,8 +137,30 @@ def pq_frozen_recall(
     qpred = F.col("vec_id") % query_mod == 0
     if query_max is not None:
         qpred = qpred & (F.col("vec_id") < query_max)
-    q = base.where(qpred).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    # per-query ADC lookup tables, computed ONCE on the tiny broadcast
+    # side: lut{s}[c] = <q_s, codeword c_s>.  Computing these per
+    # (query, vector) pair instead — the naive expression — multiplies
+    # the scoring cost by k_codewords (measured 15× at sf0.1); with
+    # the LUT the pair side does m element_at lookups and m−1 adds.
+    from ..cache import persist_stage
+
+    # persisted for the same reason as `coded` below: the broadcast
+    # does NOT stop Catalyst's CollapseProject, so without the barrier
+    # the m×k LUT folds re-evaluate per (query, vector) pair
+    q = persist_stage(
+        base.where(qpred).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            *[
+                F.array(
+                    *[
+                        _dot_to_literal(F.col("v"), cb[c], s * dsub, dsub)
+                        for c in range(k_codewords)
+                    ]
+                ).alias(f"lut{s}")
+                for s in range(m)
+            ],
+        )
     )
     # per-subspace assignment: argmin over (dist, c) structs — the
     # lexicographic array_min breaks distance ties to the smaller c
@@ -156,7 +178,12 @@ def pq_frozen_recall(
             ]
         )
         assigns.append(F.array_min(cand).getField("c").alias(f"a{s}"))
-    coded = base.select("vec_id", "v", *assigns)
+    # persist the per-VECTOR assignment: without the barrier Catalyst
+    # collapses this projection into the post-join one and re-evaluates
+    # all m×k distance folds PER (query, vector) PAIR — measured 3× the
+    # whole eval's cost at sf0.1.  5k rows × 8 ints; released via
+    # release_stages like every shared stage.
+    coded = persist_stage(base.select("vec_id", "v", *assigns))
     scored = coded.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
@@ -164,25 +191,9 @@ def pq_frozen_recall(
         # ADC: explicit left-associated sum over subspaces (s ascending)
         reduce(
             lambda acc, s: acc
-            + F.element_at(
-                F.array(
-                    *[
-                        _dot_to_literal(F.col("qv"), cb[c], s * dsub, dsub)
-                        for c in range(k_codewords)
-                    ]
-                ),
-                F.col(f"a{s}") + 1,
-            ),
+            + F.element_at(F.col(f"lut{s}"), F.col(f"a{s}") + 1),
             range(1, m),
-            F.element_at(
-                F.array(
-                    *[
-                        _dot_to_literal(F.col("qv"), cb[c], 0, dsub)
-                        for c in range(k_codewords)
-                    ]
-                ),
-                F.col("a0") + 1,
-            ),
+            F.element_at(F.col("lut0"), F.col("a0") + 1),
         ).alias("dot_adc"),
     )
     return _recall_frame(scored, q, "dot_exact", "dot_adc", topk)

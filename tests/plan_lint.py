@@ -81,6 +81,13 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "source_temperature_budget": (
         "remainder ranking over |sources|-bounded aggregate x 1-row budget"
     ),
+    # floored variant of the same window: child is BNLJ(per-class hash
+    # aggregate x 1-row floor/budget spec x 1-row weight totals) —
+    # per-task rows into the exchange are bounded by |classes|
+    "floored_mixture_budget": (
+        "remainder ranking over |classes|-bounded aggregate x two 1-row"
+        " budget/floor broadcasts"
+    ),
 }
 # (the corresponding BNLJ reviews live in tests/test_plan_lint.py's
 # BNLJ_WHITELIST — both lists must name an entry for it to ship with

@@ -86,6 +86,13 @@ BNLJ_WHITELIST = {
     "license_token_budget",          # 1-row total/budget scalar
     "minhash_erasure_impact",        # 1-row hot-bucket guard scalar
     "source_temperature_budget",     # 1-row total/budget scalar
+    # r12 additions — reviewed bounded broadcasts:
+    "matryoshka_recall_eval",        # query-panel broadcast (int8 pattern)
+    "pq_ann_recall_eval",            # query-panel broadcast + per-query LUT arrays
+    "ivf_ann_recall_eval",           # query-panel broadcast + 8 centroid distances
+    "lsh_band_sweep_eval",           # per-config 1-row count frames + guards
+    "term_topk_churn",               # 1-row two-side contract guard scalar
+    "floored_mixture_budget",        # 1-row floor/budget spec + 1-row weight totals
 }
 
 
