@@ -354,6 +354,11 @@ HEADLINE = [
     "lsh_band_sweep_eval",
     "pq_ann_recall_eval",
     "ivf_ann_recall_eval",
+    "customer_revenue_gini",
+    "price_tail_hill_index",
+    "length_ks_by_source",
+    "changelog_net_effect",
+    "matryoshka_rbo_eval",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

@@ -155,3 +155,60 @@ def snapshot_changelog(
             F.col("__new_v").alias("new_value"),
         )
     )
+
+
+def changelog_compose(
+    l12: DataFrame, l23: DataFrame, key_col: str
+) -> DataFrame:
+    """Compose two consecutive CDC changelogs into the NET changelog —
+    the correctness property every incremental consumer silently
+    relies on: applying t1→t2 then t2→t3 must equal applying t1→t3.
+    Full outer join on the key; a key present in both diffs nets out
+    by existence algebra (existed-at-t1 = l12 was not an insert;
+    exists-at-t3 = l23 is not a delete) with old value from l12 and
+    new value from l23; reverted keys (update back to the original,
+    insert-then-delete) vanish, exactly like snapshot_changelog's
+    unchanged keys.  One shuffle on the key over two CHANGELOGS (far
+    smaller than state, far smaller than the logs).
+
+    Returns (key, change_type, old_value, new_value)."""
+    a = l12.select(
+        F.col(key_col),
+        F.col("change_type").alias("__t12"),
+        F.col("old_value").alias("__o12"),
+        F.col("new_value").alias("__n12"),
+    )
+    b = l23.select(
+        F.col(key_col),
+        F.col("change_type").alias("__t23"),
+        F.col("old_value").alias("__o23"),
+        F.col("new_value").alias("__n23"),
+    )
+    j = a.join(b, key_col, "full_outer")
+    in_old = F.when(F.col("__t12").isNotNull(), F.col("__t12") != "insert").otherwise(
+        F.col("__t23") != "insert"
+    )
+    in_new = F.when(F.col("__t23").isNotNull(), F.col("__t23") != "delete").otherwise(
+        F.col("__t12") != "delete"
+    )
+    old_v = F.when(F.col("__t12").isNotNull(), F.col("__o12")).otherwise(
+        F.col("__o23")
+    )
+    new_v = F.when(F.col("__t23").isNotNull(), F.col("__n23")).otherwise(
+        F.col("__n12")
+    )
+    change = (
+        F.when(~in_old & in_new, F.lit("insert"))
+        .when(in_old & ~in_new, F.lit("delete"))
+        .when(in_old & in_new & ~old_v.eqNullSafe(new_v), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            key_col,
+            "change_type",
+            old_v.alias("old_value"),
+            new_v.alias("new_value"),
+        )
+    )

@@ -160,3 +160,175 @@ def join_size_estimate(
             "n_right",
         )
     )
+
+
+def gini_by_weight(df: DataFrame, class_col: str, weight_col: str) -> DataFrame:
+    """Gini concentration of an integer weight across classes — the
+    inequality audit a data plan runs on its source/host token shares
+    (a corpus where three hosts hold 90% of tokens is a diversity
+    problem no mean can see).  Exact integer arithmetic end to end:
+    classes sort by (weight, class), i = 1-based rank, and
+
+        G = (2·Σ i·wᵢ − (n+1)·Σw) / (n·Σw)
+
+    — one correctly-rounded division at the end.  Ties are
+    rank-order-free (equal weights contribute the same Σ i·w under any
+    permutation of their ranks... of each other), so the value is
+    deterministic.  The ranking window runs over the per-class
+    AGGREGATE rows (|classes|, the operator's documented working set),
+    never the data; an in-plan guard raises before Σ i·w could exceed
+    int64 (n·wmax per term, n terms).
+
+    Returns ONE row (n_classes, total_weight, gini)."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(class_col).alias("clazz")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    rk = Window.orderBy(F.asc("__w"), F.asc("clazz"))
+    ranked = per.withColumn("__i", F.row_number().over(rk))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("__w").cast("long").alias("total_weight"),
+        F.max("__w").alias("__wmax"),
+        F.sum(F.col("__i") * F.col("__w")).cast("long").alias("__iw"),
+    )
+    # overflow guard on the dominant term: each i·w <= n·wmax and there
+    # are n of them, so Σ i·w <= n²·wmax must fit int64 — raise in-plan
+    # (mirrored in the oracle) and fold through the consumed Σ i·w
+    iw_checked = F.when(
+        F.col("n_classes") * F.col("n_classes")
+        <= F.expr("9223372036854775807L DIV GREATEST(__wmax, 1L)"),
+        F.col("__iw"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("gini_by_weight: n^2 * wmax exceeds int64 (n = "),
+                F.col("n_classes").cast("string"),
+                F.lit(") — pre-aggregate or rescale weights"),
+            )
+        )
+    )
+    n = F.col("n_classes").cast("double")
+    tw = F.col("total_weight").cast("double")
+    return agg.select(
+        "n_classes",
+        "total_weight",
+        F.round(
+            (
+                F.lit(2.0) * iw_checked.cast("double")
+                - (n + F.lit(1.0)) * tw
+            )
+            / (n * tw),
+            6,
+        ).alias("gini"),
+    )
+
+
+def hill_tail_index(df: DataFrame, col: str, *, k: int = 100) -> DataFrame:
+    """Hill estimator of the Pareto tail index over the top-k order
+    statistics:  α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) — the
+    heavy-tail diagnostic behind skew planning (α ≤ 2 means the sum is
+    variance-infinite: no sampling estimate of a total converges, and
+    hot-key mitigations are mandatory, not optional).
+
+    Exact plan shape: TakeOrderedAndProject keeps the global top-(k+1)
+    (k+1 rows cross the final exchange, nothing else), they collect
+    into ONE sorted array column, and the log-ratio sum is a
+    SEQUENTIAL array fold — deterministic summation order, replayed by
+    DuckDB's list fold (ulp-level libm differences are absorbed by the
+    final round-to-6, the entropy/surprisal precedent).  Returns ONE
+    row (k, threshold = x_(k+1), alpha)."""
+    v = F.col(col).cast("double")
+    top = (
+        df.select(v.alias("__v"))
+        .where(F.col("__v").isNotNull() & (F.col("__v") > 0))
+        .orderBy(F.desc("__v"))
+        .limit(k + 1)
+    )
+    arr = top.agg(
+        F.reverse(F.sort_array(F.collect_list("__v"))).alias("__arr")
+    )
+    ref = F.element_at(F.col("__arr"), k + 1)
+    lsum = F.aggregate(
+        F.slice(F.col("__arr"), 1, k),
+        F.lit(0.0),
+        lambda acc, x: acc + F.log(x / ref),
+    )
+    return arr.select(
+        F.lit(k).cast("int").alias("k"),
+        F.round(ref, 6).alias("threshold"),
+        F.round(F.lit(float(k)) / lsum, 6).alias("alpha"),
+    )
+
+
+def ks_by_group(
+    df: DataFrame, value_col: str, group_col: str, *, flag_at: float = 0.1
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group vs THE REST —
+    the distribution-drift audit that catches shape changes PSI's
+    fixed bins blur: KS = sup_v |F_g(v) − F_rest(v)|, evaluated at
+    every distinct value (the sup of a difference of step functions is
+    attained at a jump of either side, so the (distinct value × group)
+    grid is exactly sufficient).
+
+    Shape: one (value, group) count aggregate, a grid join against the
+    distinct-value spine, and one cumulative window PER GROUP over
+    |distinct values| rows — bounded by the grid, never the data (at
+    100 TB pre-bucket values to a fixed histogram first; the fixture's
+    value domain is its own bound).  Exact integer cumulative counts;
+    two divisions and one abs per grid row.  Returns (group, n_group,
+    ks, drifted) ordered by group."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).where(F.col("v").isNotNull())
+    counts = base.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    spine = base.select("v").distinct()
+    groups = counts.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    total = counts.agg(F.sum("c").alias("n_all"))
+    grid = (
+        spine.crossJoin(F.broadcast(groups))
+        .join(counts, ["grp", "v"], "left")
+        .select(
+            "grp",
+            "v",
+            "n_g",
+            F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # global cumulative = per-group cumulative summed over the grid row
+    # spine; rest = global − group
+    wall = (
+        Window.partitionBy("v")
+    )
+    cum = grid.withColumn("cum_g", F.sum("c").over(wcum))
+    cum = cum.withColumn("cum_all", F.sum("cum_g").over(wall))
+    ks = (
+        cum.join(F.broadcast(total))
+        .select(
+            "grp",
+            "n_g",
+            F.abs(
+                F.col("cum_g").cast("double") / F.col("n_g").cast("double")
+                - (F.col("cum_all") - F.col("cum_g")).cast("double")
+                / (F.col("n_all") - F.col("n_g")).cast("double")
+            ).alias("__d"),
+        )
+        .groupBy("grp", "n_g")
+        .agg(F.round(F.max("__d"), 6).alias("ks"))
+    )
+    return ks.select(
+        F.col("grp").alias(group_col),
+        F.col("n_g").cast("long").alias("n_group"),
+        "ks",
+        (F.col("ks") > flag_at).alias("drifted"),
+    ).orderBy(group_col)

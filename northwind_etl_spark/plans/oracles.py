@@ -7178,3 +7178,224 @@ ORACLES["ivf_ann_recall_eval"] = """
     JOIN scn s ON s.query_id = q.query_id
     ORDER BY q.query_id
 """
+
+
+# §2c-undecies batch 2: concentration/tail/drift diagnostics, CDC
+# composition, rank-similarity eval.
+
+ORACLES["customer_revenue_gini"] = """
+    WITH cents AS (
+      SELECT o_custkey AS clazz,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS w
+      FROM orders GROUP BY 1),
+    ranked AS (SELECT clazz, w,
+                      ROW_NUMBER() OVER (ORDER BY w ASC, clazz ASC) AS i
+               FROM cents),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(w) AS BIGINT) AS total_weight,
+                   MAX(w) AS wmax,
+                   CAST(SUM(i * w) AS BIGINT) AS iw
+            FROM ranked),
+    -- mirrored in-plan overflow guard (profiling.py::gini_by_weight)
+    chk AS (SELECT n_classes, total_weight,
+                   CASE WHEN n_classes * n_classes
+                             <= 9223372036854775807 // greatest(wmax, 1)
+                        THEN iw
+                        ELSE error('gini_by_weight: n^2 * wmax exceeds '
+                                   || 'int64') END AS iw
+            FROM agg)
+    SELECT n_classes, total_weight,
+           ROUND((2.0 * CAST(iw AS DOUBLE)
+                  - (CAST(n_classes AS DOUBLE) + 1.0)
+                    * CAST(total_weight AS DOUBLE))
+                 / (CAST(n_classes AS DOUBLE)
+                    * CAST(total_weight AS DOUBLE)), 6) AS gini
+    FROM chk
+"""
+
+ORACLES["price_tail_hill_index"] = """
+    WITH top AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND CAST(o_totalprice AS DOUBLE) > 0
+      ORDER BY v DESC LIMIT 101),
+    arr AS (SELECT list_reverse_sort(list(v)) AS a FROM top)
+    SELECT CAST(100 AS INT) AS k,
+           ROUND(a[101], 6) AS threshold,
+           ROUND(100.0 / list_sum(list_transform(a[1:100],
+                 x -> ln(x / a[101]))), 6) AS alpha
+    FROM arr
+"""
+
+ORACLES["length_ks_by_source"] = """
+    WITH base AS (SELECT source AS grp, n_chars AS v FROM documents
+                  WHERE n_chars IS NOT NULL),
+    counts AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+               FROM base GROUP BY 1, 2),
+    spine AS (SELECT DISTINCT v FROM base),
+    groups AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g
+               FROM counts GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM counts),
+    grid AS (SELECT g.grp, s.v, g.n_g, COALESCE(c.c, 0) AS c
+             FROM spine s CROSS JOIN groups g
+             LEFT JOIN counts c ON c.grp = g.grp AND c.v = s.v),
+    cum AS (SELECT grp, v, n_g,
+                   CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_g
+            FROM grid),
+    cum2 AS (SELECT *,
+                    CAST(SUM(cum_g) OVER (PARTITION BY v) AS BIGINT)
+                      AS cum_all
+             FROM cum),
+    ks AS (SELECT grp, n_g,
+                  ROUND(MAX(ABS(
+                      CAST(cum_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+                      - CAST(cum_all - cum_g AS DOUBLE)
+                        / CAST(n_all - n_g AS DOUBLE))), 6) AS ks
+           FROM cum2, tot GROUP BY 1, 2)
+    SELECT grp AS source, n_g AS n_group, ks, ks > 0.1 AS drifted
+    FROM ks ORDER BY source
+"""
+
+ORACLES["changelog_net_effect"] = f"""
+    WITH log AS ({_VLOG}),
+    s1 AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value, (event_type = 'error') AS dead,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY txn_ts DESC, event_id DESC) AS rn
+        FROM log WHERE txn_ts <= TIMESTAMP '2024-01-05 00:00:00')
+      WHERE rn = 1 AND NOT dead
+),
+    s2 AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value, (event_type = 'error') AS dead,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY txn_ts DESC, event_id DESC) AS rn
+        FROM log WHERE txn_ts <= TIMESTAMP '2024-01-12 00:00:00')
+      WHERE rn = 1 AND NOT dead
+),
+    s3 AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value, (event_type = 'error') AS dead,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY txn_ts DESC, event_id DESC) AS rn
+        FROM log WHERE txn_ts <= TIMESTAMP '2024-01-19 00:00:00')
+      WHERE rn = 1 AND NOT dead
+),
+    d12 AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             CASE WHEN a.user_id IS NULL THEN 'insert'
+                  WHEN b.user_id IS NULL THEN 'delete'
+                  WHEN a.value IS DISTINCT FROM b.value THEN 'update'
+             END AS change_type,
+             a.value AS old_value, b.value AS new_value
+      FROM s1 a FULL OUTER JOIN s2 b ON a.user_id = b.user_id
+      WHERE a.user_id IS NULL OR b.user_id IS NULL
+            OR (a.value IS DISTINCT FROM b.value)
+),
+    d23 AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             CASE WHEN a.user_id IS NULL THEN 'insert'
+                  WHEN b.user_id IS NULL THEN 'delete'
+                  WHEN a.value IS DISTINCT FROM b.value THEN 'update'
+             END AS change_type,
+             a.value AS old_value, b.value AS new_value
+      FROM s2 a FULL OUTER JOIN s3 b ON a.user_id = b.user_id
+      WHERE a.user_id IS NULL OR b.user_id IS NULL
+            OR (a.value IS DISTINCT FROM b.value)
+),
+    comp AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             CASE WHEN a.user_id IS NOT NULL
+                  THEN a.change_type <> 'insert'
+                  ELSE b.change_type <> 'insert' END AS in_old,
+             CASE WHEN b.user_id IS NOT NULL
+                  THEN b.change_type <> 'delete'
+                  ELSE a.change_type <> 'delete' END AS in_new,
+             CASE WHEN a.user_id IS NOT NULL
+                  THEN a.old_value ELSE b.old_value END AS old_value,
+             CASE WHEN b.user_id IS NOT NULL
+                  THEN b.new_value ELSE a.new_value END AS new_value
+      FROM d12 a FULL OUTER JOIN d23 b ON a.user_id = b.user_id),
+    net AS (
+      SELECT user_id,
+             CASE WHEN NOT in_old AND in_new THEN 'insert'
+                  WHEN in_old AND NOT in_new THEN 'delete'
+                  WHEN in_old AND in_new
+                       AND (old_value IS DISTINCT FROM new_value)
+                  THEN 'update' END AS change_type,
+             old_value, new_value
+      FROM comp),
+    netf AS (SELECT * FROM net WHERE change_type IS NOT NULL),
+    direct AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             CASE WHEN a.user_id IS NULL THEN 'insert'
+                  WHEN b.user_id IS NULL THEN 'delete'
+                  WHEN a.value IS DISTINCT FROM b.value THEN 'update'
+             END AS change_type,
+             a.value AS old_value, b.value AS new_value
+      FROM s1 a FULL OUTER JOIN s3 b ON a.user_id = b.user_id
+      WHERE a.user_id IS NULL OR b.user_id IS NULL
+            OR (a.value IS DISTINCT FROM b.value)
+)
+    SELECT n.user_id, n.change_type, n.old_value, n.new_value,
+           (d.user_id IS NOT NULL) AS matches_direct
+    FROM netf n LEFT JOIN direct d
+      ON n.user_id = d.user_id AND n.change_type = d.change_type
+     AND n.old_value IS NOT DISTINCT FROM d.old_value
+     AND n.new_value IS NOT DISTINCT FROM d.new_value
+    ORDER BY n.user_id
+"""
+
+ORACLES["matryoshka_rbo_eval"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> CAST(e.embedding[i] AS DOUBLE)
+                       * CAST(q.qv[i] AS DOUBLE)))
+             / NULLIF(
+               sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(q.qv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0)
+               AS cos_f,
+             list_sum(list_transform(generate_series(1, 16),
+                  i -> CAST(e.embedding[i] AS DOUBLE)
+                       * CAST(q.qv[i] AS DOUBLE)))
+             / NULLIF(
+               sqrt(list_sum(list_transform(generate_series(1, 16),
+                    i -> CAST(e.embedding[i] AS DOUBLE)
+                         * CAST(e.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, 16),
+                    i -> CAST(q.qv[i] AS DOUBLE)
+                         * CAST(q.qv[i] AS DOUBLE)))), 0.0)
+               AS cos_t
+      FROM embeddings e, q),
+    ranked AS (
+      SELECT query_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_f DESC, vec_id ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_t DESC, vec_id ASC) AS rt
+      FROM scored),
+    agg AS (
+      SELECT query_id,
+             CAST(COALESCE(SUM(CASE WHEN rf <= 1 AND rt <= 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o1,
+             CAST(COALESCE(SUM(CASE WHEN rf <= 2 AND rt <= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o2,
+             CAST(COALESCE(SUM(CASE WHEN rf <= 3 AND rt <= 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o3,
+             CAST(COALESCE(SUM(CASE WHEN rf <= 4 AND rt <= 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o4,
+             CAST(COALESCE(SUM(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o5,
+             CAST(COALESCE(SUM(CASE WHEN rf <= 6 AND rt <= 6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o6,
+             CAST(COALESCE(SUM(CASE WHEN rf <= 7 AND rt <= 7 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o7,
+             CAST(COALESCE(SUM(CASE WHEN rf <= 8 AND rt <= 8 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o8,
+             CAST(COALESCE(SUM(CASE WHEN rf <= 9 AND rt <= 9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o9,
+             CAST(COALESCE(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS o10
+      FROM ranked GROUP BY 1)
+    SELECT query_id, o10 AS overlap_at_10,
+           ROUND((0.09999999999999998) * (((((((((((1.0) * (CAST(o1 AS DOUBLE) / 1.0)) + ((0.9) * (CAST(o2 AS DOUBLE) / 2.0))) + ((0.81) * (CAST(o3 AS DOUBLE) / 3.0))) + ((0.7290000000000001) * (CAST(o4 AS DOUBLE) / 4.0))) + ((0.6561) * (CAST(o5 AS DOUBLE) / 5.0))) + ((0.5904900000000001) * (CAST(o6 AS DOUBLE) / 6.0))) + ((0.531441) * (CAST(o7 AS DOUBLE) / 7.0))) + ((0.4782969000000001) * (CAST(o8 AS DOUBLE) / 8.0))) + ((0.4304672100000001) * (CAST(o9 AS DOUBLE) / 9.0))) + ((0.3874204890000001) * (CAST(o10 AS DOUBLE) / 10.0))), 6) AS rbo
+    FROM agg ORDER BY query_id
+"""

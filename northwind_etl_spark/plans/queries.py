@@ -7386,6 +7386,189 @@ def ivf_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r12 batch 2: concentration/tail/drift diagnostics, CDC composition,
+# rank-similarity eval.
+
+
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order revenue across customers
+    (operators/profiling.py::gini_by_weight): the inequality audit
+    behind both revenue-concentration risk and (the same operator,
+    pointed at hosts/sources) corpus-diversity checks.  Weights are
+    exact CENTS (decimal x 100 -> long), the rank window runs over
+    per-customer aggregate rows, and the n^2*wmax int64 guard raises
+    in-plan, oracle-mirrored.  One hash-checked row."""
+    from ..operators.profiling import gini_by_weight
+
+    orders = _t(spark, sf_dir, "orders")
+    # o_totalprice is a raw parquet DOUBLE: x*100 is inexact, and
+    # double->long truncates in Spark but rounds in DuckDB — round
+    # half-up EXPLICITLY (the int8 rounding-chain discipline) so both
+    # engines derive identical cents
+    cents = orders.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return gini_by_weight(cents, "o_custkey", "cents")
+
+
+def price_tail_hill_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimate over the top-100 order values
+    (operators/profiling.py::hill_tail_index) — the heavy-tail
+    diagnostic that decides whether sums/sampling converge and
+    whether hot-key mitigations are mandatory.  Top-(k+1) rows cross
+    the final exchange via TakeOrderedAndProject; the log-ratio sum
+    is one sequential array fold both engines replay."""
+    from ..operators.profiling import hill_tail_index
+
+    return hill_tail_index(_t(spark, sf_dir, "orders"), "o_totalprice", k=100)
+
+
+def length_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per source vs the rest of
+    the corpus (operators/profiling.py::ks_by_group) over document
+    lengths — the shape-sensitive companion to the PSI/JSD drift
+    entries (fixed bins blur exactly the localized shifts KS's sup
+    catches).  Exact integer cumulative counts over the distinct-
+    length grid; hash-checked per source."""
+    from ..operators.profiling import ks_by_group
+
+    return ks_by_group(
+        _t(spark, sf_dir, "documents"), "n_chars", "source", flag_at=0.1
+    )
+
+
+def changelog_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog COMPOSITION (operators/lakehouse.py::
+    changelog_compose): the t1->t2 and t2->t3 diffs composed into the
+    net t1->t3 changelog, released with a matches_direct flag per row
+    — the correctness property every incremental consumer relies on
+    (apply-two-diffs == apply-one-diff), checked IN the released data
+    and hash-checked cross-engine.  Reverted keys (insert-then-delete,
+    update-back) vanish in both paths."""
+    from ..operators.lakehouse import (
+        changelog_compose,
+        snapshot_changelog,
+        snapshot_state,
+    )
+
+    log = _events_versioned_log(spark, sf_dir)
+    dead = F.col("event_type") == "error"
+
+    def state(ts: str):
+        return snapshot_state(
+            log,
+            "user_id",
+            "txn_ts",
+            F.lit(ts).cast("timestamp"),
+            value_col="value",
+            tiebreak_col="event_id",
+            tombstone=dead,
+        )
+
+    from ..cache import persist_stage
+
+    # s2 feeds BOTH changelogs — persist so the versioned-log window
+    # runs once per snapshot, not once per consumer
+    s1 = state("2024-01-05 00:00:00")
+    s2 = persist_stage(state("2024-01-12 00:00:00"))
+    s3 = state("2024-01-19 00:00:00")
+    net = changelog_compose(
+        snapshot_changelog(s1, s2, "user_id"),
+        snapshot_changelog(s2, s3, "user_id"),
+        "user_id",
+    )
+    direct = snapshot_changelog(s1, s3, "user_id").select(
+        F.col("user_id").alias("__k"),
+        F.col("change_type").alias("__t"),
+        F.col("old_value").alias("__o"),
+        F.col("new_value").alias("__n"),
+        F.lit(True).alias("__hit"),
+    )
+    joined = net.join(
+        direct,
+        (F.col("user_id") == F.col("__k"))
+        & (F.col("change_type") == F.col("__t"))
+        & F.col("old_value").eqNullSafe(F.col("__o"))
+        & F.col("new_value").eqNullSafe(F.col("__n")),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        "change_type",
+        "old_value",
+        "new_value",
+        F.coalesce("__hit", F.lit(False)).alias("matches_direct"),
+    ).orderBy("user_id")
+
+
+def matryoshka_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated at depth 10,
+    p = 0.9) between the full-dim and 16-dim Matryoshka rankings per
+    query — the rank-SIMILARITY companion to matryoshka_recall_eval's
+    set overlap: RBO weights agreement at the top, so a truncation
+    that preserves the top-3 but scrambles ranks 4-10 scores high
+    where plain recall@10 cannot tell.  Overlap-at-depth counts are
+    one conditional-sum aggregate; the weighted sum folds left-
+    associated over literal p-powers shared verbatim with the oracle."""
+    from ..functions.vectors import cosine_expr as _cos
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        _cos("embedding", "qv").alias("cos_f"),
+        _cos(
+            F.slice(F.col("embedding"), 1, 16), F.slice(F.col("qv"), 1, 16)
+        ).alias("cos_t"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_f"), F.asc("vec_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_t"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    depths = list(range(1, 11))
+    agg = ranked.groupBy("query_id").agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("rf") <= d) & (F.col("rt") <= d), 1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"__o{d}")
+            for d in depths
+        ]
+    )
+    p = 0.9
+    terms = [
+        F.lit(p ** (d - 1))
+        * (F.col(f"__o{d}").cast("double") / F.lit(float(d)))
+        for d in depths
+    ]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return agg.select(
+        "query_id",
+        F.col("__o10").alias("overlap_at_10"),
+        F.round(F.lit(1.0 - p) * s, 6).alias("rbo"),
+    ).orderBy("query_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r12 window (rows 1-50; ROUND_NOTES "Rotation guidance
     #     for r12").  Rows 1-12: the entire r11 batch
@@ -7701,5 +7884,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_band_sweep_eval": lsh_band_sweep_eval,
     "pq_ann_recall_eval": pq_ann_recall_eval,
     "ivf_ann_recall_eval": ivf_ann_recall_eval,
+    "customer_revenue_gini": customer_revenue_gini,
+    "price_tail_hill_index": price_tail_hill_index,
+    "length_ks_by_source": length_ks_by_source,
+    "changelog_net_effect": changelog_net_effect,
+    "matryoshka_rbo_eval": matryoshka_rbo_eval,
 }
 

@@ -1643,6 +1643,36 @@ def _r12_section(spark, sf_dir, factor):
                 e, query_mod=50, query_max=m
             ).count(),
         )
+        from northwind_etl_spark.operators.profiling import (
+            gini_by_weight,
+            hill_tail_index,
+            ks_by_group,
+        )
+
+        ow = replicate(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            times,
+            "o_orderkey",
+            6_000_000,
+        )
+        cents = ow.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        timed(
+            f"r12_gini x{times}",
+            lambda c=cents: gini_by_weight(c, "o_custkey", "cents").count(),
+        )
+        timed(
+            f"r12_hill x{times}",
+            lambda o=ow: hill_tail_index(o, "o_totalprice", k=100).count(),
+        )
+        timed(
+            f"r12_ks x{times}",
+            lambda d=dw: ks_by_group(d, "n_chars", "source").count(),
+        )
 
 
 if __name__ == "__main__":

@@ -93,6 +93,8 @@ BNLJ_WHITELIST = {
     "lsh_band_sweep_eval",           # per-config 1-row count frames + guards
     "term_topk_churn",               # 1-row two-side contract guard scalar
     "floored_mixture_budget",        # 1-row floor/budget spec + 1-row weight totals
+    "length_ks_by_source",           # |groups|-row spine cross join + 1-row total
+    "matryoshka_rbo_eval",           # query-panel broadcast (int8 pattern)
 }
 
 

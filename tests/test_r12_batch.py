@@ -350,3 +350,121 @@ def test_dedup_canonical_longest_wins(spark):
         .collect()
     )
     assert len(picked) == 1 and picked[0]["canonical_id"] == 6
+
+
+# ----------------------------------------------------- batch 2
+
+
+def test_gini_extremes(spark):
+    from northwind_etl_spark.operators.profiling import gini_by_weight
+
+    eq = spark.createDataFrame(
+        [(f"c{i}", 10) for i in range(10)], "clazz STRING, w LONG"
+    )
+    row = gini_by_weight(eq, "clazz", "w").collect()[0]
+    assert row["gini"] == 0.0  # perfectly equal shares
+    conc = spark.createDataFrame(
+        [("rich", 1000)] + [(f"p{i}", 0) for i in range(9)],
+        "clazz STRING, w LONG",
+    )
+    row = gini_by_weight(conc, "clazz", "w").collect()[0]
+    # one class holds everything: G = (n-1)/n = 0.9
+    assert row["gini"] == 0.9
+
+
+def test_gini_overflow_guard(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from northwind_etl_spark.operators.profiling import gini_by_weight
+
+    # sized so the Σ i·w aggregate itself still fits int64 (4.9e18)
+    # but the guard's n²·wmax bound (9.6e18) does not — the diagnosable
+    # margin where the custom raise fires before any engine overflow
+    df = spark.createDataFrame(
+        [("a", 100_000_000_000_000_000), ("b", 2_400_000_000_000_000_000)],
+        "clazz STRING, w LONG",
+    )
+    with pytest.raises(SparkRuntimeException, match="exceeds int64"):
+        gini_by_weight(df, "clazz", "w").collect()
+
+
+def test_hill_recovers_pareto_alpha(spark):
+    from northwind_etl_spark.operators.profiling import hill_tail_index
+
+    # exact Pareto(alpha=2) quantiles: x_i = (i/n)^(-1/2); the Hill
+    # estimator over the top-100 must land near 2
+    n = 5000
+    vals = [(float((i / n) ** -0.5),) for i in range(1, n + 1)]
+    df = spark.createDataFrame(vals, "x DOUBLE")
+    row = hill_tail_index(df, "x", k=100).collect()[0]
+    assert 1.6 <= row["alpha"] <= 2.4
+    assert row["k"] == 100 and row["threshold"] > 0
+
+
+def test_ks_detects_planted_shift(spark):
+    from northwind_etl_spark.operators.profiling import ks_by_group
+
+    # two-group case: group-vs-rest IS the two-sample KS between them
+    rows = [("base", float(i % 100)) for i in range(2000)]
+    rows += [("shifted", float(i % 100) + 50.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = {r["g"]: r for r in ks_by_group(df, "v", "g", flag_at=0.1).collect()}
+    assert out["shifted"]["drifted"] and out["shifted"]["ks"] >= 0.4
+    # identical distributions: neither side drifts
+    rows2 = [("a", float(i % 100)) for i in range(2000)]
+    rows2 += [("b", float(i % 100)) for i in range(2000)]
+    df2 = spark.createDataFrame(rows2, "g STRING, v DOUBLE")
+    out2 = {r["g"]: r for r in ks_by_group(df2, "v", "g").collect()}
+    assert not out2["a"]["drifted"] and out2["a"]["ks"] == 0.0
+
+
+def test_changelog_compose_algebra(spark):
+    from northwind_etl_spark.operators.lakehouse import changelog_compose
+
+    # key 1: insert then delete -> vanishes; key 2: insert then update
+    # -> net insert(new); key 3: update then update back -> vanishes;
+    # key 4: update then delete -> delete(old); key 5: delete then
+    # re-insert with a NEW value -> update; key 6: only in l12
+    l12 = spark.createDataFrame(
+        [
+            (1, "insert", None, 10.0),
+            (2, "insert", None, 20.0),
+            (3, "update", 30.0, 31.0),
+            (4, "update", 40.0, 41.0),
+            (5, "delete", 50.0, None),
+            (6, "update", 60.0, 61.0),
+        ],
+        "k LONG, change_type STRING, old_value DOUBLE, new_value DOUBLE",
+    )
+    l23 = spark.createDataFrame(
+        [
+            (1, "delete", 10.0, None),
+            (2, "update", 20.0, 21.0),
+            (3, "update", 31.0, 30.0),
+            (4, "delete", 41.0, None),
+            (5, "insert", None, 55.0),
+        ],
+        "k LONG, change_type STRING, old_value DOUBLE, new_value DOUBLE",
+    )
+    net = {
+        r["k"]: (r["change_type"], r["old_value"], r["new_value"])
+        for r in changelog_compose(l12, l23, "k").collect()
+    }
+    assert 1 not in net and 3 not in net
+    assert net[2] == ("insert", None, 21.0)
+    assert net[4] == ("delete", 40.0, None)
+    assert net[5] == ("update", 50.0, 55.0)
+    assert net[6] == ("update", 60.0, 61.0)
+
+
+def test_rbo_bounds_and_identity(spark, sf_dir):
+    from northwind_etl_spark.plans.queries import QUERIES
+
+    rows = QUERIES["matryoshka_rbo_eval"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["rbo"] <= 1.000001
+        # identical rankings at every depth give the truncated-RBO
+        # maximum (1 - p) * sum(p^(d-1)) = 1 - p^10
+        if r["overlap_at_10"] == 10:
+            assert r["rbo"] <= round(1 - 0.9**10, 6) + 1e-6
