@@ -107,14 +107,16 @@ def test_topk_churn_statuses(spark):
 
 
 def test_topk_churn_bad_side_raises(spark):
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
     from northwind_etl_spark.operators.heavyhitters import topk_churn
 
     df = spark.createDataFrame(
         [("a", "x"), ("c", "y")], "side STRING, key STRING"
     )
-    with pytest.raises(SparkRuntimeException, match="outside"):
+    # the raise fires inside the broadcast-exchange job, so depending
+    # on where materialization happens it surfaces as
+    # SparkRuntimeException OR a wrapped Py4J broadcast error — match
+    # the message, not the wrapper class
+    with pytest.raises(Exception, match="outside"):
         topk_churn(df, "key", "side", k=5).collect()
 
 
