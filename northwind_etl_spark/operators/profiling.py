@@ -179,6 +179,13 @@ def gini_by_weight(df: DataFrame, class_col: str, weight_col: str) -> DataFrame:
     never the data; an in-plan guard raises before Σ i·w could exceed
     int64 (n·wmax per term, n terms).
 
+    Scale bound: |classes| is the working set AND the single ranking
+    sort's input — sources/hosts (10³–10⁷) ride it comfortably, but a
+    billion-class Gini (per-user at web scale) should bucket weights
+    into a fixed histogram first and compute Gini from the histogram
+    (the standard grouped-data formula, exact to bucket resolution) —
+    the same pre-bucketing rule ks_by_group documents.
+
     Returns ONE row (n_classes, total_weight, gini)."""
     from pyspark.sql import Window
 
