@@ -256,7 +256,12 @@ def hill_tail_index(df: DataFrame, col: str, *, k: int = 100) -> DataFrame:
     arr = top.agg(
         F.reverse(F.sort_array(F.collect_list("__v"))).alias("__arr")
     )
-    ref = F.element_at(F.col("__arr"), k + 1)
+    # F.get (0-based), NOT element_at: with fewer than k+1 qualifying
+    # rows, element_at(k+1) RAISES under ANSI while DuckDB's a[k+1]
+    # returns NULL — get() returns NULL too, so both engines emit a
+    # NULL threshold/alpha row for an undersized input instead of
+    # diverging
+    ref = F.get(F.col("__arr"), k)
     lsum = F.aggregate(
         F.slice(F.col("__arr"), 1, k),
         F.lit(0.0),

@@ -470,3 +470,17 @@ def test_rbo_bounds_and_identity(spark, sf_dir):
         # maximum (1 - p) * sum(p^(d-1)) = 1 - p^10
         if r["overlap_at_10"] == 10:
             assert r["rbo"] <= round(1 - 0.9**10, 6) + 1e-6
+
+
+def test_hill_undersized_input_nulls_not_ansi_raise(spark):
+    """With fewer than k+1 qualifying rows the threshold slot is out of
+    bounds: F.get returns NULL (matching DuckDB's a[k+1]) where
+    element_at would RAISE under ANSI — the cross-engine divergence
+    class the r12 self-review caught."""
+    from northwind_etl_spark.operators.profiling import hill_tail_index
+
+    small = spark.createDataFrame(
+        [(float(i + 1),) for i in range(10)], "x DOUBLE"
+    )
+    row = hill_tail_index(small, "x", k=100).collect()[0]
+    assert row["threshold"] is None and row["alpha"] is None
