@@ -7399,3 +7399,137 @@ ORACLES["matryoshka_rbo_eval"] = """
            ROUND((0.09999999999999998) * (((((((((((1.0) * (CAST(o1 AS DOUBLE) / 1.0)) + ((0.9) * (CAST(o2 AS DOUBLE) / 2.0))) + ((0.81) * (CAST(o3 AS DOUBLE) / 3.0))) + ((0.7290000000000001) * (CAST(o4 AS DOUBLE) / 4.0))) + ((0.6561) * (CAST(o5 AS DOUBLE) / 5.0))) + ((0.5904900000000001) * (CAST(o6 AS DOUBLE) / 6.0))) + ((0.531441) * (CAST(o7 AS DOUBLE) / 7.0))) + ((0.4782969000000001) * (CAST(o8 AS DOUBLE) / 8.0))) + ((0.4304672100000001) * (CAST(o9 AS DOUBLE) / 9.0))) + ((0.3874204890000001) * (CAST(o10 AS DOUBLE) / 10.0))), 6) AS rbo
     FROM agg ORDER BY query_id
 """
+
+# ---------------------------------------------------------------- md5-HLL
+# (r12 batch 3): the register scheme, merge, and BOTH estimator branches
+# are imported from operators/hll.py so every constant — the frozen
+# alpha·m²·2^61 numerator, the 256-cell linear-counting ln table, the
+# string-domain rho chain — exists verbatim in both engines (the lnlut
+# discipline).
+from ..operators.hll import (  # noqa: E402
+    estimate_sql as _hll_est,
+    reg_sql as _hll_reg,
+    rho_sql as _hll_rho,
+    ssmall_sql as _hll_ssmall,
+)
+
+_HLL_EV_STATE = f"""
+      SELECT event_type, {_hll_reg('hx')} AS reg, MAX({_hll_rho('hx')}) AS maxrho
+      FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+            FROM events WHERE user_id IS NOT NULL)
+      GROUP BY 1, 2"""
+
+ORACLES["approx_distinct_users"] = f"""
+    WITH st AS ({_HLL_EV_STATE}),
+    a AS (SELECT event_type, COUNT(*) AS npres,
+                 {_hll_ssmall('maxrho')} AS ssmall
+          FROM st GROUP BY 1)
+    SELECT event_type,
+           ROUND({_hll_est('npres', 'ssmall')}, 4) AS approx_users
+    FROM a ORDER BY event_type
+"""
+
+ORACLES["hll_md5_error_eval"] = f"""
+    WITH st AS ({_HLL_EV_STATE}),
+    a AS (SELECT event_type, COUNT(*) AS npres,
+                 {_hll_ssmall('maxrho')} AS ssmall
+          FROM st GROUP BY 1),
+    est AS (SELECT event_type,
+                   ROUND({_hll_est('npres', 'ssmall')}, 4) AS approx_users
+            FROM a),
+    ex AS (SELECT event_type,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT e.event_type, e.approx_users, x.exact_users,
+           ROUND(abs(e.approx_users - CAST(x.exact_users AS DOUBLE))
+                 / CAST(x.exact_users AS DOUBLE), 6) AS rel_error,
+           (ROUND(abs(e.approx_users - CAST(x.exact_users AS DOUBLE))
+                  / CAST(x.exact_users AS DOUBLE), 6) <= 0.195)
+             AS within_3sigma
+    FROM est e JOIN ex x USING (event_type)
+    ORDER BY e.event_type
+"""
+
+ORACLES["hll_sketch_rollup_users"] = f"""
+    WITH daily AS (
+      SELECT day, event_type, {_hll_reg('hx')} AS reg,
+             MAX({_hll_rho('hx')}) AS maxrho
+      FROM (SELECT date_trunc('day', ts) AS day, event_type,
+                   md5(CAST(user_id AS VARCHAR)) AS hx
+            FROM events WHERE user_id IS NOT NULL)
+      GROUP BY 1, 2, 3),
+    rolled AS (SELECT event_type, reg, MAX(maxrho) AS maxrho
+               FROM daily GROUP BY 1, 2),
+    direct AS ({_HLL_EV_STATE}),
+    nd AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT)
+                  AS n_daily_sketches
+           FROM daily GROUP BY 1),
+    eq AS (SELECT COALESCE(r.event_type, d.event_type) AS event_type,
+                  MIN(CASE WHEN r.maxrho = d.maxrho THEN 1 ELSE 0 END)
+                    AS all_eq
+           FROM rolled r FULL OUTER JOIN direct d
+             ON r.event_type = d.event_type AND r.reg = d.reg
+           GROUP BY 1),
+    a AS (SELECT event_type, COUNT(*) AS npres,
+                 {_hll_ssmall('maxrho')} AS ssmall
+          FROM rolled GROUP BY 1)
+    SELECT a.event_type,
+           ROUND({_hll_est('npres', 'ssmall')}, 4) AS approx_users,
+           nd.n_daily_sketches, (eq.all_eq = 1) AS matches_direct
+    FROM a JOIN nd USING (event_type) JOIN eq USING (event_type)
+    ORDER BY a.event_type
+"""
+
+ORACLES["sliding_distinct_users_hll"] = f"""
+    WITH daily AS (
+      SELECT day, {_hll_reg('hx')} AS reg, MAX({_hll_rho('hx')}) AS maxrho
+      FROM (SELECT CAST(ts AS DATE) AS day,
+                   md5(CAST(user_id AS VARCHAR)) AS hx
+            FROM events WHERE user_id IS NOT NULL)
+      GROUP BY 1, 2),
+    spine AS (SELECT DISTINCT day FROM daily),
+    win AS (SELECT s.day, d.reg, MAX(d.maxrho) AS maxrho
+            FROM spine s JOIN daily d
+              ON d.day <= s.day AND d.day >= s.day - 6
+            GROUP BY 1, 2),
+    a AS (SELECT day, COUNT(*) AS npres, {_hll_ssmall('maxrho')} AS ssmall
+          FROM win GROUP BY 1)
+    SELECT day, ROUND({_hll_est('npres', 'ssmall')}, 4) AS approx_users_7d
+    FROM a ORDER BY day
+"""
+
+ORACLES["hll_click_purchase_overlap"] = f"""
+    WITH sa AS (
+      SELECT {_hll_reg('hx')} AS reg, MAX({_hll_rho('hx')}) AS maxrho
+      FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+            WHERE user_id IS NOT NULL AND event_type = 'click')
+      GROUP BY 1),
+    sb AS (
+      SELECT {_hll_reg('hx')} AS reg, MAX({_hll_rho('hx')}) AS maxrho
+      FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events
+            WHERE user_id IS NOT NULL AND event_type = 'purchase')
+      GROUP BY 1),
+    su AS (SELECT reg, MAX(maxrho) AS maxrho
+           FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+           GROUP BY 1),
+    ea AS (SELECT ROUND({_hll_est('COUNT(*)', _hll_ssmall('maxrho'))}, 4)
+                    AS est_click_users FROM sa),
+    eb AS (SELECT ROUND({_hll_est('COUNT(*)', _hll_ssmall('maxrho'))}, 4)
+                    AS est_purchase_users FROM sb),
+    eu AS (SELECT ROUND({_hll_est('COUNT(*)', _hll_ssmall('maxrho'))}, 4)
+                    AS est_union FROM su),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+             SELECT user_id FROM events
+             WHERE user_id IS NOT NULL AND event_type = 'click'
+             INTERSECT
+             SELECT user_id FROM events
+             WHERE user_id IS NOT NULL AND event_type = 'purchase'))
+    SELECT est_click_users, est_purchase_users, est_union,
+           ROUND(est_click_users + est_purchase_users - est_union, 4)
+             AS est_intersection,
+           exact_intersection,
+           ROUND(abs(ROUND(est_click_users + est_purchase_users - est_union,
+                           4)
+                     - CAST(exact_intersection AS DOUBLE)), 4) AS abs_error
+    FROM ea, eb, eu, ex
+"""

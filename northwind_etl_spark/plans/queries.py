@@ -428,9 +428,29 @@ def quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct counts per event_type (rows-only: an
-    approximation has no hash-matchable oracle; the accuracy bound is
-    asserted in tests against the exact count)."""
+    """Approximate distinct users per event_type via the md5-register
+    HLL (operators/hll.py) — the r12 oracle-paired upgrade of the
+    engine-native `approx_count_distinct` form this entry carried
+    through r11 (kept as `approx_distinct_users_native` below; tests
+    pin the two estimates against each other and against the exact
+    count): md5 registers, an exact-integer harmonic sum, and one
+    correctly-rounded division make the ESTIMATE itself replayable
+    bit-for-bit by the DuckDB oracle, the same upgrade
+    minhash_signatures_md5 gave the MinHash family."""
+    from ..operators.hll import hll_estimate, hll_state
+
+    ev = _t(spark, sf_dir, "events")
+    state = hll_state(ev, ["event_type"], "user_id")
+    return hll_estimate(state, alias="approx_users").orderBy("event_type")
+
+
+def approx_distinct_users_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The engine-native HLL++ twin (unregistered): same question
+    answered by `approx_count_distinct`, kept for the throughput A/B
+    and the agreement test — engine-private seeds make it rows-only
+    forever, which is why the registry entry rides the md5 scheme."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -438,29 +458,60 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reaggregable distinct-count rollup via Datasketches HLL — THE
-    100 TB pattern for distinct metrics: build per-(day, event_type)
-    sketches ONCE (what a daily ingest job would persist as a binary
-    column), then answer the coarser per-event_type question by
-    UNIONING sketches — no second pass over raw events, and the union
-    is a few-KB-per-group shuffle no matter how many billions of rows
-    produced the sketches.  approx_count_distinct gives the same
-    estimate but is NOT reaggregable across pre-aggregated partitions;
-    hll_union_agg is.
+    """Reaggregable distinct-count rollup — THE 100 TB pattern for
+    distinct metrics: build per-(day, event_type) HLL register states
+    ONCE (what a daily ingest job would persist), then answer the
+    coarser per-event_type question by MERGING states (register-wise
+    MAX) — no second pass over raw events, and the merge shuffles
+    ≤ 256 register rows per group no matter how many billions of rows
+    produced the states.  COUNT DISTINCT cannot do this: distinct
+    counts don't merge across pre-aggregated slices; lossless register
+    maxes do.
 
-    Rows-only driver check (approximations can't hash-match an
-    oracle); tests pin (a) estimate-vs-exact relative error and
-    (b) the rollup-equals-direct-sketch identity, which is exact
-    because HLL union is lossless over sketch registers."""
+    r12 oracle-paired upgrade (was Datasketches `hll_union_agg`,
+    engine-private registers → rows-only): the md5-register scheme
+    (operators/hll.py) makes every register, the merge, and the
+    estimate DuckDB-replayable, and the rollup-equals-direct-sketch
+    identity is now checked IN THE DATA — `matches_direct` compares
+    the merged register table against a state built from raw events in
+    one pass (the changelog_net_effect in-plan-invariant pattern)."""
+    from ..operators.hll import hll_state, merge_states
+
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy("event_type")
+    daily = hll_state(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        ["day", "event_type"],
+        "user_id",
+    )
+    n_daily = daily.select("day", "event_type").distinct().groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_daily_sketches"))
+    rolled = merge_states(daily.drop("day"))
+    direct = hll_state(ev, ["event_type"], "user_id")
+    reg_match = (
+        rolled.join(
+            direct.withColumnRenamed("maxrho", "direct_maxrho"),
+            ["event_type", "reg"],
+            "full",
+        )
+        .groupBy("event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_daily_sketches"),
+            F.min(
+                (F.col("maxrho") == F.col("direct_maxrho")).cast("int")
+            ).alias("__all_eq")
+        )
+        .select(
+            "event_type", (F.col("__all_eq") == 1).alias("matches_direct")
+        )
+    )
+    from ..operators.hll import hll_estimate
+
+    est = hll_estimate(rolled, alias="approx_users")
+    return (
+        est.join(n_daily, "event_type")
+        .join(reg_match, "event_type")
+        .select(
+            "event_type", "approx_users", "n_daily_sketches", "matches_direct"
         )
         .orderBy("event_type")
     )
@@ -478,23 +529,30 @@ def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts don't merge across days; lossless HLL register
     unions do.
 
-    Rows-only driver check (sketch estimates are engine-seeded);
-    tests/test_sliding_hll.py pins the 1-day-frame identity, the
-    monotone-containment property, exactness at planted low
-    cardinality, and the error bound vs exact trailing distincts."""
-    from pyspark.sql import Window
+    r12 oracle-paired upgrade (was Datasketches sketches over a global
+    ROWS window — engine-seeded registers AND an Exchange-
+    SinglePartition-shaped window): the md5-register daily state
+    (≤ days·256 rows, a POST-AGGREGATE bounded frame) joins a
+    broadcast day spine on a 7-day range — every day's registers merge
+    by MAX and the estimate replays in DuckDB bit-for-bit.  RANGE, not
+    ROWS: a day absent from the data no longer silently widens the
+    trailing window."""
+    from ..operators.hll import hll_estimate, hll_state
 
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    daily = hll_state(
+        ev.withColumn("day", F.to_date("ts")), ["day"], "user_id"
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
-    return daily.select(
-        "day",
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
-            "approx_users_7d"
-        ),
-    ).orderBy("day")
+    spine = daily.select("day").distinct()
+    windowed = daily.withColumnRenamed("day", "reg_day").join(
+        F.broadcast(spine),
+        (F.col("reg_day") <= F.col("day"))
+        & (F.col("reg_day") >= F.date_sub(F.col("day"), 6)),
+    )
+    state_7d = windowed.groupBy("day", "reg").agg(
+        F.max("maxrho").cast("int").alias("maxrho")
+    )
+    return hll_estimate(state_7d, alias="approx_users_7d").orderBy("day")
 
 
 def running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7569,6 +7627,103 @@ def matryoshka_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+# ------------------------------------------------------------------
+# r12 batch 3 (SURVEY.md §2c-duodecies): sketch-quality evals +
+# sketch algebra + time-series diagnostics, all oracle-paired
+
+
+def hll_md5_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured HLL accuracy, fully hash-checked: per event_type, the
+    md5-register estimate (operators/hll.py) vs the EXACT distinct
+    user count, relative error, and a 3σ verdict (3·1.04/√256 ≈
+    0.195).  Unlike the self-measuring within_bound entries
+    (user_topk_mergeable), EVERY column here — including the estimate
+    itself — replays in DuckDB, so a register-scheme regression,
+    an estimator-constant drift, OR an accuracy regression all turn
+    this row red.  The kll_quantile_error_eval of the distinct-count
+    family."""
+    from ..operators.hll import REL_3SIGMA, hll_estimate, hll_state
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_estimate(
+        hll_state(ev, ["event_type"], "user_id"), alias="approx_users"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    rel = F.round(
+        F.abs(F.col("approx_users") - F.col("exact_users").cast("double"))
+        / F.col("exact_users").cast("double"),
+        6,
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            rel.alias("rel_error"),
+            (rel <= F.lit(round(REL_3SIGMA, 6))).alias("within_3sigma"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hll_click_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: distinct users who BOTH click AND purchase,
+    estimated by inclusion–exclusion over three md5-register states
+    (|A∩B| ≈ Â + B̂ − Â∪B, where the union state is the register-wise
+    MAX — the one set operation HLL supports losslessly), against the
+    exact intersection.  The abs_error column is the honest part of
+    the story: inclusion–exclusion error grows with |A∪B|/|A∩B|, which
+    is WHY kmv_overlap_customers (bottom-k, a proper intersection
+    estimator) exists alongside; emitting both here makes the
+    trade-off a measured, driver-checked fact instead of a docstring
+    claim.  Every value replays in DuckDB."""
+    from ..operators.hll import hll_estimate, hll_state, merge_states
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    clicks = ev.where(F.col("event_type") == "click")
+    buys = ev.where(F.col("event_type") == "purchase")
+    sa = hll_state(clicks, [], "user_id")
+    sb = hll_state(buys, [], "user_id")
+    est_a = hll_estimate(sa, alias="est_click_users")
+    est_b = hll_estimate(sb, alias="est_purchase_users")
+    est_u = hll_estimate(merge_states(sa, sb), alias="est_union")
+    exact = (
+        clicks.select("user_id")
+        .intersect(buys.select("user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    inter = (
+        F.col("est_click_users")
+        + F.col("est_purchase_users")
+        - F.col("est_union")
+    )
+    # 1-row frames throughout: broadcast makes each cross join a
+    # BroadcastNestedLoopJoin over single rows (the q22 scalar shape),
+    # never a CartesianProduct
+    return (
+        est_a.join(F.broadcast(est_b))
+        .join(F.broadcast(est_u))
+        .join(F.broadcast(exact))
+        .select(
+            "est_click_users",
+            "est_purchase_users",
+            "est_union",
+            F.round(inter, 4).alias("est_intersection"),
+            "exact_intersection",
+            F.round(
+                F.abs(
+                    F.round(inter, 4)
+                    - F.col("exact_intersection").cast("double")
+                ),
+                4,
+            ).alias("abs_error"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r12 window (rows 1-50; ROUND_NOTES "Rotation guidance
     #     for r12").  Rows 1-12: the entire r11 batch
@@ -7889,5 +8044,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_ks_by_source": length_ks_by_source,
     "changelog_net_effect": changelog_net_effect,
     "matryoshka_rbo_eval": matryoshka_rbo_eval,
+    # --- r12 batch 3 (§2c-duodecies): never driver-checked — joins
+    #     the r13 window lead (rule 1). ---------------------------
+    "hll_md5_error_eval": hll_md5_error_eval,
+    "hll_click_purchase_overlap": hll_click_purchase_overlap,
 }
 

@@ -128,12 +128,24 @@ def test_multimodal_features_deterministic(spark, sf_dir):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    from northwind_etl_spark.plans.queries import approx_distinct_users
+    """The md5-HLL registry entry AND its engine-native HLL++ twin
+    both land within their error envelopes of the exact count (m=256
+    → 3σ ≈ 19.5% for the md5 scheme; rsd=0.02 → ~6% at 3σ for the
+    native twin)."""
+    from northwind_etl_spark.operators.hll import REL_3SIGMA
+    from northwind_etl_spark.plans.queries import (
+        approx_distinct_users,
+        approx_distinct_users_native,
+    )
     from northwind_etl_spark.sources.parquet import read_events
 
     approx = {
         r.event_type: r.approx_users
         for r in approx_distinct_users(spark, sf_dir).collect()
+    }
+    native = {
+        r.event_type: r.approx_users
+        for r in approx_distinct_users_native(spark, sf_dir).collect()
     }
     exact = {
         r.event_type: r.n
@@ -143,7 +155,12 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         .collect()
     }
     for et, n in exact.items():
-        assert abs(approx[et] - n) <= max(3, 0.1 * n), (et, approx[et], n)
+        assert abs(approx[et] - n) <= max(3, REL_3SIGMA * n), (
+            et,
+            approx[et],
+            n,
+        )
+        assert abs(native[et] - n) <= max(3, 0.1 * n), (et, native[et], n)
 
 
 def test_multimodal_resize_and_frame_sample(spark, sf_dir):
@@ -218,19 +235,25 @@ def test_decode_image_is_stubbed():
 
 
 def test_hll_sketch_rollup_accuracy_and_identity(spark, sf_dir):
-    """(a) the sketch-union estimate lands within HLL's error envelope
-    of the exact distinct count; (b) rolling up per-day sketches gives
-    EXACTLY the same estimate as sketching the whole column directly —
-    HLL union is lossless over registers, so reaggregation costs no
-    accuracy (the property that makes pre-aggregated sketch columns
-    trustworthy at 100 TB)."""
+    """(a) the rolled-up estimate lands within the md5-HLL error
+    envelope of the exact distinct count; (b) rolling up per-day
+    register states gives EXACTLY the same registers as sketching the
+    whole column directly — register max is lossless, so reaggregation
+    costs no accuracy (the property that makes pre-aggregated sketch
+    columns trustworthy at 100 TB).  (b) is checked twice: via the
+    entry's own in-data `matches_direct` column AND via an independent
+    estimate comparison against operators/hll.py run directly."""
+    from northwind_etl_spark.operators.hll import (
+        REL_3SIGMA,
+        hll_estimate,
+        hll_state,
+    )
     from northwind_etl_spark.plans.queries import hll_sketch_rollup_users
     from northwind_etl_spark.sources.parquet import read_events
 
-    rolled = {
-        r["event_type"]: r["approx_users"]
-        for r in hll_sketch_rollup_users(spark, sf_dir).collect()
-    }
+    rows = hll_sketch_rollup_users(spark, sf_dir).collect()
+    rolled = {r["event_type"]: r["approx_users"] for r in rows}
+    assert all(r["matches_direct"] for r in rows), rows
     ev = read_events(spark, sf_dir)
     exact = {
         r["event_type"]: r["n"]
@@ -239,12 +262,16 @@ def test_hll_sketch_rollup_accuracy_and_identity(spark, sf_dir):
         .collect()
     }
     direct = {
-        r["event_type"]: r["d"]
-        for r in ev.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d"))
-        .collect()
+        r["event_type"]: r["approx_users"]
+        for r in hll_estimate(
+            hll_state(ev, ["event_type"], "user_id"), alias="approx_users"
+        ).collect()
     }
     assert set(rolled) == set(exact)
     for et, est in rolled.items():
-        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+        assert abs(est - exact[et]) / exact[et] <= REL_3SIGMA, (
+            et,
+            est,
+            exact[et],
+        )
         assert est == direct[et], (et, est, direct[et])

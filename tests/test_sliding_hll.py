@@ -69,6 +69,9 @@ def test_monotone_containment(days_events):
 
 
 def test_error_bound_vs_exact_on_real_events(spark, sf_dir):
+    """The md5-HLL trailing-7-day estimates land within the m=256
+    3σ envelope of the exact trailing distinct counts."""
+    from northwind_etl_spark.operators.hll import REL_3SIGMA
     from northwind_etl_spark.plans.queries import QUERIES
 
     got = {
@@ -78,7 +81,7 @@ def test_error_bound_vs_exact_on_real_events(spark, sf_dir):
     from northwind_etl_spark.sources.parquet import read_events
 
     ev = read_events(spark, sf_dir).select(
-        F.date_trunc("day", "ts").alias("day"), "user_id"
+        F.to_date("ts").alias("day"), "user_id"
     )
     days = sorted(got)
     pairs = ev.distinct().collect()
@@ -87,4 +90,4 @@ def test_error_bound_vs_exact_on_real_events(spark, sf_dir):
         by_day.setdefault(r["day"], set()).add(r["user_id"])
     for i, d in enumerate(days):
         exact = set().union(*(by_day[x] for x in days[max(0, i - 6) : i + 1]))
-        assert abs(got[d] - len(exact)) <= max(3, 0.05 * len(exact))
+        assert abs(got[d] - len(exact)) <= max(3, REL_3SIGMA * len(exact))
