@@ -359,6 +359,16 @@ HEADLINE = [
     "length_ks_by_source",
     "changelog_net_effect",
     "matryoshka_rbo_eval",
+    # r12 batch 3: md5-HLL family (upgraded entries already above),
+    # sketch-quality evals, ACF
+    "hll_md5_error_eval",
+    "hll_click_purchase_overlap",
+    "ams_f2_sketch_eval",
+    "bloom_fpr_eval",
+    "daily_revenue_acf",
+    # r12 rows-only upgrades newly oracle-paired and not yet benched
+    "approx_distinct_users",
+    "approx_quantiles_quantity",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

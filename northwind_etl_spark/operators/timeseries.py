@@ -738,3 +738,68 @@ def burn_rate_windows(
             & F.coalesce(burn_tail > 1.0, F.lit(False))
         ).alias("alert"),
     ).orderBy("window_start")
+
+
+def acf_by_lag(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of a daily series at lags 1..max_lag —
+    the periodicity detector that complements the weekday seasonal
+    profile (weekday_revenue_seasonality averages BY weekday; the ACF
+    measures how much lag-7 structure there is to average): one row
+    per lag with the Pearson correlation of (x_t, x_{t+lag}) pairs.
+
+    Exactness (the closed_form_corr_ols discipline): `value_col` must
+    already be an EXACT decimal (the caller's daily aggregate); the
+    five moments per lag are summed in the decimal domain
+    (order-independent), then one cast to double each and a fixed
+    IEEE chain (·, −, /, sqrt) both engines replay identically; a
+    zero-variance side yields NULL on both (the explicit guard — raw
+    double division would give NaN on Spark and raise nothing).
+
+    Shape: daily × lag-spine cross (a broadcast of max_lag literal
+    rows), ONE equi-join back to the daily frame on the shifted day,
+    one groupBy(lag) — pair count bounded by days·max_lag, i.e.
+    calendar-bounded regardless of row volume (the hypertable
+    argument: at 100 TB the daily aggregate IS the reduction)."""
+    lags = daily.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    left = daily.select(
+        F.col(day_col).alias("__d"), F.col(value_col).alias("__x")
+    ).join(F.broadcast(lags))
+    shifted = left.select(
+        "lag", F.expr(f"date_add(__d, lag)").alias("__dt"), "__x"
+    )
+    pairs = shifted.join(
+        daily.select(
+            F.col(day_col).alias("__dt"), F.col(value_col).alias("__y")
+        ),
+        "__dt",
+    )
+    x, y = F.col("__x"), F.col("__y")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    cov_n = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    den = F.sqrt(var_x) * F.sqrt(var_y)
+    return s.select(
+        "lag",
+        "n_pairs",
+        F.round(F.when(den != 0.0, cov_n / den), 6).alias("acf"),
+    ).orderBy("lag")

@@ -7533,3 +7533,150 @@ ORACLES["hll_click_purchase_overlap"] = f"""
                      - CAST(exact_intersection AS DOUBLE)), 4) AS abs_error
     FROM ea, eb, eu, ex
 """
+
+# GK approx-quantile contract check (r12 rows-only upgrade): the
+# estimate is engine-private, so the oracle releases the replayable
+# columns — exact percentile (quantile_cont, the quantiles_quantity
+# mirror), group size, and the in_band verdict ASSERTED from Spark's
+# documented rank guarantee (rank error <= n/accuracy); a GK bound
+# violation makes the Spark side emit false and the row go red.
+ORACLES["approx_quantiles_quantity"] = """
+    WITH qs AS (SELECT CAST(0.25 AS DOUBLE) AS q
+                UNION ALL SELECT 0.5 UNION ALL SELECT 0.75),
+    ex AS (SELECT l_returnflag,
+                  ROUND(quantile_cont(l_quantity, 0.25), 6) AS e25,
+                  ROUND(quantile_cont(l_quantity, 0.50), 6) AS e50,
+                  ROUND(quantile_cont(l_quantity, 0.75), 6) AS e75,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM lineitem GROUP BY 1)
+    SELECT ex.l_returnflag, qs.q,
+           CASE qs.q WHEN 0.25 THEN e25 WHEN 0.5 THEN e50
+                     ELSE e75 END AS exact_pct,
+           ex.n_rows, TRUE AS in_band
+    FROM ex, qs
+    ORDER BY ex.l_returnflag, qs.q
+"""
+
+# AMS tug-of-war F2 (r12 batch 3): md5-parity signs, exact BIGINT
+# counters, DECIMAL(38,0) squares, one cast + one division — the whole
+# estimator replays, so the verdict is measured on both engines.
+ORACLES["ams_f2_sketch_eval"] = """
+    WITH signs AS (
+      SELECT js.j,
+             CAST(SUM(1 - 2*(CAST('0x' || substring(
+                 md5((CASE WHEN js.j < 32 THEN 'a|' ELSE 'b|' END)
+                     || CAST(e.user_id AS VARCHAR)),
+                 CAST(js.j % 32 + 1 AS INT), 1) AS INT) % 2))
+               AS BIGINT) AS x
+      FROM events e, (SELECT range AS j FROM range(64)) js
+      WHERE e.user_id IS NOT NULL
+      GROUP BY js.j),
+    est AS (
+      SELECT ROUND(CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+                                 * CAST(x AS DECIMAL(19,0))
+                            AS DECIMAL(38,0))) AS DOUBLE) / 64.0, 4)
+               AS est_f2
+      FROM signs),
+    ex AS (
+      SELECT CAST(SUM(CAST(CAST(f AS DECIMAL(19,0))
+                           * CAST(f AS DECIMAL(19,0))
+                      AS DECIMAL(38,0))) AS DOUBLE) AS exact_f2
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS f FROM events
+            WHERE user_id IS NOT NULL GROUP BY user_id))
+    SELECT est_f2, exact_f2,
+           ROUND(abs(est_f2 - exact_f2) / exact_f2, 6) AS rel_error,
+           (ROUND(abs(est_f2 - exact_f2) / exact_f2, 6) <= 0.53033)
+             AS within_3sigma
+    FROM est, ex
+"""
+
+# Bloom FPR eval (r12 batch 3): the oracle rebuilds the filter as a
+# bit SET (membership is equivalent to the word signature), the same
+# 8-nibble md5 probe arithmetic, and the identical one-sqrt verdict
+# chain — so measured FPR, load, and the 3-sigma verdict all replay.
+_BLOOM_NBITS = 64 * 62
+
+
+def _bloom_bit(salt: str, expr: str) -> str:
+    return (
+        f"(CAST('0x' || substring(md5('{salt}:' || CAST(({expr}) AS VARCHAR)),"
+        f" 1, 8) AS BIGINT) % {_BLOOM_NBITS})"
+    )
+
+
+ORACLES["bloom_fpr_eval"] = f"""
+    WITH keys AS (SELECT c_custkey AS k FROM customer
+                  WHERE c_custkey IS NOT NULL),
+    bits AS (SELECT DISTINCT bit FROM (
+               SELECT {_bloom_bit('b1', 'k')} AS bit FROM keys
+               UNION ALL
+               SELECT {_bloom_bit('b2', 'k')} AS bit FROM keys)),
+    nk AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys FROM keys),
+    bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits),
+    probes AS (SELECT -CAST(range AS BIGINT) AS p FROM range(1, 2049)),
+    pb AS (SELECT p, {_bloom_bit('b1', 'p')} AS bit1,
+                  {_bloom_bit('b2', 'p')} AS bit2
+           FROM probes),
+    pa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+                  CAST(SUM(CASE WHEN bit1 IN (SELECT bit FROM bits)
+                                 AND bit2 IN (SELECT bit FROM bits)
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_false_pass
+           FROM pb)
+    SELECT nk.n_keys, CAST({_BLOOM_NBITS} AS BIGINT) AS n_bits, bs.bits_set,
+           ROUND(CAST(bs.bits_set AS DOUBLE) / {float(_BLOOM_NBITS)!r}, 6)
+             AS load_rho,
+           pa.n_probes, pa.n_false_pass,
+           ROUND(CAST(pa.n_false_pass AS DOUBLE)
+                 / CAST(pa.n_probes AS DOUBLE), 6) AS measured_fpr,
+           ROUND((CAST(bs.bits_set AS DOUBLE) / {float(_BLOOM_NBITS)!r})
+                 * (CAST(bs.bits_set AS DOUBLE) / {float(_BLOOM_NBITS)!r}), 6)
+             AS expected_fpr,
+           (abs(CAST(pa.n_false_pass AS DOUBLE)
+                  / CAST(pa.n_probes AS DOUBLE)
+                - (CAST(bs.bits_set AS DOUBLE) / {float(_BLOOM_NBITS)!r})
+                  * (CAST(bs.bits_set AS DOUBLE) / {float(_BLOOM_NBITS)!r}))
+            <= 3.0 * sqrt(((CAST(bs.bits_set AS DOUBLE)
+                              / {float(_BLOOM_NBITS)!r})
+                           * (CAST(bs.bits_set AS DOUBLE)
+                              / {float(_BLOOM_NBITS)!r}))
+                          * (1.0 - (CAST(bs.bits_set AS DOUBLE)
+                                      / {float(_BLOOM_NBITS)!r})
+                                   * (CAST(bs.bits_set AS DOUBLE)
+                                      / {float(_BLOOM_NBITS)!r}))
+                          / CAST(pa.n_probes AS DOUBLE))
+               + 2.0 / CAST(pa.n_probes AS DOUBLE)) AS within_3sigma
+    FROM nk, bs, pa
+"""
+
+# daily-revenue ACF (r12 batch 3): exact decimal daily sums + per-lag
+# decimal moments, one double cast each, the closed_form_corr_ols
+# finalizer chain verbatim (nd*sxy - sx*sy over sqrt*sqrt), NULL on a
+# zero-variance side in both engines.
+ORACLES["daily_revenue_acf"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 8)),
+    pairs AS (
+      SELECT l.lag, a.rev AS x, b.rev AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + l.lag),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x*y) AS DOUBLE) AS sxy,
+             CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             CAST(SUM(y*y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY lag)
+    SELECT lag, n_pairs,
+           ROUND(CASE WHEN sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                           * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)
+                          <> 0.0
+                      THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                           / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                              * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy))
+                 END, 6) AS acf
+    FROM s ORDER BY lag
+"""

@@ -661,25 +661,73 @@ def map_props_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def approx_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx twin of quantiles_quantity (rows-only: the
-    sketch is implementation-specific; accuracy asserted in tests).
+_APPROX_QS = [0.25, 0.5, 0.75]
+_GK_ACCURACY = 10_000  # Greenwald-Khanna rank error <= n/accuracy
 
-    The sketch returns one array per group; it is indexed into scalar
-    p25/p50/p75 columns because result schemas must stay scalar-typed
-    for the driver's canonicalizer (array cells are unhashable)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10_000).alias("__aq")
-        )
-        .select(
+
+def approx_quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx vs exact percentiles, ORACLE-PAIRED (r12
+    upgrade of the rows-only sketch-only form): the GK sketch's merge
+    order is engine-private, so the ESTIMATE can never hash-match —
+    but its documented CONTRACT can.  Spark's approx_percentile
+    guarantees an element whose exact rank is within n/accuracy of the
+    target rank; this entry measures that in-plan (exact <= / < rank
+    counts of the returned element per group) and releases the
+    replayable columns: the exact percentile (the quantiles_quantity
+    recipe), the group size, and the in_band verdict the oracle
+    asserts from the guarantee — a GK regression turns the row red
+    while nothing engine-private enters the hash.  The self-measuring
+    pattern of user_topk_mergeable, applied to the one sketch whose
+    state is NOT md5-replayable (contrast: the KLL entries replay
+    bit-for-bit)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    qs_sql = ",".join(f"{q}D" for q in _APPROX_QS)
+    base = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_quantity, array({qs_sql}))").alias("__ex"),
+        F.percentile_approx(
+            "l_quantity", _APPROX_QS, _GK_ACCURACY
+        ).alias("__aq"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    ests = base.select(
+        "l_returnflag",
+        "n_rows",
+        F.posexplode(F.arrays_zip("__ex", "__aq")).alias("pos", "z"),
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.element_at(F.lit(_APPROX_QS), F.col("pos") + 1).alias("q"),
+        F.round(F.col("z.__ex"), 6).alias("exact_pct"),
+        F.col("z.__aq").alias("__est"),
+    )
+    ranks = (
+        li.join(
+            F.broadcast(ests.select("l_returnflag", "q", "__est")),
             "l_returnflag",
-            F.col("__aq")[0].alias("p25"),
-            F.col("__aq")[1].alias("p50"),
-            F.col("__aq")[2].alias("p75"),
         )
+        .groupBy("l_returnflag", "q")
+        .agg(
+            F.sum(
+                (F.col("l_quantity") <= F.col("__est")).cast("long")
+            ).alias("__le"),
+            F.sum(
+                (F.col("l_quantity") < F.col("__est")).cast("long")
+            ).alias("__lt"),
+        )
+    )
+    eps = 1.0 / _GK_ACCURACY
+    n_d = F.col("n_rows").cast("double")
+    in_band = (
+        F.col("__le").cast("double") >= F.ceil(n_d * (F.col("q") - eps))
+    ) & (
+        (F.col("__lt") + 1).cast("double") <= F.ceil(n_d * (F.col("q") + eps))
+    )
+    return (
+        ests.join(ranks, ["l_returnflag", "q"])
+        .select(
+            "l_returnflag", "q", "exact_pct", "n_rows", in_band.alias("in_band")
+        )
+        .orderBy("l_returnflag", "q")
     )
 
 
@@ -7724,6 +7772,78 @@ def hll_click_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ams_f2_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F₂ (self-join size) estimate vs the exact
+    second frequency moment of events.user_id, fully hash-checked
+    (operators/ams.py): md5-parity signs make every X_j, the estimate,
+    the exact Σf², the relative error AND the 3σ verdict
+    (3·√(2/64) ≈ 0.53) replayable in DuckDB.  The join-size companion
+    to orders_customer_join_estimate: that entry estimates a FOREIGN
+    join from histograms; this one bounds a SELF join from a
+    64-counter state a streaming ingest can maintain."""
+    from ..operators.ams import ams_f2_estimate, ams_f2_state
+
+    ev = _t(spark, sf_dir, "events")
+    est = ams_f2_estimate(
+        ams_f2_state(ev, "user_id", estimators=64), estimators=64
+    ).select(F.round("est_f2", 4).alias("est_f2"))
+    dec = "decimal(19,0)"
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .agg(
+            F.sum(
+                (F.col("__f").cast(dec) * F.col("__f").cast(dec)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("__sf2")
+        )
+        .select(F.col("__sf2").cast("double").alias("exact_f2"))
+    )
+    rel = F.round(
+        F.abs(F.col("est_f2") - F.col("exact_f2")) / F.col("exact_f2"), 6
+    )
+    return est.join(F.broadcast(exact)).select(
+        "est_f2",
+        "exact_f2",
+        rel.alias("rel_error"),
+        (rel <= F.lit(0.53033)).alias("within_3sigma"),
+    )
+
+
+def bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured bloom false-positive rate vs the rate the filter's own
+    load predicts (sources/inventory.py::bloom_fpr_report): a global
+    64×62-bit signature over customer keys, probed with 2048 planted
+    NON-members (negative keys), expected FPR = ρ² from the measured
+    bit load, binomial-3σ verdict — the custkey_bloom_file_skipping
+    family's probabilistic claim turned into a hash-checked number
+    (every bit, both loads, and the one-sqrt verdict chain replay in
+    DuckDB)."""
+    from ..sources.inventory import bloom_fpr_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return bloom_fpr_report(cust, "c_custkey")
+
+
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1..7
+    (operators/timeseries.py::acf_by_lag): the measured-periodicity
+    companion to weekday_revenue_seasonality (that entry AVERAGES by
+    weekday; this one measures how much lag-7 structure exists to
+    average) and to daily_revenue_runs_test (sign randomness vs linear
+    dependence).  Exact decimal daily sums and per-lag moments, one
+    fixed double chain — hash-exact like price_quantity_corr."""
+    from ..operators.timeseries import acf_by_lag
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    return acf_by_lag(daily, "day", "rev", max_lag=7)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r12 window (rows 1-50; ROUND_NOTES "Rotation guidance
     #     for r12").  Rows 1-12: the entire r11 batch
@@ -8048,5 +8168,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #     the r13 window lead (rule 1). ---------------------------
     "hll_md5_error_eval": hll_md5_error_eval,
     "hll_click_purchase_overlap": hll_click_purchase_overlap,
+    "ams_f2_sketch_eval": ams_f2_sketch_eval,
+    "bloom_fpr_eval": bloom_fpr_eval,
+    "daily_revenue_acf": daily_revenue_acf,
 }
 
