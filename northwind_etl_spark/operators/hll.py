@@ -107,6 +107,34 @@ def merge_states(*states: DataFrame) -> DataFrame:
     )
 
 
+def states_equal(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-group register-table equality: (group…, matches BOOLEAN) —
+    TRUE only when every register agrees AND both sides carry exactly
+    the same register set.  The comparison COALESCEs to 0 before the
+    MIN: a register present on only one side compares NULL, and min()
+    skips NULLs, so without the coalesce an asymmetric table would
+    sail through the identity check this exists to perform (caught in
+    the r12 self-review; pinned by a planted test)."""
+    gcols = [c for c in a.columns if c not in ("reg", "maxrho")]
+    joined = a.join(
+        b.withColumnRenamed("maxrho", "__other_maxrho"),
+        [*gcols, "reg"],
+        "full",
+    )
+    return (
+        joined.groupBy(*gcols)
+        .agg(
+            F.min(
+                F.coalesce(
+                    (F.col("maxrho") == F.col("__other_maxrho")).cast("int"),
+                    F.lit(0),
+                )
+            ).alias("__all_eq")
+        )
+        .select(*gcols, (F.col("__all_eq") == 1).alias("matches"))
+    )
+
+
 def estimate_expr(npres: Column, ssmall: Column) -> Column:
     """Estimate from (n present registers, exact Σ 2^(61−maxrho) over
     present registers): absent registers contribute 2^61 each; the

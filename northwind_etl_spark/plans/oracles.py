@@ -7680,3 +7680,100 @@ ORACLES["daily_revenue_acf"] = """
                  END, 6) AS acf
     FROM s ORDER BY lag
 """
+
+# LTTB k=7 (r12 rows-only upgrade): the 5-pick recurrence unrolled as
+# chained CTEs over integer cents — bucket boundaries, scaled-integer
+# doubled areas (DECIMAL(19,0)x(19,0) cross products), earliest-index
+# tie-break, every pick replayed.
+
+
+def _lttb_stage_sql(b: int, prev: str) -> str:
+    """One pick stage: candidates of bucket b x prev pick x centroid
+    stats -> rank-1 by (area2 DESC, i ASC)."""
+    return f"""
+    s{b} AS (
+      SELECT c.user_id, c.i, c.v,
+             abs(CAST(CAST(c.i - p.pi AS DECIMAL(19,0))
+                      * CAST(cs.csy{b} - cs.cc{b} * p.py AS DECIMAL(19,0))
+                  AS DECIMAL(38,0))
+                 - CAST(CAST(cs.csx{b} - cs.cc{b} * p.pi AS DECIMAL(19,0))
+                        * CAST(c.v - p.py AS DECIMAL(19,0))
+                    AS DECIMAL(38,0))) AS a2
+      FROM cands c
+      JOIN {prev} p USING (user_id)
+      JOIN cstats cs USING (user_id)
+      WHERE c.b = {b}),
+    p{b + 1} AS (
+      SELECT user_id, i AS pi, v AS py FROM (
+        SELECT user_id, i, v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY a2 DESC, i ASC) AS rk
+        FROM s{b})
+      WHERE rk = 1)"""
+
+
+def _lttb_bound(b: int) -> str:
+    return f"(1 + (({b} * (n - 2)) // 5))"
+
+
+_LTTB_CENT_COLS = ",\n".join(
+    f"""           SUM(CASE WHEN i >= {_lttb_bound(b + 1)}
+                    AND i < {_lttb_bound(b + 2) if b < 4 else 'n'}
+                   THEN i END) AS csx{b},
+           SUM(CASE WHEN i >= {_lttb_bound(b + 1)}
+                    AND i < {_lttb_bound(b + 2) if b < 4 else 'n'}
+                   THEN v END) AS csy{b},
+           SUM(CASE WHEN i >= {_lttb_bound(b + 1)}
+                    AND i < {_lttb_bound(b + 2) if b < 4 else 'n'}
+                   THEN 1 ELSE 0 END) AS cc{b}"""
+    for b in range(5)
+)
+
+_LTTB_STAGES = ",".join(
+    _lttb_stage_sql(b, f"p{b}") for b in range(5)
+)
+
+ORACLES["lttb_daily_value_downsample"] = f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) * 100
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    series AS (
+      SELECT user_id, day, cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM daily),
+    cands AS (
+      SELECT user_id, i, cents AS v,
+             CASE WHEN i < {_lttb_bound(1)} THEN 0
+                  WHEN i < {_lttb_bound(2)} THEN 1
+                  WHEN i < {_lttb_bound(3)} THEN 2
+                  WHEN i < {_lttb_bound(4)} THEN 3
+                  ELSE 4 END AS b
+      FROM series WHERE n > 7 AND i >= 1 AND i <= n - 2),
+    cstats AS (
+      SELECT user_id,
+{_LTTB_CENT_COLS}
+      FROM (SELECT user_id, i, cents AS v, n FROM series WHERE n > 7)
+      GROUP BY user_id),
+    p0 AS (SELECT user_id, i AS pi, cents AS py FROM series
+           WHERE n > 7 AND i = 0),
+    {_LTTB_STAGES},
+    lastp AS (SELECT user_id, i AS pi, cents AS py FROM series
+              WHERE n > 7 AND i = n - 1),
+    sel AS (SELECT user_id, pi FROM p0
+            UNION ALL SELECT user_id, pi FROM p1
+            UNION ALL SELECT user_id, pi FROM p2
+            UNION ALL SELECT user_id, pi FROM p3
+            UNION ALL SELECT user_id, pi FROM p4
+            UNION ALL SELECT user_id, pi FROM p5
+            UNION ALL SELECT user_id, pi FROM lastp)
+    SELECT s.user_id, s.day,
+           CAST(s.cents AS DOUBLE) / 100.0 AS daily_value,
+           CAST(s.i AS INT) AS sel_index
+    FROM series s
+    LEFT JOIN sel ON sel.user_id = s.user_id AND sel.pi = s.i
+    WHERE s.n <= 7 OR sel.pi IS NOT NULL
+    ORDER BY s.user_id, s.day
+"""

@@ -486,25 +486,13 @@ def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_daily = daily.select("day", "event_type").distinct().groupBy(
         "event_type"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_daily_sketches"))
+    from ..operators.hll import hll_estimate, states_equal
+
     rolled = merge_states(daily.drop("day"))
     direct = hll_state(ev, ["event_type"], "user_id")
-    reg_match = (
-        rolled.join(
-            direct.withColumnRenamed("maxrho", "direct_maxrho"),
-            ["event_type", "reg"],
-            "full",
-        )
-        .groupBy("event_type")
-        .agg(
-            F.min(
-                (F.col("maxrho") == F.col("direct_maxrho")).cast("int")
-            ).alias("__all_eq")
-        )
-        .select(
-            "event_type", (F.col("__all_eq") == 1).alias("matches_direct")
-        )
+    reg_match = states_equal(rolled, direct).withColumnRenamed(
+        "matches", "matches_direct"
     )
-    from ..operators.hll import hll_estimate
 
     est = hll_estimate(rolled, alias="approx_users")
     return (
@@ -4061,25 +4049,42 @@ def segment_nation_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lttb_daily_value_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Visualization-grade series downsampling (operators/timeseries
-    .py::lttb_downsample): each user's daily value series reduced to
-    k=7 points by Largest-Triangle-Three-Buckets — first/last kept,
-    each interior bucket contributing the point forming the largest
-    triangle with the previous pick and the next bucket's centroid.
-    Rows-only by declared design (a sequential geometric recurrence no
-    single SQL statement expresses); pinned by a pure-Python reference
-    replay and planted-geometry fixtures in tests/test_lttb.py."""
-    from ..operators.timeseries import lttb_downsample
+    """Visualization-grade series downsampling: each user's daily
+    value series reduced to k=7 points by Largest-Triangle-Three-
+    Buckets — first/last kept, each interior bucket contributing the
+    point forming the largest triangle with the previous pick and the
+    next bucket's centroid.
+
+    r12 ORACLE-PAIRED upgrade (was rows-only "no single SQL statement
+    expresses the recurrence"): a CHAIN of statements does — with k=7
+    the recurrence is 5 picks deep, and operators/timeseries.py::
+    lttb_downsample_exact unrolls it in-plan over integer CENTS with
+    DECIMAL(38,0) cross products, so DuckDB replays every bucket
+    boundary, centroid, doubled-area, tie-break, and pick (the
+    LPA/KLL/duplicate_cluster_sizes unrolled-iteration discipline).
+    The Arrow/mapInPandas float form (lttb_downsample) stays as the
+    THROUGHPUT twin for large k — pick-for-pick identical on the
+    fixture (tested); tests/test_lttb.py still pins it against the
+    pure-Python reference."""
+    from ..operators.timeseries import lttb_downsample_exact
 
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(decimal_sum("value", "daily_value"))
-    daily = daily.select(
-        "user_id", "day", F.col("daily_value").cast("double")
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            * 100
+        )
+        .cast("long")
+        .alias("cents")
     )
-    return lttb_downsample(
-        daily, "user_id", "day", "daily_value", k=7
+    out = lttb_downsample_exact(daily, "user_id", "day", "cents", k=7)
+    return out.select(
+        "user_id",
+        "day",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("daily_value"),
+        "sel_index",
     ).orderBy("user_id", "day")
 
 

@@ -89,6 +89,33 @@ def test_merge_is_lossless(spark):
     assert mrows == drows
 
 
+def test_states_equal_catches_asymmetric_registers(spark):
+    """A register present on only ONE side must flip matches to False
+    (the NULL-skipping-min hole found in the r12 self-review)."""
+    from northwind_etl_spark.operators.hll import states_equal
+
+    a = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 7)], "k string, reg int, maxrho int"
+    )
+    b_same = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 7)], "k string, reg int, maxrho int"
+    )
+    b_missing = spark.createDataFrame(
+        [("g", 1, 5)], "k string, reg int, maxrho int"
+    )
+    b_extra = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 7), ("g", 3, 1)],
+        "k string, reg int, maxrho int",
+    )
+    b_diff = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 8)], "k string, reg int, maxrho int"
+    )
+    assert states_equal(a, b_same).collect()[0]["matches"] is True
+    assert states_equal(a, b_missing).collect()[0]["matches"] is False
+    assert states_equal(a, b_extra).collect()[0]["matches"] is False
+    assert states_equal(a, b_diff).collect()[0]["matches"] is False
+
+
 def test_nulls_are_skipped(spark):
     df = spark.createDataFrame(
         [("a",), ("b",), (None,), ("a",)], "v string"

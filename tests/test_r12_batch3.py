@@ -134,3 +134,96 @@ def test_gk_band_entry_all_in_band(spark, sf_dir):
     assert rows and all(r["in_band"] for r in rows), rows
     qs = {r["q"] for r in rows}
     assert qs == {0.25, 0.5, 0.75}
+
+
+def test_lttb_exact_matches_float_reference(spark, sf_dir):
+    """The exact-arithmetic LTTB picks the SAME points as the float
+    mapInPandas twin on the fixture (cents are exactly representable
+    in float64 at fixture magnitudes, so the two implementations can
+    only diverge on true area ties — and both break ties to the
+    earliest index)."""
+    from northwind_etl_spark.operators.timeseries import (
+        lttb_downsample,
+        lttb_downsample_exact,
+    )
+    from northwind_etl_spark.sources.parquet import read_events
+
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    exact = {
+        (r["user_id"], str(r["day"]), r["sel_index"])
+        for r in lttb_downsample_exact(
+            daily, "user_id", "day", "cents", k=7
+        ).collect()
+    }
+    flt = {
+        (r["user_id"], str(r["day"]), r["sel_index"])
+        for r in lttb_downsample(
+            daily.select(
+                "user_id", "day", F.col("cents").cast("double").alias("cv")
+            ),
+            "user_id",
+            "day",
+            "cv",
+            k=7,
+        ).collect()
+    }
+    assert exact == flt and len(exact) > 0
+
+
+def test_lttb_exact_small_series_pass_through(spark):
+    rows = [
+        (1, datetime.date(2024, 1, 1 + d), 100 * (d + 1)) for d in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k long, day date, cents long")
+    from northwind_etl_spark.operators.timeseries import (
+        lttb_downsample_exact,
+    )
+
+    out = lttb_downsample_exact(df, "k", "day", "cents", k=7).collect()
+    assert sorted(r["sel_index"] for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_lttb_exact_planted_spike_kept(spark):
+    """A single huge spike in an interior bucket must be the bucket's
+    pick (the visual-shape-preservation property the operator exists
+    for), and first/last are always kept."""
+    rows = [
+        (1, datetime.date(2024, 1, 1 + d), 100 if d != 10 else 100000)
+        for d in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k long, day date, cents long")
+    from northwind_etl_spark.operators.timeseries import (
+        lttb_downsample_exact,
+    )
+
+    out = sorted(r["sel_index"] for r in
+                 lttb_downsample_exact(df, "k", "day", "cents", k=7).collect())
+    assert len(out) == 7
+    assert out[0] == 0 and out[-1] == 19
+    assert 10 in out
+
+
+def test_lttb_exact_flat_series_earliest_tie(spark):
+    """All-equal values: every triangle area is 0, so each bucket's
+    pick is its EARLIEST index — the tie-break contract shared with
+    the oracle's (a2 DESC, i ASC) ranking."""
+    rows = [(1, datetime.date(2024, 1, 1 + d), 500) for d in range(22)]
+    df = spark.createDataFrame(rows, "k long, day date, cents long")
+    from northwind_etl_spark.operators.timeseries import (
+        lttb_downsample_exact,
+    )
+
+    n = 22
+    nb = 5
+    bounds = [1 + (b * (n - 2)) // nb for b in range(nb + 1)]
+    expect = [0, *bounds[:-1][0:5], n - 1]
+    # bucket b's earliest index is bounds[b]
+    expect = sorted({0, *[bounds[b] for b in range(nb)], n - 1})
+    got = sorted(r["sel_index"] for r in
+                 lttb_downsample_exact(df, "k", "day", "cents", k=7).collect())
+    assert got == expect, (got, expect)
