@@ -369,6 +369,11 @@ HEADLINE = [
     # r12 rows-only upgrades newly oracle-paired and not yet benched
     "approx_distinct_users",
     "approx_quantiles_quantity",
+    # r12 batch 4: DP mean + time-series diagnostics
+    "dp_avg_order_value",
+    "daily_revenue_stl_profile",
+    "daily_revenue_pacf",
+    "seasonal_naive_mase",
 ]
 
 # Slow-lane: every registry entry too heavy (or too output-bound) for

@@ -280,7 +280,21 @@ def dp_noisy_counts(
     if not group_cols:
         raise ValueError("group_cols must name at least one column")
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
-    key = F.concat_ws(
+    noise = laplace_noise_expr(
+        _group_noise_key(group_cols, salt), scale
+    )
+    return counts.select(
+        *group_cols,
+        (F.col("n").cast("decimal(19,0)") + noise)
+        .cast("decimal(38,12)")
+        .cast("double")
+        .alias("noisy_count"),
+    )
+
+
+def _group_noise_key(group_cols: Sequence[str], salt: str):
+    """The keyed-noise key: group values (NULL-sentineled) ‖ salt."""
+    return F.concat_ws(
         "\x1f",
         *[
             F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
@@ -288,6 +302,17 @@ def dp_noisy_counts(
         ],
         F.lit(salt),
     )
+
+
+def laplace_noise_expr(key, scale: str, *, scale_type: str = "decimal(14,6)"):
+    """The quantized-Laplace noise column for one md5 key — the exact
+    replayable chain dp_noisy_counts documents (extracted r12 so the
+    sum/mean mechanisms share it): u from the first 32 md5 bits,
+    t = 1−2|u−½| (exact multiple of 2⁻³²), ln from the source-frozen
+    1024-cell DECIMAL(14,12) table, times ±scale in exact decimal.
+    `scale` must be a terminating-decimal STRING; `scale_type` widens
+    for large-sensitivity releases (a SUM's scale is clip/ε, far
+    beyond a COUNT's)."""
     from decimal import Decimal
 
     from ..functions.lnlut import LAPLACE_LN_GRID, LAPLACE_LN_LUT
@@ -304,13 +329,89 @@ def dp_noisy_counts(
     sign = (
         F.when(c >= 0, F.lit(1)).otherwise(F.lit(-1)).cast("decimal(2,0)")
     )
-    noise = -sign * ln_q * F.lit(scale).cast("decimal(8,6)")
-    return counts.select(
+    return -sign * ln_q * F.lit(scale).cast(scale_type)
+
+
+def dp_noisy_avg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    clip: str,
+    sum_scale: str,
+    count_scale: str,
+    salt: str,
+) -> DataFrame:
+    """Differentially-private noisy group MEAN by the classic
+    sum/count decomposition: clip each value to [0, clip] (the
+    sensitivity bound — without it one outlier row moves the sum
+    arbitrarily and no finite noise hides it), release
+    noisy_sum = Σ clipped + Laplace(sum_scale = clip/ε₁) and
+    noisy_count = n + Laplace(count_scale = 1/ε₂) with INDEPENDENT
+    keyed noise (distinct salt lanes), and divide.  Total privacy cost
+    is ε₁+ε₂ by composition.
+
+    Exactness: clipping is LEAST on exact decimals, both sums are
+    decimal-domain, both noises ride laplace_noise_expr's frozen-LUT
+    chain, and the released mean is ONE double division of two
+    correctly-rounded casts — the dp_noisy_counts recipe, twice.
+    The count is floored at 1 before the division on BOTH engines
+    (a small group's noisy count can go ≤ 0; the mechanism must
+    release SOMETHING deterministic rather than divide by zero).
+
+    Returns group_cols + (noisy_sum, noisy_count, noisy_avg) — all
+    DOUBLE via the one-final-cast rule."""
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    # scale 2, not 6: the fixture money columns are true 2-dp values,
+    # whose doubles sit ~1e-14 from the 2-dp grid — both engines cast
+    # them identically.  At scale 6 the cast rounds the double's
+    # arbitrary 15th digit and Spark/DuckDB disagreed on ~1-per-1e4
+    # rows (measured on this entry: group sums off by 1e-6).
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("decimal(24,2)"), F.lit(0).cast("decimal(24,2)")),
+        F.lit(clip).cast("decimal(24,2)"),
+    )
+    # (24,6) keeps the downstream decimal additions inside BOTH
+    # engines' 38-digit cap (DuckDB sizes sums as p1+p2 and ERRORS
+    # past 38; a (38,6) sum + (30,18) noise would need p=51 there) —
+    # the width still holds ~2·10¹² clip-sized rows per group.
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(clipped).cast("decimal(24,2)").alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    noise_s = laplace_noise_expr(
+        _group_noise_key(group_cols, salt + "|sum"), sum_scale
+    )
+    noise_n = laplace_noise_expr(
+        _group_noise_key(group_cols, salt + "|count"), count_scale
+    )
+    # (30,12): 18 integer digits + the noise's 18-digit scale stays
+    # under p=38 in DuckDB's p1-int-digits+scale+1 addition sizing
+    ns = (F.col("__s").cast("decimal(30,12)") + noise_s).cast(
+        "decimal(38,12)"
+    )
+    nn = (F.col("__n").cast("decimal(19,0)") + noise_n).cast(
+        "decimal(38,12)"
+    )
+    nn_floored = F.greatest(nn, F.lit(1).cast("decimal(38,12)"))
+    # ROUND to 6 dp BEFORE the double cast: a (38,12) sum can carry
+    # ~20 significant digits, and DuckDB converts wide decimals to
+    # double via a ROUNDED int128 numerator — one ulp off Spark's
+    # conversion (measured on this entry).  At 6 dp the scaled
+    # integer sits under 2^53 and both engines convert exactly; the
+    # noise itself is 6-dp-exact (lnq·clip/ε shifts 12 dp left), so
+    # nothing real is discarded.
+    ns6 = F.round(ns, 6)
+    nn6 = F.round(nn, 6)
+    nf6 = F.round(nn_floored, 6)
+    return agg.select(
         *group_cols,
-        (F.col("n").cast("decimal(19,0)") + noise)
-        .cast("decimal(38,12)")
-        .cast("double")
-        .alias("noisy_count"),
+        ns6.cast("double").alias("noisy_sum"),
+        nn6.cast("double").alias("noisy_count"),
+        F.round(
+            ns6.cast("double") / nf6.cast("double"), 6
+        ).alias("noisy_avg"),
     )
 
 

@@ -927,3 +927,98 @@ def lttb_downsample_exact(
         ),
         F.col("__p").cast("int").alias("sel_index"),
     )
+
+
+def stl_weekday_profile(
+    daily: DataFrame, day_col: str, cents_col: str
+) -> DataFrame:
+    """STL-style additive decomposition of a daily integer-cents
+    series (trend = centered MA-7 with NULL edges, seasonal = weekday
+    mean of the scale-7 EXACT detrended series d7 = 7·cents − Σ±3,
+    residual = the rest) — see daily_revenue_stl_profile for the
+    entry-level story.  Division happens only at release (one fixed
+    double chain per column, NULL-mirrored); a pure
+    base+weekday-effect series decomposes to EXACT zero residuals
+    (pinned in tests).  The ±3 window runs over the calendar-bounded
+    daily aggregate (a bounded-child global window)."""
+    w7 = Window.orderBy(day_col).rowsBetween(-3, 3)
+    with_t = daily.select(
+        F.col(day_col).alias("day"),
+        F.col(cents_col).alias("cents"),
+        F.dayofweek(day_col).alias("weekday"),
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum(cents_col).over(w7),
+        ).alias("__s7"),
+    )
+    with_d = with_t.select(
+        "day",
+        "cents",
+        "weekday",
+        "__s7",
+        (F.lit(7) * F.col("cents") - F.col("__s7")).alias("__d7"),
+    )
+    seasonal = (
+        with_d.where(F.col("__s7").isNotNull())
+        .groupBy("weekday")
+        .agg(
+            F.sum("__d7").alias("__sw"),
+            F.count(F.lit(1)).cast("long").alias("__nw"),
+        )
+    )
+    joined = with_d.join(F.broadcast(seasonal), "weekday", "left")
+    trend = F.col("__s7").cast("double") / F.lit(700.0)
+    seas = F.col("__sw").cast("double") / (
+        F.col("__nw").cast("double") * F.lit(700.0)
+    )
+    revenue = F.col("cents").cast("double") / F.lit(100.0)
+    return joined.select(
+        "day",
+        revenue.alias("revenue"),
+        F.round(trend, 6).alias("trend"),
+        F.round(seas, 6).alias("seasonal"),
+        F.round(revenue - trend - seas, 6).alias("residual"),
+    ).orderBy("day")
+
+
+def seasonal_naive_mase_report(
+    daily: DataFrame, day_col: str, cents_col: str
+) -> DataFrame:
+    """MASE of the lag-7 seasonal-naive forecast against the lag-1
+    naive baseline over ONE shared day set (rows where the lag-7
+    value exists) — see seasonal_naive_mase for the entry-level
+    story.  Exact BIGINT cent errors; three double divisions at
+    release, NULL-guarded for short series and a flat baseline."""
+    w = Window.orderBy(day_col)
+    lagged = daily.select(
+        F.col(cents_col).alias("cents"),
+        F.lag(cents_col, 7).over(w).alias("__l7"),
+        F.lag(cents_col, 1).over(w).alias("__l1"),
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("cents") - F.col("__l7"))).alias("__s7"),
+        F.sum(
+            F.when(
+                F.col("__l7").isNotNull(),
+                F.abs(F.col("cents") - F.col("__l1")),
+            )
+        ).alias("__s1"),
+        F.sum(F.when(F.col("__l7").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("__n7"),
+    )
+    mae7 = F.when(
+        F.col("__n7") > 0,
+        F.col("__s7").cast("double") / F.col("__n7").cast("double"),
+    )
+    mae1 = F.when(
+        F.col("__n7") > 0,
+        F.col("__s1").cast("double") / F.col("__n7").cast("double"),
+    )
+    return agg.select(
+        "n_days",
+        F.round(mae7 / F.lit(100.0), 6).alias("mae_seasonal"),
+        F.round(mae1 / F.lit(100.0), 6).alias("mae_naive"),
+        F.round(F.when(mae1 != 0.0, mae7 / mae1), 6).alias("mase"),
+    )

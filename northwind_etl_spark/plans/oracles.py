@@ -7777,3 +7777,174 @@ ORACLES["lttb_daily_value_downsample"] = f"""
     WHERE s.n <= 7 OR sel.pi IS NOT NULL
     ORDER BY s.user_id, s.day
 """
+
+# DP noisy mean (r12 batch 4): the dp_noisy_counts chain twice — two
+# independent keyed-noise lanes (salt|sum, salt|count), exact decimal
+# clipping/sums, frozen-LUT ln, one double division with the count
+# floored at 1.
+ORACLES["dp_avg_order_value"] = f"""
+    WITH agg AS (
+      SELECT o_orderpriority AS priority,
+             CAST(SUM(LEAST(GREATEST(CAST(o_totalprice AS DECIMAL(24,2)),
+                                     CAST(0 AS DECIMAL(24,2))),
+                            CAST('500000.0' AS DECIMAL(24,2))))
+                  AS DECIMAL(24,2)) AS s,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    nz AS (
+      SELECT priority, s, n,
+             (CAST(CAST('0x' || substring(md5(
+                    priority || chr(31) || 'avg-r12|sum'
+                ), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS us,
+             (CAST(CAST('0x' || substring(md5(
+                    priority || chr(31) || 'avg-r12|count'
+                ), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS uc
+      FROM agg),
+    gq AS (
+      SELECT *,
+             CAST(floor((1.0 - 2.0 * abs(us - 0.5)) * 1024.0) AS INT) AS gs,
+             CAST(floor((1.0 - 2.0 * abs(uc - 0.5)) * 1024.0) AS INT) AS gc
+      FROM nz),
+    noised AS (
+      SELECT priority,
+             CAST(CAST(s AS DECIMAL(30,12))
+                  + (CAST(0 AS DECIMAL(2,0))
+                     - CASE WHEN us - 0.5 >= 0
+                            THEN CAST(1 AS DECIMAL(2,0))
+                            ELSE CAST(-1 AS DECIMAL(2,0)) END)
+                    * ({_laplace_lut_sql()}[gs + 1])
+                    * CAST('2000000.0' AS DECIMAL(14,6))
+                  AS DECIMAL(38,12)) AS ns,
+             CAST(CAST(n AS DECIMAL(19,0))
+                  + (CAST(0 AS DECIMAL(2,0))
+                     - CASE WHEN uc - 0.5 >= 0
+                            THEN CAST(1 AS DECIMAL(2,0))
+                            ELSE CAST(-1 AS DECIMAL(2,0)) END)
+                    * ({_laplace_lut_sql()}[gc + 1])
+                    * CAST('4.0' AS DECIMAL(14,6))
+                  AS DECIMAL(38,12)) AS nn
+      FROM gq)
+    SELECT priority,
+           CAST(ROUND(ns, 6) AS DOUBLE) AS noisy_sum,
+           CAST(ROUND(nn, 6) AS DOUBLE) AS noisy_count,
+           ROUND(CAST(ROUND(ns, 6) AS DOUBLE)
+                 / CAST(ROUND(GREATEST(nn, CAST(1 AS DECIMAL(38,12))), 6)
+                        AS DOUBLE), 6) AS noisy_avg
+    FROM noised ORDER BY priority
+"""
+
+# r12 batch 4 time-series diagnostics: the shared exact-cents daily
+# aggregate, STL-style decomposition (scale-7 integer detrending),
+# Durbin-Levinson PACF over the ACF entry's own moment chain, and the
+# seasonal-naive MASE gate.
+_DAILY_CENTS = """
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1"""
+
+ORACLES["daily_revenue_stl_profile"] = f"""
+    WITH daily AS ({_DAILY_CENTS}),
+    wt AS (
+      SELECT day, cents, dayofweek(day) + 1 AS weekday,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN SUM(cents) OVER w END AS s7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    wd AS (SELECT *, 7 * cents - s7 AS d7 FROM wt),
+    seas AS (SELECT weekday, SUM(d7) AS sw, CAST(COUNT(*) AS BIGINT) AS nw
+             FROM wd WHERE s7 IS NOT NULL GROUP BY 1)
+    SELECT wd.day,
+           CAST(wd.cents AS DOUBLE) / 100.0 AS revenue,
+           ROUND(CAST(wd.s7 AS DOUBLE) / 700.0, 6) AS trend,
+           ROUND(CAST(seas.sw AS DOUBLE)
+                 / (CAST(seas.nw AS DOUBLE) * 700.0), 6) AS seasonal,
+           ROUND(CAST(wd.cents AS DOUBLE) / 100.0
+                 - CAST(wd.s7 AS DOUBLE) / 700.0
+                 - CAST(seas.sw AS DOUBLE)
+                   / (CAST(seas.nw AS DOUBLE) * 700.0), 6) AS residual
+    FROM wd LEFT JOIN seas USING (weekday)
+    ORDER BY wd.day
+"""
+
+ORACLES["daily_revenue_pacf"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1),
+    lags AS (SELECT CAST(range AS INT) AS lag FROM range(1, 4)),
+    pairs AS (
+      SELECT l.lag, a.rev AS x, b.rev AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + l.lag),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x*y) AS DOUBLE) AS sxy,
+             CAST(SUM(x*x) AS DOUBLE) AS sxx,
+             CAST(SUM(y*y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY lag),
+    acf AS (
+      SELECT lag,
+             ROUND(CASE WHEN sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                             * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)
+                            <> 0.0
+                        THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                             / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                                * sqrt(CAST(n_pairs AS DOUBLE) * syy
+                                       - sy * sy))
+                   END, 6) AS acf
+      FROM s),
+    piv AS (
+      SELECT MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+             MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+             MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+      FROM acf),
+    d AS (
+      SELECT r1, r2, r3,
+             CASE WHEN 1.0 - r1 * r1 <> 0.0
+                  THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22
+      FROM piv),
+    e AS (SELECT *, r1 * (1.0 - phi22) AS phi21 FROM d)
+    SELECT ROUND(r1, 6) AS pacf1,
+           ROUND(phi22, 6) AS pacf2,
+           ROUND(CASE WHEN 1.0 - phi21 * r1 - phi22 * r2 <> 0.0
+                      THEN (r3 - phi21 * r2 - phi22 * r1)
+                           / (1.0 - phi21 * r1 - phi22 * r2) END, 6)
+             AS pacf3
+    FROM e
+"""
+
+ORACLES["seasonal_naive_mase"] = f"""
+    WITH daily AS ({_DAILY_CENTS}),
+    lagged AS (
+      SELECT cents,
+             LAG(cents, 7) OVER (ORDER BY day) AS l7,
+             LAG(cents, 1) OVER (ORDER BY day) AS l1
+      FROM daily),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(abs(cents - l7)) AS s7,
+             SUM(CASE WHEN l7 IS NOT NULL THEN abs(cents - l1) END) AS s1,
+             CAST(SUM(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n7
+      FROM lagged)
+    SELECT n_days,
+           ROUND(CASE WHEN n7 > 0
+                      THEN CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE) END
+                 / 100.0, 6) AS mae_seasonal,
+           ROUND(CASE WHEN n7 > 0
+                      THEN CAST(s1 AS DOUBLE) / CAST(n7 AS DOUBLE) END
+                 / 100.0, 6) AS mae_naive,
+           ROUND(CASE WHEN (CASE WHEN n7 > 0
+                                 THEN CAST(s1 AS DOUBLE)
+                                      / CAST(n7 AS DOUBLE) END) <> 0.0
+                      THEN (CASE WHEN n7 > 0
+                                 THEN CAST(s7 AS DOUBLE)
+                                      / CAST(n7 AS DOUBLE) END)
+                           / (CASE WHEN n7 > 0
+                                   THEN CAST(s1 AS DOUBLE)
+                                        / CAST(n7 AS DOUBLE) END)
+                 END, 6) AS mase
+    FROM agg
+"""

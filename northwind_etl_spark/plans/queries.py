@@ -7849,6 +7849,126 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_by_lag(daily, "day", "rev", max_lag=7)
 
 
+def dp_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private mean order value per priority
+    (operators/privacy.py::dp_noisy_avg) — the MEAN release that
+    completes the DP family next to dp_noisy_nation_counts: values
+    clipped to [0, 500000] (the sensitivity bound), noisy sum at
+    scale clip/ε₁ = 2 000 000 (ε₁ = 0.25) and noisy count at scale
+    1/ε₂ = 4 (ε₂ = 0.25) from INDEPENDENT keyed-noise lanes, total
+    ε = 0.5 by composition; mean = one double division with the
+    noisy count floored at 1.  Same frozen-LUT quantized Laplace
+    chain, every value bit-replayable in DuckDB."""
+    from ..operators.privacy import dp_noisy_avg
+
+    o = _t(spark, sf_dir, "orders")
+    return dp_noisy_avg(
+        o.select(F.col("o_orderpriority").alias("priority"), "o_totalprice"),
+        ["priority"],
+        "o_totalprice",
+        clip="500000.0",
+        sum_scale="2000000.0",
+        count_scale="4.0",
+        salt="avg-r12",
+    ).orderBy("priority")
+
+
+def _daily_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day DATE, cents BIGINT) — exact integer daily order revenue,
+    the shared base of the r12 time-series diagnostics family (ACF /
+    STL / PACF / MASE).  o_totalprice is true 2-dp data, so the
+    decimal sum ×100 is an exact integer."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+            * 100
+        )
+        .cast("long")
+        .alias("cents")
+    )
+
+
+def daily_revenue_stl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of daily revenue — the
+    deterministic moving-average variant (trend = centered MA-7,
+    seasonal = weekday mean of the detrended series, residual = the
+    rest), completing the decomposition that
+    weekday_revenue_seasonality's docstring promised in parts:
+
+    - trend keeps NULL at the series edges (the centered window only
+      counts when all 7 days exist);
+    - the detrended series stays EXACT by scale-7 integer arithmetic
+      (d7 = 7·cents − Σ±3 cents — no division until release);
+    - seasonal is the per-weekday mean of d7 over full-window days
+      (exact integer sum, one double division by 700·n_w);
+    - every released column is one fixed double chain, NULL-mirrored.
+
+    Shape: the daily aggregate is calendar-bounded, so the global ±3
+    window runs over a HashAggregate child (the plan lint's bounded
+    class) and the weekday profile is a 7-row broadcast join back."""
+    from ..operators.timeseries import stl_weekday_profile
+
+    return stl_weekday_profile(
+        _daily_revenue_cents(spark, sf_dir), "day", "cents"
+    )
+
+
+def daily_revenue_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1–3 by the
+    closed-form Durbin–Levinson recursion over the released lag-1..3
+    ACF values (the pairwise-Pearson ACF of daily_revenue_acf,
+    6-dp-rounded on BOTH engines before the recursion — deterministic
+    by construction): φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²);
+    φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/(1−φ₂₁r₁−φ₂₂r₂) with φ₂₁ = r₁(1−φ₂₂).
+    The AR-order diagnostic the ACF alone can't give (an AR(1) has
+    geometric ACF but a single PACF spike).  The r values ride the
+    SAME decimal daily aggregate and moment chain as the ACF entry
+    (identical inputs → identical 6-dp r's by construction).  One
+    bounded 3-row pivot, a fixed double chain, NULL on degenerate
+    denominators — mirrored."""
+    from ..operators.timeseries import acf_by_lag
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    acf = acf_by_lag(daily, "day", "rev", max_lag=3)
+    piv = acf.agg(
+        *[
+            F.max(F.when(F.col("lag") == i, F.col("acf"))).alias(f"__r{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    r1, r2, r3 = F.col("__r1"), F.col("__r2"), F.col("__r3")
+    den2 = F.lit(1.0) - r1 * r1
+    phi22 = F.when(den2 != 0.0, (r2 - r1 * r1) / den2)
+    phi21 = r1 * (F.lit(1.0) - phi22)
+    den3 = F.lit(1.0) - phi21 * r1 - phi22 * r2
+    phi33 = F.when(den3 != 0.0, (r3 - phi21 * r2 - phi22 * r1) / den3)
+    return piv.select(
+        F.round(r1, 6).alias("pacf1"),
+        F.round(phi22, 6).alias("pacf2"),
+        F.round(phi33, 6).alias("pacf3"),
+    )
+
+
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecastability gate: MASE of the lag-7 seasonal-naive forecast
+    of daily revenue against the lag-1 naive baseline (Hyndman &
+    Koehler 2006 shape, means over each error set) — MASE < 1 means
+    weekly seasonality genuinely predicts; ≥ 1 means the 'seasonality'
+    is noise and a downstream forecast job shouldn't ship.  Absolute
+    errors are exact BIGINT cent differences over two lag windows on
+    the calendar-bounded daily aggregate; the release is three double
+    divisions in one fixed chain."""
+    from ..operators.timeseries import seasonal_naive_mase_report
+
+    return seasonal_naive_mase_report(
+        _daily_revenue_cents(spark, sf_dir), "day", "cents"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r12 window (rows 1-50; ROUND_NOTES "Rotation guidance
     #     for r12").  Rows 1-12: the entire r11 batch
@@ -8176,5 +8296,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ams_f2_sketch_eval": ams_f2_sketch_eval,
     "bloom_fpr_eval": bloom_fpr_eval,
     "daily_revenue_acf": daily_revenue_acf,
+    "dp_avg_order_value": dp_avg_order_value,
+    "daily_revenue_stl_profile": daily_revenue_stl_profile,
+    "daily_revenue_pacf": daily_revenue_pacf,
+    "seasonal_naive_mase": seasonal_naive_mase,
 }
 

@@ -95,6 +95,13 @@ BNLJ_WHITELIST = {
     "floored_mixture_budget",        # 1-row floor/budget spec + 1-row weight totals
     "length_ks_by_source",           # |groups|-row spine cross join + 1-row total
     "matryoshka_rbo_eval",           # query-panel broadcast (int8 pattern)
+    # r12 batch 3/4 — reviewed bounded broadcasts:
+    "sliding_distinct_users_hll",    # day-spine range join over the ≤days·256 register state
+    "hll_click_purchase_overlap",    # four 1-row estimate/exact frames joined
+    "ams_f2_sketch_eval",            # 1-row exact-F2 frame ⨯ 1-row estimate
+    "bloom_fpr_eval",                # ≤64-row word-signature broadcast + 1-row stats frames
+    "daily_revenue_acf",             # 7-row lag spine ⨯ calendar-bounded daily aggregate
+    "daily_revenue_pacf",            # 3-row lag spine (the ACF shape) + 1-row pivot
 }
 
 
