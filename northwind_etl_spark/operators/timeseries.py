@@ -773,7 +773,7 @@ def acf_by_lag(
         F.col(day_col).alias("__d"), F.col(value_col).alias("__x")
     ).join(F.broadcast(lags))
     shifted = left.select(
-        "lag", F.expr(f"date_add(__d, lag)").alias("__dt"), "__x"
+        "lag", F.expr("date_add(__d, lag)").alias("__dt"), "__x"
     )
     pairs = shifted.join(
         daily.select(
