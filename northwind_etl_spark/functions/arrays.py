@@ -32,3 +32,57 @@ def sorted_pairs(arr: Column | str, a_name: str, b_name: str) -> Column:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- literal
+# arrays (r12 optimization round).  The natural PySpark spelling
+# F.array(*[F.lit(x) for x in values]) costs 1-3 py4j round-trips PER
+# ELEMENT at plan-build time — ~1 ms each, so a 1024-cell lookup table
+# adds ~1-5 s of DRIVER latency to every query that embeds it (and the
+# bench pays it once per rep; guide §1.2 counts driver time as part of
+# the query).  Building the same literal as ONE parsed SQL expression
+# is a single py4j call + one JVM parse (measured 0.006 s vs 4.8 s for
+# the 1024-cell DECIMAL table) and produces the IDENTICAL literal
+# value: string→double casts are correctly rounded (Java
+# Double.parseDouble) and repr(float) round-trips, string→decimal
+# casts parse the exact digits — both proven equal element-wise in
+# tests/test_r12_opt.py.
+
+
+def lit_double_array(values) -> Column:
+    """array<double> literal in one parse; values must be finite."""
+    vals = [float(v) for v in values]
+    body = ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals)
+    return F.expr(f"array({body})")
+
+
+def lit_long_array(values) -> Column:
+    """array<bigint> literal in one parse."""
+    body = ",".join(f"{int(v)}L" for v in values)
+    return F.expr(f"array({body})")
+
+
+def lit_int_array(values) -> Column:
+    """array<int> literal in one parse."""
+    body = ",".join(f"CAST({int(v)} AS INT)" for v in values)
+    return F.expr(f"array({body})")
+
+
+def lit_decimal_array(values, precision: int, scale: int) -> Column:
+    """array<decimal(p,s)> literal in one parse.  `values` are exact
+    decimal STRINGS (or Decimals); each element is CAST('…' AS
+    DECIMAL(p,s)) — the very spelling the DuckDB oracles embed."""
+    body = ",".join(
+        f"CAST('{v}' AS DECIMAL({precision},{scale}))" for v in values
+    )
+    return F.expr(f"array({body})")
+
+
+def lit_double_matrix(rows) -> Column:
+    """array<array<double>> literal (e.g. a frozen codebook) in one
+    parse."""
+    inner = ",".join(
+        "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({inner})")

@@ -110,10 +110,12 @@ def sparse_rp_exprs(
     reduction at 3× the sparsity of dense Gaussian RP: two thirds of
     the terms are exact zeros the optimizer folds away.
     """
+    from .arrays import lit_double_array
+
     xd = to_double_expr(vec)
     out = []
     for j, row in enumerate(signs):
-        sarr = F.array(*[F.lit(float(s)) for s in row])
+        sarr = lit_double_array(row)
         prods = F.zip_with(xd, sarr, lambda x, s: x * s)
         out.append(
             F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x).alias(

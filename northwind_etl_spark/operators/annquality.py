@@ -33,6 +33,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.arrays import lit_double_array
 from ..functions.vectors import cosine_expr, dot_expr
 
 
@@ -41,7 +42,7 @@ def _l2sq_to_literal(vec_col, lit_vals: list[float], offset: int, width: int):
     slice, as one sequential fold (zip_with then aggregate — the same
     element order DuckDB's list_sum(list_transform(...)) walks)."""
     sub = F.slice(vec_col, offset + 1, width)
-    lits = F.array(*[F.lit(float(v)) for v in lit_vals[offset : offset + width]])
+    lits = lit_double_array(lit_vals[offset : offset + width])
     diffs = F.zip_with(
         sub,
         lits,
@@ -52,7 +53,7 @@ def _l2sq_to_literal(vec_col, lit_vals: list[float], offset: int, width: int):
 
 def _dot_to_literal(vec_col, lit_vals: list[float], offset: int, width: int):
     sub = F.slice(vec_col, offset + 1, width)
-    lits = F.array(*[F.lit(float(v)) for v in lit_vals[offset : offset + width]])
+    lits = lit_double_array(lit_vals[offset : offset + width])
     prods = F.zip_with(sub, lits, lambda x, c: x.cast("double") * c)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -133,6 +134,58 @@ def pq_frozen_recall(
     and recall@topk is measured against the exact ranking.  Quantifies
     the PQ family's quantization loss as a hash-checked driver row."""
     cb = _fetch_seed_vectors(emb, k_codewords, id_col, vec_col)
+    # r12 optimization round (guide §1.2 — DRIVER time is part of the
+    # query): the codebook used to be embedded as m×k separate fold
+    # expressions over per-codeword literal arrays (~2k F.lit py4j
+    # round-trips + a huge tree for Catalyst to analyze — measured
+    # ~10 s of BUILD time per call at m=8, k=16, vs ~1.5 s of actual
+    # execution).  It is now ONE array<array<double>> literal and the
+    # per-codeword loops are transform(sequence(0, k-1), …) — the same
+    # zip_with/aggregate folds over the same slices in the same order,
+    # so every distance, LUT entry and tie-break is bit-identical; only
+    # the expression-tree SIZE changed.
+    from ..functions.arrays import lit_double_matrix
+
+    cbm = lit_double_matrix(cb)
+
+    def _sub_fold(vec_col, c, offset: int, width: int, combine):
+        xs = F.slice(vec_col, offset + 1, width)
+        ys = F.slice(F.element_at(cbm, c + 1), offset + 1, width)
+        return F.aggregate(
+            F.zip_with(xs, ys, combine), F.lit(0.0), lambda a, x: a + x
+        )
+
+    def _l2sq(vec_col, c, offset, width):
+        return _sub_fold(
+            vec_col, c, offset, width,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+
+    def _dot(vec_col, c, offset, width):
+        return _sub_fold(
+            vec_col, c, offset, width, lambda x, y: x.cast("double") * y
+        )
+
+    ks = F.sequence(F.lit(0), F.lit(k_codewords - 1))
+
+    # closure factories, NOT default-arg lambdas: a two-parameter
+    # lambda inside F.transform is interpreted as the (element, index)
+    # binary form, which would silently rebind the subspace to the
+    # array index
+    def _lut_col(s: int):
+        return F.transform(
+            ks, lambda c: _dot(F.col("v"), c, s * dsub, dsub)
+        )
+
+    def _cand_col(s: int):
+        return F.transform(
+            ks,
+            lambda c: F.struct(
+                _l2sq(F.col("v"), c, s * dsub, dsub).alias("d"),
+                c.alias("c"),
+            ),
+        )
+
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     qpred = F.col("vec_id") % query_mod == 0
     if query_max is not None:
@@ -151,33 +204,15 @@ def pq_frozen_recall(
         base.where(qpred).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            *[
-                F.array(
-                    *[
-                        _dot_to_literal(F.col("v"), cb[c], s * dsub, dsub)
-                        for c in range(k_codewords)
-                    ]
-                ).alias(f"lut{s}")
-                for s in range(m)
-            ],
+            *[_lut_col(s).alias(f"lut{s}") for s in range(m)],
         )
     )
     # per-subspace assignment: argmin over (dist, c) structs — the
     # lexicographic array_min breaks distance ties to the smaller c
-    assigns = []
-    for s in range(m):
-        cand = F.array(
-            *[
-                F.struct(
-                    _l2sq_to_literal(F.col("v"), cb[c], s * dsub, dsub).alias(
-                        "d"
-                    ),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(k_codewords)
-            ]
-        )
-        assigns.append(F.array_min(cand).getField("c").alias(f"a{s}"))
+    assigns = [
+        F.array_min(_cand_col(s)).getField("c").alias(f"a{s}")
+        for s in range(m)
+    ]
     # persist the per-VECTOR assignment: without the barrier Catalyst
     # collapses this projection into the post-join one and re-evaluates
     # all m×k distance folds PER (query, vector) PAIR — measured 3× the

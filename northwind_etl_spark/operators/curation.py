@@ -44,13 +44,11 @@ from decimal import Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.lnlut import LAPLACE_LN_GRID, LAPLACE_LN_LUT
+from ..functions.lnlut import LAPLACE_LN_GRID, LAPLACE_LN_LUT, laplace_ln_lut_col
 
 
 def _ln_lut_col() -> F.Column:
-    return F.array(
-        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
-    )
+    return laplace_ln_lut_col()
 
 
 def _grid_index(count_sql: str, total_sql: str) -> F.Column:

@@ -127,7 +127,7 @@ def psi_by_group(
     """
     from decimal import Decimal
 
-    from ..functions.lnlut import LAPLACE_LN_LUT
+    from ..functions.lnlut import LAPLACE_LN_LUT, laplace_ln_lut_col
 
     B = int(n_buckets)
     lim = int(max_window)
@@ -169,9 +169,7 @@ def psi_by_group(
     p1 = grid.where(F.col("__w") == 1).select(
         "__g", "__b", F.col("c").alias("c1"), F.col("n").alias("n1")
     )
-    lut = F.array(
-        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
-    )
+    lut = laplace_ln_lut_col()
 
     def lnq(c: str, n: str) -> F.Column:
         g = F.expr(f"least(1023, (({c} + 1) * 1024) DIV ({n} + {B}))")

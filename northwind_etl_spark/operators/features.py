@@ -430,7 +430,7 @@ def mutual_information(
     """
     from decimal import Decimal
 
-    from ..functions.lnlut import LAPLACE_LN_LUT
+    from ..functions.lnlut import LAPLACE_LN_LUT, laplace_ln_lut_col
 
     from ..cache import persist_stage
 
@@ -473,9 +473,7 @@ def mutual_information(
             "nn",
         )
     )
-    lut = F.array(
-        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
-    )
+    lut = laplace_ln_lut_col()
 
     def lnq(num: str) -> F.Column:
         g = F.expr(f"least(1023, ({num} * 1024) DIV (a + b))").cast("int")

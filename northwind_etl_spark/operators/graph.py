@@ -544,25 +544,38 @@ def hits_fixed_point(
         )
         .alias("hub"),
     )
+    # r12 optimization round (guide §2.4 — remove exchanges): the loop
+    # used to zero-fill BOTH score relations against `nodes` every
+    # round (2 extra joins × iterations).  A node absent from a score
+    # relation has score 0, and a 0 score contributes exactly nothing
+    # to the next round's sums (the join against `e` drops the row ⇔
+    # adding 0), so the recursion is bit-identical over the SPARSE
+    # relations; zeros are filled ONCE on output.  The unrolled plan
+    # shrinks from ~16 joins to ~8, halving the per-round AQE
+    # replanning and micro-job count this entry's latency is made of.
     auths = None
     for i in range(iterations):
-        a_in = (
+        auths = (
             hubs.join(e, F.col("node") == F.col("src"))
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("m"))
+            .agg(F.sum("hub").alias("auth"))
         )
-        auths = nodes.join(a_in, "node", "left").select(
-            "node", F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("auth")
-        )
-        h_in = (
+        hubs = (
             auths.join(e, F.col("node") == F.col("dst"))
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("auth").alias("m"))
-        )
-        hubs = nodes.join(h_in, "node", "left").select(
-            "node", F.coalesce(F.col("m"), F.lit(0).cast("long")).alias("hub")
+            .agg(F.sum("auth").alias("hub"))
         )
         if (i + 1) % 2 == 0 and i + 1 < iterations:
             hubs = hubs.localCheckpoint(eager=True)
             auths = auths.localCheckpoint(eager=True)
-    return hubs.join(auths, "node").select("node", "hub", "auth")
+    ha = hubs.withColumnRenamed("node", "__hn")
+    aa = auths.withColumnRenamed("node", "__an")
+    return (
+        nodes.join(ha, F.col("node") == F.col("__hn"), "left")
+        .join(aa, F.col("node") == F.col("__an"), "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0).cast("long")).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0).cast("long")).alias("auth"),
+        )
+    )

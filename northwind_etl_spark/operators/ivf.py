@@ -115,7 +115,9 @@ def ivf_topk(
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     probes = np.argsort(-(centroids @ qn))[:nprobe].tolist()
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    from ..functions.arrays import lit_double_array
+
+    qlit = lit_double_array(query_vec)
     candidates = indexed.where(F.col("cluster_id").isin(probes))
     scored = candidates.select(
         F.col(id_col), F.round(cosine_expr(F.col(vec_col), qlit), 6).alias("cosine")

@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.arrays import lit_double_array, lit_long_array
 from pyspark.sql.functions import pandas_udf
 
 __all__ = ["train_pq_codebooks", "encode_pq", "pq_topk"]
@@ -125,7 +127,7 @@ def pq_topk(
         qsub = q[j * dsub : (j + 1) * dsub]
         lut[j] = ((codebooks[j] - qsub[None, :]) ** 2).sum(axis=1)
     lut_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+        *[lit_double_array(row) for row in lut]
     )
     idx = F.sequence(F.lit(1), F.lit(m))
     dist = F.aggregate(

@@ -315,16 +315,14 @@ def laplace_noise_expr(key, scale: str, *, scale_type: str = "decimal(14,6)"):
     beyond a COUNT's)."""
     from decimal import Decimal
 
-    from ..functions.lnlut import LAPLACE_LN_GRID, LAPLACE_LN_LUT
+    from ..functions.lnlut import LAPLACE_LN_GRID, LAPLACE_LN_LUT, laplace_ln_lut_col
 
     h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
     u = (h + F.lit(0.5)) / F.lit(4294967296.0)
     c = u - F.lit(0.5)
     t = F.lit(1.0) - F.lit(2.0) * F.abs(c)  # exact multiple of 2^-32
     g = F.floor(t * F.lit(float(LAPLACE_LN_GRID))).cast("int")
-    lut = F.array(
-        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
-    )
+    lut = laplace_ln_lut_col()
     ln_q = F.element_at(lut, g + F.lit(1))
     sign = (
         F.when(c >= 0, F.lit(1)).otherwise(F.lit(-1)).cast("decimal(2,0)")

@@ -372,7 +372,7 @@ def weighted_reservoir(
     """
     from decimal import Decimal
 
-    from ..functions.lnlut import LAPLACE_LN_LUT
+    from ..functions.lnlut import LAPLACE_LN_LUT, laplace_ln_lut_col
 
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -387,9 +387,7 @@ def weighted_reservoir(
     ).cast("long")
     g = ((h * F.lit(1024) + F.lit(512)) - (h * F.lit(1024) + F.lit(512))
          % F.lit(4294967296)) / F.lit(4294967296)
-    lut = F.array(
-        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
-    )
+    lut = laplace_ln_lut_col()
     key = F.element_at(lut, g.cast("int") + F.lit(1)).cast("double") / w.cast(
         "double"
     )

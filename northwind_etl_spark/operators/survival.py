@@ -54,7 +54,7 @@ def km_log_survival(
     where log_survival = Σ_{t'≤t} ln((n(t')−d(t'))/n(t')) on the
     frozen ln grid — exact DECIMAL partial sums, one DOUBLE cast.
     """
-    from ..functions.lnlut import LAPLACE_LN_LUT
+    from ..functions.lnlut import LAPLACE_LN_LUT, laplace_ln_lut_col
 
     d = F.col(duration_col).cast("long")
     obs = F.col(observed_col).cast("int")
@@ -93,9 +93,7 @@ def km_log_survival(
         "n_risk",
         F.sum(F.col("d_events") + F.col("n_censored_at_t")).over(w_desc),
     )
-    lut = F.array(
-        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
-    )
+    lut = laplace_ln_lut_col()
     # d < n except possibly at the last event time, where (n−d) = 0
     # has log-survival −∞: grid cell 0 (the LUT's leftmost midpoint)
     # stands in as the saturated floor, identically on both engines.

@@ -143,9 +143,13 @@ def lang_id_scored(
     from ..functions.langid_weights import LANGID_LANGS, LANGID_WEIGHTS
 
     feats = hashed_char_ngram_features(df, text_col, id_col)
+    from ..functions.arrays import lit_long_array
+
+    # one-parse weight arrays (r12 optimization round — the
+    # element-wise spelling cost ~1 s of py4j round-trips per build)
     luts = {
         lang: F.element_at(
-            F.array(*[F.lit(int(w)) for w in LANGID_WEIGHTS[lang]]),
+            lit_long_array(LANGID_WEIGHTS[lang]).cast("array<int>"),
             F.col("bucket") + F.lit(1),
         )
         for lang in LANGID_LANGS

@@ -1559,7 +1559,14 @@ def _spill_dir(base_name: str) -> str:
     return tempfile.mkdtemp(prefix=f"{base_name}_", dir=_SPILL_ROOT[0])
 
 
-def _drain_stream(df: DataFrame, base_name: str, *, output_mode: str = "complete") -> DataFrame:
+def _drain_stream(
+    df: DataFrame,
+    base_name: str,
+    *,
+    output_mode: str = "complete",
+    sf_dir: str | None = None,
+    python_stateful: bool = False,
+) -> DataFrame:
     """availableNow-drain a streaming DataFrame into a uniquely-named
     memory sink (repeat calls in one session must not collide), spill
     the result to a temp parquet dir, and FREE the sink.
@@ -1582,10 +1589,34 @@ def _drain_stream(df: DataFrame, base_name: str, *, output_mode: str = "complete
     inner joins, dropDuplicatesWithinWatermark, watermark-closed
     session windows) — correct across any batch split by
     construction."""
-    from ..streaming.events_stream import run_available_now
+    import os
 
+    from ..streaming.events_stream import (
+        adaptive_stream_partitions,
+        run_available_now,
+    )
+
+    # state/shuffle partition count derived from the SOURCE size
+    # (guide §2 scale-adaptivity — streaming has no AQE coalescing;
+    # see adaptive_stream_partitions for the full contract)
+    n_parts = None
+    if sf_dir is not None:
+        n_parts = adaptive_stream_partitions(
+            os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        )
+        if python_stateful:
+            # applyInPandasWithState-style operators run their groups
+            # serially per partition inside the Python worker: their
+            # latency is per-key compute, so the partition count must
+            # never drop below the session's actual parallelism (at
+            # scale the byte-derived term dominates anyway)
+            n_parts = max(
+                n_parts, df.sparkSession.sparkContext.defaultParallelism
+            )
     name = f"{base_name}_{next(_STREAM_SINK_SEQ)}"
-    out = run_available_now(df, name, output_mode=output_mode)
+    out = run_available_now(
+        df, name, output_mode=output_mode, shuffle_partitions=n_parts
+    )
     spark = out.sparkSession
     spill = _spill_dir(base_name)
     out.write.mode("overwrite").parquet(spill)
@@ -1606,7 +1637,9 @@ def stream_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import read_events_stream, windowed_counts_stream
 
     stream = read_events_stream(spark, sf_dir)
-    return _drain_stream(windowed_counts_stream(stream), "stream_tumbling")
+    return _drain_stream(
+        windowed_counts_stream(stream), "stream_tumbling", sf_dir=sf_dir
+    )
 
 
 def events_jsonl_corrupt_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,7 +1718,7 @@ def stream_two_level_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     return _drain_stream(
         two_level_window_stream(stream), "stream_two_level",
-        output_mode="append",
+        output_mode="append", sf_dir=sf_dir,
     )
 
 
@@ -1717,7 +1750,7 @@ def stream_enriched_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         decimal_sum("value", "total_value"),
     )
-    return _drain_stream(agg, "stream_enrich").orderBy("stage")
+    return _drain_stream(agg, "stream_enrich", sf_dir=sf_dir).orderBy("stage")
 
 
 def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1733,7 +1766,8 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     return _drain_stream(
-        purchase_click_attribution_stream(stream), "stream_attr", output_mode="append"
+        purchase_click_attribution_stream(stream), "stream_attr",
+        output_mode="append", sf_dir=sf_dir,
     )
 
 
@@ -1759,6 +1793,7 @@ def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFram
         purchase_click_attribution_stream(stream, how="left_outer"),
         "stream_attr_outer",
         output_mode="append",
+        sf_dir=sf_dir,
     )
 
 
@@ -1772,7 +1807,10 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     doubled = stream.union(stream)
-    out = _drain_stream(stream_dedup(doubled), "stream_dedup", output_mode="append")
+    out = _drain_stream(
+        stream_dedup(doubled), "stream_dedup", output_mode="append",
+        sf_dir=sf_dir,
+    )
     # LTZ→NTZ relabel (UTC session) so the schema matches the batch
     # events table the oracle reads
     return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
@@ -1791,7 +1829,8 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     return _drain_stream(
-        session_window_stream(stream), "stream_sess", output_mode="append"
+        session_window_stream(stream), "stream_sess", output_mode="append",
+        sf_dir=sf_dir,
     )
 
 
@@ -1806,8 +1845,14 @@ def stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events_stream import read_events_stream, running_user_counts_stream
 
     stream = read_events_stream(spark, sf_dir)
+    # python_stateful: applyInPandasWithState walks its groups
+    # SERIALLY inside each partition's Python worker, so this drain is
+    # per-key-compute-bound, not state-store-overhead-bound — its
+    # partition floor is the session's core count (see
+    # adaptive_stream_partitions' python_stateful contract)
     out = _drain_stream(
-        running_user_counts_stream(stream), "stream_ruc", output_mode="update"
+        running_user_counts_stream(stream), "stream_ruc", output_mode="update",
+        sf_dir=sf_dir, python_stateful=True,
     )
     return out.groupBy("user_id").agg(F.max("events_seen").alias("events_seen"))
 
@@ -2065,7 +2110,10 @@ def stream_incremental_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
     The finalized state must equal the plain batch GROUP BY, which is
     the oracle; multi-batch splitting is pinned separately in
     tests/test_streaming.py."""
+    import os
+
     from ..streaming.events_stream import (
+        adaptive_stream_partitions,
         incremental_state_stream,
         read_events_stream,
         read_incremental_state,
@@ -2074,7 +2122,16 @@ def stream_incremental_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = read_events_stream(spark, sf_dir).select("user_id", "value")
     root = _spill_dir("stream_incr_state")
     ckpt = _spill_dir("stream_incr_ckpt")
-    incremental_state_stream(ev, root, ckpt, keys=["user_id"], value="value")
+    incremental_state_stream(
+        ev,
+        root,
+        ckpt,
+        keys=["user_id"],
+        value="value",
+        shuffle_partitions=adaptive_stream_partitions(
+            os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        ),
+    )
     return read_incremental_state(spark, root, prefix="value").orderBy("user_id")
 
 
@@ -2643,20 +2700,25 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state; the clip itself is one broadcast join + map — no
     sort anywhere.  The oracle replays the per-group row_number rank
     definition and the identical decimal→double mean finalizer."""
-    from ..operators.selection import group_kth_smallest
+    from ..operators.selection import group_quantiles
 
     orders = _t(spark, sf_dir, "orders")
-    lo = group_kth_smallest(orders, "o_totalprice", "o_orderpriority", q=0.05)
-    hi = group_kth_smallest(orders, "o_totalprice", "o_orderpriority", q=0.95)
+    # both clip bounds from ONE selection loop (r12 optimization
+    # round: group_quantiles advances every (group, quantile) pair
+    # together — half the driver-iterative jobs of two loops)
+    res = group_quantiles(
+        orders, "o_totalprice", "o_orderpriority", [0.05, 0.95]
+    )
+    lo = [(g, v) for g, qq, v, _, _ in res if qq == 0.05]
+    hmap = {g: v for g, qq, v, _, _ in res if qq == 0.95}
     # selection returns doubles; a DECIMAL(12,2) survives the double
     # round-trip exactly (< 2^53), so re-quantizing restores the bound
     # bit-for-bit for the decimal comparisons below
     from decimal import Decimal
 
     q2 = lambda x: Decimal(f"{x:.2f}")  # noqa: E731
-    hmap = {g: v for g, v, _, _ in hi}
     spec = spark.createDataFrame(
-        [(g, q2(v), q2(hmap[g])) for g, v, _, _ in lo],
+        [(g, q2(v), q2(hmap[g])) for g, v in lo],
         "o_orderpriority string, __lo decimal(12,2), __hi decimal(12,2)",
     )
     v = F.col("o_totalprice")
@@ -5152,7 +5214,7 @@ def pmi_collocations(docs: DataFrame) -> DataFrame:
     entry so the scale probe can run it on replicated corpora."""
     from decimal import Decimal
 
-    from ..functions.lnlut import LAPLACE_LN_LUT
+    from ..functions.lnlut import LAPLACE_LN_LUT, laplace_ln_lut_col
     from ..functions.texttools import tokens_expr
 
     dt = docs.select(
@@ -5183,9 +5245,7 @@ def pmi_collocations(docs: DataFrame) -> DataFrame:
         .where(F.col("n_xy") >= 5)
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
-    lut = F.array(
-        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
-    )
+    lut = laplace_ln_lut_col()
 
     def lnq(count_col: str) -> F.Column:
         # grid index via integral DIV on longs (ADVICE r09: the
@@ -5697,7 +5757,7 @@ def event_ingestion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     (group, bin) histogram per pass, NO per-type sort (the hot-group
     discipline); the oracle is the per-type row_number definition.
     Lag released in seconds — one c.r. division of exact micros."""
-    from ..operators.selection import group_kth_smallest
+    from ..operators.selection import group_quantiles
     from ..sources.parquet import read_events
 
     e = read_events(spark, sf_dir)
@@ -5706,18 +5766,11 @@ def event_ingestion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         + F.when(F.col("event_id") % 7 == 0, 14_400_000_000).otherwise(0)
     ).cast("long")
     lagged = e.select("event_type", lag_micros.alias("lag_us"))
-    p50 = {
-        g: (v, n)
-        for g, v, _, n in group_kth_smallest(
-            lagged, "lag_us", "event_type", q=0.5
-        )
-    }
-    p95 = {
-        g: v
-        for g, v, _, _ in group_kth_smallest(
-            lagged, "lag_us", "event_type", q=0.95
-        )
-    }
+    # one selection loop for both quantiles (r12 optimization round);
+    # the ~1200-distinct lag domain resolves on the first-stats walk
+    res = group_quantiles(lagged, "lag_us", "event_type", [0.5, 0.95])
+    p50 = {g: (v, n) for g, qq, v, _, n in res if qq == 0.5}
+    p95 = {g: v for g, qq, v, _, _ in res if qq == 0.95}
     rows = [
         (g, int(n), float(v50) / 1e6, float(p95[g]) / 1e6)
         for g, (v50, n) in sorted(p50.items())
@@ -5855,7 +5908,7 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort (operators/selection.py::kth_smallest — 1024-bin histogram
     search; the driver holds 1024 longs).  Latency released in seconds
     — one c.r. division of exact micros.  Oracle: ORDER BY … OFFSET."""
-    from ..operators.selection import kth_smallest
+    from ..operators.selection import quantiles
     from ..sources.parquet import read_events
 
     e = read_events(spark, sf_dir)
@@ -5878,8 +5931,10 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lat_us")
     )
-    v50, _, n = kth_smallest(lat, "lat_us", q=0.5)
-    v90, _, _ = kth_smallest(lat, "lat_us", q=0.9)
+    # one selection loop for both quantiles (r12 optimization round)
+    qres = quantiles(lat, "lat_us", [0.5, 0.9])
+    v50, _, n = qres[0.5]
+    v90, _, _ = qres[0.9]
     return spark.createDataFrame(
         [(int(n), float(v50) / 1e6, float(v90) / 1e6)],
         "n_converted long, p50_latency_s double, p90_latency_s double",
@@ -6293,25 +6348,35 @@ def source_term_jsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the source dimension."""
     from decimal import Decimal
 
-    from ..functions.lnlut import LAPLACE_LN_LUT
+    from ..functions.lnlut import LAPLACE_LN_LUT, laplace_ln_lut_col
     from ..functions.texttools import tokens_expr
+
+    from ..cache import persist_stage
 
     docs = _t(spark, sf_dir, "documents")
     occ = docs.select(
         "source", F.explode(tokens_expr(F.col("text"))).alias("term")
     )
+    # r12 optimization round (guide §2.3 "aggregate before you
+    # shuffle" + §1.2 "remove passes"): vocab and the per-source
+    # counts used to be two separate consumers of the raw explode, so
+    # the corpus tokenized TWICE per run.  Aggregate once to
+    # (source, term, c) — map-side combined — and derive both the
+    # global top-100 vocabulary and the vocab-filtered counts from
+    # that persisted stage; results are bitwise identical.
+    stc = persist_stage(
+        occ.groupBy("source", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
     vocab = (
-        occ.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tot"))
+        stc.groupBy("term")
+        .agg(F.sum("c").cast("long").alias("tot"))
         .orderBy(F.desc("tot"), F.asc("term"))
         .limit(100)
         .select("term")
     )
-    st = (
-        occ.join(F.broadcast(vocab), "term")
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    st = stc.join(F.broadcast(vocab), "term").select("source", "term", "c")
     totals = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     # full (source, vocab-term) grid so absent terms carry c = 0
     grid = (
@@ -6351,9 +6416,7 @@ def source_term_jsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    lut = F.array(
-        *[F.lit(Decimal(s)).cast("decimal(14,12)") for s in LAPLACE_LN_LUT]
-    )
+    lut = laplace_ln_lut_col()
     ln2 = F.lit(Decimal(_LN2)).cast("decimal(14,12)")
 
     def ln2r(cnum: str, cden: str) -> F.Column:
@@ -7397,8 +7460,8 @@ def lsh_band_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hits, recall, precision) per config — the S-curve trade
     (more bands = higher recall, more candidates) measured, not
     assumed, and hash-checked per point.  Signature and truth stages
-    are persisted once; each config re-bands the persisted
-    signatures."""
+    are persisted once; ALL four configs band in one explode and share
+    one self-join (r12 optimization round — see the inline note)."""
     from ..cache import persist_stage
 
     docs = _t(spark, sf_dir, "documents")
@@ -7413,31 +7476,113 @@ def lsh_band_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
-    rows = []
-    for bands in (2, 3, 4, 6):
-        banded = D.band_keys_md5(sigs, "doc_id", bands=bands, num_hashes=12)
-        cand = D.delta_candidate_pairs(banded, banded, "doc_id").select(
-            "id_a", "id_b"
+    # r12 optimization round (guide §2.4/§3): the four configs used to
+    # run FOUR independent band→self-join→guard→two-count chains
+    # unioned at the end — a 343-Exchange plan whose per-config joins
+    # re-banded and re-scanned the persisted signatures.  All four
+    # (bands, band) keys are slices of the SAME 12-hash signature, so
+    # one explode emits every (config, band, bucket) key and ONE
+    # self-join + ONE distinct + ONE semi-join against truth produce
+    # the identical per-config candidate/hit sets (same md5 bucket
+    # strings, same pair normalization, same max_bucket=256 raise
+    # condition as delta_candidate_pairs — oracle unchanged).
+    configs = (2, 3, 4, 6)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bands).alias("bands"),
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("signature")[i]
+                                    for i in range(
+                                        b * (12 // bands),
+                                        (b + 1) * (12 // bands),
+                                    )
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bands in configs
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.bands", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("doc_id").alias("__pa"), "bands", "band", "bucket"
+    )
+    b2 = banded.select(
+        F.col("doc_id").alias("__pb"), "bands", "band", "bucket"
+    )
+    # persisted: the candidate frame feeds BOTH the count and the
+    # truth semi-join — without the barrier the self-join runs twice
+    cand = persist_stage(
+        a.join(b2, ["bands", "band", "bucket"])
+        .where(F.col("__pa") != F.col("__pb"))
+        .select(
+            "bands",
+            F.least("__pa", "__pb").alias("id_a"),
+            F.greatest("__pa", "__pb").alias("id_b"),
         )
-        hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
-        rows.append(
-            nt.join(
-                cand.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_candidates")
+        .distinct()
+    )
+    # per-config max_bucket guard, identical raise text/condition to
+    # delta_candidate_pairs (store == delta == banded, so every bucket
+    # is probed); folded into a consumed column so Catalyst can't
+    # prune it
+    guard = (
+        banded.groupBy("bands", "band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .agg(
+            F.max(
+                F.when(F.col("__bsz") <= 256, F.lit(0)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "delta_candidate_pairs: band bucket size "
+                            ),
+                            F.col("__bsz").cast("string"),
+                            F.lit(" exceeds max_bucket=256"),
+                        )
+                    )
                 )
-            )
-            .join(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
-            .select(
-                F.lit(bands).cast("int").alias("bands"),
-                F.lit(12 // bands).cast("int").alias("rows_per_band"),
-                "n_true_pairs",
-                "n_candidates",
-                "n_hits",
-            )
+            ).alias("__zero")
         )
-    swept = rows[0]
-    for r in rows[1:]:
-        swept = swept.unionByName(r)
+    )
+    ncand = cand.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    hits = (
+        cand.join(truth, ["id_a", "id_b"], "left_semi")
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    spine = spark.createDataFrame(
+        [(bands, 12 // bands) for bands in configs],
+        "bands int, rows_per_band int",
+    )
+    swept = (
+        spine.join(ncand, "bands", "left")
+        .join(hits, "bands", "left")
+        .join(nt)
+        .join(F.broadcast(guard))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_true_pairs",
+            (
+                F.coalesce("n_candidates", F.lit(0).cast("long"))
+                + F.coalesce(F.col("__zero"), F.lit(0)).cast("long")
+            ).alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        )
+    )
     return swept.select(
         "bands",
         "rows_per_band",

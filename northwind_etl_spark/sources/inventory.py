@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.arrays import lit_double_array, lit_long_array
+
 
 def model_inventory(
     df: DataFrame,
@@ -221,7 +223,7 @@ def bloom_file_skipping(
     blooms = df.groupBy(file_expr.alias("file_id")).agg(*aggs)
 
     qk = F.explode(
-        F.array(*[F.lit(int(k)).cast("long") for k in query_keys])
+        lit_long_array(query_keys)
     ).alias("query_key")
     probed = blooms.select("*", qk)
     tests = []

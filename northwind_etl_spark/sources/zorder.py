@@ -62,7 +62,9 @@ def _bin_by_quantiles(df: DataFrame, col: str, bits: int) -> Column:
             uniq.append(b)
     if not uniq:  # constant (or all-NULL) column: one bin
         return F.lit(0).cast("long")
-    arr = F.array(*[F.lit(float(b)) for b in uniq])
+    from ..functions.arrays import lit_double_array
+
+    arr = lit_double_array(uniq)
     x = F.col(col).cast("double")
     raw = F.size(F.filter(arr, lambda b: b <= x)).cast("long")  # 0..k
     return F.floor(raw * F.lit(float(nbins - 1) / len(uniq))).cast("long")

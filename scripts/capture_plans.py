@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Capture .explain('formatted') for named queries into per-query files.
+
+Usage: python scripts/capture_plans.py SUFFIX query [query ...]
+Writes plans/r12/<query>_<SUFFIX>.txt (driver requirement: committed
+before/after plans for every touched query).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from northwind_etl_spark.plans.queries import QUERIES  # noqa: E402
+from northwind_etl_spark.session import get_spark  # noqa: E402
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+)
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+    spark = get_spark("capture-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(OUT, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
