@@ -483,8 +483,24 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 - warmup failure reported in timed pass
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
+    # Bench honesty (r12 verdict item 2): drop every persist_stage()
+    # entry the warmup pass left behind, so a cell whose plan persists
+    # a shared stage pays that stage's materialization in its OWN
+    # first timed rep instead of inheriting a warm cache hit from the
+    # warmup.  The per-rep times are recorded in the full-record file
+    # ("reps_sec") so cold-vs-steady provenance is visible per cell;
+    # the reported number stays the median of 5 (one cold rep cannot
+    # move a 5-rep median, so round-over-round comparability holds).
+    # The base-TABLE cache (SPARK_GRAFT_CACHE_TABLES) is a separate
+    # registry and stays warm, unchanged from every prior round.
+    from northwind_etl_spark.cache import release_stages
+
+    released = release_stages()
+    print(f"# released {released} warmup-persisted stages", file=sys.stderr)
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
+    reps_detail: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in headline:
@@ -504,6 +520,7 @@ def main() -> None:
             continue
         dt = round(statistics.median(times), 3)
         timings[name] = dt
+        reps_detail[name] = [round(t, 3) for t in times]
         total += dt
         print(f"# {name}: {dt:.3f}s (median of {reps})", file=sys.stderr)
 
@@ -549,6 +566,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "timing": f"median_of_{reps}",
+        "reps_sec": reps_detail,
         "slow_lane": slow,
         "duckdb": duck,
         "spark_vs_duckdb": ratios,

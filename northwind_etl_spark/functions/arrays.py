@@ -45,8 +45,8 @@ def sorted_pairs(arr: Column | str, a_name: str, b_name: str) -> Column:
 # the 1024-cell DECIMAL table) and produces the IDENTICAL literal
 # value: string→double casts are correctly rounded (Java
 # Double.parseDouble) and repr(float) round-trips, string→decimal
-# casts parse the exact digits — both proven equal element-wise in
-# tests/test_r12_opt.py.
+# casts parse the exact digits — proven equal element-wise against
+# the F.lit spelling in tests/test_r13_opt.py.
 
 
 def lit_double_array(values) -> Column:
@@ -59,12 +59,6 @@ def lit_double_array(values) -> Column:
 def lit_long_array(values) -> Column:
     """array<bigint> literal in one parse."""
     body = ",".join(f"{int(v)}L" for v in values)
-    return F.expr(f"array({body})")
-
-
-def lit_int_array(values) -> Column:
-    """array<int> literal in one parse."""
-    body = ",".join(f"CAST({int(v)} AS INT)" for v in values)
     return F.expr(f"array({body})")
 
 

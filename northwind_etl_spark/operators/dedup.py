@@ -335,31 +335,41 @@ def simhash_fingerprints(
     # packed: group g (0..15) holds bits {g, g+16, g+32, g+48} in
     # 15-bit lanes {0..3}; per row the lane value is the bit itself, so
     # the per-doc lane sum is S_b <= T < 2^15 — no cross-lane carry,
-    # and the top lane peaks below 2^62 (no sign overflow)
+    # and the top lane peaks below 2^62 (no sign overflow).
+    # r13 optimization round (guide §1.2, the pq/lit-array playbook):
+    # the 16 packed sums and the 64-term fingerprint reconstruction
+    # are built as PARSED SQL strings — the Column-API spelling cost
+    # ~700 py4j round-trips of plan-build latency per call for the
+    # same operators (shiftleft/shiftrightunsigned/&/| map 1:1), and
+    # the parsed tree is expression-identical (pinned bit-for-bit by
+    # tests/test_r13_opt.py::test_simhash_expr_rewrite_identical).
     hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
-    one = F.lit(1).cast("long")
 
-    def packed_sum(g: int):
-        lanes = None
-        for lane in range(4):
-            bit = F.shiftrightunsigned(F.col("h"), g + 16 * lane).bitwiseAND(one)
-            term = F.shiftleft(bit, 15 * lane)
-            lanes = term if lanes is None else lanes + term
-        return F.sum(lanes).alias(f"g{g}")
+    def packed_sum(g: int) -> str:
+        lanes = " + ".join(
+            f"shiftleft((shiftrightunsigned(h, {g + 16 * lane})"
+            f" & CAST(1 AS BIGINT)), {15 * lane})"
+            for lane in range(4)
+        )
+        return f"sum({lanes}) AS g{g}"
 
     agg = hashed.groupBy(id_col).agg(
-        *[packed_sum(g) for g in range(16)], F.count(F.lit(1)).alias("t")
+        *[F.expr(packed_sum(g)) for g in range(16)],
+        F.count(F.lit(1)).alias("t"),
     )
-    fp = None
+    bits = []
     for b in range(64):
         g, lane = b % 16, b // 16
-        s_b = F.shiftrightunsigned(F.col(f"g{g}"), 15 * lane).bitwiseAND(
-            F.lit(0x7FFF).cast("long")
+        s_b = (
+            f"(shiftrightunsigned(g{g}, {15 * lane})"
+            " & CAST(32767 AS BIGINT))"
         )
-        bit = F.when(
-            F.lit(2) * s_b - F.col("t") > 0, F.shiftleft(one, b)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
+        bits.append(
+            f"(CASE WHEN 2 * {s_b} - t > 0"
+            f" THEN shiftleft(CAST(1 AS BIGINT), {b})"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    fp = F.expr("(" + " | ".join(bits) + ")")
     # assert_true returns NULL on pass; the when() forces it to
     # evaluate inside the same projection (an unused column would be
     # pruned), failing the job loudly if a doc overflows the lanes
@@ -508,6 +518,29 @@ def duplicate_clusters(
         .withColumn("cluster", F.col("id")),
         reliable,
     )
+    # r13 optimization round: four restructurings of this loop were
+    # implemented, MEASURED on the sf0.1 consumers, and reverted —
+    # recorded here so a later round does not re-attempt them blind
+    # (the r12 CC-contraction discipline):
+    # (1) a second pointer jump per pass: passes only dropped 13 → 12
+    #     on the customer pair graph while every pass gained a join —
+    #     net slower (8.3 → 15.1 s on golden_customer_records);
+    # (2) fusing TWO min+jump steps into one materialized pass (half
+    #     the checkpoints/probes): the unmaterialized half-step feeds
+    #     THREE consumers (neighbor join, self, parents), so it is
+    #     recomputed up to 3× per pass — dense near-dup graphs
+    #     regressed ~20% (entity_resolution 3.0 → 3.6 s), chains were
+    #     flat;
+    # (3) repartition-by-id before each checkpoint so the next pass's
+    #     three id-keyed consumers reuse the partitioning: the forced
+    #     fixed-width exchanges defeat AQE's coalescing of these tiny
+    #     shuffles — 7.0 → 11.6 s warm on the same graph;
+    # (4) edge-relation contraction after pass 1 (r12): restarts the
+    #     propagation on the contracted domain, net negative on
+    #     chain-shaped graphs.
+    # The shipped loop is the measured optimum of the five: per pass
+    # ONE neighbor-min aggregation + two label joins, one eager
+    # checkpoint (the pass's job), one block-local convergence probe.
     converged = False
     for _ in range(max_iters):
         neighbor_min = (
@@ -1152,22 +1185,27 @@ def simhash_fingerprints_md5(
             .alias("h_lo"),
         )
     )
-    votes = []
-    for b in range(64):
-        src = F.col("h_hi") if b >= 32 else F.col("h_lo")
-        bit = F.shiftrightunsigned(src, b % 32).bitwiseAND(
-            F.lit(1).cast("long")
+    # r13 optimization round (guide §1.2, the pq/lit-array playbook):
+    # the 64 vote aggregates and the 64-char bit concat are built as
+    # parsed SQL strings instead of ~600 py4j Column-API round-trips —
+    # operator-for-operator the same expressions (pinned bit-for-bit
+    # by tests/test_r13_opt.py::test_simhash_md5_expr_rewrite).
+    votes = [
+        F.expr(
+            f"sum(CASE WHEN (shiftrightunsigned("
+            f"{'h_hi' if b >= 32 else 'h_lo'}, {b % 32})"
+            " & CAST(1 AS BIGINT)) = 1 THEN c ELSE -c END)"
+            f" AS v{b}"
         )
-        votes.append(
-            F.sum(
-                F.when(bit == 1, F.col("c")).otherwise(-F.col("c"))
-            ).alias(f"v{b}")
-        )
+        for b in range(64)
+    ]
     agg = hashed.groupBy(id_col).agg(*votes)
-    fp = F.concat(
-        *[
-            F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+    fp = F.expr(
+        "concat("
+        + ",".join(
+            f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)"
             for b in range(63, -1, -1)
-        ]
+        )
+        + ")"
     )
     return agg.select(F.col(id_col), fp.alias("simhash_bits"))

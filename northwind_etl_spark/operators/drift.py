@@ -125,9 +125,7 @@ def psi_by_group(
     Scale shape: one (group, window, bucket) hash agg over the data,
     then everything runs on the bucket-grid-bounded frame.
     """
-    from decimal import Decimal
-
-    from ..functions.lnlut import LAPLACE_LN_LUT, laplace_ln_lut_col
+    from ..functions.lnlut import laplace_ln_lut_col
 
     B = int(n_buckets)
     lim = int(max_window)

@@ -428,11 +428,8 @@ def mutual_information(
 
     Returns (x, n_x, mi_part) per x-value, ordered; Σ mi_part = MI.
     """
-    from decimal import Decimal
-
-    from ..functions.lnlut import LAPLACE_LN_LUT, laplace_ln_lut_col
-
     from ..cache import persist_stage
+    from ..functions.lnlut import laplace_ln_lut_col
 
     lim = int(max_n)
     pairs = df.select(

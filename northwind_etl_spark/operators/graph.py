@@ -67,9 +67,7 @@ def pagerank_fixed_point(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
     # Everything loop-invariant is joined ONCE and persisted: the
-    # edge list already carries its source's out-degree, so each
-    # iteration is a single ranks⋈edges join + one groupBy — not the
-    # two joins a naive loop would redo every pass.
+    # edge list already carries its source's out-degree.
     e = persist_stage(e)
     nodes = persist_stage(
         e.select(F.col("src").alias("node"))
@@ -80,23 +78,53 @@ def pagerank_fixed_point(
     edges_od = persist_stage(e.join(outdeg, "src"))
 
     base = (scale * (den - num)) // den
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for i in range(iterations):
-        contribs = (
-            ranks.join(edges_od, F.col("node") == F.col("src"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.expr("rank DIV od")).alias("m"))
+    if iterations < 1:
+        return nodes.select(
+            "node", F.lit(scale).cast("long").alias("rank")
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(base).cast("long")
-                + F.expr(f"({num} * coalesce(m, 0L)) DIV {den}")
-            ).alias("rank"),
+    # r13 optimization round (guide §2.4 — remove exchanges, the HITS
+    # treatment): the loop used to materialize the DENSE rank relation
+    # every round (ranks⋈edges join + a nodes zero-fill join).  Only
+    # the in-mass m_k(v) = Σ_{u→v} rank_{k−1}(u) DIV od(u) varies —
+    # and rank_{k−1}(u) = base + (num·coalesce(m_{k−1}(u), 0)) DIV den
+    # is a pure per-edge expression of the SPARSE m relation (a node
+    # absent from m has mass 0, so the left join supplies exactly the
+    # zero-fill).  Each round is therefore ONE left join + one groupBy
+    # instead of two joins + one groupBy, round 1 needs no join at all
+    # (rank_0 = scale for every node), and `nodes` leaves the loop
+    # entirely — zeros are filled ONCE on output.  Every step is the
+    # identical long DIV/·/Σ arithmetic, so the result is
+    # bit-identical (pinned by tests/test_graph.py and the
+    # nation_trade_pagerank oracle).
+    m = edges_od.groupBy(F.col("dst").alias("node")).agg(
+        F.sum(F.expr(f"{scale}L DIV od")).alias("m")
+    )
+    contrib = F.expr(
+        f"(({base}L + (({num} * coalesce(m, 0L)) DIV {den})) DIV od)"
+    )
+    for i in range(1, iterations):
+        m = (
+            edges_od.join(
+                m.withColumnRenamed("node", "__mn"),
+                F.col("src") == F.col("__mn"),
+                "left",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(contrib).alias("m"))
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            m = m.localCheckpoint(eager=True)
+    return nodes.join(
+        m.withColumnRenamed("node", "__mn"),
+        F.col("node") == F.col("__mn"),
+        "left",
+    ).select(
+        "node",
+        (
+            F.lit(base).cast("long")
+            + F.expr(f"({num} * coalesce(m, 0L)) DIV {den}")
+        ).alias("rank"),
+    )
 
 
 def canonical_edges(
@@ -394,12 +422,28 @@ def label_propagation(
     # round and made nation_trade_communities the slowest query in
     # the sf0.1 bench, 23 s vs its siblings' single digits).
     e = persist_stage(edges.select(s.alias("__s"), d.alias("__d")))
-    labels = (
+    nodes = (
         e.select(F.col("__s").alias("node"))
         .union(e.select("__d"))
         .distinct()
-        .withColumn("label", F.col("node"))
     )
+    # r13 optimization round (guide §2.4 — remove exchanges, the HITS
+    # treatment): the loop used to LEFT-JOIN every round's argmax back
+    # onto the full label relation just to carry nodes with no
+    # in-neighbor.  But that set is LOOP-INVARIANT (a node `pick`
+    # never covers keeps its initial label — its own id — forever),
+    # so it is computed once up front and UNIONed onto each round's
+    # argmax instead: one join per round gone, and the union is
+    # exchange-free.  Same (node, label) set every round — pinned by
+    # tests/test_graph.py and the nation_trade_communities oracle.
+    isolated = persist_stage(
+        nodes.join(
+            e.select(F.col("__d").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ).withColumn("label", F.col("node"))
+    )
+    labels = nodes.withColumn("label", F.col("node"))
     for i in range(iterations):
         pick = (
             e.join(labels.withColumnRenamed("node", "__s"), "__s")
@@ -407,11 +451,9 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("__c"))
             .groupBy("node")
             .agg(F.max(F.struct("__c", "label")).alias("__b"))
-            .select("node", F.col("__b.label").alias("__new"))
+            .select("node", F.col("__b.label").alias("label"))
         )
-        labels = labels.join(pick, "node", "left").select(
-            "node", F.coalesce("__new", "label").alias("label")
-        )
+        labels = pick.unionByName(isolated)
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint()
     return labels
@@ -461,10 +503,17 @@ def k_core(
             F.count(F.lit(1)).alias("deg")
         )
         keep = deg.where(F.col("deg") >= k).select("node")
+        # LAZY localCheckpoint (r13, guide §1.2: each eager checkpoint
+        # was its own blocking job — 4 rounds cost 9 jobs).  The lazy
+        # form still truncates lineage and materializes exactly once,
+        # but it does so INSIDE the next round's degree job (or the
+        # final aggregation), halving the loop's job count.  No
+        # convergence probe reads these blocks mid-round (unlike
+        # duplicate_clusters), so laziness is safe here.
         cur = (
             cur.join(keep.withColumnRenamed("node", "__s"), "__s", "leftsemi")
             .join(keep.withColumnRenamed("node", "__d"), "__d", "leftsemi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         cur.groupBy(F.col("__s").alias("node"))

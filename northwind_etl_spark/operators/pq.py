@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.arrays import lit_double_array, lit_long_array
+from ..functions.arrays import lit_double_array
 from pyspark.sql.functions import pandas_udf
 
 __all__ = ["train_pq_codebooks", "encode_pq", "pq_topk"]

@@ -370,9 +370,7 @@ def weighted_reservoir(
     100 TB shape: map-only key computation + TakeOrderedAndProject —
     no shuffle at all beyond the top-k's bounded exchange.
     """
-    from decimal import Decimal
-
-    from ..functions.lnlut import LAPLACE_LN_LUT, laplace_ln_lut_col
+    from ..functions.lnlut import laplace_ln_lut_col
 
     if k < 1:
         raise ValueError("k must be >= 1")

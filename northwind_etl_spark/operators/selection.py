@@ -338,6 +338,16 @@ def _group_kth_smallest_loop(spark, base, kfor, max_passes):
     )
     if not first:
         raise ValueError("group_kth_smallest on an empty relation")
+    if any(r.g is None for r in first):
+        # ADVICE r12: a NULL group key can never match the walk/spec
+        # equality predicates (g == lit(None) is NULL, never true), so
+        # it would surface as an AssertionError deep in the loop —
+        # reject it up front with an actionable message instead.
+        raise ValueError(
+            "group_kth_smallest: NULL group key — selection groups"
+            " must be non-null (filter or coalesce the group column"
+            " first)"
+        )
     bad = {r.g: r.bad for r in first if r.bad}
     if bad:
         raise ValueError(f"non-finite values in groups {sorted(bad)}")
@@ -363,10 +373,26 @@ def _group_kth_smallest_loop(spark, base, kfor, max_passes):
         pass's inner spec-join would drop resolved/stagnant groups)."""
         if not keys:
             return
-        cond = None
-        for gk, tk in keys:
-            c = (g == F.lit(gk)) & (t == F.lit(tk))
-            cond = c if cond is None else (cond | c)
+        # ONE flat membership test instead of an OR-chain of
+        # per-key conjunctions (ADVICE r12: many groups × quantiles
+        # built a very deep Catalyst tree).  Group keys are non-null
+        # (validated on the first-stats rows above), so struct
+        # equality here is exact; >10 foldable literals fold to an
+        # InSet hash lookup.  Each literal struct is cast to the
+        # frame's own (g, __t) struct type so field types match
+        # exactly (the values came from collecting that very column,
+        # so the cast is always lossless).
+        key_t = frame.select(
+            F.struct(g.alias("g"), t.alias("__t"))
+        ).schema[0].dataType
+        cond = F.struct(g.alias("g"), t.alias("__t")).isin(
+            [
+                F.struct(
+                    F.lit(gk).alias("g"), F.lit(tk).alias("__t")
+                ).cast(key_t)
+                for gk, tk in keys
+            ]
+        )
         per = {}
         for r in (
             frame.where(cond).groupBy("g", "__t", "v").count()

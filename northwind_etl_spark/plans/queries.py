@@ -1594,17 +1594,23 @@ def _drain_stream(
     from ..streaming.events_stream import (
         adaptive_stream_partitions,
         run_available_now,
+        source_parquet_bytes,
     )
 
     # state/shuffle partition count derived from the SOURCE size
     # (guide §2 scale-adaptivity — streaming has no AQE coalescing;
-    # see adaptive_stream_partitions for the full contract)
+    # see adaptive_stream_partitions for the full contract).  The
+    # source may be a single file OR a directory-layout dataset
+    # (ADVICE r12) — source_parquet_bytes handles both; a missing
+    # source keeps the session default (None).
     n_parts = None
     if sf_dir is not None:
-        n_parts = adaptive_stream_partitions(
-            os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        src_bytes = source_parquet_bytes(
+            os.path.join(sf_dir, "events.parquet")
         )
-        if python_stateful:
+        if src_bytes is not None:
+            n_parts = adaptive_stream_partitions(src_bytes)
+        if n_parts is not None and python_stateful:
             # applyInPandasWithState-style operators run their groups
             # serially per partition inside the Python worker: their
             # latency is per-key compute, so the partition count must
@@ -2117,19 +2123,23 @@ def stream_incremental_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
         incremental_state_stream,
         read_events_stream,
         read_incremental_state,
+        source_parquet_bytes,
     )
 
     ev = read_events_stream(spark, sf_dir).select("user_id", "value")
     root = _spill_dir("stream_incr_state")
     ckpt = _spill_dir("stream_incr_ckpt")
+    src_bytes = source_parquet_bytes(os.path.join(sf_dir, "events.parquet"))
     incremental_state_stream(
         ev,
         root,
         ckpt,
         keys=["user_id"],
         value="value",
-        shuffle_partitions=adaptive_stream_partitions(
-            os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        shuffle_partitions=(
+            adaptive_stream_partitions(src_bytes)
+            if src_bytes is not None
+            else None
         ),
     )
     return read_incremental_state(spark, root, prefix="value").orderBy("user_id")

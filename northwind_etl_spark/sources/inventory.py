@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.arrays import lit_double_array, lit_long_array
+from ..functions.arrays import lit_long_array
 
 
 def model_inventory(

@@ -324,6 +324,31 @@ def read_incremental_state(
     return I.finalize(state, prefix=prefix)
 
 
+def source_parquet_bytes(path: str) -> int | None:
+    """Data bytes of a parquet source that may be a single file OR a
+    standard directory-layout dataset (ADVICE r12: os.path.getsize on
+    a directory returns the inode size, ~4 KB, silently degrading the
+    adaptive partition count to 1 in exactly the production layout —
+    and a missing path raised OSError mid-plan).  Directories sum
+    their data files recursively (dotfiles/_SUCCESS markers excluded);
+    a missing path returns None so the caller keeps the session's
+    default partition count instead of crashing."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:  # racing compaction/cleanup: skip
+                    continue
+        return total
+    return None
+
+
 def adaptive_stream_partitions(input_bytes: int) -> int:
     """Shuffle/state partition count for a streaming drain, DERIVED
     FROM THE SOURCE SIZE (optimization guide §2: make partitioning
@@ -378,6 +403,15 @@ def run_available_now(
     applied around ``start()`` only — a streaming query captures the
     conf at start and pins it into the checkpoint; the session value
     is restored before returning so batch plans are untouched.
+
+    Concurrency note (ADVICE r12): ``spark.sql.shuffle.partitions`` is
+    SESSION-GLOBAL, so a plan built concurrently in another thread of
+    the same session during the set→start()→restore window would
+    capture the temporary value.  The engine's drains are
+    single-threaded (bench/driver run queries sequentially); a caller
+    that overlaps streaming drains with other plan construction must
+    serialize them (or build the other plans in a cloned session via
+    ``spark.newSession()``, which has its own conf).
     """
     spark = df.sparkSession
     old = (
