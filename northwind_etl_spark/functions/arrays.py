@@ -72,11 +72,20 @@ def lit_decimal_array(values, precision: int, scale: int) -> Column:
     return F.expr(f"array({body})")
 
 
-def lit_double_matrix(rows) -> Column:
-    """array<array<double>> literal (e.g. a frozen codebook) in one
-    parse."""
+def lit_double_matrix_sql(rows) -> str:
+    """The SQL text of an array<array<double>> literal — for callers
+    that splice it into a larger hand-built SQL expression (r13: the
+    PQ eval references its codebook from inside nested lambdas whose
+    variable names must be explicit, so the whole expression is one
+    parsed string)."""
     inner = ",".join(
         "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in row) + ")"
         for row in rows
     )
-    return F.expr(f"array({inner})")
+    return f"array({inner})"
+
+
+def lit_double_matrix(rows) -> Column:
+    """array<array<double>> literal (e.g. a frozen codebook) in one
+    parse."""
+    return F.expr(lit_double_matrix_sql(rows))

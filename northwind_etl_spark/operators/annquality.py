@@ -139,59 +139,50 @@ def pq_frozen_recall(
     # expressions over per-codeword literal arrays (~2k F.lit py4j
     # round-trips + a huge tree for Catalyst to analyze — measured
     # ~10 s of BUILD time per call at m=8, k=16, vs ~1.5 s of actual
-    # execution).  It is now ONE array<array<double>> literal and the
-    # per-codeword loops are transform(sequence(0, k-1), …) — the same
-    # zip_with/aggregate folds over the same slices in the same order,
-    # so every distance, LUT entry and tie-break is bit-identical; only
-    # the expression-tree SIZE changed.
-    from ..functions.arrays import lit_double_matrix
+    # execution).  r13 round two: the r12 form still embedded the
+    # 1024-double codebook literal SIXTEEN times (one per lut{s} and
+    # a{s} column), leaving ~2.4 s of analysis time per call — the
+    # lut/assignment columns are now single nested-transform ARRAY
+    # columns, so the codebook literal appears exactly TWICE.  Both
+    # are hand-built SQL (nested lambdas need explicit distinct
+    # variable names — PySpark's generated names collide across
+    # nesting levels); the folds walk the same slices in the same
+    # order with the same CAST/arithmetic, so every distance, LUT
+    # entry and (d, c) tie-break is bit-identical (pq_ann_recall_eval
+    # stays oracle-hash-green; tests/test_r12_batch.py unchanged).
+    from ..functions.arrays import lit_double_matrix_sql
 
-    cbm = lit_double_matrix(cb)
-
-    def _sub_fold(vec_col, c, offset: int, width: int, combine):
-        xs = F.slice(vec_col, offset + 1, width)
-        ys = F.slice(F.element_at(cbm, c + 1), offset + 1, width)
-        return F.aggregate(
-            F.zip_with(xs, ys, combine), F.lit(0.0), lambda a, x: a + x
-        )
-
-    def _l2sq(vec_col, c, offset, width):
-        return _sub_fold(
-            vec_col, c, offset, width,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        )
-
-    def _dot(vec_col, c, offset, width):
-        return _sub_fold(
-            vec_col, c, offset, width, lambda x, y: x.cast("double") * y
-        )
-
-    ks = F.sequence(F.lit(0), F.lit(k_codewords - 1))
-
-    # closure factories, NOT default-arg lambdas: a two-parameter
-    # lambda inside F.transform is interpreted as the (element, index)
-    # binary form, which would silently rebind the subspace to the
-    # array index
-    def _lut_col(s: int):
-        return F.transform(
-            ks, lambda c: _dot(F.col("v"), c, s * dsub, dsub)
-        )
-
-    def _cand_col(s: int):
-        return F.transform(
-            ks,
-            lambda c: F.struct(
-                _l2sq(F.col("v"), c, s * dsub, dsub).alias("d"),
-                c.alias("c"),
-            ),
-        )
+    cbm = lit_double_matrix_sql(cb)
+    dot_fold = (
+        f"aggregate(zip_with(slice(v, s * {dsub} + 1, {dsub}),"
+        f" slice(element_at({cbm}, c + 1), s * {dsub} + 1, {dsub}),"
+        " (x, y) -> CAST(x AS DOUBLE) * y),"
+        " 0.0D, (acc, z) -> acc + z)"
+    )
+    l2_fold = (
+        f"aggregate(zip_with(slice(v, s * {dsub} + 1, {dsub}),"
+        f" slice(element_at({cbm}, c + 1), s * {dsub} + 1, {dsub}),"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " 0.0D, (acc, z) -> acc + z)"
+    )
+    lut_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" transform(sequence(0, {k_codewords - 1}), c -> {dot_fold}))"
+    )
+    # per-subspace assignment: argmin over (dist, c) structs — the
+    # lexicographic array_min breaks distance ties to the smaller c
+    assign_expr = F.expr(
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" array_min(transform(sequence(0, {k_codewords - 1}), c ->"
+        f" named_struct('d', {l2_fold}, 'c', c))).c)"
+    )
 
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     qpred = F.col("vec_id") % query_mod == 0
     if query_max is not None:
         qpred = qpred & (F.col("vec_id") < query_max)
     # per-query ADC lookup tables, computed ONCE on the tiny broadcast
-    # side: lut{s}[c] = <q_s, codeword c_s>.  Computing these per
+    # side: lut[s][c] = <q_s, codeword c_s>.  Computing these per
     # (query, vector) pair instead — the naive expression — multiplies
     # the scoring cost by k_codewords (measured 15× at sf0.1); with
     # the LUT the pair side does m element_at lookups and m−1 adds.
@@ -204,32 +195,25 @@ def pq_frozen_recall(
         base.where(qpred).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            *[_lut_col(s).alias(f"lut{s}") for s in range(m)],
+            lut_expr.alias("lut"),
         )
     )
-    # per-subspace assignment: argmin over (dist, c) structs — the
-    # lexicographic array_min breaks distance ties to the smaller c
-    assigns = [
-        F.array_min(_cand_col(s)).getField("c").alias(f"a{s}")
-        for s in range(m)
-    ]
     # persist the per-VECTOR assignment: without the barrier Catalyst
     # collapses this projection into the post-join one and re-evaluates
     # all m×k distance folds PER (query, vector) PAIR — measured 3× the
     # whole eval's cost at sf0.1.  5k rows × 8 ints; released via
     # release_stages like every shared stage.
-    coded = persist_stage(base.select("vec_id", "v", *assigns))
+    coded = persist_stage(base.select("vec_id", "v", assign_expr.alias("a")))
+    # ADC: explicit left-associated sum over subspaces (s ascending)
+    adc = " + ".join(
+        f"element_at(element_at(lut, {s + 1}), element_at(a, {s + 1}) + 1)"
+        for s in range(m)
+    )
     scored = coded.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
         dot_expr(F.col("v"), F.col("qv")).alias("dot_exact"),
-        # ADC: explicit left-associated sum over subspaces (s ascending)
-        reduce(
-            lambda acc, s: acc
-            + F.element_at(F.col(f"lut{s}"), F.col(f"a{s}") + 1),
-            range(1, m),
-            F.element_at(F.col("lut0"), F.col("a0") + 1),
-        ).alias("dot_adc"),
+        F.expr(adc).alias("dot_adc"),
     )
     return _recall_frame(scored, q, "dot_exact", "dot_adc", topk)
 

@@ -85,21 +85,73 @@ def _pair_counts(types_df: DataFrame) -> DataFrame:
     )
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string as a Spark SQL single-quoted literal
+    body (backslash escaping — the parser default)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+# The one-merge fold over a symbol array, as a SQL template (r13,
+# guide §1.2 / the pq playbook: the Column-API spelling cost ~15 py4j
+# round-trips per merge per call site; the parsed string is one).
+# {L}/{R}/{M} are escaped literals; {acc}/{x} are lambda variable
+# names the caller picks (nested folds need distinct names — Spark
+# resolves lambda variables by NAME, so a reused name in a nested
+# scope would shadow the outer binding).
+_MERGE_FOLD = (
+    "aggregate({syms}, CAST(array() AS ARRAY<STRING>),"
+    " ({acc}, {x}) -> CASE WHEN size({acc}) > 0"
+    " AND element_at({acc}, -1) = '{L}' AND {x} = '{R}'"
+    " THEN concat(slice({acc}, 1, size({acc}) - 1), array('{M}'))"
+    " ELSE concat({acc}, array({x})) END)"
+)
+
+
 def _apply_merge(types_df: DataFrame, left: str, right: str) -> DataFrame:
     """Left-to-right non-overlapping replacement of (left, right) with
     left+right in every symbol array — a Catalyst fold, no UDF."""
-    merged = left + right
-    fold = F.aggregate(
-        "syms",
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
-        ).otherwise(F.concat(acc, F.array(x))),
+    fold = F.expr(
+        _MERGE_FOLD.format(
+            syms="syms",
+            acc="acc",
+            x="x",
+            L=_sql_str(left),
+            R=_sql_str(right),
+            M=_sql_str(left + right),
+        )
     )
     return types_df.select("word", "freq", fold.alias("syms"))
+
+
+def _apply_all_merges_expr(merges: list[tuple[str, str]]) -> "F.Column":
+    """ALL merges applied in rank order as ONE nested fold: the outer
+    aggregate walks the merge list, the inner aggregate is the same
+    left-to-right non-overlapping replacement _apply_merge does — the
+    sequential composition is identical, but the plan is a single
+    projection instead of k chained selects + periodic localCheckpoints
+    (r13: the encode path's 12 chained folds cost ~2 s of driver
+    planning and two checkpoint jobs per call; pinned equal to the
+    chained spelling in tests/test_r13_opt.py and to the pure-Python
+    reference in tests/test_bpe.py)."""
+    if not merges:
+        return F.col("syms")
+    merge_lits = ",".join(
+        f"named_struct('l', '{_sql_str(left)}', 'r', '{_sql_str(right)}')"
+        for left, right in merges
+    )
+    # distinct lambda variable names per nesting level: Spark resolves
+    # lambda variables by NAME, so reusing one in a nested scope would
+    # shadow the outer binding (m would become unreachable)
+    inner = (
+        "aggregate(acc0, CAST(array() AS ARRAY<STRING>),"
+        " (a1, x1) -> CASE WHEN size(a1) > 0"
+        " AND element_at(a1, -1) = m.l AND x1 = m.r"
+        " THEN concat(slice(a1, 1, size(a1) - 1), array(concat(m.l, m.r)))"
+        " ELSE concat(a1, array(x1)) END)"
+    )
+    return F.expr(
+        f"aggregate(array({merge_lits}), syms, (acc0, m) -> {inner})"
+    )
 
 
 def _persistent_rdd_ids(sc) -> set[int]:
@@ -179,47 +231,43 @@ def encode_with_merges(
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 5,  # kept for API compat; the one-fold
+    # encode has no chained lineage to truncate (r13)
 ) -> DataFrame:
     """Apply a learned merge list (rank order) and return per-doc
     encoded statistics: (id, n_words, n_symbols) where n_symbols is
     the post-BPE symbol count — the token count a trainer would see.
 
     Same word-type trick as learning: the k merges run over the
-    DISTINCT words (k chained folds on a vocab-sized table, lineage
-    truncated like learn_bpe_merges), and documents join the resulting
-    word → symbol-count map — the corpus itself is never folded.  The
-    join is per word occurrence; broadcast-ability follows vocab size,
-    left to AQE.
+    DISTINCT words, and documents join the resulting word →
+    symbol-count map — the corpus itself is never folded.  The join is
+    per word occurrence; broadcast-ability follows vocab size, left to
+    AQE.
+
+    r13 optimization round: the k merges are ONE nested fold
+    (_apply_all_merges_expr) instead of k chained selects with
+    periodic localCheckpoints — the same sequential composition per
+    word, but the vocab table is now touched in a single projection
+    (the chained spelling cost ~2 s of driver plan-build/analysis and
+    two checkpoint jobs per call at k=12; at scale it saved nothing —
+    each checkpoint was a full pass over the vocab table).
     """
-    sc = df.sparkSession.sparkContext
     words = df.select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("word")
     )
     types_df = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq")).select(
         "word", F.split(F.col("word"), "(?!^)(?=.)").alias("syms")
     )
-    current = types_df.select("word", F.lit(1).alias("freq"), "syms")
-    ckpt_ids: set[int] = set()
-    for i, (left, right) in enumerate(merges):
-        current = _apply_merge(current, left, right)
-        if (i + 1) % checkpoint_every == 0:
-            before = _persistent_rdd_ids(sc)
-            current = current.localCheckpoint()
-            new_ids = _persistent_rdd_ids(sc) - before
-            _unpersist_rdd_ids(sc, ckpt_ids)
-            ckpt_ids = new_ids
     from ..cache import persist_stage
 
     # land the vocab-sized word→symbol-count map in the TRACKED stage
-    # cache (caller releases via release_stages / stage_cache_scope),
-    # materialize it, then free the intermediate checkpoint blocks —
-    # the returned plan reads the persisted map, not the checkpoints
+    # cache (caller releases via release_stages / stage_cache_scope);
+    # the returned plan reads the persisted map
     sym_counts = persist_stage(
-        current.select("word", F.size("syms").alias("n_syms"))
+        types_df.select(
+            "word", F.size(_apply_all_merges_expr(merges)).alias("n_syms")
+        )
     )
-    sym_counts.count()
-    _unpersist_rdd_ids(sc, ckpt_ids)
     return (
         words.join(sym_counts, "word")
         .groupBy(id_col)

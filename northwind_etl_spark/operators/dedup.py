@@ -506,12 +506,29 @@ def duplicate_clusters(
     """
     import warnings
 
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
+    # Both directions from ONE scan of `pairs` (r13, guide §2.3): the
+    # union spelling evaluated the caller's pair pipeline — typically
+    # the expensive blocked-candidates + verify chain — TWICE inside
+    # the edges job (profiled ~5 s of golden_customer_records' 8.3 s
+    # was this pre-loop).  explode(array(fwd, rev)) emits the same row
+    # multiset from a single pass; distinct is unchanged.
+    edges = _materialize(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct(),
+        reliable,
     )
-    edges = _materialize(edges, reliable)
     labels = _materialize(
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -5018,14 +5018,21 @@ def trade_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intra-community edge join, m, degrees) and sits on the expensive
     # 5-table trade-pair subtree; the label output feeds three more —
     # both persisted or every branch replays the join chain (measured
-    # 11.1 s unpersisted vs 6.5 s with the two persists at sf0.1; the
-    # remaining cost is the 4 LPA rounds themselves, same as the
-    # nation_trade_communities entry)
-    from ..cache import persist_stage
-
-    ue = persist_stage(_above_mean(upairs, "ucnt").select("a", "b"))
+    # 11.1 s unpersisted vs 6.5 s with the two persists at sf0.1).
+    # r13 (guide §3.3 "very wide plans — planning time itself becomes
+    # the bottleneck"): the two stages are localCheckpointed instead
+    # of persisted — a persist dedupes EXECUTION but every consuming
+    # branch still carries (and Catalyst still analyzes) the full
+    # 5-table + 4-LPA-round logical subtree, which the job-attribution
+    # profile showed as 5.5 s of DRIVER time in an 8.9 s cell; the
+    # checkpoint truncates each branch's plan to a scan of existing
+    # partitions (values unchanged — same relations, materialized
+    # eagerly here instead of lazily at first use).
+    ue = _above_mean(upairs, "ucnt").select("a", "b").localCheckpoint()
     both = ue.union(ue.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = persist_stage(label_propagation(both, "a", "b", iterations=4))
+    labels = label_propagation(
+        both, "a", "b", iterations=4
+    ).localCheckpoint()
     la = labels.withColumnRenamed("node", "a").withColumnRenamed(
         "label", "ca"
     )

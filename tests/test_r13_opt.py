@@ -307,6 +307,47 @@ def test_simhash_md5_expr_rewrite(spark):
     assert got == {i: expected(t) for i, t in rows}
 
 
+def test_bpe_one_fold_encode_equals_chained(spark):
+    """The r13 single nested-fold merge application must equal the
+    chained per-merge folds — including tokens carrying SQL-hostile
+    characters (quotes, backslashes) through the escaped literals."""
+    from northwind_etl_spark.operators.bpe import (
+        _apply_all_merges_expr,
+        _apply_merge,
+    )
+
+    words = [
+        "banana", "bandana", "aaa", "ab", "o'brien", "a\\b'c", "x",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["word"]).select(
+        "word",
+        F.lit(1).alias("freq"),
+        F.split(F.col("word"), "(?!^)(?=.)").alias("syms"),
+    )
+    merges = [("a", "n"), ("an", "a"), ("'", "b"), ("\\", "b")]
+    chained = df
+    for left, right in merges:
+        chained = _apply_merge(chained, left, right)
+    got_chained = {
+        r["word"]: r["syms"] for r in chained.collect()
+    }
+    one_fold = df.select(
+        "word", _apply_all_merges_expr(merges).alias("syms")
+    )
+    got_fold = {r["word"]: r["syms"] for r in one_fold.collect()}
+    assert got_fold == got_chained
+    # spot-check the classic run semantics: a,a,a -> (aa),a under ("a","a")
+    run = spark.createDataFrame([("aaa",)], ["word"]).select(
+        "word",
+        F.lit(1).alias("freq"),
+        F.split(F.col("word"), "(?!^)(?=.)").alias("syms"),
+    )
+    got = run.select(
+        _apply_all_merges_expr([("a", "a")]).alias("syms")
+    ).first()["syms"]
+    assert got == ["aa", "a"]
+
+
 def test_group_selection_int_group_keys_walk(spark):
     """Integer group keys go through the same struct-isin walk (the
     literal structs are cast to the frame's exact key type)."""
