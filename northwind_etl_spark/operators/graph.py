@@ -66,16 +66,21 @@ def pagerank_fixed_point(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    # Everything loop-invariant is joined ONCE and persisted: the
-    # edge list already carries its source's out-degree.
+    # Everything loop-invariant is joined ONCE and materialized: the
+    # edge list already carries its source's out-degree.  edges_od is
+    # localCheckpointed rather than persisted (r13): the loop joins it
+    # every round, and a persist dedupes execution but still re-embeds
+    # the full upstream plan per round for Catalyst to re-analyze —
+    # the checkpoint splices in a scan.  nodes is consumed exactly
+    # once (the output zero-fill) and needs no barrier at all now.
     e = persist_stage(e)
-    nodes = persist_stage(
+    nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    edges_od = persist_stage(e.join(outdeg, "src"))
+    edges_od = e.join(outdeg, "src").localCheckpoint(eager=False)
 
     base = (scale * (den - num)) // den
     if iterations < 1:
@@ -417,11 +422,16 @@ def label_propagation(
 
     s, d = F.col(src_col), F.col(dst_col)
     # The edge relation is loop-invariant and joined EVERY round —
-    # persist it once (the pagerank/triangles/BFS/SSSP discipline;
-    # forgetting this line re-derived a 5-table upstream join per
-    # round and made nation_trade_communities the slowest query in
-    # the sf0.1 bench, 23 s vs its siblings' single digits).
-    e = persist_stage(edges.select(s.alias("__s"), d.alias("__d")))
+    # materialize it once (the pagerank/triangles/BFS/SSSP discipline;
+    # forgetting this re-derived a 5-table upstream join per round and
+    # made nation_trade_communities the slowest query in the sf0.1
+    # bench, 23 s vs its siblings' single digits).  localCheckpoint
+    # rather than persist (r13): the persist deduped execution, but
+    # every round's join still re-embedded the full upstream plan for
+    # Catalyst to re-analyze; the checkpoint splices in a scan.
+    e = edges.select(s.alias("__s"), d.alias("__d")).localCheckpoint(
+        eager=False
+    )
     nodes = (
         e.select(F.col("__s").alias("node"))
         .union(e.select("__d"))
@@ -436,13 +446,17 @@ def label_propagation(
     # argmax instead: one join per round gone, and the union is
     # exchange-free.  Same (node, label) set every round — pinned by
     # tests/test_graph.py and the nation_trade_communities oracle.
-    isolated = persist_stage(
-        nodes.join(
-            e.select(F.col("__d").alias("node")).distinct(),
-            "node",
-            "left_anti",
-        ).withColumn("label", F.col("node"))
-    )
+    # localCheckpoint, not persist: a persist dedupes EXECUTION but
+    # every round's union would still re-embed (and Catalyst would
+    # re-analyze) the full upstream subtree — the committed plans
+    # showed 578 → 2343 Exchange nodes before this truncation; the
+    # checkpoint makes each union splice in a scan (lazy: it
+    # materializes inside round 1's job).
+    isolated = nodes.join(
+        e.select(F.col("__d").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).withColumn("label", F.col("node")).localCheckpoint(eager=False)
     labels = nodes.withColumn("label", F.col("node"))
     for i in range(iterations):
         pick = (
@@ -566,9 +580,15 @@ def hits_fixed_point(
         raise ValueError("iterations must be >= 1")
     derived = int(2 ** (62 / (2 * iterations)))
     max_nodes = derived if max_nodes is None else min(int(max_nodes), derived)
-    e = persist_stage(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    )
+    # localCheckpoint, not persist, for the loop-joined edge relation
+    # (r13): the persist deduped execution but every round still
+    # re-embedded the upstream plan text twice for Catalyst to
+    # re-analyze — the checkpoint splices in a scan (committed plans:
+    # 908 Exchange nodes after the r12 sparse rewrite, single digits
+    # once truncated).
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = persist_stage(
         e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
     )

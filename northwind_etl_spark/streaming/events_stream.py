@@ -36,13 +36,22 @@ def _events_stream_dir(sf_dir: str) -> str:
     """The file stream source wants a *directory* to watch; the test
     data ships one file per table in a shared dir.  Expose the events
     file through a per-sf symlink directory (what a real deployment
-    would have natively: one landing directory per stream)."""
+    would have natively: one landing directory per stream).
+
+    A DIRECTORY-layout events.parquet (the standard production shape,
+    ADVICE r12's layout) is already a landing directory — watch it
+    directly.  Symlinking it under the watch dir instead would make
+    the file source see a SUBDIRECTORY, which it silently skips (it
+    only descends into key=value partition dirs): the r13 scale lane
+    caught exactly that as a 0-row drain."""
+    target = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(target):
+        return target
     d = os.path.join(
         tempfile.gettempdir(), f"nes_events_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    target = os.path.join(sf_dir, "events.parquet")
     # lexists, not exists: exists() follows the link, so a dangling
     # symlink (tempdir outlived a recreated sf_dir) would read as
     # "absent" and the re-create below would hit FileExistsError

@@ -19,7 +19,9 @@ from northwind_etl_spark.plans.queries import QUERIES  # noqa: E402
 from northwind_etl_spark.session import get_spark  # noqa: E402
 
 OUT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"),
 )
 
 

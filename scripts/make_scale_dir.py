@@ -8,12 +8,19 @@ Replication emulates a DIVERSE corpus at N× size, not N copies of one
 corpus (the scripts/scale_probe.py rules, extended to every table):
 
 - region/nation: copied once (fixed dimension tables — FK targets).
-- customer/supplier/part: keys shifted by i·10⁹ per replica; NAMES get
-  a 6-char replica prefix ('aaaaaa_', 'bbbbbb_', …) so cross-replica
-  name pairs stay below every fuzzy threshold in the registry
-  (levenshtein ≥ 6 ≫ 1; no shared JW prefix and jaro ≈ 0.8 < 0.9) —
-  otherwise each name has N−1 planted near-dups and the linkage
-  entries measure the corpus blowup, not the engine.
+- customer/supplier/part: keys shifted by i·10⁹ per replica; NAMES go
+  through a per-replica CHARACTER BIJECTION (customer/supplier: the
+  digits map to a per-replica 10-letter alphabet; part: the letters
+  Caesar-shift by the replica index).  A bijection preserves every
+  within-replica edit distance and Jaro-Winkler value EXACTLY (the
+  true near-dup pair structure scales linearly), keeps cross-replica
+  names far apart (≥ the digit-run length ≫ every threshold), and —
+  unlike a replica prefix/suffix — moves each replica's q-grams into
+  a (mostly) disjoint gram space, so per-gram document frequency
+  stays at the base level instead of multiplying by N and crossing
+  the blockers' max_df cutoff (which silently emptied the candidate
+  sets in the first lane run: fuzzy_name_match_pairs found 0 pairs
+  at 10×).
 - orders/lineitem: all FK keys shifted by the same i·10⁹, dates kept
   (N× density per date window — the realistic scale direction).
 - events: event_id/user_id shifted, ts/value/props kept.
@@ -34,6 +41,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import string
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -53,8 +61,20 @@ def _replicas(df, times: int, variant):
     return out
 
 
-def _prefix(i: int) -> str:
-    return chr(97 + (i % 26)) * 6 + "_"
+_POOL = string.ascii_lowercase + string.ascii_uppercase  # 52 chars
+
+
+def _digit_alphabet(i: int) -> str:
+    """10 letters replacing the digits in replica i's names — slices
+    of the 52-char pool, staggered so consecutive replicas share at
+    most half their letters (and map them differently)."""
+    start = ((i - 1) * 5) % 42
+    return _POOL[start : start + 10]
+
+
+def _caesar(i: int) -> str:
+    k = i % 26
+    return string.ascii_lowercase[k:] + string.ascii_lowercase[:k]
 
 
 def main() -> None:
@@ -83,13 +103,18 @@ def main() -> None:
     for t in ("region", "nation"):
         write(read(t), t, parts=1)
 
-    def name_variant(col: str):
+    def name_variant(col: str, kind: str):
         def v(df, i):
-            shifted = df
             if i == 0:
-                return shifted
-            return shifted.withColumn(
-                col, F.concat(F.lit(_prefix(i)), F.col(col))
+                return df
+            if kind == "digits":
+                return df.withColumn(
+                    col,
+                    F.translate(F.col(col), "0123456789", _digit_alphabet(i)),
+                )
+            return df.withColumn(
+                col,
+                F.translate(F.col(col), string.ascii_lowercase, _caesar(i)),
             )
         return v
 
@@ -106,7 +131,7 @@ def main() -> None:
         _replicas(
             read("customer"),
             factor,
-            keys_shifted(["c_custkey"], name_variant("c_name")),
+            keys_shifted(["c_custkey"], name_variant("c_name", "digits")),
         ),
         "customer",
     )
@@ -114,7 +139,7 @@ def main() -> None:
         _replicas(
             read("supplier"),
             factor,
-            keys_shifted(["s_suppkey"], name_variant("s_name")),
+            keys_shifted(["s_suppkey"], name_variant("s_name", "digits")),
         ),
         "supplier",
     )
@@ -122,7 +147,7 @@ def main() -> None:
         _replicas(
             read("part"),
             factor,
-            keys_shifted(["p_partkey"], name_variant("p_name")),
+            keys_shifted(["p_partkey"], name_variant("p_name", "letters")),
         ),
         "part",
     )

@@ -12,11 +12,21 @@ def test_iterative_operators_persist_loop_invariants(spark, sf_dir):
 
 
 def test_lint_goes_red_when_persist_is_removed(spark, sf_dir, monkeypatch):
-    """Red-team the lint: with persist_stage a no-op (exactly the r07
-    LPA bug shape), the lint MUST flag both loop operators."""
+    """Red-team the lint: with BOTH materialization disciplines
+    no-op'd — persist_stage (the r07 LPA bug shape) and
+    localCheckpoint (which r13 moved the loop-invariant truncation
+    to) — the lint MUST flag both loop operators."""
+    # patch the CLASSIC DataFrame class — the runtime type in Spark 4
+    # (pyspark.sql.DataFrame is the dispatch facade; patching it does
+    # not override the classic subclass's own method)
+    from pyspark.sql.classic.dataframe import DataFrame
+
     import northwind_etl_spark.cache as cache
 
     monkeypatch.setattr(cache, "persist_stage", lambda df, **kw: df)
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     failures = lint_iterative_operators(spark, sf_dir)
     assert any("label_propagation" in f for f in failures)
     assert any("pagerank_fixed_point" in f for f in failures)

@@ -104,6 +104,31 @@ def test_source_parquet_bytes_file_dir_missing(tmp_path):
     assert source_parquet_bytes(str(tmp_path / "absent.parquet")) is None
 
 
+def test_stream_reads_directory_layout_source(spark, tmp_path):
+    """A DIRECTORY-layout events.parquet must stream the same rows as
+    the single-file fixture (the first r13 scale-lane run drained 0
+    rows: the symlink watch-dir made the file source see a
+    subdirectory, which it silently skips)."""
+    import shutil
+
+    from northwind_etl_spark.plans.queries import stream_tumbling_event_counts
+
+    src = "/root/testdata/sf0.001"
+    sf_dir = tmp_path / "sfdir"
+    evdir = sf_dir / "events.parquet"
+    evdir.mkdir(parents=True)
+    shutil.copy(f"{src}/events.parquet", evdir / "part-00000.parquet")
+    (evdir / "_SUCCESS").write_bytes(b"")
+
+    got = sorted(
+        tuple(r) for r in stream_tumbling_event_counts(spark, str(sf_dir)).collect()
+    )
+    want = sorted(
+        tuple(r) for r in stream_tumbling_event_counts(spark, src).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_group_selection_rejects_null_group_keys(spark):
     df = spark.createDataFrame(
         [("a", 1.0), (None, 2.0), ("a", 3.0)], ["g", "x"]
