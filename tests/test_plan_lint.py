@@ -31,7 +31,10 @@ BNLJ_WHITELIST = {
     "heavy_hitter_terms",            # total-count threshold scalar
     "nation_trade_pagerank",         # node-count / teleport scalar
     "nation_trade_triangles",        # edge-threshold scalar
-    "nation_trade_communities",      # same above-mean edge-threshold scalar
+    # nation_trade_communities / nation_trade_hits left the list in
+    # r13: their loop-invariant edge relations are localCheckpointed,
+    # so the above-mean threshold BNLJ no longer appears in the final
+    # plan (it runs once inside the checkpoint materialization)
     "copurchase_rules",              # basket-count scalar
     "q22_dormant_customers",         # avg-balance scalar (designed)
     "tfidf_scores",                  # n_docs scalar
@@ -68,7 +71,6 @@ BNLJ_WHITELIST = {
     "signup_conversion_survival",    # 1-row observation-end scalar
     "experiment_cuped_readout",      # 1-row midpoint scalar
     "events_value_psi_drift",        # 1-row midpoint scalar
-    "nation_trade_hits",             # above-mean edge threshold + 1-row node-count guard
     "bm25_ndcg_eval",                # 1-row corpus-stats (bm25 pattern)
     "source_term_jsd_pairs",         # totals ⨯ 100-row vocabulary grid
     "type_value_mutual_info",        # 1-row N scalar ⨯ bucket marginals
